@@ -1,4 +1,4 @@
 """Query registration. Importing this package registers every query into
 ``impractical_impala_spark.registry``. One module per family."""
 
-from . import tpch  # noqa: F401
+from . import reference_ops, tpch  # noqa: F401

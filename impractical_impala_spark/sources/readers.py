@@ -42,9 +42,23 @@ WDI_SCHEMA = T.StructType(
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata parquet table. Plain ``spark.read.parquet`` —
     filters and projections placed on the result are pushed into the scan
-    by Catalyst, which is the whole point of staying declarative."""
+    by Catalyst, which is the whole point of staying declarative.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
+    (microseconds) cannot hold; we read it as a nanosecond epoch long
+    (``ts_ns``, the lossless form) and derive a microsecond ``ts``
+    timestamp for window/watermark operators."""
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+
+        return (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
