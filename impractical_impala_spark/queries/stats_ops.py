@@ -1,0 +1,276 @@
+"""SURVEY.md §2 statistical operators (O22-O30) over the testdata.
+
+O22 (HP filter) is genuinely non-SQL — registered without an oracle
+(driver records a rows-only check). O23 (quadratic detrend) HAS a SQL
+closed form: per-group Gram-matrix aggregates + Cramer's rule — the
+oracle uses a CENTERED time basis for numerical stability; residuals are
+basis-invariant so they match the kernel's lstsq to ~1e-12.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.detrend import add_grouped_cycles, add_quad_cycles
+from ..functions.detrend import hp_cycle
+from ..registry import register
+from ..sources import load_table
+
+MIN_T_EVENTS = 10
+
+
+def _events_with_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time index t = row ordinal by event_id (O21 shape)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.withColumn("t", F.row_number().over(w).cast("double"))
+
+
+# --- O22: HP-filter detrend (non-SQL kernel; rows-only check) -----------
+def o22_hp_detrend_sd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O22 (dtrendandstat_HP100.R:136-164): HP(lambda=100) cycle of each
+    user's value series, then per-user cycle volatility — the reference's
+    detrend->sd pipeline shape on the events table. applyInPandas kernel;
+    no SQL oracle exists (matrix solve), driver records rows-only."""
+    df = _events_with_t(spark, sf_dir)
+    df = add_grouped_cycles(df, ["user_id"], "event_id",
+                            {"value": "cyc"},
+                            lambda x: hp_cycle(x, 100.0, min_t=MIN_T_EVENTS))
+    return (
+        df.groupBy("user_id")
+        .agg(
+            F.count("value").alias("n"),
+            F.round(F.stddev_samp("cyc") * 100, 6).alias("sd_cyc_x100"),
+        )
+    )
+
+
+register("o22_hp_detrend_sd", o22_hp_detrend_sd, None,
+         "O22 HP-filter detrend + volatility (rows-only)")
+
+
+# --- O23: quadratic detrend (oracle via Gram matrix + Cramer) -------------
+def o23_quad_detrend_sd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O23 (detrendandstat_quad.R:132-168): per-user quadratic-OLS
+    residual cycle, then residual volatility. Kernel is lstsq; the SQL
+    oracle solves the same normal equations on a centered basis."""
+    df = _events_with_t(spark, sf_dir)
+    df = add_quad_cycles(df, ["user_id"], "event_id", {"value": "cyc"},
+                         "t", min_t=MIN_T_EVENTS)
+    return (
+        df.groupBy("user_id")
+        .agg(
+            F.count("value").alias("n"),
+            F.round(F.stddev_samp("cyc"), 6).alias("sd_cyc"),
+        )
+    )
+
+
+O23_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id, value,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+                AS DOUBLE) AS t
+    FROM events
+), centered AS (
+    SELECT user_id, value, t,
+           t - AVG(t) OVER (PARTITION BY user_id) AS tc
+    FROM seq
+), g AS (
+    SELECT user_id,
+           COUNT(value)        AS n,
+           SUM(tc)             AS s1,
+           SUM(tc*tc)          AS s2,
+           SUM(tc*tc*tc)       AS s3,
+           SUM(tc*tc*tc*tc)    AS s4,
+           SUM(value)          AS sy,
+           SUM(tc*value)       AS sty,
+           SUM(tc*tc*value)    AS st2y
+    FROM centered GROUP BY user_id
+), coef AS (
+    SELECT user_id, n,
+           (  n*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2)) AS det,
+           ( sy*(s2*s4 - s3*s3) - s1*(sty*s4 - s3*st2y) + s2*(sty*s3 - s2*st2y)) AS det_a,
+           (  n*(sty*s4 - st2y*s3) - sy*(s1*s4 - s3*s2) + s2*(s1*st2y - s2*sty)) AS det_b,
+           (  n*(s2*st2y - s3*sty) - s1*(s1*st2y - sty*s2) + sy*(s1*s3 - s2*s2)) AS det_c
+    FROM g
+), resid AS (
+    SELECT c.user_id, c.n,
+           v.value - (det_a/det + (det_b/det)*v.tc + (det_c/det)*v.tc*v.tc) AS r
+    FROM coef c JOIN centered v USING (user_id)
+)
+SELECT user_id, n,
+       CASE WHEN n >= {MIN_T_EVENTS} THEN ROUND(STDDEV_SAMP(r), 6) END AS sd_cyc
+FROM resid GROUP BY user_id, n
+"""
+
+register("o23_quad_detrend_sd", o23_quad_detrend_sd, O23_ORACLE,
+         "O23 quadratic detrend + volatility (Cramer-rule oracle)")
+
+
+# --- O24: grouped sample stddev -------------------------------------------
+def o24_grouped_sd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O24 (dtrendandstat_dlog.R:97-105): sample sd (n-1) x100 per group,
+    nulls ignored like na.rm=TRUE."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.round(F.stddev_samp("value") * 100, 6).alias("sd_value_x100"),
+        )
+    )
+
+
+register("o24_grouped_sd", o24_grouped_sd, """
+SELECT event_type, COUNT(value) AS n,
+       ROUND(STDDEV_SAMP(value) * 100, 6) AS sd_value_x100
+FROM events GROUP BY event_type
+""", "O24 grouped sample sd")
+
+
+# --- O25: post-aggregation ratio projection ---------------------------------
+def o25_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O25 (dtrendandstat_dlog.R:106-109): ratios of aggregated stats."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.stddev_samp(F.when(F.col("event_type") == "purchase", F.col("value")))
+        .alias("sd_purchase"),
+        F.stddev_samp(F.when(F.col("event_type") == "click", F.col("value")))
+        .alias("sd_click"),
+    )
+    return agg.select(
+        "user_id",
+        F.round(F.col("sd_purchase") / F.col("sd_click"), 6).alias("purchase_over_click"),
+    )
+
+
+register("o25_ratio", o25_ratio, """
+SELECT user_id,
+       ROUND(STDDEV_SAMP(CASE WHEN event_type = 'purchase' THEN value END)
+             / STDDEV_SAMP(CASE WHEN event_type = 'click' THEN value END), 6)
+           AS purchase_over_click
+FROM events GROUP BY user_id
+""", "O25 post-agg ratio")
+
+
+# --- O26: Pearson correlation (pairwise complete) ----------------------------
+def o26_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O26 (dtrendandstat_dlog.R:142-152): F.corr == cor(use=
+    'complete.obs') on two vectors (pairwise null dropping)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"))
+    )
+
+
+register("o26_corr", o26_corr, """
+SELECT l_returnflag, ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price
+FROM lineitem GROUP BY l_returnflag
+""", "O26 grouped Pearson corr")
+
+
+# --- O27: lag-1 autocorrelation ----------------------------------------------
+def o27_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O27 (dtrendandstat_dlog.R:180-189): cor(x, lag(x)) per group in
+    order — NOT the acf() normalization."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    df = ev.withColumn("value_lag", F.lag("value").over(w))
+    return (
+        df.groupBy("event_type")
+        .agg(F.round(F.corr("value", "value_lag"), 6).alias("acf1"))
+    )
+
+
+register("o27_acf", o27_acf, """
+WITH lagged AS (
+    SELECT event_type, value,
+           LAG(value) OVER (PARTITION BY event_type ORDER BY event_id) AS value_lag
+    FROM events
+)
+SELECT event_type, ROUND(CORR(value, value_lag), 6) AS acf1
+FROM lagged GROUP BY event_type
+""", "O27 lag-1 autocorr")
+
+
+# --- O28: two-level aggregation -----------------------------------------------
+def o28_two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O28 (dtrendandstat_dlog.R:111-137): region stats are unweighted
+    moments OF nation-level stats (mean-of-means, not pooled)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nation_stats = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.avg("c_acctbal").alias("nation_avg_bal"))
+    )
+    return (
+        nation_stats.groupBy("r_name")
+        .agg(
+            F.round(F.avg("nation_avg_bal"), 6).alias("bal_mean"),
+            F.round(F.stddev_samp("nation_avg_bal"), 6).alias("bal_sd"),
+        )
+    )
+
+
+register("o28_two_level_agg", o28_two_level_agg, """
+WITH nation_stats AS (
+    SELECT r_name, n_name, AVG(c_acctbal) AS nation_avg_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+)
+SELECT r_name, ROUND(AVG(nation_avg_bal), 6) AS bal_mean,
+       ROUND(STDDEV_SAMP(nation_avg_bal), 6) AS bal_sd
+FROM nation_stats GROUP BY r_name
+""", "O28 two-level aggregation")
+
+
+# --- O29: max-by-group ----------------------------------------------------------
+def o29_max_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O29 (dtrendandstat_HP100.R:68-84): max run length per user (the
+    reference computes this as a dead diagnostic; here it is a real
+    query so the operator is covered)."""
+    from ..operators.runlength import with_run_id, with_run_length, with_validity
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    df = with_validity(ev, "value",
+                       predicate=F.col("value").isNotNull() & (F.col("value") > 50))
+    df = with_run_id(df, ["user_id"], "event_id")
+    df = with_run_length(df, ["user_id"])
+    return (
+        df.filter(F.col("valid") == 1)
+        .groupBy("user_id")
+        .agg(F.max("run_length").alias("max_run"))
+    )
+
+
+register("o29_max_by_group", o29_max_by_group, """
+WITH flagged AS (
+    SELECT event_id, user_id,
+           CASE WHEN value IS NOT NULL AND value > 50 THEN 1 ELSE 0 END AS valid
+    FROM events
+), started AS (
+    SELECT *,
+           CASE WHEN valid = 1 AND COALESCE(LAG(valid) OVER
+                   (PARTITION BY user_id ORDER BY event_id), 0) = 0
+                THEN 1 ELSE 0 END AS is_start
+    FROM flagged
+), runs AS (
+    SELECT event_id, user_id, valid,
+           SUM(is_start) OVER (PARTITION BY user_id ORDER BY event_id
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM started
+), sized AS (
+    SELECT *, COUNT(*) OVER (PARTITION BY user_id, run_id, valid) AS run_length
+    FROM runs
+)
+SELECT user_id, MAX(run_length) AS max_run
+FROM sized WHERE valid = 1 GROUP BY user_id
+""", "O29 max run per group")
