@@ -1,4 +1,5 @@
 """Query registration. Importing this package registers every query into
 ``impractical_impala_spark.registry``. One module per family."""
 
-from . import reference_ops, stats_ops, tpch, windows  # noqa: F401
+from . import (dedup, reference_ops, similarity, stats_ops, text, tpch,  # noqa: F401
+               windows)

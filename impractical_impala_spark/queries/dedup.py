@@ -1,0 +1,369 @@
+"""Deduplication operators over the ``documents`` table — the
+training-data-pipeline surface (exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding nearest-duplicate).
+
+Design for oracle-exactness AND 100 TB scale:
+
+- Every hash is integer arithmetic both engines can compute bit-for-bit:
+  ``token_hash = int(md5(token)[:7 hex], 16)`` (28 bits), minhash
+  permutations ``(a*h + b) mod (2^31-1)`` — products stay < 2^63, no
+  overflow on either engine.
+- The Spark side is PURE Catalyst expressions (transform/aggregate/
+  array_* higher-order functions) — no Python UDF in the hot path, so
+  whole-stage codegen applies and the only shuffles are the LSH
+  band-bucket join and final dedup.
+- The synthetic corpus has no real duplicates, so each query AUGMENTS
+  the table with deterministic copies (exact, or with every 7th word
+  dropped) built identically in Spark and SQL — the pipeline then has
+  true positives to find at every scale factor.
+- LSH recall is probabilistic, so the minhash oracle replicates the
+  SIGNATURE pipeline (not a brute-force scan): both sides compute the
+  same candidates by construction; the brute-force ground truth is the
+  separate blocked n-gram-Jaccard query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+P = 2147483647  # 2^31 - 1
+NUM_PERM, BANDS, ROWS_PER_BAND = 16, 4, 4
+JACCARD_T = 0.4
+MUT_OFFSET = 1_000_000
+COPY_OFFSET = 2_000_000
+
+
+def _perm_consts() -> list[tuple[int, int]]:
+    """Deterministic (a, b) minhash permutation constants via an LCG."""
+    consts, x = [], 12345
+    for _ in range(NUM_PERM):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a = x | 1
+        x = (1103515245 * x + 12345) % (1 << 31)
+        consts.append((a, x))
+    return consts
+
+
+PERMS = _perm_consts()
+
+# --- shared expression fragments (Spark SQL dialect / DuckDB dialect) ----
+_SPARK_WORDS = "split(lower(text), ' ')"
+_DUCK_WORDS = "string_split(lower(text), ' ')"
+
+# drop every 7th word (deterministic near-duplicate mutation)
+_SPARK_MUT = "filter({w}, (w, i) -> ((i + 1) % 7) != 0)"
+_DUCK_MUT = ("list_transform(list_filter(range(1, len({w}) + 1),"
+             " i -> i % 7 != 0), i -> {w}[i])")
+
+# word bigram shingles (k=2; a 1-word doc yields its single word)
+_SPARK_SHINGLES = ("transform(sequence(1, greatest(size({w}) - 1, 1)),"
+                   " i -> concat_ws(' ', slice({w}, i, 2)))")
+_DUCK_SHINGLES = ("list_transform(range(1, greatest(len({w}) - 1, 1) + 1),"
+                  " i -> array_to_string(list_slice({w}, i, i + 1), ' '))")
+
+# 28-bit md5-prefix token hash, distinct set
+_SPARK_HASHES = ("array_distinct(transform({s},"
+                 " t -> cast(conv(substring(md5(t), 1, 7), 16, 10) as bigint)))")
+_DUCK_HASHES = ("list_distinct(list_transform({s},"
+                " t -> CAST(('0x' || substr(md5(t), 1, 7)) AS BIGINT)))")
+
+
+def _spark_docsets(spark: SparkSession, sf_dir: str, mutated: bool) -> DataFrame:
+    """documents (+ mutated copies of every 3rd doc) with the distinct
+    bigram-shingle hash set column ``dh``."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.withColumn("words", F.expr(_SPARK_WORDS))
+    frames = [base]
+    if mutated:
+        frames.append(
+            docs.filter(F.col("doc_id") % 3 == 0)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(MUT_OFFSET))
+            .withColumn("words", F.expr(_SPARK_MUT.format(w=_SPARK_WORDS)))
+        )
+    out = frames[0] if len(frames) == 1 else frames[0].unionByName(frames[1])
+    return (
+        out.withColumn("sh", F.expr(_SPARK_SHINGLES.format(w="words")))
+        .withColumn("dh", F.expr(_SPARK_HASHES.format(s="sh")))
+        .select("doc_id", "dh")
+    )
+
+
+def _duck_docsets(mutated: bool) -> str:
+    mut_block = f"""
+    UNION ALL
+    SELECT doc_id + {MUT_OFFSET} AS doc_id,
+           {_DUCK_MUT.format(w=_DUCK_WORDS)} AS words
+    FROM documents WHERE doc_id % 3 = 0""" if mutated else ""
+    return f"""
+docsets AS (
+    SELECT doc_id, {_DUCK_HASHES.format(s=_DUCK_SHINGLES.format(w='words'))} AS dh
+    FROM (
+        SELECT doc_id, {_DUCK_WORDS} AS words FROM documents{mut_block}
+    )
+)"""
+
+
+# ---------------------------------------------------------------- exact
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one shuffle on md5(text), keep the
+    min doc_id per group. Augmented with exact copies of every 5th doc
+    so duplicate groups exist."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(COPY_OFFSET)
+    )
+    allr = docs.unionByName(copies)
+    return (
+        allr.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+register("dedup_exact", dedup_exact, f"""
+WITH alldocs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {COPY_OFFSET}, text FROM documents WHERE doc_id % 5 = 0
+)
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM alldocs GROUP BY md5(text)
+""", "exact dedup via content hash")
+
+
+# ---------------------------------------------------------------- minhash LSH
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) -> LSH(4 bands x 4 rows) -> band-bucket join ->
+    exact-Jaccard confirmation. Candidate generation never compares all
+    pairs: docs meet only inside equal band buckets (at 100 TB this is
+    the standard shuffle-friendly near-dup join)."""
+    ds = _spark_docsets(spark, sf_dir, mutated=True)
+    mh_cols = [
+        F.array_min(F.expr(f"transform(dh, h -> ({a} * h + {b}) % {P})")).alias(f"mh{i}")
+        for i, (a, b) in enumerate(PERMS)
+    ]
+    sigs = ds.select("doc_id", "dh", *mh_cols)
+    band_exprs = [
+        F.concat_ws("_", *[F.col(f"mh{band * ROWS_PER_BAND + r}")
+                           for r in range(ROWS_PER_BAND)]).alias(f"band{band}")
+        for band in range(BANDS)
+    ]
+    sigs = sigs.select("doc_id", "dh", *band_exprs)
+    buckets = None
+    for band in range(BANDS):
+        b = sigs.select(
+            "doc_id", "dh",
+            F.lit(band).alias("band_idx"), F.col(f"band{band}").alias("bkey")
+        )
+        buckets = b if buckets is None else buckets.unionByName(b)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.col("a.dh").alias("dha"), F.col("b.dh").alias("dhb"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("dha", "dhb"))
+    union = F.size("dha") + F.size("dhb") - inter
+    return (
+        pairs.withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _minhash_oracle() -> str:
+    mh = ",\n           ".join(
+        f"list_min(list_transform(dh, h -> ({a} * h + {b}) % {P})) AS mh{i}"
+        for i, (a, b) in enumerate(PERMS)
+    )
+    bands = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, dh, {band} AS band_idx, "
+        + " || '_' || ".join(
+            f"CAST(mh{band * ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(ROWS_PER_BAND))
+        + " AS bkey FROM sigs"
+        for band in range(BANDS)
+    )
+    return f"""
+WITH {_duck_docsets(mutated=True).lstrip()},
+sigs AS (
+    SELECT doc_id, dh,
+           {mh}
+    FROM docsets
+),
+buckets AS (
+{bands}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.dh AS dha, b.dh AS dhb
+    FROM buckets a JOIN buckets b
+      ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(dha, dhb)) AS DOUBLE)
+       / CAST(len(dha) + len(dhb) - len(list_intersect(dha, dhb)) AS DOUBLE)
+           AS jaccard
+FROM cand
+WHERE CAST(len(list_intersect(dha, dhb)) AS DOUBLE)
+      / CAST(len(dha) + len(dhb) - len(list_intersect(dha, dhb)) AS DOUBLE)
+      >= {JACCARD_T}
+"""
+
+
+register("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_oracle(),
+         "minhash signatures -> LSH banding -> verified near-dup pairs")
+
+
+# ---------------------------------------------------------------- ngram jaccard
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact n-gram Jaccard: compare pairs that share a cheap
+    blocking key (here doc_id mod the mutation offset — i.e. original vs
+    its own mutated twin plus organic same-block pairs by lang+source).
+    The ground-truth companion to the LSH query."""
+    ds = _spark_docsets(spark, sf_dir, mutated=True)
+    meta = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    meta = meta.unionByName(
+        meta.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(MUT_OFFSET))
+    )
+    ds = ds.join(meta, "doc_id")
+    a, b = ds.alias("a"), ds.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.dh"), F.col("b.dh")))
+    union = F.size(F.col("a.dh")) + F.size(F.col("b.dh")) - inter
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+register("dedup_ngram_jaccard", dedup_ngram_jaccard, f"""
+WITH {_duck_docsets(mutated=True).lstrip()},
+meta AS (
+    SELECT doc_id, lang, source FROM documents
+    UNION ALL
+    SELECT doc_id + {MUT_OFFSET}, lang, source FROM documents WHERE doc_id % 3 = 0
+),
+ds AS (
+    SELECT d.doc_id, d.dh, m.lang, m.source
+    FROM docsets d JOIN meta m USING (doc_id)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.dh, b.dh)) AS DOUBLE)
+       / CAST(len(a.dh) + len(b.dh) - len(list_intersect(a.dh, b.dh)) AS DOUBLE)
+           AS jaccard
+FROM ds a JOIN ds b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.dh, b.dh)) AS DOUBLE)
+      / CAST(len(a.dh) + len(b.dh) - len(list_intersect(a.dh, b.dh)) AS DOUBLE)
+      >= {JACCARD_T}
+""", "blocked exact n-gram jaccard near-dup pairs")
+
+
+# ---------------------------------------------------------------- simhash
+SIMHASH_BITS = 28  # token hashes are 28-bit
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc SimHash fingerprint: bit j of the fingerprint is the
+    majority vote of bit j across the doc's (distinct) token hashes.
+    Emitted with a 14-bit bucket prefix — the blocking key under which
+    hamming-near fingerprints collide."""
+    ds = _spark_docsets(spark, sf_dir, mutated=False)
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * size(filter(dh, h -> ((h >> {j}) & 1) = 1)) > size(dh)"
+        f" THEN cast({1 << j} as bigint) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return ds.select(
+        "doc_id",
+        F.expr(bit_terms).alias("simhash"),
+    ).withColumn("bucket", F.expr(f"simhash >> {SIMHASH_BITS // 2}"))
+
+
+def _simhash_oracle() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(dh, h -> ((h >> {j}) & 1) = 1)) > len(dh)"
+        f" THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH {_duck_docsets(mutated=False).lstrip()}
+SELECT doc_id, {bit_terms} AS simhash,
+       ({bit_terms}) >> {SIMHASH_BITS // 2} AS bucket
+FROM docsets
+"""
+
+
+register("dedup_simhash", dedup_simhash, _simhash_oracle(),
+         "simhash fingerprint + blocking bucket per doc")
+
+
+# ---------------------------------------------------------------- embedding near-dup
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-duplicate candidate per embedding: top-1 cosine neighbor,
+    brute force via JVM-side higher-order functions (zip_with dot
+    product). At real scale the pair space is pruned by the LSH/IVF
+    bucketing in the similarity module; this is the exact baseline."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    ).withColumn(
+        "norm", F.expr("sqrt(aggregate(v, cast(0.0 as double), (acc, x) -> acc + x * x))")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0.0 as double),"
+        " (acc, x) -> acc + x)"
+    )
+    pairs = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+register("dedup_embedding_neardup", dedup_embedding_neardup, """
+WITH norms AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), pairs AS (
+    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+           list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+               AS cos
+    FROM norms a JOIN norms b ON a.vec_id <> b.vec_id
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, neighbor_id) AS rn
+    FROM pairs
+)
+SELECT vec_id, neighbor_id, ROUND(cos, 6) AS cos
+FROM ranked WHERE rn = 1
+""", "top-1 cosine neighbor per embedding (exact baseline)")

@@ -1,0 +1,199 @@
+"""Text-analysis operators over ``documents``: token stats, quality
+scoring, language-ID, document fingerprinting.
+
+All deterministic and integer/ratio-based so the DuckDB oracle is exact;
+everything is JVM-side expression work (split + higher-order functions),
+no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+P = 2147483647
+LANGS = ["en", "fr", "es", "zh", "de"]
+STOPWORDS = ("the", "a", "of", "to", "and")
+
+_SPARK_WORDS = "split(lower(text), ' ')"
+_DUCK_WORDS = "string_split(lower(text), ' ')"
+_SPARK_H = "cast(conv(substring(md5({t}), 1, 7), 16, 10) as bigint)"
+_DUCK_H = "CAST(('0x' || substr(md5({t}), 1, 7)) AS BIGINT)"
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + distinct-token count + chars-per-token.
+    (BPE-ish subword estimate: ceil(chars/4) — the standard quick token
+    budget heuristic.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({_SPARK_WORDS})").alias("n_tokens"),
+        F.expr(f"size(array_distinct({_SPARK_WORDS}))").alias("n_distinct"),
+        F.ceil(F.length("text") / 4).cast("bigint").alias("subword_est"),
+        (F.length("text").cast("double") / F.expr(f"size({_SPARK_WORDS})"))
+        .alias("chars_per_token"),
+    )
+
+
+register("text_token_count", text_token_count, f"""
+SELECT doc_id,
+       len({_DUCK_WORDS}) AS n_tokens,
+       len(list_distinct({_DUCK_WORDS})) AS n_distinct,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS subword_est,
+       CAST(length(text) AS DOUBLE) / len({_DUCK_WORDS}) AS chars_per_token
+FROM documents
+""", "token counting (whitespace + subword estimate)")
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality heuristics: stopword ratio, lexical
+    diversity, mean token length, length band — combined score."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    words = _SPARK_WORDS
+    n = f"size({words})"
+    stop_ratio = (
+        f"cast(size(filter({words}, w -> w in ({stop_list}))) as double) / {n}"
+    )
+    diversity = f"cast(size(array_distinct({words})) as double) / {n}"
+    mean_len = (
+        f"aggregate({words}, cast(0.0 as double), (acc, w) -> acc + length(w)) / {n}"
+    )
+    len_ok = "CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.0 END"
+    return docs.select(
+        "doc_id",
+        F.expr(stop_ratio).alias("stop_ratio"),
+        F.expr(diversity).alias("lexical_diversity"),
+        F.expr(mean_len).alias("mean_token_len"),
+        F.expr(len_ok).alias("len_ok"),
+    ).withColumn(
+        "quality",
+        F.round(
+            0.25 * (1 - F.col("stop_ratio"))
+            + 0.35 * F.col("lexical_diversity")
+            + 0.15 * F.least(F.col("mean_token_len") / 8, F.lit(1.0))
+            + 0.25 * F.col("len_ok"),
+            6,
+        ),
+    ).select("doc_id", "quality", "stop_ratio", "lexical_diversity",
+             "mean_token_len", "len_ok")
+
+
+def _quality_oracle() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    words = _DUCK_WORDS
+    n = f"len({words})"
+    return f"""
+WITH feat AS (
+    SELECT doc_id,
+           CAST(len(list_filter({words}, w -> w IN ({stop_list}))) AS DOUBLE)
+               / {n} AS stop_ratio,
+           CAST(len(list_distinct({words})) AS DOUBLE) / {n} AS lexical_diversity,
+           list_sum(list_transform({words}, w -> length(w))) * 1.0 / {n}
+               AS mean_token_len,
+           CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.0 END AS len_ok
+    FROM documents
+)
+SELECT doc_id,
+       ROUND(0.25 * (1 - stop_ratio) + 0.35 * lexical_diversity
+             + 0.15 * least(mean_token_len / 8, 1.0) + 0.25 * len_ok, 6)
+           AS quality,
+       stop_ratio, lexical_diversity, mean_token_len, len_ok
+FROM feat
+""";
+
+
+register("text_quality_score", text_quality_score, _quality_oracle(),
+         "document quality heuristics")
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language ID: each vocabulary word deterministically
+    'belongs' to one language (hash bucket); predicted language = argmax
+    token vote, ties broken by language order. The corpus is synthetic
+    word soup, so accuracy vs the lang column is chance — the operator
+    under test is the deterministic scoring plan, which at scale is one
+    scan + argmax, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _SPARK_WORDS
+    h = _SPARK_H.format(t="w")
+    votes = [
+        F.expr(f"size(filter({words}, w -> ({h}) % {len(LANGS)} = {i}))")
+        .alias(f"v_{lang}")
+        for i, lang in enumerate(LANGS)
+    ]
+    df = docs.select("doc_id", "lang", *votes)
+    best = F.greatest(*[F.col(f"v_{lang}") for lang in LANGS])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(LANGS):
+        pred = F.when(F.col(f"v_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return df.select(
+        "doc_id", "lang",
+        pred.alias("pred_lang"),
+        *[F.col(f"v_{lang}") for lang in LANGS],
+    )
+
+
+def _langid_oracle() -> str:
+    h = _DUCK_H.format(t="w")
+    votes = ",\n           ".join(
+        f"len(list_filter({_DUCK_WORDS}, w -> ({h}) % {len(LANGS)} = {i}))"
+        f" AS v_{lang}"
+        for i, lang in enumerate(LANGS)
+    )
+    pred = "CASE "
+    for lang in LANGS:
+        pred += (f"WHEN v_{lang} = greatest("
+                 + ", ".join(f"v_{x}" for x in LANGS) + f") THEN '{lang}' ")
+    pred += "END"
+    return f"""
+WITH votes AS (
+    SELECT doc_id, lang,
+           {votes}
+    FROM documents
+)
+SELECT doc_id, lang, {pred} AS pred_lang,
+       v_en, v_fr, v_es, v_zh, v_de
+FROM votes
+"""
+
+
+register("text_langid", text_langid, _langid_oracle(),
+         "hash-bucket n-gram language ID vote")
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling document fingerprint: polynomial fold of
+    the token hash sequence mod 2^31-1 — content-defined identity for
+    shard-stable dedup keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = _SPARK_H.format(t="t")
+    hs = f"transform({_SPARK_WORDS}, t -> {h})"
+    fp = (
+        f"aggregate(slice({hs}, 2, size({hs}) - 1), element_at({hs}, 1),"
+        f" (acc, x) -> (acc * 31 + x) % {P})"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(fp).alias("fingerprint"),
+        F.expr(f"size({_SPARK_WORDS})").alias("n_tokens"),
+    )
+
+
+def _fingerprint_oracle() -> str:
+    h = _DUCK_H.format(t="t")
+    hs = f"list_transform({_DUCK_WORDS}, t -> {h})"
+    return f"""
+SELECT doc_id,
+       list_reduce({hs}, (acc, x) -> (acc * 31 + x) % {P}) AS fingerprint,
+       len({_DUCK_WORDS}) AS n_tokens
+FROM documents
+"""
+
+
+register("text_fingerprint", text_fingerprint, _fingerprint_oracle(),
+         "rolling-hash document fingerprint")
