@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes to completion (count(), which forces the full plan
+including sinks' worth of work but keeps driver memory flat — no
+collect() of large results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+HEADLINE = [
+    # core OLAP
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q5_revenue_by_nation",
+    "q6_revenue_delta",
+    "q_rollup_revenue",
+    "q_exists_priority",
+    # windows / sessionization
+    "o10_run_id",
+    "o12_run_filter",
+    "w1_running_sum",
+    "w3_top1_per_group",
+    # reshape
+    "o16_pivot",
+    "o03_unpivot",
+    # kernels
+    "o23_quad_detrend_sd",
+    "o22_hp_detrend_sd",
+    # training-data surface
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "text_fingerprint",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from impractical_impala_spark.session import get_spark
+    from impractical_impala_spark.registry import all_queries
+
+    spark = get_spark("iis-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # warm the JVM + file system cache outside the timed region
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        q = queries[name]
+        t0 = time.perf_counter()
+        q.build(spark, sf_dir).count()
+        dt = round(time.perf_counter() - t0, 4)
+        timings[name] = dt
+        total += dt
+
+    print(json.dumps({
+        "metric": "headline_query_wall_sec",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

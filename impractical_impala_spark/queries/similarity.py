@@ -110,9 +110,12 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " cast(0.0 as double), (acc, x) -> acc + x)")
             terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << r} ELSE 0 END)")
         emb = emb.withColumn(f"bucket{t}", F.expr(" + ".join(terms)).cast("bigint"))
+    emb = emb.cache()
+    # candidate id pairs only — never shuffle the vectors through the
+    # pair dedup (arrays are wide; ids are 16 bytes)
     tables = None
     for t in range(N_TABLES):
-        part = emb.select("vec_id", "v", "norm", F.lit(t).alias("tbl"),
+        part = emb.select("vec_id", F.lit(t).alias("tbl"),
                           F.col(f"bucket{t}").alias("bucket"))
         tables = part if tables is None else tables.unionByName(part)
     a, b = tables.alias("a"), tables.alias("b")
@@ -121,11 +124,16 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.vec_id") != F.col("b.vec_id")))
         .select(F.col("a.vec_id").alias("vec_id"),
-                F.col("b.vec_id").alias("neighbor_id"),
-                F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
-                F.col("a.norm").alias("na"), F.col("b.norm").alias("nb"))
+                F.col("b.vec_id").alias("neighbor_id"))
         .dropDuplicates(["vec_id", "neighbor_id"])
     )
+    # fetch vectors back by id (broadcast: the embedding side of each
+    # lookup is small relative to the pair set at scale)
+    va = emb.select(F.col("vec_id").alias("vec_id"), F.col("v").alias("va"),
+                    F.col("norm").alias("na"))
+    vb = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"),
+                    F.col("norm").alias("nb"))
+    cand = cand.join(F.broadcast(va), "vec_id").join(F.broadcast(vb), "neighbor_id")
     dot = F.expr(
         "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double),"
         " (acc, x) -> acc + x)"

@@ -1,0 +1,45 @@
+"""Multimodal plumbing: schema, batching, determinism, stubbed decode."""
+
+import numpy as np
+import pytest
+
+from impractical_impala_spark.multimodal import blobs as B
+
+
+def test_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        B.decode_image(b"\x89PNG...")
+
+
+def test_fake_features_deterministic_and_bounded():
+    payload = bytes(range(256)) * 3
+    f1, f2 = B.fake_features(payload), B.fake_features(payload)
+    assert f1 == f2
+    assert len(f1) == B.FEATURE_DIM
+    assert all(0.0 <= x <= 1.0 for x in f1)
+    assert B.fake_features(b"") == [0.0] * B.FEATURE_DIM
+
+
+def test_extract_features_pipeline(spark, sf_small):
+    df = B.extract_features(B.documents_as_blobs(spark, sf_small))
+    rows = df.limit(20).collect()
+    assert rows and df.schema == B.FEATURE_SCHEMA
+    for r in rows:
+        assert r.n_bytes > 0
+        assert len(r.features) == B.FEATURE_DIM
+        # features recomputable from the kernel's own definition
+        assert 0.0 <= min(r.features) and max(r.features) <= 1.0
+
+
+def test_feature_values_match_local_kernel(spark, sf_small):
+    from impractical_impala_spark.sources import load_table
+
+    doc = load_table(spark, sf_small, "documents").limit(5).collect()
+    feats = {
+        r.blob_id: r.features
+        for r in B.extract_features(B.documents_as_blobs(spark, sf_small))
+        .limit(500).collect()
+    }
+    for d in doc:
+        want = B.fake_features(d.text.encode())
+        np.testing.assert_allclose(feats[d.doc_id], want, atol=1e-12)
