@@ -174,8 +174,8 @@ WITH flagged AS (
     FROM flagged
 ), runs AS (
     SELECT event_id, user_id, valid,
-           SUM(is_start) OVER (PARTITION BY user_id ORDER BY event_id
-                               ROWS UNBOUNDED PRECEDING) AS run_id
+           CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
     FROM started
 ), sized AS (
     SELECT *, COUNT(*) OVER (PARTITION BY user_id, run_id, valid) AS run_length

@@ -82,8 +82,8 @@ WITH ordered AS (
     FROM ordered
 ), sessioned AS (
     SELECT user_id, ts_us, value,
-           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
     FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,

@@ -71,6 +71,17 @@ def assert_parity(spark_df, oracle_sql: str, sf_dir: str,
     )
     assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
 
+    # dtype-kind parity: an int column on one side fetched as float on
+    # the other (e.g. DuckDB HUGEINT sums) would survive a tolerant value
+    # compare here but can break the driver's value hash — fail loudly.
+    for c in got.columns:
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        if {gk, wk} <= {"i", "u", "f"}:
+            assert (gk in "iu") == (wk in "iu"), (
+                f"dtype-kind mismatch on {c}: spark={got[c].dtype} "
+                f"oracle={want[c].dtype} — cast the oracle (e.g. SUM->BIGINT)"
+            )
+
     g_rows, w_rows = _normalize(got), _normalize(want)
     for i, (g, w) in enumerate(zip(g_rows, w_rows)):
         for c, (gv, wv) in zip(sorted(got.columns), zip(g, w)):
