@@ -19,15 +19,24 @@ from __future__ import annotations
 import numpy as np
 
 
+_DENSE_MAX_T = 128  # above this, the O(T) banded solver takes over
+
+
 def hp_filter_cycle(y: np.ndarray, lam: float) -> np.ndarray:
     """Hodrick-Prescott cycle of a fully-finite 1-D series: solve
     ``(I + lam * K'K) tau = y`` with K the (T-2)xT second-difference
     operator; cycle = y - tau. Matches mFilter::hpfilter(type='lambda')
-    (dtrendandstat_HP100.R:141) to ~1e-12 on T<=60."""
+    (dtrendandstat_HP100.R:141) to ~1e-12 on T<=60.
+
+    Dense solve for short series; pentadiagonal LDL' (O(T)) beyond
+    _DENSE_MAX_T — at scale, per-entity series can be arbitrarily long
+    and O(T^3) would be the kernel's cliff."""
     y = np.asarray(y, dtype=np.float64)
     t = y.shape[0]
     if t < 3:
         return np.zeros_like(y)  # K is empty -> tau = y would need t>=3
+    if t > _DENSE_MAX_T:
+        return y - _hp_trend_banded(y, lam)
     k = np.zeros((t - 2, t))
     for i in range(t - 2):
         k[i, i] = 1.0
@@ -36,6 +45,54 @@ def hp_filter_cycle(y: np.ndarray, lam: float) -> np.ndarray:
     a = np.eye(t) + lam * (k.T @ k)
     trend = np.linalg.solve(a, y)
     return y - trend
+
+
+def _hp_trend_banded(y: np.ndarray, lam: float) -> np.ndarray:
+    """O(T) pentadiagonal LDL' solve of (I + lam*K'K) tau = y.
+
+    K'K has the classic [1, -4, 6, -4, 1] band with boundary rows
+    [1, 5] / [-2, -4]; A is SPD so LDL' needs no pivoting."""
+    t = y.shape[0]
+    d0 = np.full(t, 6.0)
+    d0[0] = d0[-1] = 1.0
+    d0[1] = d0[-2] = 5.0
+    a0 = 1.0 + lam * d0                       # main diagonal
+    a1 = lam * np.full(t - 1, -4.0)
+    a1[0] = a1[-1] = lam * -2.0               # first sub-diagonal
+    a2 = lam * np.full(t - 2, 1.0)            # second sub-diagonal
+
+    d = np.empty(t)
+    l1 = np.zeros(t - 1)
+    l2 = np.zeros(t - 2)
+    for i in range(t):
+        d[i] = a0[i]
+        if i >= 1:
+            d[i] -= l1[i - 1] ** 2 * d[i - 1]
+        if i >= 2:
+            d[i] -= l2[i - 2] ** 2 * d[i - 2]
+        if i < t - 1:
+            num = a1[i]
+            if i >= 1:
+                num -= l2[i - 1] * l1[i - 1] * d[i - 1]
+            l1[i] = num / d[i]
+        if i < t - 2:
+            l2[i] = a2[i] / d[i]
+
+    # forward: L z = y
+    z = np.empty(t)
+    z[0] = y[0]
+    z[1] = y[1] - l1[0] * z[0]
+    for i in range(2, t):
+        z[i] = y[i] - l1[i - 1] * z[i - 1] - l2[i - 2] * z[i - 2]
+    # diagonal
+    w = z / d
+    # backward: L' tau = w
+    tau = np.empty(t)
+    tau[-1] = w[-1]
+    tau[-2] = w[-2] - l1[-1] * tau[-1]
+    for i in range(t - 3, -1, -1):
+        tau[i] = w[i] - l1[i] * tau[i + 1] - l2[i] * tau[i + 2]
+    return tau
 
 
 def hp_cycle(x: np.ndarray, lam: float, min_t: int = 30) -> np.ndarray:

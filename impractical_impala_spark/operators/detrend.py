@@ -46,7 +46,13 @@ def add_grouped_cycles(
             pdf[out_col] = kernel(pdf[in_col].to_numpy(dtype=np.float64))
         return pdf
 
-    return df.groupBy(*group_cols).applyInPandas(fn, schema)
+    # Explicit repartition by the group key: AQE coalesces small shuffles
+    # to ONE partition by byte size, which serializes the CPU-bound Python
+    # kernels into a single worker. A user-specified repartition is exempt
+    # from coalescing and its partitioning satisfies applyInPandas's
+    # requirement, so no second exchange is added.
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *group_cols).groupBy(*group_cols).applyInPandas(fn, schema)
 
 
 def add_hp_cycles(df: DataFrame, group_cols: Sequence[str], order_col: str,

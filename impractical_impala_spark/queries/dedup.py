@@ -151,7 +151,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                            for r in range(ROWS_PER_BAND)]).alias(f"band{band}")
         for band in range(BANDS)
     ]
-    sigs = sigs.select("doc_id", "dh", *band_exprs)
+    sigs = sigs.select("doc_id", "dh", *band_exprs).cache()
     buckets = None
     for band in range(BANDS):
         b = sigs.select(
@@ -233,7 +233,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta.filter(F.col("doc_id") % 3 == 0)
         .withColumn("doc_id", F.col("doc_id") + F.lit(MUT_OFFSET))
     )
-    ds = ds.join(meta, "doc_id")
+    ds = ds.join(meta, "doc_id").cache()
     a, b = ds.alias("a"), ds.alias("b")
     pairs = a.join(
         b,
@@ -327,7 +327,7 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     ).withColumn(
         "norm", F.expr("sqrt(aggregate(v, cast(0.0 as double), (acc, x) -> acc + x * x))")
-    )
+    ).cache()
     a, b = emb.alias("a"), emb.alias("b")
     dot = F.expr(
         "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0.0 as double),"

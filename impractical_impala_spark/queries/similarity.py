@@ -48,7 +48,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for each query vector (vec_id <
     N_QUERIES): the brute-force baseline every ANN variant is measured
     against."""
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir).cache()
     q = emb.filter(F.col("vec_id") < N_QUERIES).alias("q")
     c = emb.alias("c")
     dot = F.expr(

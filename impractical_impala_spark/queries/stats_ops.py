@@ -20,11 +20,8 @@ from ..sources import load_table
 MIN_T_EVENTS = 10
 
 
-def _events_with_t(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user time index t = row ordinal by event_id (O21 shape)."""
-    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    w = Window.partitionBy("user_id").orderBy("event_id")
-    return ev.withColumn("t", F.row_number().over(w).cast("double"))
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
 
 
 # --- O22: HP-filter detrend (non-SQL kernel; rows-only check) -----------
@@ -33,8 +30,7 @@ def o22_hp_detrend_sd(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's value series, then per-user cycle volatility — the reference's
     detrend->sd pipeline shape on the events table. applyInPandas kernel;
     no SQL oracle exists (matrix solve), driver records rows-only."""
-    df = _events_with_t(spark, sf_dir)
-    df = add_grouped_cycles(df, ["user_id"], "event_id",
+    df = add_grouped_cycles(_events(spark, sf_dir), ["user_id"], "event_id",
                             {"value": "cyc"},
                             lambda x: hp_cycle(x, 100.0, min_t=MIN_T_EVENTS))
     return (
@@ -54,12 +50,32 @@ register("o22_hp_detrend_sd", o22_hp_detrend_sd, None,
 def o23_quad_detrend_sd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O23 (detrendandstat_quad.R:132-168): per-user quadratic-OLS
     residual cycle, then residual volatility. Kernel is lstsq; the SQL
-    oracle solves the same normal equations on a centered basis."""
-    df = _events_with_t(spark, sf_dir)
-    df = add_quad_cycles(df, ["user_id"], "event_id", {"value": "cyc"},
-                         "t", min_t=MIN_T_EVENTS)
+    oracle solves the same normal equations on a centered basis. The
+    time index t is the row ordinal (O21 shape) computed INSIDE the
+    kernel after its sort — no extra window shuffle just to number
+    rows the kernel orders anyway."""
+    import numpy as np
+    import pandas as pd  # noqa: F401  (kernel runtime dep)
+
+    from ..functions.detrend import quad_detrend
+    from pyspark.sql import types as T
+
+    df = _events(spark, sf_dir)
+    schema = T.StructType(list(df.schema.fields) + [T.StructField("cyc", T.DoubleType())])
+
+    def kernel(pdf):
+        pdf = pdf.sort_values("event_id")
+        t = np.arange(1, len(pdf) + 1, dtype=np.float64)
+        pdf["cyc"] = quad_detrend(pdf["value"].to_numpy(np.float64), t,
+                                  min_t=MIN_T_EVENTS)
+        return pdf
+
+    # explicit repartition: keep the CPU-bound kernels parallel (AQE
+    # would coalesce this small shuffle to one python worker)
+    n = spark.sparkContext.defaultParallelism
+    out = df.repartition(n, "user_id").groupBy("user_id").applyInPandas(kernel, schema)
     return (
-        df.groupBy("user_id")
+        out.groupBy("user_id")
         .agg(
             F.count("value").alias("n"),
             F.round(F.stddev_samp("cyc"), 6).alias("sd_cyc"),

@@ -57,6 +57,22 @@ def test_quad_scatters_back_and_gates_min_t():
     assert np.isnan(quad_detrend(y[:20], t[:20], min_t=30)).all()
 
 
+@pytest.mark.parametrize("lam", [6.25, 100.0, 1600.0])
+@pytest.mark.parametrize("t", [129, 400, 2000])
+def test_hp_banded_matches_dense(lam, t):
+    """The O(T) pentadiagonal path (used above _DENSE_MAX_T) must agree
+    with the dense solve to near machine precision."""
+    from impractical_impala_spark.functions.detrend import _hp_trend_banded
+
+    y = rng.normal(size=t).cumsum() + 50
+    kmat = np.zeros((t - 2, t))
+    for i in range(t - 2):
+        kmat[i, i], kmat[i, i + 1], kmat[i, i + 2] = 1, -2, 1
+    dense_tau = np.linalg.solve(np.eye(t) + lam * kmat.T @ kmat, y)
+    banded_tau = _hp_trend_banded(y, lam)
+    np.testing.assert_allclose(banded_tau, dense_tau, rtol=1e-9, atol=1e-9)
+
+
 @pytest.mark.parametrize("lam", [6.25, 100.0])
 def test_hp_matches_penalty_normal_equations(lam):
     """cycle = y - tau with (I + lam K'K) tau = y: check the optimality
