@@ -1,5 +1,5 @@
 """Query registration. Importing this package registers every query into
 ``impractical_impala_spark.registry``. One module per family."""
 
-from . import (dedup, json_ops, multimodal, reference_ops,  # noqa: F401
+from . import (dedup, extras, json_ops, multimodal, reference_ops,  # noqa: F401
                similarity, stats_ops, streams, text, tpch, windows)

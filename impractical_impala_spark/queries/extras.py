@@ -1,0 +1,136 @@
+"""Completeness operators beyond the reference's surface: exact
+percentiles, set operations, CUBE, window value functions, date
+functions. Each is standard OLAP table stakes a reference user would
+expect from the engine."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`). At 100 TB you'd use approx_percentile for
+    a single-pass sketch; the exact form is the correctness baseline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
+        )
+    )
+
+
+register("q_percentiles", q_percentiles, """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6)  AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 6)  AS p90,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+FROM lineitem GROUP BY l_returnflag
+""", "exact grouped percentiles")
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT: big-ticket purchasers who also click big,
+    minus users with severe errors (distinct set semantics on both
+    engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    big_buy = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 200)) \
+        .select("user_id")
+    big_click = ev.filter((F.col("event_type") == "click") & (F.col("value") > 200)) \
+        .select("user_id")
+    severe_err = ev.filter((F.col("event_type") == "error") & (F.col("value") > 400)) \
+        .select("user_id")
+    return big_buy.intersect(big_click).exceptAll(severe_err.distinct()) \
+        .select("user_id")
+
+
+register("q_set_ops", q_set_ops, """
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 200
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'click' AND value > 200
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error' AND value > 400
+""", "intersect/except set operations")
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping sets in one
+    pass (partial aggregation still applies)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+        )
+    )
+
+
+register("q_cube_revenue", q_cube_revenue, """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       ROUND(SUM(l_extendedprice), 4) AS total_price
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""", "CUBE grouping sets")
+
+
+def w5_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / lead over a bounded frame."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ws = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.first_value("o_totalprice").over(w).alias("first_spend"),
+        F.last_value("o_totalprice").over(w).alias("last_spend"),
+        F.lead("o_totalprice").over(ws).alias("next_spend"),
+    )
+
+
+register("w5_value_windows", w5_value_windows, """
+SELECT o_orderkey, o_custkey,
+       FIRST_VALUE(o_totalprice) OVER w_full AS first_spend,
+       LAST_VALUE(o_totalprice)  OVER w_full AS last_spend,
+       LEAD(o_totalprice) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS next_spend
+FROM orders
+WINDOW w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""", "first/last/lead value windows")
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing: month/quarter/dow extraction + monthly agg
+    (temporal outputs as strings/ints per the parity rule)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.quarter("o_orderdate").alias("quarter"),
+            F.dayofweek("o_orderdate").alias("dow"),
+            "o_totalprice",
+        )
+        .groupBy("month", "quarter", "dow")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 4).alias("total"))
+    )
+
+
+register("q_date_functions", q_date_functions, """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS quarter,
+       CAST(EXTRACT(dow FROM o_orderdate) + 1 AS INT) AS dow,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+FROM orders
+GROUP BY 1, 2, 3
+""", "date extraction + monthly aggregation")
