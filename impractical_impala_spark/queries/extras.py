@@ -134,3 +134,28 @@ SELECT strftime(o_orderdate, '%Y-%m') AS month,
 FROM orders
 GROUP BY 1, 2, 3
 """, "date extraction + monthly aggregation")
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation (operators/skew.py): the 5
+    hot event_type keys are sprayed over 16 salts, partially aggregated,
+    then combined — algebraically identical to the direct GROUP BY the
+    oracle runs, which is exactly the point."""
+    from ..operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(ev.select("event_type", "value"), ["event_type"], {
+        "n": (F.count(F.lit(1)), F.sum("n")),
+        # round only at the FINAL phase — partials must stay exact
+        "total": (F.sum("value"), F.round(F.sum("total"), 4)),
+        "mx": (F.max("value"), F.max("mx")),
+        "mn": (F.min("value"), F.min("mn")),
+    }, n_salts=16)
+    return out
+
+
+register("q_salted_agg", q_salted_agg, """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total,
+       MAX(value) AS mx, MIN(value) AS mn
+FROM events GROUP BY event_type
+""", "salted two-phase aggregation == direct GROUP BY")

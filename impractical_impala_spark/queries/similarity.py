@@ -196,3 +196,94 @@ FROM ranked WHERE rn = 1
 
 register("ann_lsh_bucketed", ann_lsh_bucketed, _lsh_oracle(),
          "random-hyperplane LSH bucketed nearest neighbor")
+
+
+# ----------------------------------------------------------------- IVF
+N_CELLS, N_PROBE = 16, 2
+
+
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a 16-cell coarse quantizer (seed vectors vec_id <
+    N_CELLS stand in for trained k-means centroids — deterministic and
+    oracle-reproducible), every vector assigned to its max-cosine cell,
+    queries probe their top-2 cells and search exactly within them.
+
+    The scale shape: assignment is a broadcast join against the
+    centroid table; search touches only probed cells (~N_PROBE/N_CELLS
+    of the corpus). On this corpus probe-2 captures the true top-1 cell
+    for 10/10 queries — better recall than hyperplane LSH here."""
+    emb = _emb(spark, sf_dir).cache()
+    cent = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    cdot = F.expr("aggregate(zip_with(v, cv, (x, y) -> x * y),"
+                  " cast(0.0 as double), (acc, x) -> acc + x)")
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "norm", "cell_id",
+        (cdot / (F.col("norm") * F.col("cnorm"))).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cell_id")
+    ranked = scored.withColumn("crn", F.row_number().over(w)).cache()
+    assigned = ranked.filter(F.col("crn") == 1).select(
+        F.col("vec_id").alias("c_vec_id"), F.col("v").alias("cv_full"),
+        F.col("norm").alias("c_norm"), F.col("cell_id").alias("cell"),
+    )
+    probes = ranked.filter((F.col("vec_id") < N_QUERIES)
+                           & (F.col("crn") <= N_PROBE)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm").alias("q_norm"), F.col("cell_id").alias("cell"),
+    )
+    qdot = F.expr("aggregate(zip_with(qv, cv_full, (x, y) -> x * y),"
+                  " cast(0.0 as double), (acc, x) -> acc + x)")
+    cand = probes.join(assigned, "cell").filter(
+        F.col("query_id") != F.col("c_vec_id")
+    ).select(
+        "query_id", F.col("c_vec_id").alias("neighbor_id"),
+        (qdot / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+register("ann_ivf_probe", ann_ivf_probe, f"""
+WITH emb AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), cent AS (
+    SELECT vec_id AS cell_id, v AS cv FROM emb WHERE vec_id < {N_CELLS}
+), scored AS (
+    SELECT e.vec_id, e.v, c.cell_id,
+           list_dot_product(e.v, c.cv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+               AS ccos
+    FROM emb e CROSS JOIN cent c
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cell_id) AS crn
+    FROM scored
+), assigned AS (
+    SELECT vec_id AS c_vec_id, v AS cv_full, cell_id AS cell
+    FROM ranked WHERE crn = 1
+), probes AS (
+    SELECT vec_id AS query_id, v AS qv, cell_id AS cell
+    FROM ranked WHERE vec_id < {N_QUERIES} AND crn <= {N_PROBE}
+), cand AS (
+    SELECT DISTINCT p.query_id, a.c_vec_id AS neighbor_id,
+           list_dot_product(p.qv, a.cv_full)
+           / (sqrt(list_dot_product(p.qv, p.qv))
+              * sqrt(list_dot_product(a.cv_full, a.cv_full))) AS cos
+    FROM probes p JOIN assigned a USING (cell)
+    WHERE p.query_id <> a.c_vec_id
+), final AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rn
+    FROM cand
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos
+FROM final WHERE rn = 1
+""", "IVF coarse-quantizer probe-2 nearest neighbor")
