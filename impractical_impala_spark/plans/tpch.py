@@ -29,7 +29,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen end-to-end, map-side partial aggregation."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
@@ -65,7 +65,7 @@ SELECT l_returnflag, l_linestatus,
        ROUND(AVG(l_discount), 4)                                            AS avg_disc,
        COUNT(*)                                                             AS count_order
 FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """

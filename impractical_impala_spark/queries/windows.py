@@ -113,8 +113,8 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("2024-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("2025-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
@@ -126,8 +126,8 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("q6_revenue_delta", q6_revenue_delta, """
 SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue_delta
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '2024-01-01'
-  AND l_shipdate <  TIMESTAMP '2025-01-01'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
 """, "TPC-H Q6 shape")
@@ -187,7 +187,7 @@ def q_exists_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     one late-shipped lineitem (semi-join into an aggregation)."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("2024-06-01").cast("timestamp")
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
     )
     return (
         orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
@@ -201,6 +201,6 @@ SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders
 WHERE EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey
-                AND l_shipdate > TIMESTAMP '2024-06-01')
+                AND l_shipdate > TIMESTAMP '1998-06-01')
 GROUP BY o_orderpriority
 """, "TPC-H Q4 shape (EXISTS)")
