@@ -152,10 +152,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for band in range(BANDS)
     ]
     sigs = sigs.select("doc_id", "dh", *band_exprs).cache()
+    # candidate generation on (id, band key) only — the shingle-hash
+    # arrays never ride through the pair-dedup shuffle
     buckets = None
     for band in range(BANDS):
         b = sigs.select(
-            "doc_id", "dh",
+            "doc_id",
             F.lit(band).alias("band_idx"), F.col(f"band{band}").alias("bkey")
         )
         buckets = b if buckets is None else buckets.unionByName(b)
@@ -164,10 +166,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
                & (F.col("a.bkey") == F.col("b.bkey"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-                F.col("a.dh").alias("dha"), F.col("b.dh").alias("dhb"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    dha = sigs.select(F.col("doc_id").alias("doc_a"), F.col("dh").alias("dha"))
+    dhb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("dh").alias("dhb"))
+    pairs = pairs.join(F.broadcast(dha), "doc_a").join(F.broadcast(dhb), "doc_b")
     inter = F.size(F.array_intersect("dha", "dhb"))
     union = F.size("dha") + F.size("dhb") - inter
     return (

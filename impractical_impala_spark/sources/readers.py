@@ -52,6 +52,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the derived ts below is TZ-aware (epoch micros); downstream
+        # window/date_format rendering must be UTC to match the oracle
+        # even when the caller's session (e.g. the driver's) is not UTC.
+        # No query outputs temporal types, so this is side-effect-free
+        # for result hashing.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
 
