@@ -63,7 +63,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_len = (
         f"aggregate({words}, cast(0.0 as double), (acc, w) -> acc + length(w)) / {n}"
     )
-    len_ok = "CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.0 END"
+    len_ok = "CASE WHEN n_chars BETWEEN 100 AND 2000 THEN cast(1.0 as double) ELSE cast(0.0 as double) END"
     return docs.select(
         "doc_id",
         F.expr(stop_ratio).alias("stop_ratio"),

@@ -81,6 +81,17 @@ def assert_parity(spark_df, oracle_sql: str, sf_dir: str,
                 f"dtype-kind mismatch on {c}: spark={got[c].dtype} "
                 f"oracle={want[c].dtype} — cast the oracle (e.g. SUM->BIGINT)"
             )
+        # Spark types bare literals like 1.0 as DECIMAL -> pandas object
+        # of Decimal; the driver's value hash may render those unlike
+        # floats. Require explicit double casts in the query instead.
+        for side, s in (("spark", got[c]), ("oracle", want[c])):
+            if s.dtype.kind == "O" and len(s) and isinstance(
+                s.dropna().iloc[0] if s.dropna().size else None, Decimal
+            ):
+                raise AssertionError(
+                    f"{side} column {c} is Decimal-typed — cast to DOUBLE "
+                    f"in the query (bare 1.0 literals are DECIMAL in Spark)"
+                )
 
     g_rows, w_rows = _normalize(got), _normalize(want)
     for i, (g, w) in enumerate(zip(g_rows, w_rows)):
