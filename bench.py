@@ -27,6 +27,8 @@ HEADLINE = [
     "q6_revenue_delta",
     "q_rollup_revenue",
     "q_exists_priority",
+    "q13_order_count_distribution",
+    "q_correlated_max",
     # windows / sessionization
     "o10_run_id",
     "o12_run_filter",
