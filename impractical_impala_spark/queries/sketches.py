@@ -1,0 +1,49 @@
+"""Sketch aggregates — the single-pass approximations that replace
+their exact forms at 100 TB (HLL distinct counts, quantile sketches).
+
+Approximate results cannot hash-match an exact oracle, so these are
+registered rows-only; the accuracy contract is enforced by
+tests/test_sketches.py against the exact values (error bounds are the
+operator's spec, not a vibe)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts per group (rsd=0.01). One pass, a
+    few KB of state per group — the 100 TB form of COUNT(DISTINCT)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        )
+    )
+
+
+register("q_approx_distinct", q_approx_distinct, None,
+         "HLL++ approximate distinct counts (rows-only; accuracy-tested)")
+
+
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass quantile sketch (accuracy parameter 10000) — the
+    streaming-friendly replacement for exact percentiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+            .alias("approx_p50_p90_p99")
+        )
+    )
+
+
+register("q_approx_percentile", q_approx_percentile, None,
+         "approximate percentile sketch (rows-only; accuracy-tested)")

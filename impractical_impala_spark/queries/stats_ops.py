@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.detrend import add_grouped_cycles, add_quad_cycles
+from ..operators.detrend import add_grouped_cycles
 from ..functions.detrend import hp_cycle
 from ..registry import register
 from ..sources import load_table
