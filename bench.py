@@ -76,6 +76,9 @@ def main() -> None:
         dt = round(time.perf_counter() - t0, 4)
         timings[name] = dt
         total += dt
+        # each query stands alone: intra-query caches must not leak
+        # memory/GC pressure into the next measurement
+        spark.catalog.clearCache()
 
     print(json.dumps({
         "metric": "headline_query_wall_sec",

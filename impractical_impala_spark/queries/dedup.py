@@ -74,8 +74,16 @@ _DUCK_HASHES = ("list_distinct(list_transform({s},"
 
 def _spark_docsets(spark: SparkSession, sf_dir: str, mutated: bool) -> DataFrame:
     """documents (+ mutated copies of every 3rd doc) with the distinct
-    bigram-shingle hash set column ``dh``."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bigram-shingle hash set column ``dh``.
+
+    The corpus parquet is a single small file (1-2 scan splits), which
+    would serialize the CPU-heavy shingle/md5 expression work onto 2
+    cores — repartition first so hashing uses the whole machine (at
+    lake scale the scan has enough natural splits and this is a no-op
+    knob)."""
+    n = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text") \
+        .repartition(n)
     base = docs.withColumn("words", F.expr(_SPARK_WORDS))
     frames = [base]
     if mutated:
@@ -162,8 +170,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         buckets = b if buckets is None else buckets.unionByName(b)
     a, b = buckets.alias("a"), buckets.alias("b")
+    # broadcast pinned for plan determinism (ids + band keys only; at
+    # lake scale this join shuffles on the band key instead)
     pairs = (
-        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+        a.join(F.broadcast(b), (F.col("a.band_idx") == F.col("b.band_idx"))
                & (F.col("a.bkey") == F.col("b.bkey"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -237,10 +247,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta.filter(F.col("doc_id") % 3 == 0)
         .withColumn("doc_id", F.col("doc_id") + F.lit(MUT_OFFSET))
     )
-    ds = ds.join(meta, "doc_id").cache()
+    # no cache: measured 4.9s uncached vs 7.1s cached at sf0.1 — the
+    # array-column cache write costs more than recomputing the hash
+    # pipeline for the broadcast build side. Broadcast is PINNED: size
+    # estimation over the un-materialized hash pipeline flaps between
+    # broadcast and sort-merge (which sorts the wide arrays; measured
+    # 5s vs 16s bimodal). At lake scale the per-block reference set is
+    # still the broadcastable side.
+    ds = ds.join(meta, "doc_id")
     a, b = ds.alias("a"), ds.alias("b")
     pairs = a.join(
-        b,
+        F.broadcast(b),
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.source") == F.col("b.source"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
