@@ -1,0 +1,85 @@
+"""Special join operators: as-of join (purchase->last-click
+attribution) and range join (value banding). The reference has neither;
+both are named custom-operator targets (SURVEY.md §7 / BASELINE.json
+north star)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..registry import register
+from ..sources import load_table
+
+
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event attributed to the user's most
+    recent click AT OR BEFORE it (classic last-touch attribution).
+    Spark composition: union + LOCF window (operators/asof.py) — one
+    shuffle. DuckDB oracle: native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts_us").alias("click_ts"),
+    )
+    return asof_join(
+        purchases, clicks, on=["user_id"],
+        probe_time="purchase_ts_us", ref_time="click_ts",
+        ref_cols={"event_id": "click_id", "click_ts": "click_ts_us"},
+    )
+
+
+register("q_asof_attribution", q_asof_attribution, """
+SELECT p.purchase_id, p.user_id, p.purchase_ts_us,
+       c.click_id, c.click_ts_us
+FROM (
+    SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_ts_us
+    FROM events WHERE event_type = 'purchase'
+) p
+ASOF LEFT JOIN (
+    SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_ts_us
+    FROM events WHERE event_type = 'click'
+) c ON p.user_id = c.user_id AND p.purchase_ts_us >= c.click_ts_us
+""", "as-of join: last-click attribution (union+LOCF vs native ASOF)")
+
+
+def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: classify each order into a literal price
+    band via a non-equi join against a tiny band dimension — broadcast
+    nested-loop on 4 rows, i.e. free; at scale the band side stays
+    broadcast and the fact never shuffles."""
+    bands = spark.createDataFrame(
+        [("micro", 0.0, 50_000.0), ("small", 50_000.0, 150_000.0),
+         ("mid", 150_000.0, 300_000.0), ("large", 300_000.0, 1e12)],
+        ["band", "lo", "hi"],
+    )
+    o = load_table(spark, sf_dir, "orders")
+    joined = o.join(
+        F.broadcast(bands),
+        (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("band_total"),
+        )
+    )
+
+
+register("q_range_band_join", q_range_band_join, """
+WITH bands(band, lo, hi) AS (
+    VALUES ('micro', 0.0, 50000.0), ('small', 50000.0, 150000.0),
+           ('mid', 150000.0, 300000.0), ('large', 300000.0, 1e12)
+)
+SELECT band, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS band_total
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+""", "range join: price banding via non-equi broadcast join")
