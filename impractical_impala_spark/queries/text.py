@@ -197,3 +197,58 @@ FROM documents
 
 register("text_fingerprint", text_fingerprint, _fingerprint_oracle(),
          "rolling-hash document fingerprint")
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the inverted-index aggregation
+    pattern: explode -> term counts -> document frequency -> join ->
+    rank. The df side is tiny here and broadcasts; at web scale it's a
+    shuffle join on the term key (uniform by construction)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # driver-side scalar; one cheap count job
+    terms = docs.select(
+        "doc_id", F.explode(F.expr(_SPARK_WORDS)).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.select("doc_id", "term").distinct() \
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id", "term", "tf", "df",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+        .alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    )
+
+
+def _tfidf_oracle() -> str:
+    return f"""
+WITH terms AS (
+    SELECT doc_id, unnest({_DUCK_WORDS}) AS term FROM documents
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+), df AS (
+    SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms)
+    GROUP BY term
+), scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           ROUND(tf.tf * LN((SELECT COUNT(*) FROM documents) * 1.0 / df.df), 6)
+               AS tfidf
+    FROM tf JOIN df USING (term)
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term) AS rk
+    FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rk FROM ranked WHERE rk <= 3
+"""
+
+
+register("text_tfidf_top_terms", text_tfidf_top_terms, _tfidf_oracle(),
+         "TF-IDF top-3 terms per document (inverted-index pattern)")

@@ -1,0 +1,82 @@
+"""Streaming checkpoint recovery: a stateful windowed aggregation
+stopped mid-stream and restarted from its checkpoint must converge to
+the same answer as an uninterrupted batch run."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from impractical_impala_spark.sources import load_table
+from impractical_impala_spark.streaming import sessions as S
+
+
+@pytest.fixture()
+def split_events_dir(spark, sf_small, tmp_path):
+    """The events table split into several parquet files so the stream
+    has multiple micro-batches to process."""
+    out = str(tmp_path / "events_split")
+    (
+        load_table(spark, sf_small, "events")
+        .select("event_id", "ts_ns", "user_id", "event_type", "value", "props")
+        .withColumnRenamed("ts_ns", "ts")
+        .repartition(4)
+        .write.mode("overwrite").parquet(out)
+    )
+    return out
+
+
+def _stream(spark, data_dir, max_files):
+    raw = (
+        spark.readStream.schema(S.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(data_dir)
+    )
+    ev = raw.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
+    return S.hourly_event_counts(ev)
+
+
+def test_restart_from_checkpoint_converges(spark, split_events_dir, tmp_path, sf_small):
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "out")
+
+    # phase 1: process only the FIRST micro-batch (1 of 4 files), then
+    # stop — simulating a crash partway through the input
+    import time as _time
+
+    q1 = (
+        _stream(spark, split_events_dir, max_files=1)
+        .writeStream.format("memory").queryName("rec_phase1")
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .start()
+    )
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        lp = q1.lastProgress
+        if lp and lp.get("numInputRows", 0) > 0:
+            break
+        _time.sleep(0.2)
+    partial = spark.table("rec_phase1").count()
+    q1.stop()
+    assert partial > 0, "phase 1 never processed a batch"
+
+    # phase 2: restart from the SAME checkpoint; must pick up where it
+    # left off and reach the full answer
+    q2 = (
+        _stream(spark, split_events_dir, max_files=1)
+        .writeStream.format("memory").queryName("rec_phase2")
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .start()
+    )
+    q2.processAllAvailable()
+    got = spark.table("rec_phase2")
+    q2.stop()
+
+    want = S.hourly_event_counts(load_table(spark, sf_small, "events"))
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w
+    assert os.path.isdir(ckpt)
+    assert partial >= 0  # phase 1 ran (memory sink may hold any prefix)
