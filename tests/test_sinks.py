@@ -59,3 +59,21 @@ def test_partitioned_parquet_writer(spark, sf_small, tmp_path):
     one = spark.read.parquet(out).filter(F.col("event_type") == "click")
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(event_type" in plan
+
+def test_permissive_csv_handles_malformed_rows(spark, tmp_path):
+    """Source robustness: malformed CSV rows surface as nulls under the
+    default PERMISSIVE mode and are droppable under DROPMALFORMED —
+    ingestion never crashes on dirty data."""
+    p = tmp_path / "dirty.csv"
+    p.write_text("a,b,c\n1,2.5,x\nnot_an_int,3.5,y\n2,oops,z\n3,4.5\n")
+    schema = "a INT, b DOUBLE, c STRING"
+    permissive = spark.read.csv(str(p), header=True, schema=schema).collect()
+    assert len(permissive) == 4
+    by_c = {r.c: r for r in permissive}
+    assert by_c["y"].a is None          # bad int -> null
+    assert by_c["z"].b is None          # bad double -> null
+    dropped = (
+        spark.read.option("mode", "DROPMALFORMED")
+        .csv(str(p), header=True, schema=schema).collect()
+    )
+    assert len(dropped) < 4
