@@ -64,8 +64,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # warm the JVM + file system cache outside the timed region
+    # warm the JVM, FS cache, AND the Python worker pool outside the
+    # timed region (the first applyInPandas in a session otherwise pays
+    # the fork+import cost of every worker)
+    from pyspark.sql import functions as F
+
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(1000).withColumn("g", F.col("id") % 32) \
+        .groupBy("g").applyInPandas(lambda pdf: pdf, "id long, g long").count()
 
     timings: dict[str, float] = {}
     total = 0.0
