@@ -32,16 +32,20 @@ def asof_join(probe: DataFrame, ref: DataFrame, on: Sequence[str],
     """
     tag = "__asof_side"
     t = "__asof_t"
-    probe_tagged = probe.withColumn(tag, F.lit(1)).withColumn(t, F.col(probe_time))
-    carried = [f"__carry_{i}" for i in range(len(ref_cols))]
+    carry = "__asof_ref"
+    # carry the WHOLE matched reference row as one struct: the struct is
+    # non-null for every reference row even when its fields are null, so
+    # LOCF can never stitch together fields from different rows
+    ref_struct = F.struct(*[F.col(src).alias(out)
+                            for src, out in ref_cols.items()])
     ref_tagged = ref.select(
-        *on,
-        F.col(ref_time).alias(t),
-        *[F.col(src).alias(c) for c, src in zip(carried, ref_cols)],
+        *on, F.col(ref_time).alias(t), ref_struct.alias(carry),
     ).withColumn(tag, F.lit(0))
-    for c in carried:
-        probe_tagged = probe_tagged.withColumn(c, F.lit(None).cast(
-            dict(ref_tagged.dtypes)[c]))
+    probe_tagged = (
+        probe.withColumn(tag, F.lit(1))
+        .withColumn(t, F.col(probe_time))
+        .withColumn(carry, F.lit(None).cast(dict(ref_tagged.dtypes)[carry]))
+    )
     for c in probe.columns:
         if c not in ref_tagged.columns:
             ref_tagged = ref_tagged.withColumn(c, F.lit(None).cast(
@@ -53,13 +57,13 @@ def asof_join(probe: DataFrame, ref: DataFrame, on: Sequence[str],
     order = [t, F.col(tag).asc() if not strict else F.col(tag).desc()]
     w = Window.partitionBy(*on).orderBy(*order) \
         .rowsBetween(Window.unboundedPreceding, 0)
-    locf: list[Column] = [
-        F.last(F.when(F.col(tag) == 0, F.col(c)), ignorenulls=True).over(w)
-        .alias(out)
-        for c, out in zip(carried, ref_cols.values())
+    matched = F.last(F.when(F.col(tag) == 0, F.col(carry)),
+                     ignorenulls=True).over(w)
+    out_cols: list[Column] = [
+        matched.getField(out).alias(out) for out in ref_cols.values()
     ]
     return (
-        u.select(*probe.columns, F.col(tag), *locf)
+        u.select(*probe.columns, F.col(tag), *out_cols)
         .filter(F.col(tag) == 1)
         .drop(tag)
     )

@@ -83,4 +83,7 @@ def add_quad_cycles(df: DataFrame, group_cols: Sequence[str], order_col: str,
             )
         return pdf
 
-    return df.groupBy(*group_cols).applyInPandas(fn, schema)
+    # same explicit repartition as add_grouped_cycles: keep the kernels
+    # parallel instead of letting AQE coalesce them onto one worker
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *group_cols).groupBy(*group_cols).applyInPandas(fn, schema)

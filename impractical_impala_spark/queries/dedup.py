@@ -340,15 +340,14 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-duplicate candidate per embedding: top-1 cosine neighbor,
     brute force via JVM-side higher-order functions (zip_with dot
     product). At real scale the pair space is pruned by the LSH/IVF
-    bucketing in the similarity module; this is the exact baseline."""
+    bucketing in the similarity module; this is the exact baseline.
+    Reuses the similarity module's embedding loader/cosine expressions —
+    one numeric pipeline to keep correct."""
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
-    ).withColumn(
-        "norm", F.expr("sqrt(aggregate(v, cast(0.0 as double), (acc, x) -> acc + x * x))")
-    ).cache()
+    from .similarity import _emb
+
+    emb = _emb(spark, sf_dir).cache()
     a, b = emb.alias("a"), emb.alias("b")
     dot = F.expr(
         "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0.0 as double),"

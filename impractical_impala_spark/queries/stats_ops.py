@@ -94,12 +94,15 @@ WITH seq AS (
            t - AVG(t) OVER (PARTITION BY user_id) AS tc
     FROM seq
 ), g AS (
+    -- Gram sums over the FINITE-value rows only, matching the kernel's
+    -- ok-mask (quad_detrend fits where y is finite); sy/sty/st2y already
+    -- exclude NULL y via NULL propagation, s1..s4 need the filter.
     SELECT user_id,
-           COUNT(value)        AS n,
-           SUM(tc)             AS s1,
-           SUM(tc*tc)          AS s2,
-           SUM(tc*tc*tc)       AS s3,
-           SUM(tc*tc*tc*tc)    AS s4,
+           COUNT(value)                                   AS n,
+           SUM(tc)          FILTER (value IS NOT NULL)    AS s1,
+           SUM(tc*tc)       FILTER (value IS NOT NULL)    AS s2,
+           SUM(tc*tc*tc)    FILTER (value IS NOT NULL)    AS s3,
+           SUM(tc*tc*tc*tc) FILTER (value IS NOT NULL)    AS s4,
            SUM(value)          AS sy,
            SUM(tc*value)       AS sty,
            SUM(tc*tc*value)    AS st2y

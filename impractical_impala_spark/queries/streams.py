@@ -91,3 +91,37 @@ SELECT user_id, session_id, COUNT(*) AS n_events,
        ROUND(SUM(value), 4) AS session_value
 FROM sessioned GROUP BY user_id, session_id
 """, "30-min-gap sessionization (batch twin of session_window)")
+
+
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in session_window operator itself (batch form), oracle
+    = the gaps-and-islands SQL (identical semantics: a >30-min gap
+    closes a session; boundary ties are measure-zero on continuous
+    timestamps). Session starts formatted to second precision."""
+    from ..streaming.sessions import user_sessions
+
+    return user_sessions(load_table(spark, sf_dir, "events").drop("props"))
+
+
+register("events_session_window", events_session_window, """
+WITH ordered AS (
+    SELECT user_id, ts, value,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM events
+), flagged AS (
+    SELECT *, CASE WHEN prev_ts IS NULL
+                     OR ts - prev_ts >= INTERVAL 30 MINUTE
+                   THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+), sessioned AS (
+    SELECT user_id, ts, value,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS session_value
+FROM sessioned GROUP BY user_id, session_id
+""", "built-in session_window vs gaps-and-islands oracle")

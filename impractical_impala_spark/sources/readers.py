@@ -16,7 +16,8 @@ Two source families:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 TESTDATA_TABLES = (
@@ -51,21 +52,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
     if name == "events":
+        # nanosAsLong lets Spark resolve the TIMESTAMP(NANOS) column at
+        # all (TimestampType is microseconds); scoped to this read path —
+        # no other table carries nanos.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # the derived ts below is TZ-aware (epoch micros); downstream
-        # window/date_format rendering must be UTC to match the oracle
-        # even when the caller's session (e.g. the driver's) is not UTC.
-        # No query outputs temporal types, so this is side-effect-free
-        # for result hashing.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        from pyspark.sql import functions as F
-
         return (
             df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+            .withColumn("ts", ntz_from_epoch_us(F.expr("ts_ns div 1000")))
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ntz_from_epoch_us(us: Column) -> Column:
+    """Epoch microseconds -> TIMESTAMP_NTZ wall-clock in UTC, computed
+    with pure integer arithmetic so the result — and everything windowed
+    or formatted from it — is independent of the caller session's
+    timezone (timestamp_micros() would be TZ-aware and render shifted
+    under a non-UTC driver session)."""
+    day_us = F.lit(86_400_000_000)
+    rem = us % day_us
+    # (us - rem) is an exact multiple of day_us but exceeds double's
+    # 53-bit mantissa — divide as decimals so the day count is exact
+    days = ((us - rem).cast("decimal(38,0)")
+            / day_us.cast("decimal(20,0)")).cast("int")
+    d = F.date_add(F.lit("1970-01-01").cast("date"), days)
+    # rem < 8.64e10 fits a double exactly; quotient steps (1 us) dwarf
+    # double rounding error, so plain division + truncation is exact
+    return F.make_timestamp_ntz(
+        F.year(d), F.month(d), F.dayofmonth(d),
+        (rem / F.lit(3_600_000_000)).cast("int"),
+        ((rem % F.lit(3_600_000_000)) / F.lit(60_000_000)).cast("int"),
+        (rem % F.lit(60_000_000)) / F.lit(1_000_000.0),
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str,

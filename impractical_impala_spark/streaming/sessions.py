@@ -41,6 +41,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    # Watermarks require TZ-aware TIMESTAMP (EVENT_TIME_IS_NOT_ON_
+    # TIMESTAMP_TYPE on NTZ), so the streaming path keeps the epoch
+    # instant; window START values rendered by these plans follow the
+    # session timezone — run streaming sessions in UTC (get_spark does).
+    # The driver-checked batch twins use TIMESTAMP_NTZ and are
+    # timezone-independent (sources/readers.py::ntz_from_epoch_us).
     return (
         raw.withColumnRenamed("ts", "ts_ns")
         .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))

@@ -54,10 +54,19 @@ def _norm_cell(v):
     return v
 
 
+def _sort_key_cell(x):
+    # floats sort by a rounded representation so sub-tolerance engine
+    # differences can't order the two sides differently and misalign the
+    # pairwise comparison
+    if isinstance(x, float):
+        return (x is None, "float", f"{x:.6g}")
+    return (x is None, str(type(x)), str(x))
+
+
 def _normalize(df: pd.DataFrame) -> list[tuple]:
     cols = sorted(df.columns)
     rows = [tuple(_norm_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
-    rows.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+    rows.sort(key=lambda r: tuple(_sort_key_cell(x) for x in r))
     return rows
 
 
