@@ -159,3 +159,63 @@ SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total,
        MAX(value) AS mx, MIN(value) AS mn
 FROM events GROUP BY event_type
 """, "salted two-phase aggregation == direct GROUP BY")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic sampling per stratum (every 10th event
+    of each type in event_id order) — the reproducible train/eval split
+    primitive; unlike rand()-based sampling it is engine-portable and
+    stable across reruns."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") % 10) == 1)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+register("q_stratified_sample", q_stratified_sample, """
+SELECT event_id, user_id, event_type, value FROM (
+    SELECT event_id, user_id, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+    FROM events
+) WHERE rn % 10 = 1
+""", "systematic stratified sample (deterministic 1-in-10 per stratum)")
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-profiling summary of lineitem's measure columns
+    (count/nulls/min/max/mean) — the quality gate a training pipeline
+    runs before consuming a new drop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    rows = None
+    for c in cols:
+        agg = li.agg(
+            F.lit(c).alias("column"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(c).alias("n_present"),
+            F.min(c).alias("min_val"),
+            F.max(c).alias("max_val"),
+            F.round(F.avg(c), 6).alias("mean_val"),
+        )
+        rows = agg if rows is None else rows.unionByName(agg)
+    return rows
+
+
+register("q_profile_table", q_profile_table, """
+SELECT 'l_quantity' AS column, COUNT(*) AS n_rows, COUNT(l_quantity) AS n_present,
+       MIN(l_quantity) AS min_val, MAX(l_quantity) AS max_val,
+       ROUND(AVG(l_quantity), 6) AS mean_val FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', COUNT(*), COUNT(l_extendedprice),
+       MIN(l_extendedprice), MAX(l_extendedprice),
+       ROUND(AVG(l_extendedprice), 6) FROM lineitem
+UNION ALL
+SELECT 'l_discount', COUNT(*), COUNT(l_discount), MIN(l_discount),
+       MAX(l_discount), ROUND(AVG(l_discount), 6) FROM lineitem
+UNION ALL
+SELECT 'l_tax', COUNT(*), COUNT(l_tax), MIN(l_tax), MAX(l_tax),
+       ROUND(AVG(l_tax), 6) FROM lineitem
+""", "single-pass column profiling (count/nulls/min/max/mean)")
