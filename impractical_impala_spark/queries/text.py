@@ -71,14 +71,15 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(mean_len).alias("mean_token_len"),
         F.expr(len_ok).alias("len_ok"),
     ).withColumn(
+        # unrounded: the weighted sum is left-associated IEEE arithmetic,
+        # bit-identical across engines; ROUND(x, 6) hit an exact .5
+        # boundary on real data (terminating-decimal rationals) and the
+        # two engines rounded opposite ways
         "quality",
-        F.round(
-            0.25 * (1 - F.col("stop_ratio"))
-            + 0.35 * F.col("lexical_diversity")
-            + 0.15 * F.least(F.col("mean_token_len") / 8, F.lit(1.0))
-            + 0.25 * F.col("len_ok"),
-            6,
-        ),
+        0.25 * (1 - F.col("stop_ratio"))
+        + 0.35 * F.col("lexical_diversity")
+        + 0.15 * F.least(F.col("mean_token_len") / 8, F.lit(1.0))
+        + 0.25 * F.col("len_ok"),
     ).select("doc_id", "quality", "stop_ratio", "lexical_diversity",
              "mean_token_len", "len_ok")
 
@@ -99,8 +100,8 @@ WITH feat AS (
     FROM documents
 )
 SELECT doc_id,
-       ROUND(0.25 * (1 - stop_ratio) + 0.35 * lexical_diversity
-             + 0.15 * least(mean_token_len / 8, 1.0) + 0.25 * len_ok, 6)
+       0.25 * (1 - stop_ratio) + 0.35 * lexical_diversity
+       + 0.15 * least(mean_token_len / 8, 1.0) + 0.25 * len_ok
            AS quality,
        stop_ratio, lexical_diversity, mean_token_len, len_ok
 FROM feat
