@@ -5,9 +5,12 @@ these queries exercise the same relational algebra (scan, filter, join,
 two-phase hash agg, window, top-k) on the star schema the driver benches,
 written the way you would for a 100 TB fact table:
 
-- Dimensions (`region`, `nation`, `supplier`, `part`, `customer`) are
-  broadcast — `F.broadcast` pins the hint; the fact table never shuffles
-  for those joins.
+- Only true fixed-size dimensions (`region`, `nation`, and *filtered*
+  slices of `part`/`supplier`/`customer` whose size is bounded by the
+  predicate) pin an `F.broadcast` hint. Tables that grow with the fact
+  data (`orders`, unfiltered `customer`) join via shuffle — AQE promotes
+  them to broadcast at small SF from runtime stats, and they stay
+  shuffles at 100 TB instead of OOMing on a pinned hint.
 - Aggregations go through Spark's partial (map-side) + final hash agg;
   group keys are low-cardinality so the shuffle is tiny regardless of
   fact size.
@@ -73,16 +76,22 @@ ORDER BY l_returnflag, l_linestatus
 
 def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: segment filter on the customer dim (broadcast),
-    join to orders and lineitem, revenue agg, top-10. The only shuffle is
-    the final low-cardinality aggregation; both joins broadcast."""
+    join to orders and lineitem, revenue agg, top-10.
+
+    Scale shape: only the filtered *customer* side pins a broadcast hint —
+    customers-per-segment is bounded and small relative to facts. The
+    lineitem ⋈ orders join is fact ⋈ fact, so it shuffles on the order
+    key; AQE may still promote it to broadcast at small SF from runtime
+    stats, which is exactly the adaptivity we want instead of a pinned
+    hint that OOMs at 100 TB."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(orders.join(F.broadcast(cust),
-                                        orders.o_custkey == cust.c_custkey)),
+        li.join(orders.join(F.broadcast(cust),
+                            orders.o_custkey == cust.c_custkey),
                 li.l_orderkey == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -120,16 +129,21 @@ LIMIT 10
 
 def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: full star join lineitem > orders > customer >
-    nation > region, revenue per nation. Every dimension side broadcasts;
-    the fact scans once."""
+    nation > region, revenue per nation.
+
+    Scale shape: nation and region are true fixed-size dimensions and
+    pin broadcast hints. Orders and customer grow with the fact table,
+    so those joins shuffle on their keys — at small SF, AQE promotes
+    them to broadcast from runtime stats; at 100 TB they stay shuffles
+    instead of OOMing the executors with a pinned hint."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")

@@ -24,13 +24,48 @@ Design for oracle-exactness AND 100 TB scale:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import glob
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_table
 
 P = 2147483647  # 2^31 - 1
+
+# A broadcast hint in this family is only ever a small-corpus fast path;
+# the gate keeps it from becoming a pinned OOM at lake scale.
+_BROADCAST_CAP_BYTES = 256 << 20
+
+
+def _corpus_fits_broadcast(sf_dir: str, table: str = "documents") -> bool:
+    """True iff the on-disk source is small enough that frames derived
+    from it (signatures, band buckets, hash sets) safely broadcast.
+
+    Non-local or unreadable paths return False — at lake scale the hint
+    silently disappears and every candidate join shuffles on its key,
+    which is the correct 100 TB plan."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isfile(path):
+            size = os.path.getsize(path)
+        elif os.path.isdir(path):
+            size = sum(
+                os.path.getsize(p)
+                for p in glob.glob(os.path.join(path, "**", "*"), recursive=True)
+                if os.path.isfile(p)
+            )
+        else:
+            return False
+    except OSError:
+        return False
+    return size < _BROADCAST_CAP_BYTES
+
+
+def _maybe_broadcast(df: DataFrame, sf_dir: str) -> DataFrame | Column:
+    return F.broadcast(df) if _corpus_fits_broadcast(sf_dir) else df
 NUM_PERM, BANDS, ROWS_PER_BAND = 16, 4, 4
 JACCARD_T = 0.4
 MUT_OFFSET = 1_000_000
@@ -170,10 +205,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         buckets = b if buckets is None else buckets.unionByName(b)
     a, b = buckets.alias("a"), buckets.alias("b")
-    # broadcast pinned for plan determinism (ids + band keys only; at
-    # lake scale this join shuffles on the band key instead)
+    # small corpora broadcast (ids + band keys only) for plan
+    # determinism; past the size gate the join shuffles on the band key,
+    # which is the correct lake-scale candidate-generation plan
     pairs = (
-        a.join(F.broadcast(b), (F.col("a.band_idx") == F.col("b.band_idx"))
+        a.join(_maybe_broadcast(b, sf_dir),
+               (F.col("a.band_idx") == F.col("b.band_idx"))
                & (F.col("a.bkey") == F.col("b.bkey"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -181,7 +218,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dha = sigs.select(F.col("doc_id").alias("doc_a"), F.col("dh").alias("dha"))
     dhb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("dh").alias("dhb"))
-    pairs = pairs.join(F.broadcast(dha), "doc_a").join(F.broadcast(dhb), "doc_b")
+    pairs = pairs.join(_maybe_broadcast(dha, sf_dir), "doc_a") \
+                 .join(_maybe_broadcast(dhb, sf_dir), "doc_b")
     inter = F.size(F.array_intersect("dha", "dhb"))
     union = F.size("dha") + F.size("dhb") - inter
     return (
@@ -249,15 +287,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # no cache: measured 4.9s uncached vs 7.1s cached at sf0.1 — the
     # array-column cache write costs more than recomputing the hash
-    # pipeline for the broadcast build side. Broadcast is PINNED: size
-    # estimation over the un-materialized hash pipeline flaps between
-    # broadcast and sort-merge (which sorts the wide arrays; measured
-    # 5s vs 16s bimodal). At lake scale the per-block reference set is
-    # still the broadcastable side.
+    # pipeline for the broadcast build side. The broadcast hint is
+    # size-gated: Catalyst's estimate over the un-materialized hash
+    # pipeline flaps between broadcast and sort-merge (which sorts the
+    # wide arrays; measured 5s vs 16s bimodal), so small corpora pin the
+    # hint; past the gate the join shuffles on (lang, source).
     ds = ds.join(meta, "doc_id")
     a, b = ds.alias("a"), ds.alias("b")
     pairs = a.join(
-        F.broadcast(b),
+        _maybe_broadcast(b, sf_dir),
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.source") == F.col("b.source"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),

@@ -34,13 +34,22 @@ register("q_approx_distinct", q_approx_distinct, None,
 
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass quantile sketch (accuracy parameter 10000) — the
-    streaming-friendly replacement for exact percentiles."""
+    streaming-friendly replacement for exact percentiles.
+
+    Emits scalar p50/p90/p99 columns (not an array) so rows-only
+    harness checks can canonicalize the output."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
-            .alias("approx_p50_p90_p99")
+            .alias("pct")
+        )
+        .select(
+            "l_returnflag",
+            F.element_at("pct", 1).alias("approx_p50"),
+            F.element_at("pct", 2).alias("approx_p90"),
+            F.element_at("pct", 3).alias("approx_p99"),
         )
     )
 

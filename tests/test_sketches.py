@@ -25,7 +25,7 @@ def test_approx_distinct_within_rsd(spark, sf_oracle):
 
 
 def test_approx_percentile_close_to_exact(spark, sf_oracle):
-    got = {r.l_returnflag: r.approx_p50_p90_p99
+    got = {r.l_returnflag: (r.approx_p50, r.approx_p90, r.approx_p99)
            for r in _Q["q_approx_percentile"].build(spark, sf_oracle).collect()}
     li = load_table(spark, sf_oracle, "lineitem")
     exact = {r.l_returnflag: r.ps
