@@ -5,9 +5,11 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query executes to completion (count(), which forces the full plan
-including sinks' worth of work but keeps driver memory flat — no
-collect() of large results).
+Each query executes to completion by aggregating a checksum over EVERY
+output column (count() alone would let Catalyst prune projection
+expressions that don't affect row count, under-measuring
+expression-heavy queries); driver memory stays flat — no collect() of
+large results.
 """
 
 from __future__ import annotations
@@ -49,6 +51,11 @@ HEADLINE = [
     "ann_lsh_bucketed",
     "text_fingerprint",
     "text_quality_score",
+    # added round 2 (append-only so r1-vs-r2 per-query deltas stay
+    # meaningful for the original 24)
+    "q_asof_attribution",
+    "events_sessionized",
+    "ann_ivf_probe",
 ]
 
 
@@ -73,12 +80,20 @@ def main() -> None:
     spark.range(1000).withColumn("g", F.col("id") % 32) \
         .groupBy("g").applyInPandas(lambda pdf: pdf, "id long, g long").count()
 
+    def force(df) -> None:
+        # xor-fold a 64-bit hash of every output column: consumes each
+        # column's value (no projection pruning), returns one row to the
+        # driver, and cannot overflow (bit_xor, unlike sum, is closed
+        # over bigint under ANSI mode)
+        df.select(F.xxhash64(*df.columns).alias("h")) \
+            .agg(F.expr("bit_xor(h)")).collect()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         q = queries[name]
         t0 = time.perf_counter()
-        q.build(spark, sf_dir).count()
+        force(q.build(spark, sf_dir))
         dt = round(time.perf_counter() - t0, 4)
         timings[name] = dt
         total += dt

@@ -24,8 +24,10 @@ def asof_join(probe: DataFrame, ref: DataFrame, on: Sequence[str],
               strict: bool = False) -> DataFrame:
     """For each probe row, attach the columns of the reference row with
     the greatest ``ref_time`` <= ``probe_time`` (< when ``strict``)
-    within the same ``on`` key. Reference ties on time are broken by
-    taking the row that sorts last (deterministic given unique times).
+    within the same ``on`` key. Reference rows tied on (key, time) are
+    broken deterministically: the row whose ``ref_cols`` struct sorts
+    greatest (field-lexicographic in ``ref_cols`` order) is carried,
+    independent of partitioning and run-to-run shuffle order.
 
     ``ref_cols`` maps reference column -> output name. Probe columns
     pass through unchanged. Left semantics: unmatched probes keep NULLs.
@@ -53,8 +55,13 @@ def asof_join(probe: DataFrame, ref: DataFrame, on: Sequence[str],
     u = probe_tagged.unionByName(ref_tagged, allowMissingColumns=True)
 
     # strict: a ref row at the exact probe time must NOT match -> order
-    # probe rows before ref rows at equal times; else after.
-    order = [t, F.col(tag).asc() if not strict else F.col(tag).desc()]
+    # probe rows before ref rows at equal times; else after. The carry
+    # struct is the final key so reference rows tied on (key, time)
+    # have a total order — without it the carried row would flap with
+    # shuffle order (probe rows all have NULL carry and equal tag, so
+    # their relative order never affects any LOCF result).
+    order = [t, F.col(tag).asc() if not strict else F.col(tag).desc(),
+             F.col(carry).asc()]
     w = Window.partitionBy(*on).orderBy(*order) \
         .rowsBetween(Window.unboundedPreceding, 0)
     matched = F.last(F.when(F.col(tag) == 0, F.col(carry)),

@@ -17,7 +17,11 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase event attributed to the user's most
     recent click AT OR BEFORE it (classic last-touch attribution).
     Spark composition: union + LOCF window (operators/asof.py) — one
-    shuffle. DuckDB oracle: native ASOF JOIN."""
+    shuffle. DuckDB oracle: native ASOF JOIN over a click set
+    pre-deduplicated on (user_id, ts): asof_join breaks exact-time ties
+    by max carry struct (= max click_id), and DuckDB ASOF's tie pick is
+    arbitrary, so the oracle keeps only the max click_id per tied
+    instant — identical output, deterministic on both engines."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type",
         F.expr("ts_ns div 1000").alias("ts_us"),
@@ -46,6 +50,8 @@ FROM (
 ASOF LEFT JOIN (
     SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_ts_us
     FROM events WHERE event_type = 'click'
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+                               ORDER BY event_id DESC) = 1
 ) c ON p.user_id = c.user_id AND p.purchase_ts_us >= c.click_ts_us
 """, "as-of join: last-click attribution (union+LOCF vs native ASOF)")
 

@@ -71,7 +71,12 @@ def ntz_from_epoch_us(us: Column) -> Column:
     timezone (timestamp_micros() would be TZ-aware and render shifted
     under a non-UTC driver session)."""
     day_us = F.lit(86_400_000_000)
-    rem = us % day_us
+    # pmod, not %: Spark's % takes the dividend's sign, so a pre-1970
+    # epoch would yield rem < 0 (NULL from make_timestamp_ntz) and a
+    # day count truncated toward zero instead of floored. pmod keeps
+    # 0 <= rem < day_us, which makes (us - rem) the floor multiple for
+    # negative epochs too.
+    rem = F.pmod(us, day_us)
     # (us - rem) is an exact multiple of day_us but exceeds double's
     # 53-bit mantissa — divide as decimals so the day count is exact
     days = ((us - rem).cast("decimal(38,0)")

@@ -42,3 +42,18 @@ def test_asof_plan_is_single_shuffle(spark):
     final = plan.split("== Initial Plan ==")[0]  # AQE repeats the plan
     assert final.count("Exchange hashpartitioning") == 1
     assert "Join" not in final  # composed from union + window, no join node
+
+
+def test_asof_tied_ref_times_deterministic(spark):
+    """Several reference rows sharing (key, ref_time): the carried row
+    must be the one whose ref_cols struct sorts greatest, regardless of
+    input order or partitioning (ADVICE round 1: without a tie-break
+    the LOCF pick flaps with shuffle order)."""
+    probe = spark.createDataFrame([(1, "u", 10)], "pid int, k string, pt int")
+    tied = [(103, "u", 10), (101, "u", 10), (102, "u", 10)]
+    for perm in (tied, tied[::-1], [tied[1], tied[2], tied[0]]):
+        ref = spark.createDataFrame(perm, "rid int, k string, rt int") \
+            .repartition(4)
+        out = asof_join(probe, ref, on=["k"], probe_time="pt",
+                        ref_time="rt", ref_cols={"rid": "m"})
+        assert [r.m for r in out.collect()] == [103]
