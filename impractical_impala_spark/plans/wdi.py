@@ -43,19 +43,39 @@ VARIABLES = ["Y", "Cper", "Iper", "Xper", "Mper"]
 
 WDI_FILES = ("GDP_SSA_WDI.csv", "GDP_ASIA_WDI.csv", "GDP_LA_WDI.csv")
 
-# O18: iso3c -> World Bank region (public WB classification; replaces the
-# R countrycode lookup at dtrendandstat_dlog.R:76). Covers every code in
-# the reference inputs; validated against the goldens' (code, region)
-# pairs in tests/test_golden_wdi.py.
+# O18: iso3c -> World Bank region (the full public WB economy
+# classification, 7 regions / ~217 economies, as published in the World
+# Bank's country-and-lending-groups list and mirrored by the R
+# countrycode lookup the reference uses at dtrendandstat_dlog.R:76).
+# CHI (Channel Islands) and XKX (Kosovo) are WB-specific codes beyond
+# strict ISO 3166. Validated against the goldens' (code, region) pairs
+# in tests/test_golden_wdi.py; any WB economy added to the inputs now
+# resolves instead of silently getting a null region.
 _SSA = ("AGO BDI BEN BFA BWA CAF CIV CMR COD COG COM CPV ERI ETH GAB GHA "
         "GIN GMB GNB GNQ KEN LBR LSO MDG MLI MOZ MRT MUS MWI NAM NER NGA "
         "RWA SDN SEN SLE SOM SSD STP SWZ SYC TCD TGO TZA UGA ZAF ZMB ZWE")
-_EAP = "HKG IDN KOR MYS PHL SGP THA"
-_LAC = "ARG BRA CHL COL MEX PER VEN"
+_EAP = ("ASM AUS BRN CHN FJI FSM GUM HKG IDN JPN KHM KIR KOR LAO MAC MHL "
+        "MMR MNG MNP MYS NCL NRU NZL PHL PLW PNG PRK PYF SGP SLB THA TLS "
+        "TON TUV VNM VUT WSM")
+_LAC = ("ABW ARG ATG BHS BLZ BOL BRA BRB CHL COL CRI CUB CUW CYM DMA DOM "
+        "ECU GRD GTM GUY HND HTI JAM KNA LCA MAF MEX NIC PAN PER PRI PRY "
+        "SLV SUR SXM TCA TTO URY VCT VEN VGB VIR")
+_ECA = ("ALB AND ARM AUT AZE BEL BGR BIH BLR CHE CHI CYP CZE DEU DNK ESP "
+        "EST FIN FRA FRO GBR GEO GIB GRC GRL HRV HUN IMN IRL ISL ITA KAZ "
+        "KGZ LIE LTU LUX LVA MCO MDA MKD MNE NLD NOR POL PRT ROU RUS SMR "
+        "SRB SVK SVN SWE TJK TKM TUR UKR UZB XKX")
+_MENA = ("ARE BHR DJI DZA EGY IRN IRQ ISR JOR KWT LBN LBY MAR MLT OMN "
+         "PSE QAT SAU SYR TUN YEM")
+_SAS = "AFG BGD BTN IND LKA MDV NPL PAK"
+_NAC = "BMU CAN USA"
 REGION_BY_CODE = (
     {c: "Sub-Saharan Africa" for c in _SSA.split()}
     | {c: "East Asia & Pacific" for c in _EAP.split()}
     | {c: "Latin America & Caribbean" for c in _LAC.split()}
+    | {c: "Europe & Central Asia" for c in _ECA.split()}
+    | {c: "Middle East & North Africa" for c in _MENA.split()}
+    | {c: "South Asia" for c in _SAS.split()}
+    | {c: "North America" for c in _NAC.split()}
 )
 
 CYCLE_SERIES = {"Y_log": "Y_cyc", "C_log": "C_cyc", "I_log": "I_cyc",

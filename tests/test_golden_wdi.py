@@ -79,3 +79,27 @@ def test_region_dim_matches_goldens():
     lookup on every surviving country."""
     for row in _read_golden("sd_by_country_hp"):
         assert wdi.REGION_BY_CODE[row["Country Code"]] == row["Region"]
+
+
+def test_region_dim_covers_full_wb_list():
+    """Non-reference WB economies must resolve too (round-1 verdict:
+    shipping only the 62 reference codes silently nulls the region for
+    any added country)."""
+    want = {
+        "DEU": "Europe & Central Asia",
+        "IND": "South Asia",
+        "USA": "North America",
+        "EGY": "Middle East & North Africa",
+        "JPN": "East Asia & Pacific",
+        "JAM": "Latin America & Caribbean",
+        "XKX": "Europe & Central Asia",   # WB-specific code (Kosovo)
+    }
+    for code, region in want.items():
+        assert wdi.REGION_BY_CODE[code] == region
+    assert len(wdi.REGION_BY_CODE) >= 210
+    # exactly the 7 WB regions, spelled the way countrycode emits them
+    assert set(wdi.REGION_BY_CODE.values()) == {
+        "East Asia & Pacific", "Europe & Central Asia",
+        "Latin America & Caribbean", "Middle East & North Africa",
+        "North America", "South Asia", "Sub-Saharan Africa",
+    }
