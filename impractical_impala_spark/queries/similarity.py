@@ -202,21 +202,13 @@ register("ann_lsh_bucketed", ann_lsh_bucketed, _lsh_oracle(),
 N_CELLS, N_PROBE = 16, 2
 
 
-def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: a 16-cell coarse quantizer (seed vectors vec_id <
-    N_CELLS stand in for trained k-means centroids — deterministic and
-    oracle-reproducible), every vector assigned to its max-cosine cell,
-    queries probe their top-2 cells and search exactly within them.
-
-    The scale shape: assignment is a broadcast join against the
-    centroid table; search touches only probed cells (~N_PROBE/N_CELLS
-    of the corpus). On this corpus probe-2 captures the true top-1 cell
-    for 10/10 queries — better recall than hyperplane LSH here."""
-    emb = _emb(spark, sf_dir).cache()
-    cent = emb.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"),
-        F.col("norm").alias("cnorm"),
-    )
+def _ivf_search(emb: DataFrame, cent: DataFrame,
+                n_probe: int = N_PROBE) -> DataFrame:
+    """Shared IVF search: assign every vector to its max-cosine cell
+    (broadcast join against the tiny centroid table), probe the top
+    ``n_probe`` cells per query, search exactly within them. Search
+    touches only probed cells (~n_probe/n_cells of the corpus).
+    ``cent`` columns: cell_id, cv (array<double>), cnorm."""
     cdot = F.expr("aggregate(zip_with(v, cv, (x, y) -> x * y),"
                   " cast(0.0 as double), (acc, x) -> acc + x)")
     scored = emb.crossJoin(F.broadcast(cent)).select(
@@ -230,7 +222,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("c_norm"), F.col("cell_id").alias("cell"),
     )
     probes = ranked.filter((F.col("vec_id") < N_QUERIES)
-                           & (F.col("crn") <= N_PROBE)).select(
+                           & (F.col("crn") <= n_probe)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("norm").alias("q_norm"), F.col("cell_id").alias("cell"),
     )
@@ -248,6 +240,20 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"))
     )
+
+
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN with a seed coarse quantizer (vectors vec_id <
+    N_CELLS stand in for trained centroids — deterministic and
+    oracle-reproducible; the trained variant is ann_ivf_trained). On
+    this corpus probe-2 captures the true top-1 cell for 10/10 queries
+    — better recall than hyperplane LSH here."""
+    emb = _emb(spark, sf_dir).cache()
+    cent = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    return _ivf_search(emb, cent)
 
 
 register("ann_ivf_probe", ann_ivf_probe, f"""
@@ -287,3 +293,78 @@ WITH emb AS (
 SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos
 FROM final WHERE rn = 1
 """, "IVF coarse-quantizer probe-2 nearest neighbor")
+
+
+# ------------------------------------------------- trained quantizer
+N_ITERS = 4
+
+
+def train_ivf_centroids(spark: SparkSession, emb: DataFrame,
+                        k: int = N_CELLS, iters: int = N_ITERS) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus, expressed as
+    DataFrame ops (round-1 verdict: seed centroids give unbalanced
+    cells on clustered corpora).
+
+    Per iteration: (1) assignment = broadcast cross join against the k
+    centroids + argmax cosine — the same shape the search path uses;
+    (2) update = element-wise mean via posexplode + groupBy(cell, pos).
+    The k x dim centroid table (the model parameters, a few KB) is
+    collected to the driver each iteration to seed the next broadcast —
+    the corpus itself never leaves the executors, so the loop scales
+    with corpus size exactly like the search path does. On 100 TB you
+    train on a bounded sample (pass ``emb.sample(...)``); the result is
+    a centroid model, not a data-sized artifact.
+
+    Initialization is deterministic (the k lowest vec_ids); ties and
+    float-sum order make the trained model run-stable only to ~1e-15,
+    which is why the driver-checked oracle query keeps the pure seed
+    quantizer and this variant is rows-only checked.
+    """
+    emb = emb.cache()
+    cent = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    cdot = F.expr("aggregate(zip_with(v, cv, (x, y) -> x * y),"
+                  " cast(0.0 as double), (acc, x) -> acc + x)")
+    prev = {r.cell_id: list(r.cv) for r in cent.collect()}
+    for _ in range(iters):
+        scored = emb.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "v", "cell_id",
+            (cdot / (F.col("norm") * F.col("cnorm"))).alias("ccos"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cell_id")
+        assigned = (
+            scored.withColumn("crn", F.row_number().over(w))
+            .filter(F.col("crn") == 1)
+            .select("cell_id", "v")
+        )
+        means = (
+            assigned.select("cell_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell_id", "pos").agg(F.avg("x").alias("m"))
+            .groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell_id", F.expr("transform(pm, s -> s.m)").alias("cv"))
+        )
+        got = {r.cell_id: list(r.cv) for r in means.collect()}
+        # a cell that lost every member keeps its previous centroid
+        prev = prev | got
+        cent = spark.createDataFrame(
+            [(cid, cv) for cid, cv in sorted(prev.items())],
+            "cell_id int, cv array<double>",
+        ).withColumn("cnorm", F.expr(
+            "sqrt(aggregate(cv, cast(0.0 as double), (acc, x) -> acc + x * x))"
+        ))
+    return cent
+
+
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe-2 search against a Lloyd-trained coarse quantizer —
+    the production variant of ann_ivf_probe (see train_ivf_centroids
+    for why the driver check is rows-only)."""
+    emb = _emb(spark, sf_dir).cache()
+    return _ivf_search(emb, train_ivf_centroids(spark, emb))
+
+
+register("ann_ivf_trained", ann_ivf_trained, None,
+         "IVF probe-2 over a k-means-trained coarse quantizer")

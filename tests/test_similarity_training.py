@@ -1,0 +1,83 @@
+"""IVF coarse-quantizer training: on a clustered corpus whose ingest
+order concentrates the seed vectors inside one cluster (the realistic
+failure mode for seed-as-centroid quantizers), Lloyd training must
+recover balanced cells and beat the seed variant's recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from impractical_impala_spark.queries.similarity import (
+    _ivf_search, train_ivf_centroids)
+
+DIM, K_TRUE, N = 16, 8, 400
+K_CELLS = 16
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """8 clusters on the unit sphere; the first 16 ids (the seed
+    centroids AND the 10 query ids) all come from cluster 0, the rest
+    interleave — deterministic via a fixed generator seed."""
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(K_TRUE, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = []
+    for i in range(N):
+        c = 0 if i < K_CELLS else i % K_TRUE
+        pts.append(centers[c] + rng.normal(size=DIM) * 0.25)
+    V = np.array(pts)
+    norms = np.linalg.norm(V, axis=1)
+    cos = (V @ V.T) / np.outer(norms, norms)
+    np.fill_diagonal(cos, -2)
+    truth = {q: int(np.argmax(cos[q])) for q in range(10)}
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(N)],
+        "vec_id long, v array<double>",
+    ).withColumn("norm", F.expr(
+        "sqrt(aggregate(v, cast(0.0 as double), (acc, x) -> acc + x * x))"
+    )).cache()
+    return emb, truth
+
+
+def _recall(emb, truth, cent):
+    got = {r.query_id: r.neighbor_id
+           for r in _ivf_search(emb, cent).collect()}
+    return sum(got.get(q) == t for q, t in truth.items()) / len(truth)
+
+
+def _max_occupancy(emb, cent):
+    cdot = F.expr("aggregate(zip_with(v, cv, (x, y) -> x * y),"
+                  " cast(0.0 as double), (acc, x) -> acc + x)")
+    sc = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cell_id",
+        (cdot / (F.col("norm") * F.col("cnorm"))).alias("cc"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cc").desc(), "cell_id")
+    occ = (sc.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+           .groupBy("cell_id").count().collect())
+    return max(r["count"] for r in occ)
+
+
+def test_trained_quantizer_beats_seed_on_clustered_corpus(spark, clustered):
+    emb, truth = clustered
+    seed = emb.filter(F.col("vec_id") < K_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"))
+    trained = train_ivf_centroids(spark, emb, k=K_CELLS, iters=4)
+    r_seed, r_trained = _recall(emb, truth, seed), _recall(emb, truth, trained)
+    # measured: seed 0.8, trained 1.0; assignment margins dwarf the
+    # ~1e-15 run-to-run float-sum jitter in the trained centroids
+    assert r_trained > r_seed
+    assert r_trained >= 0.9
+    # training must also fix cell balance (measured: 72 -> 45 of 400)
+    assert _max_occupancy(emb, trained) < _max_occupancy(emb, seed)
+
+
+def test_trained_quantizer_keeps_k_cells(spark, clustered):
+    emb, _ = clustered
+    cent = train_ivf_centroids(spark, emb, k=K_CELLS, iters=2)
+    rows = cent.collect()
+    assert len(rows) == K_CELLS
+    assert all(len(r.cv) == DIM for r in rows)
+    assert all(r.cnorm > 0 for r in rows)
