@@ -14,4 +14,5 @@ exploratory queries to the END of this list, never the middle.
 from . import (reference_ops, stats_ops, tpch, tpch_more,  # noqa: F401
                windows, streams, text,
                dedup, similarity, joins_special, json_ops, extras,
-               sketches, multimodal)
+               sketches, multimodal,
+               tpch_plus)

@@ -98,3 +98,39 @@ def test_whole_stage_codegen_on_hot_path(spark, sf_small):
     # '*(n)' prefixes mark WholeStageCodegen stages in the executed plan
     assert "*(1)" in final and "*(2)" in final
     assert "partial_sum" in final, "map-side partial aggregation missing"
+
+
+@pytest.mark.parametrize("name,n_pinned", [
+    # q7: nation broadcast twice (supplier-side + customer-side)
+    ("q7_volume_shipping", 2),
+    # q8: nation⋈region dim (customer side) + nation (supplier side);
+    # region joins nation inside the pinned dim subtree
+    ("q8_market_share", 3),
+])
+def test_tpch_plus_broadcasts_dims_only(spark, sf_small, name, n_pinned):
+    """Round-2 TPC-H wave inherits the dims-only broadcast contract:
+    with auto-broadcast off, the only BroadcastHashJoins are the pinned
+    nation/region hints — fact-scale sides (orders, customer, part,
+    supplier) must not pin."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(_Q[name].build(spark, sf_small))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    bhj = len(re.findall(r"\(\d+\) BroadcastHashJoin", plan))
+    assert bhj == n_pinned
+    # every fact-side join shuffles when nothing auto-broadcasts
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)",
+                          plan)) >= 3
+
+
+def test_q19_join_stays_hash_under_disjunction(spark, sf_small):
+    """The OR-of-conjunctions must not degrade the part join to a
+    nested-loop: Catalyst extracts the common l_partkey = p_partkey
+    equi-condition."""
+    df = _Q["q19_disjunctive_predicates"].build(spark, sf_small)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in final
+    assert "CartesianProduct" not in final
