@@ -77,3 +77,65 @@ def test_permissive_csv_handles_malformed_rows(spark, tmp_path):
         .csv(str(p), header=True, schema=schema).collect()
     )
     assert len(dropped) < 4
+
+
+def test_orc_roundtrip(spark, sf_small, tmp_path):
+    from impractical_impala_spark.sources import read_table, write_table
+
+    df = _Q["q1_pricing_summary"].build(spark, sf_small)
+    out = str(tmp_path / "q1.orc")
+    write_table(df, out, fmt="orc")
+    back = read_table(spark, out, fmt="orc")
+    assert _sorted_rows(back) == _sorted_rows(df)
+
+
+def test_json_roundtrip_with_schema(spark, sf_small, tmp_path):
+    from impractical_impala_spark.sources import read_table, write_table
+
+    df = _Q["q_rollup_revenue"].build(spark, sf_small)  # NULL rollup keys
+    out = str(tmp_path / "rollup.json")
+    write_table(df, out, fmt="json")
+    back = read_table(spark, out, fmt="json", schema=df.schema)
+    assert _sorted_rows(back) == _sorted_rows(df)
+
+
+def test_json_requires_explicit_schema(spark, sf_small, tmp_path):
+    import pytest
+
+    from impractical_impala_spark.sources import read_table
+
+    with pytest.raises(ValueError, match="not self-describing"):
+        read_table(spark, str(tmp_path), fmt="json")
+
+
+def test_avro_raises_clearly(spark, tmp_path):
+    import pytest
+
+    from impractical_impala_spark.sources import read_table
+
+    with pytest.raises(ValueError, match="spark-avro jar"):
+        read_table(spark, str(tmp_path), fmt="avro")
+
+
+def test_partitioned_write_prunes_at_read(spark, sf_small, tmp_path):
+    """Hive-style partition layout must show up as a PartitionFilters
+    prune (not a data filter) when reading one key back — the lever
+    that turns a partition-key filter into a 1/N scan at lake scale."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from impractical_impala_spark.sources import load_table, read_table, write_table
+
+    out = str(tmp_path / "orders_by_priority")
+    write_table(load_table(spark, sf_small, "orders"), out,
+                partition_by=["o_orderpriority"])
+    dirs = [d for d in os.listdir(out) if d.startswith("o_orderpriority=")]
+    assert len(dirs) == 5
+    back = read_table(spark, out).filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "o_orderpriority" in plan.split("PartitionFilters")[1].split("]")[0]
+    n = back.count()
+    full = read_table(spark, out).count()
+    assert 0 < n < full
