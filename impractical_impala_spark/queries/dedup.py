@@ -24,48 +24,20 @@ Design for oracle-exactness AND 100 TB scale:
 
 from __future__ import annotations
 
-import glob
-import os
-
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..broadcast_gate import maybe_broadcast
 from ..registry import register
 from ..sources import load_table
 
 P = 2147483647  # 2^31 - 1
 
 # A broadcast hint in this family is only ever a small-corpus fast path;
-# the gate keeps it from becoming a pinned OOM at lake scale.
-_BROADCAST_CAP_BYTES = 256 << 20
-
-
-def _corpus_fits_broadcast(sf_dir: str, table: str = "documents") -> bool:
-    """True iff the on-disk source is small enough that frames derived
-    from it (signatures, band buckets, hash sets) safely broadcast.
-
-    Non-local or unreadable paths return False — at lake scale the hint
-    silently disappears and every candidate join shuffles on its key,
-    which is the correct 100 TB plan."""
-    path = os.path.join(sf_dir, f"{table}.parquet")
-    try:
-        if os.path.isfile(path):
-            size = os.path.getsize(path)
-        elif os.path.isdir(path):
-            size = sum(
-                os.path.getsize(p)
-                for p in glob.glob(os.path.join(path, "**", "*"), recursive=True)
-                if os.path.isfile(p)
-            )
-        else:
-            return False
-    except OSError:
-        return False
-    return size < _BROADCAST_CAP_BYTES
-
-
-def _maybe_broadcast(df: DataFrame, sf_dir: str) -> DataFrame | Column:
-    return F.broadcast(df) if _corpus_fits_broadcast(sf_dir) else df
+# the shared size gate (broadcast_gate.py) keeps it from becoming a
+# pinned OOM at lake scale.
+def _maybe_broadcast(df: DataFrame, sf_dir: str) -> DataFrame:
+    return maybe_broadcast(df, sf_dir, "documents")
 NUM_PERM, BANDS, ROWS_PER_BAND = 16, 4, 4
 JACCARD_T = 0.4
 MUT_OFFSET = 1_000_000

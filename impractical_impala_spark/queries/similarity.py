@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..broadcast_gate import maybe_broadcast
 from ..registry import register
 from ..sources import load_table
 
@@ -127,13 +128,15 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.vec_id").alias("neighbor_id"))
         .dropDuplicates(["vec_id", "neighbor_id"])
     )
-    # fetch vectors back by id (broadcast: the embedding side of each
-    # lookup is small relative to the pair set at scale)
+    # fetch vectors back by id — size-gated broadcast (the full-corpus
+    # vector map grows with the data: past the gate these joins shuffle
+    # on the id instead of pinning a lake-scale OOM)
     va = emb.select(F.col("vec_id").alias("vec_id"), F.col("v").alias("va"),
                     F.col("norm").alias("na"))
     vb = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"),
                     F.col("norm").alias("nb"))
-    cand = cand.join(F.broadcast(va), "vec_id").join(F.broadcast(vb), "neighbor_id")
+    cand = cand.join(maybe_broadcast(va, sf_dir, "embeddings"), "vec_id") \
+               .join(maybe_broadcast(vb, sf_dir, "embeddings"), "neighbor_id")
     dot = F.expr(
         "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double),"
         " (acc, x) -> acc + x)"

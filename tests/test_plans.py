@@ -134,3 +134,25 @@ def test_q19_join_stays_hash_under_disjunction(spark, sf_small):
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in final
     assert "CartesianProduct" not in final
+
+
+def test_size_gate_drops_hint_on_unreadable_lake_path():
+    """Past the gate (or off local disk entirely) the broadcast hint
+    must vanish so candidate joins shuffle — the lake-scale plan."""
+    from impractical_impala_spark.broadcast_gate import corpus_fits_broadcast
+
+    assert corpus_fits_broadcast("/root/testdata/sf0.01", "documents")
+    assert not corpus_fits_broadcast("s3://some-lake/prefix", "documents")
+    assert not corpus_fits_broadcast("/nonexistent", "embeddings")
+
+
+def test_q18_does_not_pin_customer_broadcast(spark, sf_small):
+    """q18's customer side scales with the fact data: no pinned hint
+    (AQE promotes it at small SF from runtime stats instead)."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(_Q["q18_large_volume_customers"].build(spark, sf_small))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 0
