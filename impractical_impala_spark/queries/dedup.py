@@ -397,3 +397,55 @@ WITH norms AS (
 SELECT vec_id, neighbor_id, ROUND(cos, 6) AS cos
 FROM ranked WHERE rn = 1
 """, "top-1 cosine neighbor per embedding (exact baseline)")
+
+
+# ---------------------------------------------------------------- clusters
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation: connected components over the
+    verified minhash-LSH pairs (operators/graph.py min-label
+    propagation; convergence checks run driver-side counts — model-size
+    scalars, the corpus stays distributed). cluster_id = smallest
+    doc_id in the component; n_members sizes each cluster so a
+    downstream keep-one-representative filter is a plain predicate.
+    Oracle: recursive-CTE transitive closure over the same pair SQL."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        comp.select(F.col("node").alias("doc_id"),
+                    F.col("component").alias("cluster_id"))
+        .withColumn("n_members",
+                    F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+    )
+
+
+def _clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+    SELECT doc_a, doc_b FROM ({_minhash_oracle()})
+), nodes AS (
+    SELECT doc_a AS node FROM pairs
+    UNION
+    SELECT doc_b FROM pairs
+), edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+), reach(node, lbl) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+), comp AS (
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+FROM comp
+"""
+
+
+register("dedup_clusters", dedup_clusters, _clusters_oracle(),
+         "connected-component near-dup clusters over LSH pairs")
