@@ -29,3 +29,34 @@ def test_raises_rather_than_returning_unconverged(spark):
     # and converges fine with the default budget
     got = _cc(spark, chain)
     assert set(got.values()) == {1}
+
+
+def test_components_match_union_find_on_random_graphs(spark):
+    """Property: agree with a driver-side union-find on random graphs
+    (deterministic seeds). Covers shapes propagation can get subtly
+    wrong: self-loops, multi-edges, stars, disconnected singleton-free
+    node sets."""
+    import random
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        n, m = 60, 80
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = sorted({v for e in edges for v in e})
+        want = {v: find(v) for v in touched}
+        # union-find roots are path-compressed mins per component only if
+        # we always hang the larger root under the smaller (done above)
+        got = _cc(spark, [(int(a), int(b)) for a, b in edges])
+        assert got == want, f"seed {seed}"
