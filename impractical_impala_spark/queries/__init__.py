@@ -15,4 +15,4 @@ from . import (reference_ops, stats_ops, tpch, tpch_more,  # noqa: F401
                windows, streams, text,
                dedup, similarity, joins_special, json_ops, extras,
                sketches, multimodal,
-               tpch_plus, training_extras)
+               tpch_plus, training_extras, windows_plus)
