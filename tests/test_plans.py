@@ -156,3 +156,23 @@ def test_q18_does_not_pin_customer_broadcast(spark, sf_small):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 0
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "ann_lsh_bucketed"])
+def test_gate_off_plans_have_no_pinned_broadcast(spark, sf_small, name,
+                                                 monkeypatch):
+    """Force the size gate shut (cap=0, as on a real lake) and disable
+    auto-broadcast: the candidate/re-fetch joins must all shuffle —
+    proof the fast-path hint cannot survive to 100 TB."""
+    from impractical_impala_spark import broadcast_gate
+
+    monkeypatch.setattr(broadcast_gate, "_BROADCAST_CAP_BYTES", 0)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(_Q[name].build(spark, sf_small))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 0
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)",
+                          plan)) >= 3
