@@ -7,8 +7,10 @@ inventory, TPC-H, windows, streams, text) therefore register first —
 reference_ops(20) + stats_ops(8) + tpch(3) + tpch_more(3) + windows(8) +
 streams(3) + text(5) = 50 exactly. Families already driver-verified in
 round 1 (dedup, similarity, joins_special, json_ops, extras) and the
-rows-only/sketch families register after the window. Append brand-new
-exploratory queries to the END of this list, never the middle.
+rows-only/sketch families register after the window, followed by the
+round-2 additions (tpch_plus, training_extras, windows_plus). Append
+brand-new exploratory queries to the END of this list, never the
+middle — and never grow the pre-window families.
 """
 
 from . import (reference_ops, stats_ops, tpch, tpch_more,  # noqa: F401
