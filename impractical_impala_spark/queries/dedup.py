@@ -449,3 +449,67 @@ FROM comp
 
 register("dedup_clusters", dedup_clusters, _clusters_oracle(),
          "connected-component near-dup clusters over LSH pairs")
+
+
+# ---------------------------------------------------------------- survivors
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup ARTIFACT: the augmented corpus minus every
+    non-representative near-dup cluster member (keep the min doc_id per
+    cluster), summarized per language of the base document. Chains
+    cluster formation (connected components) -> anti-join -> aggregate;
+    at lake scale each step is a key-partitioned shuffle, and the
+    removal set rides as (doc_id) only."""
+    remove = (
+        dedup_clusters(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(MUT_OFFSET))
+    )
+    kept = corpus.join(remove, "doc_id", "left_anti")
+    return (
+        corpus.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+        .join(kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")),
+              "lang")
+        .withColumn("n_removed", F.col("n_total") - F.col("n_kept"))
+        .orderBy("lang")
+    )
+
+
+def _survivors_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+    SELECT doc_a, doc_b FROM ({_minhash_oracle()})
+), nodes AS (
+    SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs
+), edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+), reach(node, lbl) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+), removed AS (
+    SELECT node AS doc_id FROM reach GROUP BY node
+    HAVING node <> MIN(lbl)
+), corpus AS (
+    SELECT doc_id, lang FROM documents
+    UNION ALL
+    SELECT doc_id + {MUT_OFFSET}, lang FROM documents WHERE doc_id % 3 = 0
+)
+SELECT lang, COUNT(*) AS n_total,
+       CAST(COUNT(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM removed))
+            AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM removed))
+            AS BIGINT) AS n_removed
+FROM corpus
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+register("dedup_survivors", dedup_survivors, _survivors_oracle(),
+         "corpus minus non-representative cluster members, per language")
