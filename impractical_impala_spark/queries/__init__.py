@@ -17,4 +17,5 @@ from . import (reference_ops, stats_ops, tpch, tpch_more,  # noqa: F401
                windows, streams, text,
                dedup, similarity, joins_special, json_ops, extras,
                sketches, multimodal,
-               tpch_plus, training_extras, windows_plus, tpch_plus2)
+               tpch_plus, training_extras, windows_plus, tpch_plus2,
+               streams_plus)

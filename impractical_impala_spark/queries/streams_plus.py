@@ -1,0 +1,52 @@
+"""Batch twin of the stream-stream join (streaming/joins.py) —
+driver-checkable with a DuckDB oracle. Times compare in integer epoch
+units: the join runs at microsecond precision, outputs floor to epoch
+seconds on both engines."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+WINDOW_US = 3_600_000_000  # 1 hour, matching streaming/joins.py
+
+
+def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases joined to same-user clicks within the preceding hour
+    (batch form of streaming/joins.py::click_purchase_join)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts_us").alias("click_us"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts_us").alias("purchase_us"))
+    cond = ((F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_us") >= F.col("click_us"))
+            & (F.col("purchase_us") <= F.col("click_us") + F.lit(WINDOW_US)))
+    return clicks.join(purchases, cond).select(
+        F.col("p_user").alias("user_id"), "click_id", "purchase_id",
+        F.expr("click_us div 1000000").alias("click_epoch_s"),
+        F.expr("purchase_us div 1000000").alias("purchase_epoch_s"),
+    )
+
+
+register("events_stream_join", events_stream_join, f"""
+SELECT p.user_id, c.click_id, p.purchase_id,
+       epoch_us(c.ts) // 1000000 AS click_epoch_s,
+       epoch_us(p.ts) // 1000000 AS purchase_epoch_s
+FROM (SELECT event_id AS click_id, user_id, ts FROM events
+      WHERE event_type = 'click') c
+JOIN (SELECT event_id AS purchase_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND epoch_us(p.ts) >= epoch_us(c.ts)
+ AND epoch_us(p.ts) <= epoch_us(c.ts) + {WINDOW_US}
+""", "interval click->purchase join (batch twin of the stream-stream join)")
