@@ -50,3 +50,38 @@ JOIN (SELECT event_id AS purchase_id, user_id, ts FROM events
  AND epoch_us(p.ts) >= epoch_us(c.ts)
  AND epoch_us(p.ts) <= epoch_us(c.ts) + {WINDOW_US}
 """, "interval click->purchase join (batch twin of the stream-stream join)")
+
+
+def events_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/sessions.py::sliding_value_avg (1-hour
+    windows every 15 min): F.window works identically in batch, so the
+    twin IS the streaming plan minus the watermark. The oracle expands
+    each event into its four containing windows via a 0..3 offset
+    unnest — integer epoch arithmetic, engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"),
+             F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("win_start"),
+            "avg_value", "n",
+        )
+    )
+
+
+register("events_sliding_avg", events_sliding_avg, """
+WITH expanded AS (
+    SELECT value,
+           (epoch_us(ts) // (15 * 60 * 1000000) - off.o)
+               * (15 * 60 * CAST(1000000 AS BIGINT)) AS win_start_us
+    FROM events
+    CROSS JOIN (SELECT unnest(range(0, 4)) AS o) off
+)
+SELECT strftime(make_timestamp(win_start_us), '%Y-%m-%d %H:%M:%S')
+           AS win_start,
+       ROUND(AVG(value), 6) AS avg_value, COUNT(*) AS n
+FROM expanded
+GROUP BY win_start_us
+""", "sliding 1h/15min window averages (batch twin of the streaming plan)")

@@ -95,3 +95,46 @@ FROM toks
 GROUP BY 1
 ORDER BY 1
 """, "token-count histogram for corpus length QA")
+
+
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (training pipelines run this on every doc):
+    regex email redaction with a match count and a content hash of the
+    scrubbed text. The corpus is synthetic word soup, so every 4th doc
+    is augmented with a deterministic doc_id-derived address — giving
+    true positives at every scale factor. The pattern uses only
+    character classes + quantifiers, which Java regex (Spark) and RE2
+    (DuckDB) treat identically."""
+    pat = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    augmented = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.col("text"), F.lit(" contact_"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com")))
+        .otherwise(F.col("text")))
+    return augmented.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)"))
+        .cast("bigint").alias("n_emails"),
+        F.md5(F.regexp_replace("text", pat, "[EMAIL]")).alias("redacted_md5"),
+    )
+
+
+register("text_redact_pii", text_redact_pii, r"""
+WITH augmented AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0
+                THEN text || ' contact_' || CAST(doc_id AS VARCHAR)
+                     || '@example.com'
+                ELSE text END AS text
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+'))
+            AS BIGINT) AS n_emails,
+       md5(regexp_replace(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+',
+                          '[EMAIL]', 'g')) AS redacted_md5
+FROM augmented
+""", "regex email redaction with match counts (PII scrubbing pass)")
