@@ -82,9 +82,11 @@ def main() -> None:
 
     def force(df) -> None:
         # xor-fold a 64-bit hash of every output column: consumes each
-        # column's value (no projection pruning), returns one row to the
-        # driver, and cannot overflow (bit_xor, unlike sum, is closed
-        # over bigint under ANSI mode)
+        # column's value (no projection pruning) and returns one row to
+        # the driver. bit_xor over the hashes is order-independent and
+        # wraparound-free by construction, so the checksum is identical
+        # regardless of partitioning (sum would also work here — ANSI
+        # mode is off repo-wide — but xor states the intent)
         df.select(F.xxhash64(*df.columns).alias("h")) \
             .agg(F.expr("bit_xor(h)")).collect()
 

@@ -18,6 +18,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _drop_checkpoint(df: DataFrame) -> None:
+    """Best-effort eager release of a localCheckpoint'd DataFrame's
+    blocks. The public API only frees them when the JVM Dataset is
+    GC'd (ContextCleaner), so a long session running many component
+    jobs would accumulate executor storage; a checkpointed Dataset's
+    analyzed plan is a LogicalRDD whose rdd we can unpersist now."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # non-LogicalRDD plan or API drift: ContextCleaner handles it
+
+
 def connected_components(edges: DataFrame, src: str, dst: str,
                          max_iter: int = 15) -> DataFrame:
     """Label every node of the undirected graph ``edges`` with the
@@ -42,25 +54,31 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     # mid-algorithm must be survivable.
     labels = sym.select(F.col("a").alias("node")).distinct() \
         .withColumn("lbl", F.col("node")).localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        prop = (
-            sym.join(labels, sym.a == labels.node)
-            .select(F.col("b").alias("node"), "lbl")
-        )
-        new_labels = (
-            prop.unionByName(labels.select("node", "lbl"))
-            .groupBy("node").agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("lbl", "old"), "node")
-            .filter(F.col("lbl") != F.col("old")).count()
-        )
-        labels = new_labels
-        if changed == 0:
-            sym.unpersist()
-            return labels.select("node", F.col("lbl").alias("component"))
-    sym.unpersist()
+    # try/finally: sym must not outlive the loop on ANY exit path, and
+    # each superseded round's checkpoint blocks are dropped eagerly so a
+    # long-lived session running many component jobs doesn't accumulate
+    # executor storage until RDD GC gets around to it.
+    try:
+        for _ in range(max_iter):
+            prop = (
+                sym.join(labels, sym.a == labels.node)
+                .select(F.col("b").alias("node"), "lbl")
+            )
+            new_labels = (
+                prop.unionByName(labels.select("node", "lbl"))
+                .groupBy("node").agg(F.min("lbl").alias("lbl"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.join(labels.withColumnRenamed("lbl", "old"), "node")
+                .filter(F.col("lbl") != F.col("old")).count()
+            )
+            prev, labels = labels, new_labels
+            _drop_checkpoint(prev)
+            if changed == 0:
+                return labels.select("node", F.col("lbl").alias("component"))
+    finally:
+        sym.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(component diameter exceeds max_iter)")

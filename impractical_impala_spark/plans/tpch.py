@@ -173,5 +173,6 @@ ORDER BY r_name, n_name
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver smoke query: the star-join revenue rollup — it touches
-    scan, broadcast join x4, derived expression, partial+final agg, sort."""
+    scan, shuffle joins on the fact keys, broadcast joins for the two
+    dims (nation, region), derived expression, partial+final agg, sort."""
     return q5_revenue_by_nation(spark, sf_dir)

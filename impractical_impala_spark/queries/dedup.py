@@ -42,6 +42,7 @@ NUM_PERM, BANDS, ROWS_PER_BAND = 16, 4, 4
 JACCARD_T = 0.4
 MUT_OFFSET = 1_000_000
 COPY_OFFSET = 2_000_000
+SIMHASH_BITS = 28  # token hashes are 28-bit
 
 
 def _perm_consts() -> list[tuple[int, int]]:
@@ -246,11 +247,42 @@ register("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_oracle(),
 
 
 # ---------------------------------------------------------------- ngram jaccard
+# Blocking key for the exact-Jaccard pair join. (lang, source) alone is
+# LOW cardinality: at 100 TB each block is a constant fraction of the
+# corpus and the within-block self-join goes quadratic. Two
+# content-derived components bound the blocks:
+#   - len_band: floor(log2(|dh|)) — near-dups have near-equal shingle
+#     counts, unrelated docs of very different length never meet;
+#   - blk: the top NGRAM_PREFIX_BITS bits of the doc's SimHash — block
+#     cardinality GROWS with corpus content diversity, so block size
+#     stays roughly corpus-size-independent (asserted in
+#     tests/test_query_invariants.py::test_ngram_block_sizes_bounded).
+# Both are already computed in this module (simhash) and both dialects
+# mirror them exactly, so the pair set stays oracle-checkable.
+NGRAM_PREFIX_BITS = 8
+
+
+def _spark_simhash_terms(col: str = "dh") -> str:
+    return " + ".join(
+        f"(CASE WHEN 2 * size(filter({col}, h -> ((h >> {j}) & 1) = 1))"
+        f" > size({col}) THEN cast({1 << j} as bigint) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+
+
+def _duck_simhash_terms(col: str = "dh") -> str:
+    return " + ".join(
+        f"(CASE WHEN 2 * len(list_filter({col}, h -> ((h >> {j}) & 1) = 1))"
+        f" > len({col}) THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked exact n-gram Jaccard: compare pairs that share a cheap
-    blocking key (here doc_id mod the mutation offset — i.e. original vs
-    its own mutated twin plus organic same-block pairs by lang+source).
-    The ground-truth companion to the LSH query."""
+    """Blocked exact n-gram Jaccard: compare pairs that share the
+    bounded-cardinality blocking key (lang, source, len_band, simhash
+    prefix — see NGRAM_PREFIX_BITS above). The ground-truth companion
+    to the LSH query: within a block the Jaccard is exact."""
     ds = _spark_docsets(spark, sf_dir, mutated=True)
     meta = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     meta = meta.unionByName(
@@ -263,13 +295,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size-gated: Catalyst's estimate over the un-materialized hash
     # pipeline flaps between broadcast and sort-merge (which sorts the
     # wide arrays; measured 5s vs 16s bimodal), so small corpora pin the
-    # hint; past the gate the join shuffles on (lang, source).
-    ds = ds.join(meta, "doc_id")
+    # hint; past the gate the join shuffles on the full block key.
+    ds = (
+        ds.join(meta, "doc_id")
+        .withColumn("len_band",
+                    F.expr("cast(floor(log2(size(dh))) as bigint)"))
+        .withColumn("blk", F.expr(
+            f"({_spark_simhash_terms('dh')})"
+            f" >> {SIMHASH_BITS - NGRAM_PREFIX_BITS}"))
+    )
     a, b = ds.alias("a"), ds.alias("b")
     pairs = a.join(
         _maybe_broadcast(b, sf_dir),
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.len_band") == F.col("b.len_band"))
+        & (F.col("a.blk") == F.col("b.blk"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
     inter = F.size(F.array_intersect(F.col("a.dh"), F.col("b.dh")))
@@ -291,7 +332,10 @@ meta AS (
     SELECT doc_id + {MUT_OFFSET}, lang, source FROM documents WHERE doc_id % 3 = 0
 ),
 ds AS (
-    SELECT d.doc_id, d.dh, m.lang, m.source
+    SELECT d.doc_id, d.dh, m.lang, m.source,
+           CAST(floor(log2(len(d.dh))) AS BIGINT) AS len_band,
+           ({_duck_simhash_terms('d.dh')})
+               >> {SIMHASH_BITS - NGRAM_PREFIX_BITS} AS blk
     FROM docsets d JOIN meta m USING (doc_id)
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -299,7 +343,8 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        / CAST(len(a.dh) + len(b.dh) - len(list_intersect(a.dh, b.dh)) AS DOUBLE)
            AS jaccard
 FROM ds a JOIN ds b
-  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  ON a.lang = b.lang AND a.source = b.source
+ AND a.len_band = b.len_band AND a.blk = b.blk AND a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.dh, b.dh)) AS DOUBLE)
       / CAST(len(a.dh) + len(b.dh) - len(list_intersect(a.dh, b.dh)) AS DOUBLE)
       >= {JACCARD_T}
@@ -307,32 +352,20 @@ WHERE CAST(len(list_intersect(a.dh, b.dh)) AS DOUBLE)
 
 
 # ---------------------------------------------------------------- simhash
-SIMHASH_BITS = 28  # token hashes are 28-bit
-
-
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc SimHash fingerprint: bit j of the fingerprint is the
     majority vote of bit j across the doc's (distinct) token hashes.
     Emitted with a 14-bit bucket prefix — the blocking key under which
     hamming-near fingerprints collide."""
     ds = _spark_docsets(spark, sf_dir, mutated=False)
-    bit_terms = " + ".join(
-        f"(CASE WHEN 2 * size(filter(dh, h -> ((h >> {j}) & 1) = 1)) > size(dh)"
-        f" THEN cast({1 << j} as bigint) ELSE 0 END)"
-        for j in range(SIMHASH_BITS)
-    )
     return ds.select(
         "doc_id",
-        F.expr(bit_terms).alias("simhash"),
+        F.expr(_spark_simhash_terms("dh")).alias("simhash"),
     ).withColumn("bucket", F.expr(f"simhash >> {SIMHASH_BITS // 2}"))
 
 
 def _simhash_oracle() -> str:
-    bit_terms = " + ".join(
-        f"(CASE WHEN 2 * len(list_filter(dh, h -> ((h >> {j}) & 1) = 1)) > len(dh)"
-        f" THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
-        for j in range(SIMHASH_BITS)
-    )
+    bit_terms = _duck_simhash_terms("dh")
     return f"""
 WITH {_duck_docsets(mutated=False).lstrip()}
 SELECT doc_id, {bit_terms} AS simhash,
@@ -470,10 +503,14 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("doc_id", F.col("doc_id") + F.lit(MUT_OFFSET))
     )
     kept = corpus.join(remove, "doc_id", "left_anti")
+    # left join + coalesce: a language whose every doc was removed still
+    # gets a row (n_kept=0), matching the oracle's GROUP BY over the
+    # full corpus
     return (
         corpus.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
         .join(kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")),
-              "lang")
+              "lang", "left")
+        .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0)))
         .withColumn("n_removed", F.col("n_total") - F.col("n_kept"))
         .orderBy("lang")
     )

@@ -361,12 +361,26 @@ def train_ivf_centroids(spark: SparkSession, emb: DataFrame,
     return cent
 
 
+TRAIN_FRACTION = 0.5  # bounded, deterministic k-means training sample
+TRAIN_SEED = 42
+
+
 def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe-2 search against a Lloyd-trained coarse quantizer —
     the production variant of ann_ivf_probe (see train_ivf_centroids
-    for why the driver check is rows-only)."""
+    for why the driver check is rows-only). Training input is a
+    deterministic-seed SAMPLE of the corpus, per the trainer's own
+    contract: at 100 TB the quantizer is fit on a bounded subset (the
+    model only needs cluster geometry, not every row), while the
+    SEARCH still runs over the full corpus. The k init vectors are
+    unioned in so initialization stays deterministic under sampling."""
     emb = _emb(spark, sf_dir).cache()
-    return _ivf_search(emb, train_ivf_centroids(spark, emb))
+    train = (
+        emb.sample(fraction=TRAIN_FRACTION, seed=TRAIN_SEED)
+        .unionByName(emb.filter(F.col("vec_id") < N_CELLS))
+        .dropDuplicates(["vec_id"])
+    )
+    return _ivf_search(emb, train_ivf_centroids(spark, train))
 
 
 register("ann_ivf_trained", ann_ivf_trained, None,

@@ -20,9 +20,12 @@ from ..sources import load_table
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: suppliers whose quarterly revenue equals the
-    global maximum. The max-filter is a window over the ALREADY
-    AGGREGATED per-supplier frame (one row per supplier) — a global
-    max over ~#suppliers rows, not a second scan of lineitem."""
+    global maximum. The max is a 1-row full aggregate of the ALREADY
+    AGGREGATED per-supplier frame, broadcast-joined back as an equality
+    filter — no ``Window.partitionBy()`` funnel of every supplier row
+    through a single task (rows = #suppliers: fine at sf0.1, millions
+    at 100 TB), and no second scan of lineitem (the per-supplier
+    aggregate is computed once and reused by both sides)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -32,12 +35,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(F.col("l_extendedprice")
                            * (1 - F.col("l_discount"))), 4)
              .alias("total_revenue"))
+        .cache()  # reused by the max agg and the equality filter
     )
-    wmax = Window.partitionBy()
+    max_rev = rev.agg(F.max("total_revenue").alias("max_rev"))
     supp = load_table(spark, sf_dir, "supplier")
     return (
-        rev.withColumn("max_rev", F.max("total_revenue").over(wmax))
-        .filter(F.col("total_revenue") == F.col("max_rev"))
+        rev.join(F.broadcast(max_rev),
+                 F.col("total_revenue") == F.col("max_rev"))
         .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )

@@ -2,7 +2,17 @@
 at 4 and at 64 shuffle partitions has to produce identical rows. This is
 the determinism property that makes the engine's answers stable across
 cluster sizes — any hidden dependence on partition order (nondeterministic
-window ties, first()/last() without ordering) shows up here."""
+window ties, first()/last() without ordering) shows up here.
+
+Float-aggregate queries (q5's SUM of doubles) are compared numerically
+with a tolerance instead of by exact hash: float summation order
+legitimately differs with partitioning, so a boundary-adjacent rounded
+digit can flip — that's IEEE, not nondeterminism. The exact-hash
+comparison is kept for the window/LSH/as-of cases, whose outputs are
+integer/string/rank data that must be bit-identical.
+"""
+
+import math
 
 import pytest
 
@@ -14,8 +24,9 @@ _Q = all_queries()
 
 # one representative per risk class: window ranking, floating-point agg,
 # pair-generation self-join, LOCF as-of carry
-CASES = ["w3_top1_per_group", "q5_revenue_by_nation",
-         "dedup_minhash_lsh", "q_asof_attribution"]
+EXACT_CASES = ["w3_top1_per_group", "dedup_minhash_lsh", "q_asof_attribution"]
+FLOAT_CASES = ["q5_revenue_by_nation"]
+FLOAT_RTOL = 1e-9
 
 
 def _value_hash(df):
@@ -26,16 +37,46 @@ def _value_hash(df):
     return h, df.count()
 
 
-@pytest.mark.parametrize("name", CASES)
-def test_result_invariant_to_shuffle_partitions(spark, sf_small, name):
+def _sorted_rows(df):
+    cols = sorted(df.columns)
+    return [tuple(r) for r in
+            df.select(*cols).orderBy(*cols).collect()]
+
+
+def _rows_close(ra, rb):
+    if len(ra) != len(rb):
+        return False
+    for a, b in zip(ra, rb):
+        for x, y in zip(a, b):
+            if isinstance(x, float) or isinstance(y, float):
+                if not math.isclose(x, y, rel_tol=FLOAT_RTOL, abs_tol=1e-9):
+                    return False
+            elif x != y:
+                return False
+    return True
+
+
+def _run_at_partitions(spark, sf_small, name, collect):
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "4")
-        a = _value_hash(_Q[name].build(spark, sf_small))
+        a = collect(_Q[name].build(spark, sf_small))
         spark.catalog.clearCache()
         spark.conf.set("spark.sql.shuffle.partitions", "64")
-        b = _value_hash(_Q[name].build(spark, sf_small))
+        b = collect(_Q[name].build(spark, sf_small))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
         spark.catalog.clearCache()
+    return a, b
+
+
+@pytest.mark.parametrize("name", EXACT_CASES)
+def test_result_invariant_to_shuffle_partitions(spark, sf_small, name):
+    a, b = _run_at_partitions(spark, sf_small, name, _value_hash)
     assert a == b
+
+
+@pytest.mark.parametrize("name", FLOAT_CASES)
+def test_float_agg_invariant_to_shuffle_partitions(spark, sf_small, name):
+    a, b = _run_at_partitions(spark, sf_small, name, _sorted_rows)
+    assert _rows_close(a, b)

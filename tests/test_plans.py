@@ -158,6 +158,31 @@ def test_q18_does_not_pin_customer_broadcast(spark, sf_small):
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 0
 
 
+def test_q15_has_no_global_window_funnel(spark, sf_small):
+    """q15's global max must be a 1-row aggregate broadcast back, not
+    Window.partitionBy() — an empty partition spec funnels every
+    per-supplier row through ONE task (millions of rows at 100 TB)."""
+    plan = plan_of(_Q["q15_top_supplier"].build(spark, sf_small))
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 0
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_flagship_broadcast_set_is_nation_region(spark, sf_small):
+    """The flagship's pinned broadcast set is exactly {nation, region}
+    (docstring contract): two BroadcastHashJoins with auto-broadcast
+    off, and both dim tables scanned beneath them."""
+    from impractical_impala_spark.plans.tpch import flagship
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(flagship(spark, sf_small))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2
+    assert "nation.parquet" in plan and "region.parquet" in plan
+
+
 @pytest.mark.parametrize("name", ["dedup_minhash_lsh", "ann_lsh_bucketed"])
 def test_gate_off_plans_have_no_pinned_broadcast(spark, sf_small, name,
                                                  monkeypatch):
