@@ -56,6 +56,14 @@ HEADLINE = [
     "q_asof_attribution",
     "events_sessionized",
     "ann_ivf_probe",
+    # added round 3 (append-only): the round-2 verdict's bench asks
+    # (q9/q21/clusters/survivors) + the new end-to-end pipelines
+    "q9_product_profit",
+    "q21_latest_shipper",
+    "dedup_clusters",
+    "dedup_survivors",
+    "ann_dedup_pipeline",
+    "text_ngram_contamination",
 ]
 
 

@@ -1,0 +1,248 @@
+"""Round-3 training-data pipeline operators over ``documents``:
+
+- ``text_repetition_ratio``: Gopher-style repetition signals (distinct
+  word / distinct bigram fractions) — the cheap quality gate that
+  catches boilerplate and degenerate generations.
+- ``text_ngram_contamination``: benchmark-contamination scan — which
+  corpus docs share >= K distinct word 5-grams with a (small) benchmark
+  set. The benchmark side is size-gated broadcast: at 100 TB the eval
+  set is KBs-to-MBs while the corpus is the lake, so the scan is one
+  corpus pass with a map-side join and the only shuffle is the final
+  (doc, bench) pair count — there is no corpus-sized shuffle at all.
+- ``doc_chunk_tokens``: fixed-size sequence chunking (training sample
+  packing precursor): explode each doc into 32-token chunks with a
+  content hash per chunk. Pure per-row expression work, no shuffle.
+- ``quality_gate_survivors``: the composed quality funnel (length,
+  word-shape, stopword gates) summarized per (lang, source) — the
+  artifact a curation run reports.
+
+All four are JVM expression-level (higher-order functions, no Python in
+the hot path); every expression has an exact DuckDB twin so the whole
+family is hash-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..broadcast_gate import maybe_broadcast
+from ..registry import register
+from ..sources import load_table
+
+_SPARK_WORDS = "split(lower(text), ' ')"
+_DUCK_WORDS = "string_split(lower(text), ' ')"
+
+
+# ------------------------------------------------------- repetition ratio
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-word and distinct-bigram fractions per doc, with the
+    repetitive flag a curation pipeline filters on. One scan, zero
+    shuffles; ratios are single IEEE divisions (deterministic), rounded
+    only at the output."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang",
+        F.expr(f"size({_SPARK_WORDS})").alias("n_words"),
+        F.round(F.expr(
+            f"cast(size(array_distinct({_SPARK_WORDS})) as double)"
+            f" / size({_SPARK_WORDS})"), 6).alias("uniq_word_ratio"),
+        F.round(F.expr(
+            "cast(size(array_distinct(transform("
+            f" sequence(1, greatest(size({_SPARK_WORDS}) - 1, 1)),"
+            f" i -> concat_ws(' ', slice({_SPARK_WORDS}, i, 2))))) as double)"
+            f" / greatest(size({_SPARK_WORDS}) - 1, 1)"), 6)
+        .alias("uniq_bigram_ratio"),
+    ).withColumn(
+        "repetitive",
+        (F.col("uniq_word_ratio") < 0.45) | (F.col("uniq_bigram_ratio") < 0.6),
+    )
+
+
+register("text_repetition_ratio", text_repetition_ratio, f"""
+SELECT doc_id, lang,
+       len({_DUCK_WORDS}) AS n_words,
+       ROUND(CAST(len(list_distinct({_DUCK_WORDS})) AS DOUBLE)
+             / len({_DUCK_WORDS}), 6) AS uniq_word_ratio,
+       ROUND(CAST(len(list_distinct(list_transform(
+                 range(1, greatest(len({_DUCK_WORDS}) - 1, 1) + 1),
+                 i -> array_to_string(list_slice({_DUCK_WORDS}, i, i + 1), ' '))))
+             AS DOUBLE) / greatest(len({_DUCK_WORDS}) - 1, 1), 6)
+           AS uniq_bigram_ratio,
+       (ROUND(CAST(len(list_distinct({_DUCK_WORDS})) AS DOUBLE)
+              / len({_DUCK_WORDS}), 6) < 0.45
+        OR ROUND(CAST(len(list_distinct(list_transform(
+                 range(1, greatest(len({_DUCK_WORDS}) - 1, 1) + 1),
+                 i -> array_to_string(list_slice({_DUCK_WORDS}, i, i + 1), ' '))))
+             AS DOUBLE) / greatest(len({_DUCK_WORDS}) - 1, 1), 6) < 0.6)
+           AS repetitive
+FROM documents
+""", "distinct word/bigram repetition signals per doc")
+
+
+# ------------------------------------------------- benchmark contamination
+CONTAM_K = 5          # word n-gram size
+CONTAM_MIN_SHARED = 3  # pairs reported at >= this many shared shingles
+BENCH_MOD = 97         # every 97th doc seeds the synthetic benchmark set
+
+# distinct word 5-gram shingles (mirrors dedup.py's bigram pattern)
+_SPARK_5G = ("array_distinct(transform("
+             " sequence(1, greatest(size({w}) - 4, 1)),"
+             " i -> concat_ws(' ', slice({w}, i, 5))))")
+_DUCK_5G = ("list_distinct(list_transform("
+            " range(1, greatest(len({w}) - 4, 1) + 1),"
+            " i -> array_to_string(list_slice({w}, i, i + 4), ' ')))")
+
+# the benchmark text is a mutated copy (every 7th word dropped) of the
+# seed docs, so planted contamination exists at every scale factor and
+# detection is non-trivial (exact-copy overlap would be too easy)
+_SPARK_MUT = f"filter({_SPARK_WORDS}, (w, i) -> ((i + 1) % 7) != 0)"
+_DUCK_MUT = (f"list_transform(list_filter(range(1, len({_DUCK_WORDS}) + 1),"
+             f" i -> i % 7 != 0), i -> ({_DUCK_WORDS})[i])")
+
+
+def text_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(corpus doc, benchmark doc) pairs sharing >= CONTAM_MIN_SHARED
+    distinct word 5-grams. The benchmark set (every BENCH_MOD-th doc,
+    mutated) is exploded to (bench_id, shingle) and broadcast through
+    the size gate; the corpus explodes once and joins map-side, so the
+    corpus never shuffles — only the matched pairs do (final count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.explode(F.expr(_SPARK_5G.format(w=_SPARK_WORDS))).alias("sh"))
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.explode(F.expr(_SPARK_5G.format(w=_SPARK_MUT))).alias("sh"))
+    return (
+        corpus.join(maybe_broadcast(bench, sf_dir, "documents"), "sh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
+    )
+
+
+register("text_ngram_contamination", text_ngram_contamination, f"""
+WITH corpus AS (
+    SELECT doc_id, unnest({_DUCK_5G.format(w=_DUCK_WORDS)}) AS sh
+    FROM documents
+), bench AS (
+    SELECT doc_id AS bench_id, unnest({_DUCK_5G.format(w=_DUCK_MUT)}) AS sh
+    FROM documents WHERE doc_id % {BENCH_MOD} = 0
+)
+SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+FROM corpus c JOIN bench b USING (sh)
+GROUP BY c.doc_id, b.bench_id
+HAVING COUNT(*) >= {CONTAM_MIN_SHARED}
+""", "corpus docs sharing >= K distinct 5-grams with the benchmark set")
+
+
+# ---------------------------------------------------------- chunking
+CHUNK_TOKENS = 32
+
+
+def doc_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking: each doc becomes ceil(n/32) chunks of
+    up to 32 tokens, each with its position and a content hash (the
+    shape a sequence-packing stage consumes). Explode is per-row; no
+    shuffle anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.expr(_SPARK_WORDS).alias("w"))
+        .select(
+            "doc_id", "w",
+            F.explode(F.expr(
+                f"sequence(0, cast(ceil(size(w) / {CHUNK_TOKENS}.0) as int) - 1)"
+            )).alias("chunk_idx"))
+        .select(
+            "doc_id", "chunk_idx",
+            F.expr(f"slice(w, chunk_idx * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS})")
+            .alias("chunk"))
+        .select(
+            "doc_id", "chunk_idx",
+            F.size("chunk").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", "chunk")).alias("chunk_hash"))
+    )
+
+
+register("doc_chunk_tokens", doc_chunk_tokens, f"""
+WITH w AS (
+    SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+), chunks AS (
+    SELECT doc_id, w,
+           unnest(range(0, CAST(ceil(len(w) / {CHUNK_TOKENS}.0) AS INTEGER)))
+               AS chunk_idx
+    FROM w
+)
+SELECT doc_id, chunk_idx,
+       len(list_slice(w, chunk_idx * {CHUNK_TOKENS} + 1,
+                      chunk_idx * {CHUNK_TOKENS} + {CHUNK_TOKENS})) AS n_tokens,
+       md5(array_to_string(list_slice(w, chunk_idx * {CHUNK_TOKENS} + 1,
+                                      chunk_idx * {CHUNK_TOKENS} + {CHUNK_TOKENS}),
+                           ' ')) AS chunk_hash
+FROM chunks
+""", "fixed 32-token chunks with content hash per chunk")
+
+
+# ------------------------------------------------------- quality gate
+MIN_WORDS, MAX_WORDS = 20, 1000
+MIN_AVG_WLEN, MAX_AVG_WLEN = 2.0, 12.0
+MAX_STOP_RATIO = 0.3
+_STOPWORDS = ("the", "a")
+
+
+def quality_gate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation funnel: word-count, mean-word-length and
+    stopword-ratio gates, reported as pass rates per (lang, source) —
+    the summary artifact a curation run publishes. One scan + one
+    small-key groupBy shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    scored = docs.select(
+        "lang", "source",
+        F.expr(f"size({_SPARK_WORDS})").alias("n_words"),
+        F.expr(f"cast(length(replace(text, ' ', '')) as double)"
+               f" / size({_SPARK_WORDS})").alias("avg_wlen"),
+        F.expr(f"cast(size(filter({_SPARK_WORDS}, w -> w IN ({stop_list})))"
+               f" as double) / size({_SPARK_WORDS})").alias("stop_ratio"),
+    ).withColumn(
+        "pass",
+        F.col("n_words").between(MIN_WORDS, MAX_WORDS)
+        & F.col("avg_wlen").between(MIN_AVG_WLEN, MAX_AVG_WLEN)
+        & (F.col("stop_ratio") <= MAX_STOP_RATIO),
+    )
+    return (
+        scored.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.col("pass").cast("long")).alias("n_pass"))
+        .withColumn("pass_rate",
+                    F.round(F.col("n_pass") / F.col("n_docs"), 6))
+        .orderBy("lang", "source")
+    )
+
+
+register("quality_gate_survivors", quality_gate_survivors, f"""
+WITH scored AS (
+    SELECT lang, source,
+           len({_DUCK_WORDS}) AS n_words,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len({_DUCK_WORDS}) AS avg_wlen,
+           CAST(len(list_filter({_DUCK_WORDS},
+                    w -> w IN ({', '.join(f"'{s}'" for s in _STOPWORDS)})))
+                AS DOUBLE) / len({_DUCK_WORDS}) AS stop_ratio
+    FROM documents
+)
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+                 AND avg_wlen BETWEEN {MIN_AVG_WLEN} AND {MAX_AVG_WLEN}
+                 AND stop_ratio <= {MAX_STOP_RATIO}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       ROUND(SUM(CASE WHEN n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+                       AND avg_wlen BETWEEN {MIN_AVG_WLEN} AND {MAX_AVG_WLEN}
+                       AND stop_ratio <= {MAX_STOP_RATIO}
+                      THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS pass_rate
+FROM scored
+GROUP BY lang, source
+ORDER BY lang, source
+""", "length/word-shape/stopword quality funnel pass rates")

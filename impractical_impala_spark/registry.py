@@ -33,9 +33,30 @@ def register(name: str, build: Callable[[SparkSession, str], DataFrame],
     _REGISTRY[name] = Query(name, build, oracle, doc)
 
 
+_WINDOW_FIRST: list[str] = []
+
+
+def set_window_order(names: list[str]) -> None:
+    """Pin ``names`` to the FRONT of ``all_queries()`` in the given
+    order. The correctness driver checks the first 50 registered
+    queries each round; this is the explicit rotation control so each
+    round's window covers exactly the queries that most need a fresh
+    driver CORRECTNESS row (never-checked or changed-this-round),
+    without reshuffling module code. Unknown names raise at import time
+    (typos must not silently shrink the window)."""
+    global _WINDOW_FIRST
+    _WINDOW_FIRST = list(names)
+    if len(set(_WINDOW_FIRST)) != len(_WINDOW_FIRST):
+        raise ValueError("duplicate names in window order")
+
+
 def all_queries() -> dict[str, Query]:
     _load()
-    return dict(_REGISTRY)
+    missing = [n for n in _WINDOW_FIRST if n not in _REGISTRY]
+    if missing:
+        raise ValueError(f"window order names not registered: {missing}")
+    first = {n: _REGISTRY[n] for n in _WINDOW_FIRST}
+    return {**first, **{n: q for n, q in _REGISTRY.items() if n not in first}}
 
 
 _LOADED = False

@@ -183,6 +183,52 @@ def test_flagship_broadcast_set_is_nation_region(spark, sf_small):
     assert "nation.parquet" in plan and "region.parquet" in plan
 
 
+def test_sink_roundtrip_prunes_partitions(spark, sf_small):
+    """The read-back side of the sink roundtrip filters on the
+    partition key, so the scan must prune at the directory level
+    (PartitionFilters), not post-scan."""
+    plan = plan_of(_Q["sink_roundtrip_partitioned"].build(spark, sf_small))
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "o_orderpriority" in pf[0]
+
+
+def test_contamination_has_no_corpus_shuffle_join(spark, sf_small):
+    """The benchmark side broadcasts (size-gated): the exploded corpus
+    must reach the join without an exchange — at 100 TB a corpus-wide
+    shuffle on the shingle key is the difference between one pass and
+    a lake-sized sort."""
+    plan = plan_of(_Q["text_ngram_contamination"].build(spark, sf_small))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 1
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)",
+                          plan)) == 0
+
+
+def test_chunking_is_shuffle_free(spark, sf_small):
+    """doc_chunk_tokens is pure per-row expression work — any Exchange
+    in its plan is a regression."""
+    plan = plan_of(_Q["doc_chunk_tokens"].build(spark, sf_small))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+
+
+def test_q2_broadcasts_dims_only(spark, sf_small):
+    """q2 inherits the dims-only contract: nation + region pin (2 BHJ
+    with auto-broadcast off); supplier/part joins shuffle. Exactly 5
+    scans (one per table — the correlated min must NOT re-read the
+    euro subtree) and the min window is keyed, so exactly one Window
+    node partitioned on p_partkey."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(_Q["q2_min_cost_supplier"].build(spark, sf_small))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)",
+                          plan)) == 2
+    assert len(re.findall(r"\(\d+\) Scan", plan)) == 5
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
 @pytest.mark.parametrize("name", ["dedup_minhash_lsh", "ann_lsh_bucketed"])
 def test_gate_off_plans_have_no_pinned_broadcast(spark, sf_small, name,
                                                  monkeypatch):
