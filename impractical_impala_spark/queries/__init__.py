@@ -58,6 +58,7 @@ NEW_R3 = [
     "sink_roundtrip_partitioned", "ann_dedup_pipeline",
     "text_repetition_ratio", "text_ngram_contamination",
     "doc_chunk_tokens", "quality_gate_survivors",
+    "events_dedup_counts",
 ]
 
 WINDOW = (
@@ -70,7 +71,7 @@ WINDOW = (
        "ann_ivf_probe", "q_asof_attribution", "q_range_band_join",
        "q_salted_agg", "q_stratified_sample", "multimodal_blob_stats",
        "json_extract_props", "q_percentiles", "q_cube_revenue",
-       "w5_value_windows", "q_date_functions", "q_profile_table"]
+       "w5_value_windows", "q_date_functions"]
 )
 
 set_window_order(WINDOW)

@@ -289,13 +289,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta.filter(F.col("doc_id") % 3 == 0)
         .withColumn("doc_id", F.col("doc_id") + F.lit(MUT_OFFSET))
     )
-    # no cache: measured 4.9s uncached vs 7.1s cached at sf0.1 — the
-    # array-column cache write costs more than recomputing the hash
-    # pipeline for the broadcast build side. The broadcast hint is
-    # size-gated: Catalyst's estimate over the un-materialized hash
-    # pipeline flaps between broadcast and sort-merge (which sorts the
-    # wide arrays; measured 5s vs 16s bimodal), so small corpora pin the
-    # hint; past the gate the join shuffles on the full block key.
+    # cache: re-measured for the r3 blocking key — the 28 simhash CASE
+    # terms doubled the per-side expression cost, flipping round 2's
+    # cache-loses result (now 2.8s uncached vs 1.0s cached warm at
+    # sf0.1; r2's bare key measured 4.9 vs 7.1 the other way). The
+    # broadcast hint stays size-gated: small corpora pin it for plan
+    # determinism; past the gate the join shuffles on the full block
+    # key.
     ds = (
         ds.join(meta, "doc_id")
         .withColumn("len_band",
@@ -303,6 +303,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("blk", F.expr(
             f"({_spark_simhash_terms('dh')})"
             f" >> {SIMHASH_BITS - NGRAM_PREFIX_BITS}"))
+        .cache()
     )
     a, b = ds.alias("a"), ds.alias("b")
     pairs = a.join(

@@ -71,6 +71,40 @@ def events_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/dedup.py::dedup_events_stream: an
+    at-least-once feed (every 2nd event delivered twice) deduped by
+    event_id, then aggregated per type. Duplicate rows are bit-identical
+    so the keep-one pick is deterministic; the streaming form bounds its
+    dedup state with the watermark instead of the explicit distinct."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    feed = ev.unionByName(ev.filter(F.col("event_id") % 2 == 0))
+    return (
+        feed.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+register("events_dedup_counts", events_dedup_counts, """
+WITH feed AS (
+    SELECT event_id, event_type, value FROM events
+    UNION ALL
+    SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0
+), deduped AS (
+    SELECT DISTINCT event_id, event_type, value FROM feed
+)
+SELECT event_type, COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM deduped
+GROUP BY event_type
+ORDER BY event_type
+""", "at-least-once feed deduped by id (batch twin of streaming dedup)")
+
+
 register("events_sliding_avg", events_sliding_avg, """
 WITH expanded AS (
     SELECT value,

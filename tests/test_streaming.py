@@ -55,3 +55,26 @@ def test_session_counts_match_gaps_and_islands(spark, sf_small):
     b = {r["user_id"]: r["n"] for r in
          gi.groupBy("user_id").count().withColumnRenamed("count", "n").collect()}
     assert a == b
+
+
+def test_stream_dedup_converges_to_batch(spark, events_stream, sf_small):
+    """An at-least-once feed (two readers of the same source unioned)
+    deduped with dropDuplicatesWithinWatermark must yield each event
+    exactly once — the batch distinct answer."""
+    from impractical_impala_spark.streaming.dedup import dedup_events_stream
+
+    feed = events_stream.unionByName(
+        S.read_events_stream(spark, sf_small))
+    deduped = dedup_events_stream(feed).select("event_id")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_dedup")
+    n_batch = _batch_events(spark, sf_small).count()
+    assert got.count() == n_batch
+    assert got.distinct().count() == n_batch
