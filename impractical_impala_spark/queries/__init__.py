@@ -27,7 +27,8 @@ from . import (reference_ops, stats_ops, tpch, tpch_more,  # noqa: F401
                dedup, similarity, joins_special, json_ops, extras,
                sketches, multimodal,
                tpch_plus, training_extras, windows_plus, tpch_plus2,
-               streams_plus, tpch_final, pipelines, training_ops)
+               streams_plus, tpch_final, pipelines, training_ops,
+               curation)
 
 # Queries with NO driver CORRECTNESS row in any round — the non-negotiable
 # core of the r3 window (round-2 verdict item #1).

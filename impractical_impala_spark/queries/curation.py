@@ -1,0 +1,272 @@
+"""Round-3 corpus-curation operators over ``documents`` — the three
+pipeline stages between "raw crawl" and "training shards" that the
+earlier dedup/quality families don't yet cover:
+
+- ``pack_sequences``: concat-then-split sequence packing. Real LLM
+  pipelines concatenate a document stream and cut it into fixed
+  token-budget context windows; the bin a doc lands in is determined by
+  its starting offset in the concatenated stream, which is a pure
+  window cumulative sum — one shuffle on the stream key, no Python.
+- ``mix_weighted_sample``: deterministic per-source mixture sampling.
+  The mixing weights of a data recipe become per-source keep rates; the
+  keep decision is ``md5(doc_id:source) < rate-threshold`` so every
+  engine (and every re-run) draws the identical sample — reproducible
+  ablations at any scale, zero shuffles before the final tiny summary.
+- ``dedup_incremental``: new-batch-vs-corpus dedup. A crawl refresh
+  must dedup against the EXISTING lake without re-pairing the lake with
+  itself: exact matches via content-hash join, near matches via a
+  SimHash band join (reusing the dedup family's 28-bit fingerprints),
+  both shuffling only on (hash | band) keys — never an all-pairs self
+  join. Statuses: exact_dup > near_dup > novel.
+
+All Spark sides are pure Catalyst expressions (whole-stage codegen);
+every query has an exact DuckDB twin, so the family is hash-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+from .dedup import (
+    _DUCK_HASHES, _DUCK_MUT, _DUCK_SHINGLES, _DUCK_WORDS,
+    _SPARK_HASHES, _SPARK_MUT, _SPARK_SHINGLES, _SPARK_WORDS,
+    SIMHASH_BITS, _duck_simhash_terms, _spark_simhash_terms,
+)
+
+# --------------------------------------------------------------- packing
+PACK_BUDGET = 256  # tokens per training sequence
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-split packing: per (lang, source) stream in doc_id
+    order, a doc's sequence id is ``floor(start_offset / budget)`` of
+    its first token in the concatenated stream. Exactly one shuffle (on
+    the stream key, carried through window + final agg — same
+    partitioning, no second exchange). At 100 TB the stream key must be
+    finer than lang alone or one partition serializes a whole language
+    — (lang, source) here; (lang, source, shard) on a real lake."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", "source",
+        F.expr(f"cast(size({_SPARK_WORDS}) as bigint)").alias("n_tokens"),
+    )
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    packed = (
+        toks.withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn("seq_id", F.expr(
+            f"cast(floor((cum - n_tokens) / cast({PACK_BUDGET} as double))"
+            " as bigint)"))
+    )
+    return (
+        packed.groupBy("lang", "source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+register("pack_sequences", pack_sequences, f"""
+WITH toks AS (
+    SELECT doc_id, lang, source,
+           CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_tokens
+    FROM documents
+), packed AS (
+    SELECT *, SUM(n_tokens) OVER (PARTITION BY lang, source
+                                  ORDER BY doc_id) AS cum
+    FROM toks
+)
+SELECT lang, source,
+       CAST(floor((cum - n_tokens) / CAST({PACK_BUDGET} AS DOUBLE)) AS BIGINT)
+           AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY lang, source, seq_id
+""", "concat-then-split token-budget sequence packing per stream")
+
+
+# ---------------------------------------------------------------- mixing
+# Mixture recipe: keep rate per source, keyed on the numeric source
+# index mod 4. The keep decision compares a 6-hex-digit md5 prefix
+# (uniform over 16^6) against floor(rate * 16^6) rendered in hex —
+# string comparison over same-length lowercase hex IS the numeric
+# comparison, and md5 is identical everywhere.
+MIX_RATES = [0.2, 0.4, 0.6, 0.8]
+_MIX_THRESH = [format(int(r * 16**6), "06x") for r in MIX_RATES]
+
+_RATE_CASE = ("CASE CAST({sub}(source, 4, 8) AS INT) % 4 "
+              + " ".join(f"WHEN {i} THEN CAST({r} AS DOUBLE)"
+                         for i, r in enumerate(MIX_RATES[:-1]))
+              + f" ELSE CAST({MIX_RATES[-1]} AS DOUBLE) END")
+_THRESH_CASE = ("CASE CAST({sub}(source, 4, 8) AS INT) % 4 "
+                + " ".join(f"WHEN {i} THEN '{t}'"
+                           for i, t in enumerate(_MIX_THRESH[:-1]))
+                + f" ELSE '{_MIX_THRESH[-1]}' END")
+
+
+def mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic mixture sampling summary: n_in, n_kept,
+    realized vs target rate. One scan; the keep decision is map-side
+    expression work and the only shuffle carries one row per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = F.expr(
+        "substring(md5(concat(cast(doc_id as string), ':', source)), 1, 6)"
+        f" < {_THRESH_CASE.format(sub='substring')}")
+    return (
+        docs.select("source",
+                    F.expr(_RATE_CASE.format(sub="substring")).alias("target_rate"),
+                    kept.cast("int").alias("k"))
+        .groupBy("source", "target_rate")
+        .agg(F.count(F.lit(1)).alias("n_in"), F.sum("k").alias("n_kept"))
+        .withColumn("realized_rate",
+                    F.round(F.col("n_kept") / F.col("n_in"), 4))
+    )
+
+
+register("mix_weighted_sample", mix_weighted_sample, f"""
+SELECT source,
+       {_RATE_CASE.format(sub='substr')} AS target_rate,
+       CAST(COUNT(*) AS BIGINT) AS n_in,
+       CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 6)
+                          < {_THRESH_CASE.format(sub='substr')}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 6)
+                                < {_THRESH_CASE.format(sub='substr')}
+                       THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS realized_rate
+FROM documents
+GROUP BY source, target_rate
+""", "deterministic per-source mixture-rate sampling summary")
+
+
+# ---------------------------------------------------- incremental dedup
+# Batch composition (deterministic, so true positives exist at every
+# scale factor): the "existing lake" is doc_id % 5 != 0; the incoming
+# batch is the rest (novel) plus exact copies of every 7th corpus doc
+# and every-7th-word-dropped mutations of every 11th.
+INC_COPY_OFFSET = 3_000_000
+INC_MUT_OFFSET = 4_000_000
+INC_PREFIX_BITS = 8     # SimHash band: top bits must match to pair
+INC_HAMMING_T = 7       # ... then full-28-bit Hamming confirms
+
+
+def _inc_spark_frames(spark: SparkSession, sf_dir: str):
+    """(corpus, batch) with content hash ch, fingerprint fp, band blk.
+    Content identity is md5 over the lowercased token stream so exact
+    copies match regardless of original byte form."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    base = docs.withColumn("words", F.expr(_SPARK_WORDS))
+    corpus_w = base.filter(F.col("doc_id") % 5 != 0)
+    batch_w = (
+        base.filter(F.col("doc_id") % 5 == 0)
+        .unionByName(
+            corpus_w.filter(F.col("doc_id") % 7 == 0)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(INC_COPY_OFFSET)))
+        .unionByName(
+            corpus_w.filter(F.col("doc_id") % 11 == 0)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(INC_MUT_OFFSET))
+            .withColumn("words", F.expr(_SPARK_MUT.format(w="words"))))
+    )
+
+    def keyed(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("ch", F.expr("md5(concat_ws(' ', words))"))
+            .withColumn("dh", F.expr(
+                _SPARK_HASHES.format(s=_SPARK_SHINGLES.format(w="words"))))
+            .withColumn("fp", F.expr(f"({_spark_simhash_terms('dh')})"))
+            .withColumn("blk",
+                        F.expr(f"fp >> {SIMHASH_BITS - INC_PREFIX_BITS}"))
+            .select("doc_id", "ch", "fp", "blk")
+        )
+
+    return keyed(corpus_w), keyed(batch_w)
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup an incoming batch against the existing corpus: exact via
+    content-hash equi-join, near via SimHash band join + Hamming
+    confirm, neither pairing the corpus with itself. Shuffles are on
+    ch / blk only (no payload); at 100 TB the batch side is typically
+    << corpus and AQE broadcasts it, making both probes one corpus
+    pass. Output: one row per batch doc with its status and the
+    smallest matching corpus doc_id (NULL for novel)."""
+    corpus, batch = _inc_spark_frames(spark, sf_dir)
+    corpus = corpus.cache()
+    batch = batch.cache()
+
+    exact = (
+        batch.join(corpus.select("ch", F.col("doc_id").alias("c_id")), "ch")
+        .groupBy("doc_id").agg(F.min("c_id").alias("match_id"))
+        .withColumn("status", F.lit("exact_dup"))
+    )
+    rest = batch.join(exact.select("doc_id"), "doc_id", "left_anti")
+    c = corpus.select(F.col("doc_id").alias("c_id"),
+                      F.col("fp").alias("c_fp"), F.col("blk").alias("c_blk"))
+    near = (
+        rest.join(c, (F.col("blk") == F.col("c_blk"))
+                  & (F.expr(f"bit_count(fp ^ c_fp) <= {INC_HAMMING_T}")))
+        .groupBy("doc_id").agg(F.min("c_id").alias("match_id"))
+        .withColumn("status", F.lit("near_dup"))
+    )
+    novel = (
+        rest.join(near.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.lit(None).cast("bigint").alias("match_id"),
+                F.lit("novel").alias("status"))
+    )
+    return exact.select("doc_id", "match_id", "status") \
+        .unionByName(near.select("doc_id", "match_id", "status")) \
+        .unionByName(novel)
+
+
+def _inc_duck_cte() -> str:
+    dh = _DUCK_HASHES.format(s=_DUCK_SHINGLES.format(w="words"))
+    return f"""
+corpus_w AS (
+    SELECT doc_id, {_DUCK_WORDS} AS words FROM documents WHERE doc_id % 5 <> 0
+), batch_w AS (
+    SELECT doc_id, {_DUCK_WORDS} AS words FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + {INC_COPY_OFFSET}, words FROM corpus_w WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + {INC_MUT_OFFSET}, {_DUCK_MUT.format(w='words')}
+    FROM corpus_w WHERE doc_id % 11 = 0
+), corpus AS (
+    SELECT doc_id, md5(array_to_string(words, ' ')) AS ch,
+           ({_duck_simhash_terms('dh')}) AS fp
+    FROM (SELECT doc_id, words, {dh} AS dh FROM corpus_w)
+), batch AS (
+    SELECT doc_id, md5(array_to_string(words, ' ')) AS ch,
+           ({_duck_simhash_terms('dh')}) AS fp
+    FROM (SELECT doc_id, words, {dh} AS dh FROM batch_w)
+), exact AS (
+    SELECT b.doc_id, MIN(c.doc_id) AS match_id, 'exact_dup' AS status
+    FROM batch b JOIN corpus c USING (ch) GROUP BY b.doc_id
+), rest AS (
+    SELECT * FROM batch WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+), near AS (
+    SELECT r.doc_id, MIN(c.doc_id) AS match_id, 'near_dup' AS status
+    FROM rest r JOIN corpus c
+      ON (r.fp >> {SIMHASH_BITS - INC_PREFIX_BITS})
+         = (c.fp >> {SIMHASH_BITS - INC_PREFIX_BITS})
+     AND bit_count(xor(r.fp, c.fp)) <= {INC_HAMMING_T}
+    GROUP BY r.doc_id
+)"""
+
+
+register("dedup_incremental", dedup_incremental, f"""
+WITH {_inc_duck_cte().lstrip()}
+SELECT doc_id, match_id, status FROM exact
+UNION ALL
+SELECT doc_id, match_id, status FROM near
+UNION ALL
+SELECT doc_id, CAST(NULL AS BIGINT) AS match_id, 'novel' AS status
+FROM rest WHERE doc_id NOT IN (SELECT doc_id FROM near)
+""", "new-batch-vs-corpus dedup (exact hash + simhash band)")
