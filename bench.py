@@ -64,6 +64,10 @@ HEADLINE = [
     "dedup_survivors",
     "ann_dedup_pipeline",
     "text_ngram_contamination",
+    # added round-3 session (append-only): curation surface
+    "pack_sequences",
+    "dedup_incremental",
+    "emb_pq_codes",
 ]
 
 

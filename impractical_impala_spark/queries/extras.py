@@ -219,3 +219,34 @@ UNION ALL
 SELECT 'l_tax', COUNT(*), COUNT(l_tax), MIN(l_tax), MAX(l_tax),
        ROUND(AVG(l_tax), 6) FROM lineitem
 """, "single-pass column profiling (count/nulls/min/max/mean)")
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((priority, status), (priority), ()) in a
+    single pass — the general form behind rollup/cube; Catalyst expands
+    the sets into one aggregate, so partial (map-side) aggregation
+    still applies at any scale. NULL grouping keys are rendered 'ALL'
+    so the output never collides with real key values."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders", "total_price")
+    )
+
+
+register("q_grouping_sets", q_grouping_sets, """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), ())
+""", "explicit GROUPING SETS aggregation with coalesced levels")

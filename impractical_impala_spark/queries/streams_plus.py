@@ -5,7 +5,7 @@ seconds on both engines."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -119,3 +119,52 @@ SELECT strftime(make_timestamp(win_start_us), '%Y-%m-%d %H:%M:%S')
 FROM expanded
 GROUP BY win_start_us
 """, "sliding 1h/15min window averages (batch twin of the streaming plan)")
+
+
+# ---------------------------------------------------------- anomaly flag
+# Batch twin of a streaming anomaly detector: z-score of each event's
+# value against the trailing N events of its type. In Structured
+# Streaming the same logic is applyInPandasWithState keeping a per-type
+# ring buffer; here the trailing frame is a window spec, one shuffle on
+# event_type. At 100 TB partition by (event_type, day-bucket) instead —
+# a single hot type must not serialize onto one task.
+ZSCORE_FRAME = 50
+ZSCORE_T = 2.5
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value deviates > 2.5 sample-sd from the trailing
+    50-event mean of their type (full frames only — a part-filled frame
+    has an inflated variance estimate)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("event_type").orderBy("event_id")
+         .rowsBetween(-(ZSCORE_FRAME - 1), 0))
+    scored = ev.select(
+        "event_id", "event_type", "value",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+    )
+    return (
+        scored.filter((F.col("n") == ZSCORE_FRAME) & (F.col("sd") > 0))
+        .withColumn("z", F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4))
+        .filter(F.abs(F.col("z")) > ZSCORE_T)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+register("events_anomaly_zscore", events_anomaly_zscore, f"""
+WITH scored AS (
+    SELECT event_id, event_type, value,
+           COUNT(*) OVER w AS n,
+           AVG(value) OVER w AS mu,
+           STDDEV_SAMP(value) OVER w AS sd
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+                 ROWS BETWEEN {ZSCORE_FRAME - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, event_type, value, ROUND((value - mu) / sd, 4) AS z
+FROM scored
+WHERE n = {ZSCORE_FRAME} AND sd > 0
+  AND abs(ROUND((value - mu) / sd, 4)) > {ZSCORE_T}
+""", "trailing-window z-score anomaly flag (batch twin of stateful detector)")

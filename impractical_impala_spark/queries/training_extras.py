@@ -5,7 +5,7 @@ document lake runs constantly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -138,3 +138,95 @@ SELECT doc_id,
                           '[EMAIL]', 'g')) AS redacted_md5
 FROM augmented
 """, "regex email redaction with match counts (PII scrubbing pass)")
+
+
+# -------------------------------------------------- product quantization
+# PQ: split the 64-dim vector into M=4 contiguous 16-dim subspaces, code
+# each subvector as its nearest entry in a per-subspace K=16 codebook.
+# Like ann_ivf_probe, the codebook is seeded from the first K vectors so
+# both engines derive the identical model (the trained variant of this
+# idea is ann_ivf_trained's Lloyd loop, which applies unchanged per
+# subspace). 4 bytes/vector instead of 256 — the memory ratio that makes
+# billion-vector rescoring fit an executor.
+PQ_M, PQ_SUB, PQ_K = 4, 16, 16
+
+
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector PQ codes + reconstruction distance. The subspace
+    explode is a row-local flatMap (no shuffle); the codebook join is a
+    64-row broadcast; the only shuffle is the final per-vector regroup.
+    Distances are computed as an index-ordered left fold on BOTH
+    engines, so argmin ties and sums are bit-identical."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    sub = emb.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(m).alias("m"),
+                     F.expr(f"slice(v, {m * PQ_SUB + 1}, {PQ_SUB})")
+                     .alias("sv"))
+            for m in range(PQ_M)])).alias("e"),
+    ).select("vec_id", F.col("e.m").alias("m"), F.col("e.sv").alias("sv"))
+    codebook = sub.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("code"), "m", F.col("sv").alias("cv"))
+    dist = F.expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)),"
+                  " cast(0.0 as double), (acc, d) -> acc + d)")
+    scored = sub.join(F.broadcast(codebook), "m").withColumn("dist", dist)
+    w = Window.partitionBy("vec_id", "m").orderBy("dist", "code")
+    best = scored.withColumn("rn", F.row_number().over(w)) \
+        .filter(F.col("rn") == 1)
+    picks = [F.sum(F.when(F.col("m") == m, F.col("code"))).alias(f"code_{m}")
+             for m in range(PQ_M)]
+    dists = [F.sum(F.when(F.col("m") == m, F.col("dist"))).alias(f"_d{m}")
+             for m in range(PQ_M)]
+    agg = best.groupBy("vec_id").agg(*picks, *dists)
+    # fixed-order sum of the 4 subspace distances (groupBy SUM over m
+    # would add in partition order — not reproducible across engines)
+    total = "+".join(f"_d{m}" for m in range(PQ_M))
+    return agg.withColumn("recon_dist", F.round(F.expr(f"sqrt({total})"), 6)) \
+        .select("vec_id", *[f"code_{m}" for m in range(PQ_M)], "recon_dist")
+
+
+def _pq_oracle() -> str:
+    slices = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m,"
+        f" list_slice(v, {m * PQ_SUB + 1}, {(m + 1) * PQ_SUB}) AS sv FROM emb"
+        for m in range(PQ_M))
+    picks = ", ".join(
+        f"CAST(SUM(CASE WHEN m = {m} THEN code END) AS BIGINT) AS code_{m}"
+        for m in range(PQ_M))
+    dists = ", ".join(
+        f"SUM(CASE WHEN m = {m} THEN dist END) AS _d{m}" for m in range(PQ_M))
+    total = "+".join(f"_d{m}" for m in range(PQ_M))
+    return f"""
+WITH emb AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), sub AS ({slices}),
+codebook AS (
+    SELECT vec_id AS code, m, sv AS cv FROM sub WHERE vec_id < {PQ_K}
+), scored AS (
+    SELECT s.vec_id, s.m, c.code,
+           list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, {PQ_SUB} + 1),
+                       i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
+               (acc, d) -> acc + d) AS dist
+    FROM sub s JOIN codebook c USING (m)
+), best AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                 ORDER BY dist, code) AS rn
+    FROM scored
+), agg AS (
+    SELECT vec_id, {picks}, {dists} FROM best WHERE rn = 1 GROUP BY vec_id
+)
+SELECT vec_id, {', '.join(f'code_{m}' for m in range(PQ_M))},
+       ROUND(sqrt({total}), 6) AS recon_dist
+FROM agg
+"""
+
+
+register("emb_pq_codes", emb_pq_codes, _pq_oracle(),
+         "product-quantization codes with seed codebooks per subspace")
