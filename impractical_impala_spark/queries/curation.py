@@ -158,10 +158,15 @@ INC_HAMMING_T = 7       # ... then full-28-bit Hamming confirms
 
 
 def _inc_spark_frames(spark: SparkSession, sf_dir: str):
-    """(corpus, batch) with content hash ch, fingerprint fp, band blk.
+    """(corpus, batch) with content hash ch, fingerprint fp, and the
+    bounded-cardinality near-dup blocking key (lang, source, len_band,
+    8-bit SimHash prefix) — same construction the ngram-Jaccard family
+    uses, so block sizes stay roughly corpus-size-independent (the bare
+    prefix alone is 256 fixed blocks → linear-in-corpus probe cost).
     Content identity is md5 over the lowercased token stream so exact
     copies match regardless of original byte form."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text") \
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text", "lang", "source") \
         .repartition(spark.sparkContext.defaultParallelism)
     base = docs.withColumn("words", F.expr(_SPARK_WORDS))
     corpus_w = base.filter(F.col("doc_id") % 5 != 0)
@@ -181,10 +186,12 @@ def _inc_spark_frames(spark: SparkSession, sf_dir: str):
             df.withColumn("ch", F.expr("md5(concat_ws(' ', words))"))
             .withColumn("dh", F.expr(
                 _SPARK_HASHES.format(s=_SPARK_SHINGLES.format(w="words"))))
+            .withColumn("len_band",
+                        F.expr("cast(floor(log2(size(dh))) as bigint)"))
             .withColumn("fp", F.expr(f"({_spark_simhash_terms('dh')})"))
             .withColumn("blk",
                         F.expr(f"fp >> {SIMHASH_BITS - INC_PREFIX_BITS}"))
-            .select("doc_id", "ch", "fp", "blk")
+            .select("doc_id", "lang", "source", "ch", "fp", "len_band", "blk")
         )
 
     return keyed(corpus_w), keyed(batch_w)
@@ -192,9 +199,10 @@ def _inc_spark_frames(spark: SparkSession, sf_dir: str):
 
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup an incoming batch against the existing corpus: exact via
-    content-hash equi-join, near via SimHash band join + Hamming
-    confirm, neither pairing the corpus with itself. Shuffles are on
-    ch / blk only (no payload); at 100 TB the batch side is typically
+    content-hash equi-join, near via a bounded-cardinality block join
+    (lang, source, len_band, SimHash prefix) + Hamming confirm, neither
+    pairing the corpus with itself. Shuffles carry only keys; at 100 TB
+    the batch side is typically
     << corpus and AQE broadcasts it, making both probes one corpus
     pass. Output: one row per batch doc with its status and the
     smallest matching corpus doc_id (NULL for novel)."""
@@ -209,9 +217,15 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rest = batch.join(exact.select("doc_id"), "doc_id", "left_anti")
     c = corpus.select(F.col("doc_id").alias("c_id"),
+                      F.col("lang").alias("c_lang"),
+                      F.col("source").alias("c_source"),
+                      F.col("len_band").alias("c_len_band"),
                       F.col("fp").alias("c_fp"), F.col("blk").alias("c_blk"))
     near = (
-        rest.join(c, (F.col("blk") == F.col("c_blk"))
+        rest.join(c, (F.col("lang") == F.col("c_lang"))
+                  & (F.col("source") == F.col("c_source"))
+                  & (F.col("len_band") == F.col("c_len_band"))
+                  & (F.col("blk") == F.col("c_blk"))
                   & (F.expr(f"bit_count(fp ^ c_fp) <= {INC_HAMMING_T}")))
         .groupBy("doc_id").agg(F.min("c_id").alias("match_id"))
         .withColumn("status", F.lit("near_dup"))
@@ -230,22 +244,27 @@ def _inc_duck_cte() -> str:
     dh = _DUCK_HASHES.format(s=_DUCK_SHINGLES.format(w="words"))
     return f"""
 corpus_w AS (
-    SELECT doc_id, {_DUCK_WORDS} AS words FROM documents WHERE doc_id % 5 <> 0
+    SELECT doc_id, lang, source, {_DUCK_WORDS} AS words
+    FROM documents WHERE doc_id % 5 <> 0
 ), batch_w AS (
-    SELECT doc_id, {_DUCK_WORDS} AS words FROM documents WHERE doc_id % 5 = 0
+    SELECT doc_id, lang, source, {_DUCK_WORDS} AS words
+    FROM documents WHERE doc_id % 5 = 0
     UNION ALL
-    SELECT doc_id + {INC_COPY_OFFSET}, words FROM corpus_w WHERE doc_id % 7 = 0
+    SELECT doc_id + {INC_COPY_OFFSET}, lang, source, words
+    FROM corpus_w WHERE doc_id % 7 = 0
     UNION ALL
-    SELECT doc_id + {INC_MUT_OFFSET}, {_DUCK_MUT.format(w='words')}
+    SELECT doc_id + {INC_MUT_OFFSET}, lang, source, {_DUCK_MUT.format(w='words')}
     FROM corpus_w WHERE doc_id % 11 = 0
 ), corpus AS (
-    SELECT doc_id, md5(array_to_string(words, ' ')) AS ch,
+    SELECT doc_id, lang, source, md5(array_to_string(words, ' ')) AS ch,
+           CAST(floor(log2(len(dh))) AS BIGINT) AS len_band,
            ({_duck_simhash_terms('dh')}) AS fp
-    FROM (SELECT doc_id, words, {dh} AS dh FROM corpus_w)
+    FROM (SELECT doc_id, lang, source, words, {dh} AS dh FROM corpus_w)
 ), batch AS (
-    SELECT doc_id, md5(array_to_string(words, ' ')) AS ch,
+    SELECT doc_id, lang, source, md5(array_to_string(words, ' ')) AS ch,
+           CAST(floor(log2(len(dh))) AS BIGINT) AS len_band,
            ({_duck_simhash_terms('dh')}) AS fp
-    FROM (SELECT doc_id, words, {dh} AS dh FROM batch_w)
+    FROM (SELECT doc_id, lang, source, words, {dh} AS dh FROM batch_w)
 ), exact AS (
     SELECT b.doc_id, MIN(c.doc_id) AS match_id, 'exact_dup' AS status
     FROM batch b JOIN corpus c USING (ch) GROUP BY b.doc_id
@@ -254,7 +273,9 @@ corpus_w AS (
 ), near AS (
     SELECT r.doc_id, MIN(c.doc_id) AS match_id, 'near_dup' AS status
     FROM rest r JOIN corpus c
-      ON (r.fp >> {SIMHASH_BITS - INC_PREFIX_BITS})
+      ON r.lang = c.lang AND r.source = c.source
+     AND r.len_band = c.len_band
+     AND (r.fp >> {SIMHASH_BITS - INC_PREFIX_BITS})
          = (c.fp >> {SIMHASH_BITS - INC_PREFIX_BITS})
      AND bit_count(xor(r.fp, c.fp)) <= {INC_HAMMING_T}
     GROUP BY r.doc_id

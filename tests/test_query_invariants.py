@@ -85,3 +85,22 @@ def test_extension_families_present():
                             ("q", 15), ("w", 5), ("events_", 2)]:
         n = sum(1 for name in _Q if name.startswith(prefix))
         assert n >= minimum, f"family {prefix}*: {n} < {minimum}"
+
+
+def test_incremental_dedup_block_sizes_bounded(spark):
+    """dedup_incremental's near-dup probe joins batch x corpus on the
+    block key; a corpus block that grows with the corpus makes the
+    probe linear-per-batch-doc at 100 TB. Same bounded-cardinality key
+    as the ngram family — assert corpus-side blocks stay small."""
+    from pyspark.sql import functions as F
+
+    from impractical_impala_spark.queries.curation import _inc_spark_frames
+
+    sizes = {}
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        corpus, _ = _inc_spark_frames(spark, sf)
+        top = (corpus.groupBy("lang", "source", "len_band", "blk")
+               .count().agg(F.max("count")).collect()[0][0])
+        sizes[sf] = top
+    assert sizes["/root/testdata/sf0.01"] <= 4
+    assert sizes["/root/testdata/sf0.1"] <= 12, sizes
