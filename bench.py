@@ -71,6 +71,41 @@ HEADLINE = [
 ]
 
 
+def _hash_loop(n: int = 2_000_000) -> int:
+    h = 0
+    for i in range(n):
+        h = (h * 1099511628211 + i) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def cpu_ref_sec() -> float:
+    """Deterministic single-core reference workload (~0.5 s on a fast
+    core): fixed-iteration integer hashing in pure Python. Reported
+    alongside the query timings so round-over-round comparisons can be
+    normalized for host-speed drift — the same plans on a 2x-slower
+    host legitimately take ~2x the wall time, and this scalar makes
+    that visible instead of reading as a plan regression."""
+    t0 = time.perf_counter()
+    assert _hash_loop()  # keep the loop observable
+    return round(time.perf_counter() - t0, 4)
+
+
+def cpu_ref_par_sec() -> float:
+    """Same workload fanned out across every core at once (one process
+    per CPU). Single-core speed and under-load speed drift
+    independently on shared hosts — the queries that saturate all
+    cores (expression-heavy dedup/text) track THIS number, while
+    shuffle-bound queries track the serial one."""
+    import concurrent.futures as cf
+    import multiprocessing as mp
+
+    n = mp.cpu_count()
+    t0 = time.perf_counter()
+    with cf.ProcessPoolExecutor(max_workers=n) as ex:
+        assert all(ex.map(_hash_loop, [2_000_000] * n))
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -121,6 +156,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "cpu_ref_sec": cpu_ref_sec(),
+        "cpu_ref_par_sec": cpu_ref_par_sec(),
     }))
     spark.stop()
 
