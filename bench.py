@@ -68,6 +68,7 @@ HEADLINE = [
     "pack_sequences",
     "dedup_incremental",
     "emb_pq_codes",
+    "dedup_embedding_lsh",
 ]
 
 

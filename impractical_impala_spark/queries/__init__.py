@@ -63,6 +63,8 @@ NEW_R3 = [
     # round-3 session additions: curation/packing/PQ/anomaly surface
     "pack_sequences", "mix_weighted_sample", "dedup_incremental",
     "emb_pq_codes", "events_anomaly_zscore", "q_grouping_sets",
+    # round-3 late additions: embedding-LSH scale path + leakage-safe split
+    "dedup_embedding_lsh", "split_cluster_safe",
 ]
 
 WINDOW = (
@@ -70,12 +72,12 @@ WINDOW = (
     + ["dedup_ngram_jaccard"]  # blocking key changed in r3 — re-prove
     + NEW_R3
     # fill: r1-era rows are the oldest; re-confirm the heaviest families
-    # (six r1-green fill slots rotated out for the six session additions:
-    # q_stratified_sample, json_extract_props, q_percentiles,
-    # q_cube_revenue, w5_value_windows, q_date_functions keep their r1
-    # rows and return in a later window)
-    + ["dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-       "dedup_embedding_neardup", "ann_cosine_topk", "ann_lsh_bucketed",
+    # (eight r1-green fill slots rotated out for the eight session
+    # additions: q_stratified_sample, json_extract_props, q_percentiles,
+    # q_cube_revenue, w5_value_windows, q_date_functions, dedup_exact,
+    # ann_cosine_topk keep their r1 rows and return in a later window)
+    + ["dedup_minhash_lsh", "dedup_simhash",
+       "dedup_embedding_neardup", "ann_lsh_bucketed",
        "ann_ivf_probe", "q_asof_attribution", "q_range_band_join",
        "q_salted_agg", "multimodal_blob_stats"]
 )

@@ -291,3 +291,85 @@ UNION ALL
 SELECT doc_id, CAST(NULL AS BIGINT) AS match_id, 'novel' AS status
 FROM rest WHERE doc_id NOT IN (SELECT doc_id FROM near)
 """, "new-batch-vs-corpus dedup (exact hash + simhash band)")
+
+
+# --------------------------------------------------------- leakage-safe split
+# Train/val/test assignment that can never leak a near-duplicate across
+# splits: the split is a deterministic hash of the doc's near-dup
+# CLUSTER representative (connected components over the verified
+# minhash-LSH pairs), not of the doc itself — every member of a cluster
+# lands in the same split by construction. Plain per-doc hash splits
+# put a mutated copy of a train doc into the eval split, which is the
+# classic contamination bug this operator exists to close. At lake
+# scale the cost is the cluster formation (already a first-class
+# artifact above); the assignment itself is one scan + one id join.
+SPLIT_BUCKETS = 10  # 8 train / 1 val / 1 test
+
+
+def _split_case(h: str) -> str:
+    """Shared CASE expression (both dialects) mapping a 0-9 bucket to a
+    split name."""
+    return (f"CASE WHEN {h} < 8 THEN 'train'"
+            f" WHEN {h} = 8 THEN 'val' ELSE 'test' END")
+
+
+def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc split assignment over the augmented corpus (base docs +
+    the mutated near-dup copies the dedup family injects). group_id =
+    cluster representative for clustered docs, the doc itself
+    otherwise; bucket = md5(group_id) mod 10 -> 80/10/10."""
+    from .dedup import MUT_OFFSET, dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(MUT_OFFSET))
+    )
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    assigned = (
+        corpus.join(clusters, "doc_id", "left")
+        .withColumn("group_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+    )
+    h = ("conv(substring(md5(cast(group_id as string)), 1, 7), 16, 10)"
+         f" % {SPLIT_BUCKETS}")
+    return assigned.select(
+        "doc_id", "group_id",
+        F.expr(_split_case(h)).alias("split"),
+    )
+
+
+def _split_oracle() -> str:
+    from .dedup import MUT_OFFSET, _minhash_oracle
+
+    h = ("CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 7))"
+         f" AS BIGINT) % {SPLIT_BUCKETS}")
+    return f"""
+WITH RECURSIVE pairs AS (
+    SELECT doc_a, doc_b FROM ({_minhash_oracle()})
+), nodes AS (
+    SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs
+), edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+), reach(node, lbl) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+), comp AS (
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+), corpus AS (
+    SELECT doc_id FROM documents
+    UNION ALL
+    SELECT doc_id + {MUT_OFFSET} FROM documents WHERE doc_id % 3 = 0
+), assigned AS (
+    SELECT c.doc_id,
+           CAST(COALESCE(comp.cluster_id, c.doc_id) AS BIGINT) AS group_id
+    FROM corpus c LEFT JOIN comp ON c.doc_id = comp.doc_id
+)
+SELECT doc_id, group_id, {_split_case(h)} AS split
+FROM assigned
+"""
+
+
+register("split_cluster_safe", split_cluster_safe, _split_oracle(),
+         "near-dup-cluster-keyed train/val/test split (no cross-split leakage)")

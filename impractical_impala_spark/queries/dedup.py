@@ -551,3 +551,155 @@ ORDER BY lang
 
 register("dedup_survivors", dedup_survivors, _survivors_oracle(),
          "corpus minus non-representative cluster members, per language")
+
+
+# ---------------------------------------------------------------- embedding LSH
+# Scale path for embedding near-dup (the brute-force
+# dedup_embedding_neardup above is the labeled exact baseline): vectors
+# meet only inside equal random-hyperplane buckets, so the pair space
+# is bucket-local instead of corpus^2. Reuses the similarity module's
+# deterministic +/-1 hyperplanes so the DuckDB oracle computes the
+# identical signatures (LSH recall is probabilistic, so — like the
+# minhash family — the oracle replicates the SIGNATURE pipeline rather
+# than a brute-force scan: both sides derive the same candidates by
+# construction).
+#
+# The natural corpus has no near-dups (max pairwise cosine ~0.51), so
+# the query augments it with deterministic duplicates built identically
+# in both dialects: exact copies (uniform x1.5 scaling — cosine exactly
+# 1) of every 5th vector and jittered copies (x*0.9 + 0.02 — cosine
+# ~0.984 against the unit-norm base) of every 7th.
+EMB_COPY_OFFSET = 3_000_000
+EMB_JIT_OFFSET = 4_000_000
+COS_T = 0.95
+
+
+def _spark_emb_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _emb
+
+    base = _emb(spark, sf_dir).select("vec_id", "v")
+    copies = base.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + F.lit(EMB_COPY_OFFSET)).alias("vec_id"),
+        F.expr("transform(v, x -> x * cast(1.5 as double))").alias("v"),
+    )
+    jit = base.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + F.lit(EMB_JIT_OFFSET)).alias("vec_id"),
+        F.expr("transform(v, x -> x * cast(0.9 as double)"
+               " + cast(0.02 as double))").alias("v"),
+    )
+    return base.unionByName(copies).unionByName(jit).withColumn(
+        "norm",
+        F.expr("sqrt(aggregate(v, cast(0.0 as double),"
+               " (acc, x) -> acc + x * x))"),
+    )
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate embedding PAIRS (cosine >= COS_T) via multi-table
+    hyperplane LSH: 3 independent 4-bit signatures; candidate pairs are
+    same-bucket-in-some-table only, deduped as (id, id) before the
+    vectors are re-fetched through a size-gated broadcast. One
+    bucket-key shuffle + one id join — no corpus^2 stage anywhere."""
+    from .similarity import BITS_PER_TABLE, N_TABLES, _planes
+
+    emb = _spark_emb_aug(spark, sf_dir)
+    planes = _planes()
+    for t in range(N_TABLES):
+        terms = []
+        for r in range(BITS_PER_TABLE):
+            plane = planes[t * BITS_PER_TABLE + r]
+            arr = "array(" + ", ".join(f"cast({s} as double)" for s in plane) + ")"
+            proj = (f"aggregate(zip_with(v, {arr}, (x, s) -> x * s),"
+                    " cast(0.0 as double), (acc, x) -> acc + x)")
+            terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << r} ELSE 0 END)")
+        emb = emb.withColumn(f"bucket{t}", F.expr(" + ".join(terms)).cast("bigint"))
+    emb = emb.cache()
+    tables = None
+    for t in range(N_TABLES):
+        part = emb.select("vec_id", F.lit(t).alias("tbl"),
+                          F.col(f"bucket{t}").alias("bucket"))
+        tables = part if tables is None else tables.unionByName(part)
+    a, b = tables.alias("a"), tables.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_id"),
+                F.col("b.vec_id").alias("neighbor_id"))
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    va = emb.select(F.col("vec_id").alias("vec_id"), F.col("v").alias("va"),
+                    F.col("norm").alias("na"))
+    vb = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"),
+                    F.col("norm").alias("nb"))
+    cand = cand.join(maybe_broadcast(va, sf_dir, "embeddings"), "vec_id") \
+               .join(maybe_broadcast(vb, sf_dir, "embeddings"), "neighbor_id")
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double),"
+        " (acc, x) -> acc + x)"
+    )
+    return (
+        cand.select("vec_id", "neighbor_id",
+                    (dot / (F.col("na") * F.col("nb"))).alias("cos"))
+        .filter(F.col("cos") >= COS_T)
+        .select("vec_id", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def _emb_lsh_oracle() -> str:
+    from .similarity import BITS_PER_TABLE, N_TABLES, _planes
+
+    planes = _planes()
+    buckets = []
+    for t in range(N_TABLES):
+        terms = []
+        for r in range(BITS_PER_TABLE):
+            plane = planes[t * BITS_PER_TABLE + r]
+            arr = "[" + ", ".join(f"CAST({s} AS DOUBLE)" for s in plane) + "]"
+            terms.append(f"(CASE WHEN list_dot_product(v, {arr}) > 0"
+                         f" THEN {1 << r} ELSE 0 END)")
+        buckets.append(" + ".join(terms))
+    bucket_union = "\n    UNION ALL\n".join(
+        f"    SELECT vec_id, {t} AS tbl, b{t} AS bucket FROM sigs"
+        for t in range(N_TABLES)
+    )
+    return f"""
+WITH base AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), aug AS (
+    SELECT vec_id, v FROM base
+    UNION ALL
+    SELECT vec_id + {EMB_COPY_OFFSET}, list_transform(v, x -> x * 1.5)
+    FROM base WHERE vec_id % 5 = 0
+    UNION ALL
+    SELECT vec_id + {EMB_JIT_OFFSET}, list_transform(v, x -> x * 0.9 + 0.02)
+    FROM base WHERE vec_id % 7 = 0
+), sigs AS (
+    SELECT vec_id, v,
+           {buckets[0]} AS b0,
+           {buckets[1]} AS b1,
+           {buckets[2]} AS b2
+    FROM aug
+), buckets AS (
+{bucket_union}
+), cand AS (
+    SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+    FROM buckets a JOIN buckets b
+      ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), scored AS (
+    SELECT c.vec_id, c.neighbor_id,
+           list_dot_product(x.v, y.v)
+           / (sqrt(list_dot_product(x.v, x.v))
+              * sqrt(list_dot_product(y.v, y.v))) AS cos
+    FROM cand c
+    JOIN sigs x ON c.vec_id = x.vec_id
+    JOIN sigs y ON c.neighbor_id = y.vec_id
+)
+SELECT vec_id, neighbor_id, ROUND(cos, 6) AS cos
+FROM scored WHERE cos >= {COS_T}
+"""
+
+
+register("dedup_embedding_lsh", dedup_embedding_lsh, _emb_lsh_oracle(),
+         "bucketed near-dup embedding pairs (hyperplane LSH + cosine confirm)")

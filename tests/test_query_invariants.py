@@ -104,3 +104,54 @@ def test_incremental_dedup_block_sizes_bounded(spark):
         sizes[sf] = top
     assert sizes["/root/testdata/sf0.01"] <= 4
     assert sizes["/root/testdata/sf0.1"] <= 12, sizes
+
+
+def test_split_cluster_safe_no_leakage(spark, sf_oracle):
+    """The whole point of the cluster-keyed split: no near-dup cluster
+    may straddle train/val/test, and in particular every injected
+    mutated copy must land in its base doc's split."""
+    from pyspark.sql import functions as F
+
+    from impractical_impala_spark.queries.curation import split_cluster_safe
+    from impractical_impala_spark.queries.dedup import dedup_clusters
+
+    assigned = split_cluster_safe(spark, sf_oracle).cache()
+    straddlers = (assigned.groupBy("group_id")
+                  .agg(F.countDistinct("split").alias("n"))
+                  .filter(F.col("n") > 1).count())
+    assert straddlers == 0
+    # clustered docs must use their cluster representative as group key
+    clustered = dedup_clusters(spark, sf_oracle).select("doc_id", "cluster_id")
+    mismatched = (assigned.join(clustered, "doc_id")
+                  .filter(F.col("group_id") != F.col("cluster_id")).count())
+    assert mismatched == 0
+    # all three splits must be populated at the driver's scale
+    assert assigned.select("split").distinct().count() == 3
+    assigned.unpersist()
+
+
+def test_embedding_lsh_finds_all_exact_copies(spark, sf_oracle):
+    """Uniform scaling preserves every hyperplane sign, so an exact
+    (scaled) copy shares ALL buckets with its base vector — the LSH
+    pair set must contain every injected copy pair at cosine 1.0."""
+    from pyspark.sql import functions as F
+
+    from impractical_impala_spark.queries.dedup import (
+        EMB_COPY_OFFSET, EMB_JIT_OFFSET, dedup_embedding_lsh)
+    from impractical_impala_spark.sources import load_table
+
+    pairs = dedup_embedding_lsh(spark, sf_oracle).cache()
+    copies = (pairs.filter(F.col("neighbor_id") - F.col("vec_id")
+                           == EMB_COPY_OFFSET))
+    n_expected = (load_table(spark, sf_oracle, "embeddings")
+                  .filter(F.col("vec_id") % 5 == 0).count())
+    got = copies.select("cos").collect()
+    assert len(got) == n_expected
+    assert all(abs(r.cos - 1.0) < 1e-6 for r in got)
+    # the NEAR (jittered, cos ~0.984) pairs must also surface — they
+    # prove the operator catches non-identical duplicates, not just
+    # bucket-identical rescaled copies
+    n_jit = pairs.filter(F.col("neighbor_id") - F.col("vec_id")
+                         == EMB_JIT_OFFSET).count()
+    assert n_jit > 0
+    pairs.unpersist()
