@@ -229,7 +229,8 @@ def test_q2_broadcasts_dims_only(spark, sf_small):
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
 
 
-@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "ann_lsh_bucketed"])
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "ann_lsh_bucketed",
+                                  "dedup_embedding_lsh"])
 def test_gate_off_plans_have_no_pinned_broadcast(spark, sf_small, name,
                                                  monkeypatch):
     """Force the size gate shut (cap=0, as on a real lake) and disable
