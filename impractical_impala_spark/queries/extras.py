@@ -250,3 +250,25 @@ FROM orders
 GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                         (o_orderpriority), ())
 """, "explicit GROUPING SETS aggregation with coalesced levels")
+
+
+def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global total-order row numbering at scale: rank every order by
+    (o_totalprice DESC, o_orderkey) WITHOUT the empty-partition-spec
+    window that funnels the table through one task. Decomposition in
+    operators/ranking.py: range partitions -> per-range local
+    row_number -> model-size prefix-sum offsets broadcast back."""
+    from ..operators.ranking import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_totalprice")
+    return global_row_number(
+        orders, F.col("o_totalprice").desc(), F.col("o_orderkey"),
+    ).select("o_orderkey", "o_totalprice", "rnk")
+
+
+register("q_global_rank", q_global_rank, """
+SELECT o_orderkey, o_totalprice,
+       ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+FROM orders
+""", "scalable global row numbering (range partitions + offset join)")

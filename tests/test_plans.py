@@ -248,3 +248,15 @@ def test_gate_off_plans_have_no_pinned_broadcast(spark, sf_small, name,
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 0
     assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)",
                           plan)) >= 3
+
+
+def test_global_rank_has_no_data_funnel(spark, sf_small):
+    """q_global_rank's big-table window must be keyed on the range id
+    (range exchange + hash exchange on __range_id); the only
+    single-partition work allowed is the prefix sum over the per-range
+    COUNTS (model-size: one row per range). A plain global
+    ROW_NUMBER() window would show neither exchange."""
+    plan = plan_of(_Q["q_global_rank"].build(spark, sf_small))
+    assert "rangepartitioning" in plan, plan
+    assert "hashpartitioning(__range_id" in plan, plan
+    assert "HashAggregate" in plan  # per-range counts stage exists
