@@ -69,6 +69,7 @@ HEADLINE = [
     "dedup_incremental",
     "emb_pq_codes",
     "dedup_embedding_lsh",
+    "q_global_rank",
 ]
 
 
