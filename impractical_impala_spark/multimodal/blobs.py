@@ -86,3 +86,89 @@ def documents_as_blobs(spark, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("blob_id"),
         F.col("text").cast("binary").alias("payload"),
     )
+
+
+# ------------------------------------------------------------- resize (stub)
+RESIZE_OUT = 32  # bytes in the fake-resized payload
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("blob_id", T.LongType()),
+    T.StructField("resized", T.BinaryType()),
+])
+
+
+def resize_blobs(df: DataFrame, id_col: str = "blob_id",
+                 blob_col: str = "payload") -> DataFrame:
+    """Image-resize plumbing with the codec stubbed: nearest-neighbor
+    downsample of the BYTE stream to RESIZE_OUT bytes (position i reads
+    source byte floor(i*n/out) — deterministic, engine-portable). A
+    real deployment swaps the sampler for a codec resize; the Spark
+    side (Arrow batches in, binary payload out, payload-in/payload-out
+    schema) is exactly what that kernel needs."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for blob in pdf[blob_col]:
+                n = len(blob)
+                if n == 0:
+                    out.append(b"")
+                    continue
+                arr = np.frombuffer(blob, dtype=np.uint8)
+                idx = (np.arange(RESIZE_OUT, dtype=np.int64) * n) // RESIZE_OUT
+                out.append(arr[idx].tobytes())
+            yield pd.DataFrame({
+                "blob_id": pdf[id_col].astype("int64"),
+                "resized": out,
+            })
+
+    return df.mapInPandas(fn, RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------- frame sampling
+FRAME_BYTES = 64   # fake fixed-size frame
+FRAME_STRIDE = 2   # keep every 2nd frame
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("blob_id", T.LongType()),
+    T.StructField("frame_idx", T.LongType()),
+    T.StructField("frame_len", T.LongType()),
+    T.StructField("first_byte", T.IntegerType()),
+    T.StructField("last_byte", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def sample_frames(df: DataFrame, id_col: str = "blob_id",
+                  blob_col: str = "payload") -> DataFrame:
+    """Video frame-sampling plumbing with the codec stubbed: the
+    payload is treated as a sequence of FRAME_BYTES-byte frames and
+    every FRAME_STRIDE-th frame is emitted as its OWN output row — the
+    1-row-in/N-rows-out Arrow batch shape a real frame sampler has
+    (mapInPandas output cardinality is free). Payload bytes never leave
+    the kernel except as the (small) sampled frames."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, firsts, lasts, frames = [], [], [], [], [], []
+            for bid, blob in zip(pdf[id_col], pdf[blob_col]):
+                n = len(blob)
+                n_frames = (n + FRAME_BYTES - 1) // FRAME_BYTES
+                for f in range(0, n_frames, FRAME_STRIDE):
+                    fr = blob[f * FRAME_BYTES:(f + 1) * FRAME_BYTES]
+                    ids.append(int(bid))
+                    idxs.append(f)
+                    lens.append(len(fr))
+                    firsts.append(fr[0] if fr else -1)
+                    lasts.append(fr[-1] if fr else -1)
+                    frames.append(fr)
+            yield pd.DataFrame({
+                "blob_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "frame_len": pd.Series(lens, dtype="int64"),
+                "first_byte": pd.Series(firsts, dtype="int32"),
+                "last_byte": pd.Series(lasts, dtype="int32"),
+                "frame": frames,
+            })
+
+    return df.mapInPandas(fn, FRAME_SCHEMA)

@@ -64,8 +64,9 @@ NEW_R3 = [
     "pack_sequences", "mix_weighted_sample", "dedup_incremental",
     "emb_pq_codes", "events_anomaly_zscore", "q_grouping_sets",
     # round-3 late additions: embedding-LSH scale path, leakage-safe
-    # split, funnel-free global ranking
+    # split, funnel-free global ranking, multimodal resize/frame-sample
     "dedup_embedding_lsh", "split_cluster_safe", "q_global_rank",
+    "multimodal_resized_checksum", "multimodal_frame_sample",
 ]
 
 WINDOW = (
@@ -73,16 +74,19 @@ WINDOW = (
     + ["dedup_ngram_jaccard"]  # blocking key changed in r3 — re-prove
     + NEW_R3
     # fill: r1-era rows are the oldest; re-confirm the heaviest families
-    # (nine r1-green fill slots rotated out for the nine session
+    # (eleven r1-green fill slots rotated out for the eleven session
     # additions: q_stratified_sample, json_extract_props, q_percentiles,
     # q_cube_revenue, w5_value_windows, q_date_functions, dedup_exact,
-    # ann_cosine_topk, dedup_simhash keep their r1 rows and return in a
-    # later window; dedup_simhash's expression kernel is indirectly
-    # re-proven through dedup_incremental + the ngram blocking key)
+    # ann_cosine_topk, dedup_simhash, ann_ivf_probe,
+    # multimodal_blob_stats keep their r1 rows and return in a later
+    # window; dedup_simhash's expression kernel is indirectly re-proven
+    # through dedup_incremental + the ngram blocking key, and the
+    # multimodal kernel path is re-proven by the two new
+    # resize/frame-sample rows)
     + ["dedup_minhash_lsh",
        "dedup_embedding_neardup", "ann_lsh_bucketed",
-       "ann_ivf_probe", "q_asof_attribution", "q_range_band_join",
-       "q_salted_agg", "multimodal_blob_stats"]
+       "q_asof_attribution", "q_range_band_join",
+       "q_salted_agg"]
 )
 
 set_window_order(WINDOW)

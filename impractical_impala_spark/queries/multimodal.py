@@ -28,3 +28,57 @@ SELECT doc_id AS blob_id,
        CAST(ascii(right(text, 1)) AS INT) AS last_byte
 FROM documents
 """, "mapInPandas blob stats vs SQL oracle")
+
+
+def multimodal_resized_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing under the hash gate: fake-resize every payload
+    to 32 bytes (nearest-neighbor byte sampling — deterministic stand-in
+    for a codec resize), then emit the resized length + byte-sum
+    checksum. The oracle recomputes the identical sampling positions in
+    SQL, so the kernel's Arrow round-trip, sampling arithmetic, and
+    binary output column are all pinned."""
+    from ..multimodal.blobs import documents_as_blobs, resize_blobs
+
+    resized = resize_blobs(documents_as_blobs(spark, sf_dir))
+    return resized.select(
+        "blob_id",
+        F.expr("cast(length(resized) as bigint)").alias("out_len"),
+        F.expr("cast(aggregate(transform(sequence(1, length(resized)),"
+               " i -> ascii(substring(cast(resized as string), i, 1))),"
+               " 0L, (acc, x) -> acc + x) as bigint)").alias("checksum"),
+    )
+
+
+register("multimodal_resized_checksum", multimodal_resized_checksum, f"""
+SELECT doc_id AS blob_id,
+       CAST({32} AS BIGINT) AS out_len,
+       CAST(list_sum(list_transform(range(0, {32}),
+            i -> ascii(substr(text, CAST((i * length(text)) // {32} AS INT) + 1,
+                              1)))) AS BIGINT) AS checksum
+FROM documents
+""", "mapInPandas fake-resize (nearest-neighbor byte sampling) vs SQL oracle")
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: payload split into 64-byte fake frames,
+    every 2nd frame emitted as its own row (1-row-in/N-rows-out kernel
+    shape). Scalar per-frame metadata compared against a
+    generate-series SQL twin."""
+    from ..multimodal.blobs import documents_as_blobs, sample_frames
+
+    frames = sample_frames(documents_as_blobs(spark, sf_dir))
+    return frames.select("blob_id", "frame_idx", "frame_len",
+                         "first_byte", "last_byte")
+
+
+register("multimodal_frame_sample", multimodal_frame_sample, """
+SELECT doc_id AS blob_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(least(64, length(text) - f * 64) AS BIGINT) AS frame_len,
+       CAST(ascii(substr(text, f * 64 + 1, 1)) AS INT) AS first_byte,
+       CAST(ascii(substr(text, f * 64 + least(64, length(text) - f * 64), 1))
+            AS INT) AS last_byte
+FROM documents,
+     UNNEST(range(0, (length(text) + 63) // 64)) AS t(f)
+WHERE f % 2 = 0
+""", "mapInPandas frame sampler (1->N row kernel) vs generate-series oracle")

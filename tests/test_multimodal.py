@@ -43,3 +43,35 @@ def test_feature_values_match_local_kernel(spark, sf_small):
     for d in doc:
         want = B.fake_features(d.text.encode())
         np.testing.assert_allclose(feats[d.doc_id], want, atol=1e-12)
+
+
+def test_resize_kernel_shape_and_determinism(spark, sf_small):
+    df = B.resize_blobs(B.documents_as_blobs(spark, sf_small))
+    rows = df.collect()
+    assert rows and df.schema == B.RESIZE_SCHEMA
+    for r in rows:
+        assert len(r.resized) == B.RESIZE_OUT
+    # positions are pure integer arithmetic: re-running is bit-identical
+    again = {r.blob_id: bytes(r.resized) for r in df.collect()}
+    assert all(bytes(r.resized) == again[r.blob_id] for r in rows)
+
+
+def test_frame_sampler_emits_one_row_per_sampled_frame(spark, sf_small):
+    from impractical_impala_spark.sources import load_table
+
+    docs = {r.doc_id: r.text.encode()
+            for r in load_table(spark, sf_small, "documents").collect()}
+    out = B.sample_frames(B.documents_as_blobs(spark, sf_small)).collect()
+    by_blob = {}
+    for r in out:
+        by_blob.setdefault(r.blob_id, []).append(r)
+    assert set(by_blob) == set(docs)
+    for bid, rows in by_blob.items():
+        n = len(docs[bid])
+        n_frames = (n + B.FRAME_BYTES - 1) // B.FRAME_BYTES
+        want_idx = list(range(0, n_frames, B.FRAME_STRIDE))
+        assert sorted(r.frame_idx for r in rows) == want_idx
+        for r in rows:
+            fr = docs[bid][r.frame_idx * B.FRAME_BYTES:
+                           (r.frame_idx + 1) * B.FRAME_BYTES]
+            assert bytes(r.frame) == fr and r.frame_len == len(fr)
