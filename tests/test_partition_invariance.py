@@ -80,3 +80,23 @@ def test_result_invariant_to_shuffle_partitions(spark, sf_small, name):
 def test_float_agg_invariant_to_shuffle_partitions(spark, sf_small, name):
     a, b = _run_at_partitions(spark, sf_small, name, _sorted_rows)
     assert _rows_close(a, b)
+
+
+def test_global_rank_invariant_to_range_count(spark, sf_oracle):
+    """global_row_number's whole contract: the rank is a function of
+    the sort key alone — 4 ranges and 64 ranges must produce the
+    identical assignment (rank data is integer, so exact compare)."""
+    from impractical_impala_spark.operators.ranking import global_row_number
+    from impractical_impala_spark.sources import load_table
+
+    orders = load_table(spark, sf_oracle, "orders") \
+        .select("o_orderkey", "o_totalprice")
+    key = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    a = global_row_number(orders, *key, num_ranges=4) \
+        .select("o_orderkey", "rnk").collect()
+    b = global_row_number(orders, *key, num_ranges=64) \
+        .select("o_orderkey", "rnk").collect()
+    assert sorted((r.o_orderkey, r.rnk) for r in a) \
+        == sorted((r.o_orderkey, r.rnk) for r in b)
+    ranks = sorted(r.rnk for r in a)
+    assert ranks == list(range(1, len(ranks) + 1))  # exact permutation
