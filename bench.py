@@ -70,6 +70,7 @@ HEADLINE = [
     "emb_pq_codes",
     "dedup_embedding_lsh",
     "q_global_rank",
+    "multimodal_frame_sample",
 ]
 
 

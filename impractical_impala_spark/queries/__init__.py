@@ -28,7 +28,7 @@ from . import (reference_ops, stats_ops, tpch, tpch_more,  # noqa: F401
                sketches, multimodal,
                tpch_plus, training_extras, windows_plus, tpch_plus2,
                streams_plus, tpch_final, pipelines, training_ops,
-               curation)
+               curation, analytics)
 
 # Queries with NO driver CORRECTNESS row in any round — the non-negotiable
 # core of the r3 window (round-2 verdict item #1).
@@ -67,6 +67,9 @@ NEW_R3 = [
     # split, funnel-free global ranking, multimodal resize/frame-sample
     "dedup_embedding_lsh", "split_cluster_safe", "q_global_rank",
     "multimodal_resized_checksum", "multimodal_frame_sample",
+    # product-analytics wave: first-touch cumulative distinct, cohort
+    # retention, staged funnel (queries/analytics.py)
+    "events_cumulative_users", "events_cohort_retention", "events_funnel",
 ]
 
 WINDOW = (
@@ -74,19 +77,20 @@ WINDOW = (
     + ["dedup_ngram_jaccard"]  # blocking key changed in r3 — re-prove
     + NEW_R3
     # fill: r1-era rows are the oldest; re-confirm the heaviest families
-    # (eleven r1-green fill slots rotated out for the eleven session
+    # (fourteen r1-green fill slots rotated out for the fourteen session
     # additions: q_stratified_sample, json_extract_props, q_percentiles,
     # q_cube_revenue, w5_value_windows, q_date_functions, dedup_exact,
     # ann_cosine_topk, dedup_simhash, ann_ivf_probe,
-    # multimodal_blob_stats keep their r1 rows and return in a later
-    # window; dedup_simhash's expression kernel is indirectly re-proven
-    # through dedup_incremental + the ngram blocking key, and the
-    # multimodal kernel path is re-proven by the two new
-    # resize/frame-sample rows)
+    # multimodal_blob_stats, dedup_embedding_neardup, ann_lsh_bucketed,
+    # q_salted_agg keep their r1 rows and return in a later window;
+    # dedup_simhash's expression kernel is indirectly re-proven through
+    # dedup_incremental + the ngram blocking key, the multimodal kernel
+    # path by the two new resize/frame-sample rows, the all-pairs
+    # embedding baseline + LSH re-fetch by dedup_embedding_lsh +
+    # ann_dedup_pipeline, and the salted two-phase agg decomposition by
+    # q_global_rank's range+offset variant of the same idea)
     + ["dedup_minhash_lsh",
-       "dedup_embedding_neardup", "ann_lsh_bucketed",
-       "q_asof_attribution", "q_range_band_join",
-       "q_salted_agg"]
+       "q_asof_attribution", "q_range_band_join"]
 )
 
 set_window_order(WINDOW)

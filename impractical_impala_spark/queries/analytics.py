@@ -1,0 +1,174 @@
+"""Product-analytics operators over the ``events`` stream table:
+cumulative distinct users, cohort retention, and funnel conversion.
+
+These are the classic "analytics engine" shapes (think growth
+dashboards) whose naive forms do NOT scale — a running COUNT(DISTINCT)
+is quadratic, retention is a self-join, funnels are per-user sequence
+scans. Each query here is the *decomposed* form that survives 100 TB:
+
+- cumulative distinct = first-touch reduction (one shuffle on user_id)
+  + model-size running sum over #days rows;
+- retention = bounded per-(user, week) distinct + one user-keyed join;
+- funnel = staged min-timestamp joins, never a per-user event sort.
+
+Reference has no analytics surface (SURVEY.md §1.3 — batch econometrics
+only); this is extension surface per §7/M6, same ``events`` fixture the
+streaming twins use. All time arithmetic is integer epoch-day/µs on
+both engines, so hashes are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+EPOCH0 = "2024-01-01"  # testdata events start here; week index anchor
+
+
+def _with_day(ev: DataFrame) -> DataFrame:
+    return ev.withColumn("day", F.to_date("ts"))
+
+
+# ------------------------------------------------- cumulative distinct
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day: new users (first ever seen that day) and the running
+    total of distinct users to date.
+
+    Scale shape: a naive ``COUNT(DISTINCT user) WHERE ts <= d`` per day
+    rescans the corpus per day (quadratic). Decomposition: cumulative
+    distinct count == running sum of first-touch counts, so one
+    user-keyed shuffle reduces 100 TB of events to one row per user,
+    a day-keyed agg reduces that to #days rows, and only the #days-row
+    frame (model-size: bounded by calendar, not corpus) crosses the
+    single-partition running-sum window.
+    """
+    ev = _with_day(load_table(spark, sf_dir, "events"))
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    per_day = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+register("events_cumulative_users", events_cumulative_users, """
+WITH first_seen AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+), per_day AS (
+    SELECT day, COUNT(*) AS new_users FROM first_seen GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_users
+FROM per_day
+""", "daily new + cumulative distinct users via first-touch decomposition")
+
+
+# --------------------------------------------------- cohort retention
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users bucketed by first-seen week
+    (cohort), counted distinct in each later week, reported as the
+    offset from their cohort week.
+
+    Scale shape: activity is first reduced to distinct (user, week)
+    pairs — bounded by users × #weeks, far smaller than the event
+    corpus — then one user-keyed join attaches the cohort week (itself
+    a one-row-per-user reduction), and the final agg groups by
+    (cohort_week, offset): #weeks² cells. No self-join of events
+    against events at any point. Weeks are explicit integer floor
+    division (epoch-day div 7) on both engines — DuckDB's
+    CAST(double AS INT) rounds where Spark's truncates, so a bare
+    /7-then-cast puts boundary days in different weeks.
+    """
+    ev = _with_day(load_table(spark, sf_dir, "events"))
+    wk = ev.select(
+        "user_id",
+        F.expr(f"CAST(datediff(day, DATE '{EPOCH0}') div 7 AS INT)")
+        .alias("week"))
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = wk.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_week",
+                 (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+register("events_cohort_retention", events_cohort_retention, f"""
+WITH wk AS (
+    SELECT user_id,
+           CAST(DATEDIFF('day', DATE '{EPOCH0}', CAST(ts AS DATE)) // 7
+                AS INTEGER) AS week
+    FROM events
+), cohort AS (
+    SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id
+), active AS (
+    SELECT DISTINCT user_id, week FROM wk
+)
+SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+       COUNT(*) AS n_users
+FROM active a JOIN cohort c USING (user_id)
+GROUP BY c.cohort_week, week_offset
+""", "weekly cohort retention counts (distinct-pair reduce + one join)")
+
+
+# ------------------------------------------------------ funnel stages
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view → click → purchase conversion funnel: users with a
+    view, users with a click at-or-after their first view, users with a
+    purchase at-or-after that click.
+
+    Scale shape: each stage is a filtered min-timestamp aggregate
+    (one row per surviving user) joined to the next stage's filtered
+    events on user_id — per-stage state is one timestamp per user, and
+    no stage ever sorts a user's full event history. The three 1-row
+    stage counts combine by cross join (3 model-size frames).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns div 1000").alias("ts_us"))
+    viewed = (ev.filter(F.col("event_type") == "view")
+              .groupBy("user_id").agg(F.min("ts_us").alias("view_us")))
+    clicked = (
+        ev.filter(F.col("event_type") == "click")
+        .join(viewed, "user_id")
+        .filter(F.col("ts_us") >= F.col("view_us"))
+        .groupBy("user_id").agg(F.min("ts_us").alias("click_us")))
+    purchased = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicked, "user_id")
+        .filter(F.col("ts_us") >= F.col("click_us"))
+        .groupBy("user_id").agg(F.min("ts_us").alias("purchase_us")))
+    return (
+        viewed.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(clicked.agg(F.count(F.lit(1)).alias("n_clicked")))
+        .crossJoin(purchased.agg(F.count(F.lit(1)).alias("n_purchased")))
+    )
+
+
+register("events_funnel", events_funnel, """
+WITH viewed AS (
+    SELECT user_id, MIN(epoch_us(ts)) AS view_us FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), clicked AS (
+    SELECT e.user_id, MIN(epoch_us(e.ts)) AS click_us
+    FROM events e JOIN viewed v USING (user_id)
+    WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.view_us
+    GROUP BY e.user_id
+), purchased AS (
+    SELECT e.user_id, MIN(epoch_us(e.ts)) AS purchase_us
+    FROM events e JOIN clicked c USING (user_id)
+    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.click_us
+    GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM viewed) AS n_viewed,
+       (SELECT COUNT(*) FROM clicked) AS n_clicked,
+       (SELECT COUNT(*) FROM purchased) AS n_purchased
+""", "view->click->purchase funnel via staged min-timestamp joins")

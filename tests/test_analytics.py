@@ -1,0 +1,41 @@
+"""Semantic invariants for the product-analytics operators
+(queries/analytics.py) beyond oracle parity: monotonicity of the
+funnel and the cumulative-user curve, and retention-triangle bounds.
+"""
+
+import os
+
+from impractical_impala_spark.queries.analytics import (
+    events_cohort_retention, events_cumulative_users, events_funnel)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+
+def test_funnel_monotone(spark):
+    row = events_funnel(spark, SF_DIR).collect()[0]
+    assert row.n_viewed >= row.n_clicked >= row.n_purchased
+    assert row.n_viewed > 0
+
+
+def test_cumulative_users_monotone(spark):
+    rows = events_cumulative_users(spark, SF_DIR).orderBy("day").collect()
+    assert rows, "no days"
+    assert all(r.new_users > 0 for r in rows)  # a day only appears via a first-touch
+    cums = [r.cum_users for r in rows]
+    assert cums == sorted(cums)
+    # running sum of new == cumulative, and the final point is the
+    # total distinct-user count
+    assert cums[-1] == sum(r.new_users for r in rows)
+
+
+def test_cohort_retention_bounds(spark):
+    rows = events_cohort_retention(spark, SF_DIR).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        assert r.week_offset >= 0  # activity can't precede first touch
+        by_cohort.setdefault(r.cohort_week, {})[r.week_offset] = r.n_users
+    for cohort, offs in by_cohort.items():
+        assert 0 in offs, f"cohort {cohort} missing its own week"
+        # week-0 count is the cohort size; later weeks can't exceed it
+        assert all(n <= offs[0] for n in offs.values())
