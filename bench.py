@@ -71,6 +71,8 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "q_global_rank",
     "multimodal_frame_sample",
+    "events_cohort_retention",
+    "events_gapfill_locf",
 ]
 
 

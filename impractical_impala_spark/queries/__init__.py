@@ -68,8 +68,9 @@ NEW_R3 = [
     "dedup_embedding_lsh", "split_cluster_safe", "q_global_rank",
     "multimodal_resized_checksum", "multimodal_frame_sample",
     # product-analytics wave: first-touch cumulative distinct, cohort
-    # retention, staged funnel (queries/analytics.py)
+    # retention, staged funnel, timeseries gap-fill (queries/analytics.py)
     "events_cumulative_users", "events_cohort_retention", "events_funnel",
+    "events_gapfill_locf",
 ]
 
 WINDOW = (
@@ -88,9 +89,11 @@ WINDOW = (
     # path by the two new resize/frame-sample rows, the all-pairs
     # embedding baseline + LSH re-fetch by dedup_embedding_lsh +
     # ann_dedup_pipeline, and the salted two-phase agg decomposition by
-    # q_global_rank's range+offset variant of the same idea)
+    # q_global_rank's range+offset variant of the same idea;
+    # q_range_band_join also keeps its r1 row — the non-equi broadcast
+    # shape reappears inside events_stream_join's interval condition)
     + ["dedup_minhash_lsh",
-       "q_asof_attribution", "q_range_band_join"]
+       "q_asof_attribution"]
 )
 
 set_window_order(WINDOW)

@@ -153,6 +153,72 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------- gap-fill + LOCF
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup per event_type on a *dense* hour spine: hours with
+    no events appear with n_events=0 and the last observed hourly sum
+    carried forward (LOCF) — the timeseries-store "gap fill" shape.
+
+    Scale shape: observations first reduce to one row per (series,
+    hour) — corpus-independent after the rollup — and the spine is
+    generated distributively (sequence + explode per series, never a
+    driver-side calendar). The LOCF window shuffles once on the series
+    key; a single pathologically-hot series would need the
+    range-chunked two-pass used by q_global_rank, noted here but not
+    warranted: spine cardinality is #series × #hours, bounded by
+    calendar time. The spine starts at each series' first observed
+    hour, so no partition has leading nulls and the fill is total.
+    Sums are rounded *before* the fill so carried values hash
+    identically on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.select("event_type", F.expr("ts_ns div 3600000000000").alias("hr"),
+                  "value")
+        .groupBy("event_type", "hr")
+        .agg(F.round(F.sum("value"), 4).alias("sum_value"),
+             F.count(F.lit(1)).alias("n_obs")))
+    spine = (
+        obs.groupBy("event_type")
+        .agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+        .select("event_type",
+                F.explode(F.sequence("h0", "h1")).alias("hr")))
+    w = (Window.partitionBy("event_type").orderBy("hr")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        spine.join(obs, ["event_type", "hr"], "left")
+        .select(
+            "event_type", "hr",
+            F.coalesce("n_obs", F.lit(0).cast("long")).alias("n_events"),
+            F.last("sum_value", ignorenulls=True).over(w)
+            .alias("sum_value_locf"),
+            F.col("n_obs").isNull().cast("int").alias("is_gap"),
+        )
+    )
+
+
+register("events_gapfill_locf", events_gapfill_locf, """
+WITH obs AS (
+    SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+           ROUND(SUM(value), 4) AS sum_value, COUNT(*) AS n_obs
+    FROM events GROUP BY event_type, hr
+), bounds AS (
+    SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1 FROM obs
+    GROUP BY event_type
+), spine AS (
+    SELECT event_type, UNNEST(range(h0, h1 + 1)) AS hr FROM bounds
+)
+SELECT s.event_type, s.hr,
+       COALESCE(o.n_obs, 0) AS n_events,
+       LAST_VALUE(o.sum_value IGNORE NULLS)
+           OVER (PARTITION BY s.event_type ORDER BY s.hr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sum_value_locf,
+       CAST(o.hr IS NULL AS INTEGER) AS is_gap
+FROM spine s LEFT JOIN obs o ON s.event_type = o.event_type AND s.hr = o.hr
+""", "dense hourly spine per series with LOCF fill (timeseries gap-fill)")
+
+
 register("events_funnel", events_funnel, """
 WITH viewed AS (
     SELECT user_id, MIN(epoch_us(ts)) AS view_us FROM events

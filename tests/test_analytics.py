@@ -6,7 +6,8 @@ funnel and the cumulative-user curve, and retention-triangle bounds.
 import os
 
 from impractical_impala_spark.queries.analytics import (
-    events_cohort_retention, events_cumulative_users, events_funnel)
+    events_cohort_retention, events_cumulative_users, events_funnel,
+    events_gapfill_locf)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
 
@@ -26,6 +27,27 @@ def test_cumulative_users_monotone(spark):
     # running sum of new == cumulative, and the final point is the
     # total distinct-user count
     assert cums[-1] == sum(r.new_users for r in rows)
+
+
+def test_gapfill_dense_spine_and_locf(spark):
+    rows = events_gapfill_locf(spark, SF_DIR).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for typ, series in by_type.items():
+        series.sort(key=lambda r: r.hr)
+        hrs = [r.hr for r in series]
+        assert hrs == list(range(hrs[0], hrs[-1] + 1)), f"{typ} spine has holes"
+        last_obs = None
+        for r in series:
+            if r.is_gap:
+                assert r.n_events == 0
+                assert r.sum_value_locf == last_obs  # carried forward
+            else:
+                assert r.n_events > 0
+                last_obs = r.sum_value_locf
+        assert series[0].is_gap == 0  # spine starts at first observation
 
 
 def test_cohort_retention_bounds(spark):
