@@ -71,6 +71,8 @@ NEW_R3 = [
     # retention, staged funnel, timeseries gap-fill (queries/analytics.py)
     "events_cumulative_users", "events_cohort_retention", "events_funnel",
     "events_gapfill_locf",
+    # per-label embedding centroids (class prototypes)
+    "emb_label_centroid",
 ]
 
 WINDOW = (
@@ -91,9 +93,11 @@ WINDOW = (
     # ann_dedup_pipeline, and the salted two-phase agg decomposition by
     # q_global_rank's range+offset variant of the same idea;
     # q_range_band_join also keeps its r1 row — the non-equi broadcast
-    # shape reappears inside events_stream_join's interval condition)
-    + ["dedup_minhash_lsh",
-       "q_asof_attribution"]
+    # shape reappears inside events_stream_join's interval condition;
+    # dedup_minhash_lsh keeps its r1 row — its band-bucket plan is
+    # unchanged since, and the whole minhash path re-runs inside the
+    # driver-window dedup_clusters/dedup_survivors pipeline anyway)
+    + ["q_asof_attribution"]
 )
 
 set_window_order(WINDOW)

@@ -230,3 +230,38 @@ FROM agg
 
 register("emb_pq_codes", emb_pq_codes, _pq_oracle(),
          "product-quantization codes with seed codebooks per subspace")
+
+
+# ---------------------------------------------------- label centroids
+def emb_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class prototypes), one row per
+    (label, dimension) — the reduce behind nearest-centroid
+    classification, per-class drift monitors, and IVF-style seeding
+    from labeled data.
+
+    Scale shape: posexplode multiplies rows by dim *before* the
+    shuffle, but the hash aggregate's map-side combine collapses each
+    task's output to ≤ labels × dim rows, so shuffle volume is
+    #partitions × #labels × dim — model-size, independent of corpus
+    row count. Output granularity (label, pos) keeps scalar columns
+    only: array-valued outputs hash differently across engines,
+    exploded rows are exact.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        ex.groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("c"),
+             F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
+register("emb_label_centroid", emb_label_centroid, """
+WITH ex AS (
+    SELECT label, unnest(embedding) AS v,
+           unnest(range(len(embedding))) AS pos
+    FROM embeddings
+)
+SELECT label, pos, ROUND(AVG(v), 6) AS c, COUNT(*) AS n_vecs
+FROM ex GROUP BY label, pos
+""", "per-label mean embedding (class prototypes), exploded granularity")
