@@ -260,3 +260,42 @@ def test_global_rank_has_no_data_funnel(spark, sf_small):
     assert "rangepartitioning" in plan, plan
     assert "hashpartitioning(__range_id" in plan, plan
     assert "HashAggregate" in plan  # per-range counts stage exists
+
+
+def test_analytics_cumulative_single_model_size_window(spark, sf_small):
+    """events_cumulative_users' only Window is the running sum over the
+    per-day frame — the corpus never crosses a single-partition
+    boundary, the #days model-size frame does (after two reduces)."""
+    plan = plan_of(_Q["events_cumulative_users"].build(spark, sf_small))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    # both reduces (user first-touch, per-day count) are partial+final
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 4
+
+
+def test_analytics_funnel_no_event_history_sort(spark, sf_small):
+    """The funnel must never sort or window a user's event history —
+    each stage is a min-agg + join; the only non-equi joins are the two
+    1-row count combines at the end."""
+    plan = plan_of(_Q["events_funnel"].build(spark, sf_small))
+    assert not re.findall(r"\(\d+\) Window\b", plan)
+    assert not re.findall(r"\(\d+\) Sort\b", plan)
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 2
+
+
+def test_analytics_gapfill_distributed_spine(spark, sf_small):
+    """The hour spine is generated executor-side (Generate from
+    sequence/explode — never a driver-built calendar) and the LOCF fill
+    is the single series-keyed Window."""
+    plan = plan_of(_Q["events_gapfill_locf"].build(spark, sf_small))
+    assert len(re.findall(r"\(\d+\) Generate\b", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+
+
+def test_centroid_map_side_combine(spark, sf_small):
+    """emb_label_centroid's posexplode fan-out must collapse via
+    partial aggregation before its single shuffle — the plan is
+    Generate -> partial HashAggregate -> Exchange -> final."""
+    plan = plan_of(_Q["emb_label_centroid"].build(spark, sf_small))
+    assert len(re.findall(r"\(\d+\) Generate\b", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2
