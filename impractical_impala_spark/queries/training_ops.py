@@ -15,8 +15,11 @@
 - ``quality_gate_survivors``: the composed quality funnel (length,
   word-shape, stopword gates) summarized per (lang, source) — the
   artifact a curation run reports.
+- ``corpus_training_manifest``: the funnel end-to-end — quality gate ->
+  exact dedup -> content-keyed split -> per-(split, lang) doc/token/
+  chunk totals, the manifest a training run consumes.
 
-All four are JVM expression-level (higher-order functions, no Python in
+All are JVM expression-level (higher-order functions, no Python in
 the hot path); every expression has an exact DuckDB twin so the whole
 family is hash-checked.
 """
@@ -246,3 +249,93 @@ FROM scored
 GROUP BY lang, source
 ORDER BY lang, source
 """, "length/word-shape/stopword quality funnel pass rates")
+
+
+# --------------------------------------------- composed training manifest
+def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation artifact, one query = the whole funnel:
+    quality gate (same thresholds as quality_gate_survivors) -> exact
+    dedup (keep min doc_id per content hash) -> content-keyed 80/10/10
+    split (bucketed on md5 of the CONTENT hash, so residual exact
+    duplicates could never straddle splits even if the dedup stage were
+    skipped; the near-dup-safe variant is split_cluster_safe) -> chunk
+    and token totals per (split, lang) — the manifest a training run
+    consumes.
+
+    Scale shape: one corpus scan computes gate signals + content hash
+    (pure expressions); dedup is one shuffle on the content hash;
+    the manifest agg is a tiny-key groupBy. Nothing corpus-sized ever
+    sits in one task, and the final artifact is model-size
+    (#splits x #langs rows).
+    """
+    from .curation import SPLIT_BUCKETS, _split_case
+
+    docs = load_table(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    scored = docs.select(
+        "doc_id", "lang", "text",
+        F.expr(f"size({_SPARK_WORDS})").alias("n_words"),
+        F.expr(f"cast(length(replace(text, ' ', '')) as double)"
+               f" / size({_SPARK_WORDS})").alias("avg_wlen"),
+        F.expr(f"cast(size(filter({_SPARK_WORDS}, w -> w IN ({stop_list})))"
+               f" as double) / size({_SPARK_WORDS})").alias("stop_ratio"),
+    )
+    passed = scored.filter(
+        F.col("n_words").between(MIN_WORDS, MAX_WORDS)
+        & F.col("avg_wlen").between(MIN_AVG_WLEN, MAX_AVG_WLEN)
+        & (F.col("stop_ratio") <= MAX_STOP_RATIO)
+    ).select("doc_id", "lang", "n_words", F.md5("text").alias("chash"))
+    reps = passed.groupBy("chash").agg(F.min("doc_id").alias("doc_id"))
+    kept = passed.join(reps, ["chash", "doc_id"])
+    h = f"conv(substring(md5(chash), 1, 7), 16, 10) % {SPLIT_BUCKETS}"
+    return (
+        kept.withColumn("split", F.expr(_split_case(h)))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_words").alias("n_tokens"),
+             F.sum(F.expr(f"(n_words + {CHUNK_TOKENS} - 1)"
+                          f" div {CHUNK_TOKENS}")).alias("n_chunks"))
+        .orderBy("split", "lang")
+    )
+
+
+def _manifest_oracle() -> str:
+    from .curation import SPLIT_BUCKETS, _split_case
+
+    h = (f"CAST(('0x' || substr(md5(chash), 1, 7)) AS BIGINT)"
+         f" % {SPLIT_BUCKETS}")
+    stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    return f"""
+WITH scored AS (
+    SELECT doc_id, lang, text,
+           len({_DUCK_WORDS}) AS n_words,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len({_DUCK_WORDS}) AS avg_wlen,
+           CAST(len(list_filter({_DUCK_WORDS}, w -> w IN ({stop_list})))
+                AS DOUBLE) / len({_DUCK_WORDS}) AS stop_ratio
+    FROM documents
+), passed AS (
+    SELECT doc_id, lang, n_words, md5(text) AS chash FROM scored
+    WHERE n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+      AND avg_wlen BETWEEN {MIN_AVG_WLEN} AND {MAX_AVG_WLEN}
+      AND stop_ratio <= {MAX_STOP_RATIO}
+), reps AS (
+    SELECT chash, MIN(doc_id) AS doc_id FROM passed GROUP BY chash
+), kept AS (
+    SELECT p.* FROM passed p JOIN reps r
+        ON p.chash = r.chash AND p.doc_id = r.doc_id
+)
+SELECT {_split_case(h)} AS split, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+       CAST(SUM((n_words + {CHUNK_TOKENS} - 1) // {CHUNK_TOKENS}) AS BIGINT)
+           AS n_chunks
+FROM kept
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
+register("corpus_training_manifest", corpus_training_manifest,
+         _manifest_oracle(),
+         "quality gate -> exact dedup -> content-keyed split -> manifest")
