@@ -1,15 +1,20 @@
-"""Product-analytics operators over the ``events`` stream table:
-cumulative distinct users, cohort retention, and funnel conversion.
+"""Product-analytics and timeseries operators over the ``events``
+table: cumulative distinct users, cohort retention, funnel conversion,
+gap-fill, and time-weighted averaging.
 
 These are the classic "analytics engine" shapes (think growth
-dashboards) whose naive forms do NOT scale — a running COUNT(DISTINCT)
-is quadratic, retention is a self-join, funnels are per-user sequence
-scans. Each query here is the *decomposed* form that survives 100 TB:
+dashboards and timeseries stores) whose naive forms do NOT scale — a
+running COUNT(DISTINCT) is quadratic, retention is a self-join,
+funnels are per-user sequence scans, calendars get built driver-side.
+Each query here is the *decomposed* form that survives 100 TB:
 
 - cumulative distinct = first-touch reduction (one shuffle on user_id)
   + model-size running sum over #days rows;
 - retention = bounded per-(user, week) distinct + one user-keyed join;
-- funnel = staged min-timestamp joins, never a per-user event sort.
+- funnel = staged min-timestamp joins, never a per-user event sort;
+- gap-fill = executor-side spine (sequence+explode) + one LOCF window;
+- time-weighted avg = lead() segments + per-series agg, integer-µs
+  weights.
 
 Reference has no analytics surface (SURVEY.md §1.3 — batch econometrics
 only); this is extension surface per §7/M6, same ``events`` fixture the
@@ -238,3 +243,50 @@ SELECT (SELECT COUNT(*) FROM viewed) AS n_viewed,
        (SELECT COUNT(*) FROM clicked) AS n_clicked,
        (SELECT COUNT(*) FROM purchased) AS n_purchased
 """, "view->click->purchase funnel via staged min-timestamp joins")
+
+
+# ------------------------------------------- time-weighted average
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per event_type over irregular
+    samples (LOCF segments): each observation holds until the next one,
+    so its weight is the microseconds until the series' next event —
+    the timeseries-store `time_weight` shape, where a plain AVG
+    over-counts bursts and under-counts sparse-but-long-held values.
+
+    Scale shape: one shuffle on the series key for the lead() window,
+    then a per-series agg; weights are integer microseconds end-to-end
+    so only the final division is floating point. The last observation
+    of each series has no segment and drops out (open-ended holds have
+    no duration). A single hot series would partition by (series,
+    time-bucket) with per-bucket partial sums instead — same
+    note as events_anomaly_zscore.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value",
+        F.expr("ts_ns div 1000").alias("ts_us"))
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    seg = ev.withColumn("w_us", F.lead("ts_us").over(w) - F.col("ts_us"))
+    return (
+        seg.filter(F.col("w_us").isNotNull())
+        .groupBy("event_type")
+        .agg(F.round(F.sum(F.col("value") * F.col("w_us"))
+                     / F.sum("w_us"), 6).alias("twa_value"),
+             F.count(F.lit(1)).alias("n_segments"))
+        .orderBy("event_type")
+    )
+
+
+register("events_time_weighted_avg", events_time_weighted_avg, """
+WITH seg AS (
+    SELECT event_type, value,
+           LEAD(epoch_us(ts)) OVER (PARTITION BY event_type
+                                    ORDER BY epoch_us(ts), event_id)
+               - epoch_us(ts) AS w_us
+    FROM events
+)
+SELECT event_type,
+       ROUND(SUM(value * w_us) / SUM(w_us), 6) AS twa_value,
+       COUNT(*) AS n_segments
+FROM seg WHERE w_us IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""", "time-weighted average per series (LOCF-segment weights)")

@@ -5,6 +5,8 @@ funnel and the cumulative-user curve, and retention-triangle bounds.
 
 import os
 
+from pyspark.sql import functions as F
+
 from impractical_impala_spark.queries.analytics import (
     events_cohort_retention, events_cumulative_users, events_funnel,
     events_gapfill_locf)
@@ -61,3 +63,23 @@ def test_cohort_retention_bounds(spark):
         assert 0 in offs, f"cohort {cohort} missing its own week"
         # week-0 count is the cohort size; later weeks can't exceed it
         assert all(n <= offs[0] for n in offs.values())
+
+
+def test_time_weighted_avg_bounded(spark):
+    from impractical_impala_spark.queries.analytics import (
+        events_time_weighted_avg)
+    from impractical_impala_spark.sources import load_table
+    rows = events_time_weighted_avg(spark, SF_DIR).collect()
+    assert rows
+    bounds = {
+        r.event_type: (r.lo, r.hi)
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in rows:
+        lo, hi = bounds[r.event_type]
+        # a convex combination of observed values stays inside them
+        assert lo <= r.twa_value <= hi
+        assert r.n_segments > 0
