@@ -23,9 +23,13 @@ from impractical_impala_spark.registry import all_queries
 _Q = all_queries()
 
 # one representative per risk class: window ranking, floating-point agg,
-# pair-generation self-join, LOCF as-of carry
-EXACT_CASES = ["w3_top1_per_group", "dedup_minhash_lsh", "q_asof_attribution"]
-FLOAT_CASES = ["q5_revenue_by_nation"]
+# pair-generation self-join, LOCF as-of carry, multi-reduce + join
+# (cohort: first-touch min, distinct, and a user-keyed join — all
+# integer outputs, so bit-exact), spine-generation + LOCF fill (the
+# carried value is a rounded float sum, so tolerance class)
+EXACT_CASES = ["w3_top1_per_group", "dedup_minhash_lsh", "q_asof_attribution",
+               "events_cohort_retention"]
+FLOAT_CASES = ["q5_revenue_by_nation", "events_gapfill_locf"]
 FLOAT_RTOL = 1e-9
 
 
