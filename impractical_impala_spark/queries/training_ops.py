@@ -18,10 +18,14 @@
 - ``corpus_training_manifest``: the funnel end-to-end — quality gate ->
   exact dedup -> content-keyed split -> per-(split, lang) doc/token/
   chunk totals, the manifest a training run consumes.
+- ``text_heavy_hitters``: exact 3-gram heavy hitters by two-pass
+  local-frequent candidates (Arrow-batch value_counts — the one
+  deliberate Python stage in this module, vectorized, no shuffle) +
+  broadcast-semi-join exact confirm.
 
-All are JVM expression-level (higher-order functions, no Python in
-the hot path); every expression has an exact DuckDB twin so the whole
-family is hash-checked.
+Everything else is JVM expression-level (higher-order functions, no
+Python in the hot path); every query has an exact DuckDB twin so the
+whole family is hash-checked.
 """
 
 from __future__ import annotations
@@ -339,3 +343,79 @@ ORDER BY split, lang
 register("corpus_training_manifest", corpus_training_manifest,
          _manifest_oracle(),
          "quality gate -> exact dedup -> content-keyed split -> manifest")
+
+
+# --------------------------------------------------- exact heavy hitters
+HH_FRACTION = 0.0002  # report 3-grams above this corpus frequency
+HH_MIN_COUNT = 3      # absolute floor so tiny corpora stay meaningful
+
+_SPARK_3G = ("CASE WHEN size({w}) >= 3 THEN"
+             " transform(sequence(1, size({w}) - 2),"
+             " i -> concat_ws(' ', slice({w}, i, 3)))"
+             " ELSE array() END")
+_DUCK_3G = ("list_transform(range(1, greatest(len({w}) - 2, 0) + 1),"
+            " i -> array_to_string(list_slice({w}, i, i + 2), ' '))")
+
+
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus-frequency heavy hitters (word 3-grams above
+    HH_FRACTION of all 3-gram occurrences) via the two-pass
+    candidate/confirm algorithm — the shape that works when the key
+    space (n-grams) grows with the corpus and a full groupBy would
+    shuffle the lake.
+
+    Pass 1 (candidates, no shuffle): each Arrow batch emits the
+    n-grams that are locally frequent (count >= batch_rows x
+    HH_FRACTION). Pigeonhole guarantees NO false negative: an n-gram
+    globally above the threshold must be locally above it in at least
+    one batch — so the candidate set is a provable superset and the
+    final answer is exact, not approximate. Pass 2 (confirm): semi-join
+    the corpus to the (size-gated broadcast) candidates and count
+    exactly; only candidate rows ever shuffle. At test scale the local
+    thresholds floor at 1 and the candidate set degrades toward
+    all-distinct (still correct, just unpruned); at lake scale
+    batch_rows x fraction >> 1 and candidates collapse to the true
+    heavy tail — the pruning kicks in exactly when it matters. The
+    absolute-count floor keeps the guarantee: threshold >= N x
+    fraction always, so the superset argument never weakens.
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas batches are pandas)
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(F.expr(_SPARK_3G.format(w=_SPARK_WORDS))).alias("ng"))
+
+    def _local_frequent(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            t = max(int(len(pdf) * HH_FRACTION), 1)
+            vc = pdf["ng"].value_counts()
+            yield vc[vc >= t].rename_axis("ng").reset_index()[["ng"]]
+
+    cands = grams.mapInPandas(_local_frequent, schema="ng string").distinct()
+    total = grams.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        grams.join(maybe_broadcast(cands, sf_dir, "documents"),
+                   "ng", "left_semi")
+        .groupBy("ng").agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(total)
+        .filter(F.col("c") >= F.greatest(
+            F.ceil(F.col("n_total") * F.lit(HH_FRACTION)),
+            F.lit(HH_MIN_COUNT)))
+        .select("ng", "c")
+    )
+
+
+register("text_heavy_hitters", text_heavy_hitters, f"""
+WITH g AS (
+    SELECT unnest({_DUCK_3G.format(w=_DUCK_WORDS)}) AS ng FROM documents
+), tot AS (
+    SELECT COUNT(*) AS n_total FROM g
+)
+SELECT ng, COUNT(*) AS c
+FROM g, tot
+GROUP BY ng, tot.n_total
+HAVING COUNT(*) >= GREATEST(CEIL(tot.n_total * {HH_FRACTION}),
+                            {HH_MIN_COUNT})
+""", "exact 3-gram heavy hitters via local-frequent candidates + confirm")
