@@ -18,10 +18,11 @@ re-confirmations of families whose last row is oldest. History:
   (dedup_ngram_jaccard's new blocking key, q15's de-funneled max,
   dedup_survivors, ann_ivf_trained), the brand-new round-3 queries, and
   r1-era families as fill — every slot earns a row.
-- r4 rotation candidates, in priority order: corpus_training_manifest
-  (registered late in r3, never checked), then the r1-green families
-  rotated out this round (see the fill comment below), then
-  re-confirmations of whatever r3 proves.
+- r4 rotation candidates, in priority order: the queries registered
+  late in r3 after the window filled (corpus_training_manifest,
+  events_time_weighted_avg, text_heavy_hitters — never checked), then
+  the r1-green families rotated out this round (see the fill comment
+  below), then re-confirmations of whatever r3 proves.
 """
 
 from ..registry import set_window_order

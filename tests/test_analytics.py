@@ -83,3 +83,22 @@ def test_time_weighted_avg_bounded(spark):
         # a convex combination of observed values stays inside them
         assert lo <= r.twa_value <= hi
         assert r.n_segments > 0
+
+
+def test_heavy_hitters_batch_size_invariant(spark):
+    """The candidate pass runs per Arrow batch; the pigeonhole superset
+    guarantee means the FINAL answer must not depend on how the corpus
+    is batched. Shrinking maxRecordsPerBatch 10000 -> 37 reshapes every
+    local threshold; the confirmed output must be identical."""
+    from impractical_impala_spark.queries.training_ops import (
+        text_heavy_hitters)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    orig = spark.conf.get(key)
+    a = sorted(map(tuple, text_heavy_hitters(spark, SF_DIR).collect()))
+    try:
+        spark.conf.set(key, "37")
+        b = sorted(map(tuple, text_heavy_hitters(spark, SF_DIR).collect()))
+    finally:
+        spark.conf.set(key, orig)
+    assert a == b
+    assert a  # fixture has heavy hitters
