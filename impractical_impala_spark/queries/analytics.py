@@ -290,3 +290,57 @@ SELECT event_type,
 FROM seg WHERE w_us IS NOT NULL
 GROUP BY event_type ORDER BY event_type
 """, "time-weighted average per series (LOCF-segment weights)")
+
+
+# --------------------------------------------- rolling active users
+WAU_DAYS = 7
+
+
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day: distinct users active in the trailing 7 days (WAU) —
+    the rolling-distinct growth metric a sliding COUNT(DISTINCT)
+    window cannot express (distinct doesn't decompose over frames).
+
+    Scale shape: the corpus reduces once to distinct (user, day) pairs
+    — bounded by users × days — then each pair fans out to the 7
+    as-of days it keeps the user active for (a ×7 expansion of the
+    REDUCED frame, never of the corpus), a second distinct collapses
+    overlaps, and the count per as-of day is a tiny-key agg. Day
+    arithmetic stays integer epoch-days end-to-end; the trailing
+    window is clipped to the observed span via a 1-row max cross join
+    (no driver-side calendar, no single-partition window anywhere).
+    Early days report their partial trailing window, matching the
+    usual dashboard convention.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns div 86400000000000").alias("d"))
+    ud = ev.distinct()
+    mx = ud.agg(F.max("d").alias("mxd"))
+    expanded = (
+        ud.select("user_id",
+                  F.explode(F.expr(f"sequence(d, d + {WAU_DAYS - 1})"))
+                  .alias("day_idx"))
+        .distinct()
+    )
+    return (
+        expanded.crossJoin(mx)
+        .filter(F.col("day_idx") <= F.col("mxd"))
+        .groupBy("day_idx")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+
+
+register("events_rolling_active_users", events_rolling_active_users, f"""
+WITH ud AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+), mx AS (
+    SELECT MAX(d) AS mxd FROM ud
+), expanded AS (
+    SELECT DISTINCT user_id, d + off.o AS day_idx
+    FROM ud CROSS JOIN (SELECT unnest(range(0, {WAU_DAYS})) AS o) off
+)
+SELECT day_idx, COUNT(*) AS wau
+FROM expanded, mx
+WHERE day_idx <= mxd
+GROUP BY day_idx
+""", "trailing-7-day distinct active users (reduced-frame fan-out)")

@@ -102,3 +102,23 @@ def test_heavy_hitters_batch_size_invariant(spark):
         spark.conf.set(key, orig)
     assert a == b
     assert a  # fixture has heavy hitters
+
+
+def test_rolling_active_users_bounds(spark):
+    from impractical_impala_spark.queries.analytics import (
+        events_rolling_active_users)
+    from impractical_impala_spark.sources import load_table
+    wau = {r.day_idx: r.wau for r in
+           events_rolling_active_users(spark, SF_DIR).collect()}
+    assert wau
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", F.expr("ts_ns div 86400000000000").alias("d"))
+    dau = {r.d: r.n for r in ev.distinct().groupBy("d")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    total_users = ev.select("user_id").distinct().count()
+    for d, n in wau.items():
+        # trailing-window distinct is sandwiched between the day's own
+        # distinct count and the whole population
+        assert dau.get(d, 0) <= n <= total_users
+    # a 7-day window covering the full span must see every user
+    assert max(wau.values()) <= total_users
