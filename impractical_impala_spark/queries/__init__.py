@@ -20,9 +20,10 @@ re-confirmations of families whose last row is oldest. History:
   r1-era families as fill — every slot earns a row.
 - r4 rotation candidates, in priority order: the queries registered
   late in r3 after the window filled (corpus_training_manifest,
-  events_time_weighted_avg, text_heavy_hitters — never checked), then
-  the r1-green families rotated out this round (see the fill comment
-  below), then re-confirmations of whatever r3 proves.
+  events_time_weighted_avg, text_heavy_hitters,
+  events_rolling_active_users — never checked), then the r1-green
+  families rotated out this round (see the fill comment below), then
+  re-confirmations of whatever r3 proves.
 """
 
 from ..registry import set_window_order
