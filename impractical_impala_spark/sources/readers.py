@@ -45,22 +45,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     filters and projections placed on the result are pushed into the scan
     by Catalyst, which is the whole point of staying declarative.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    (microseconds) cannot hold; we read it as a nanosecond epoch long
-    (``ts_ns``, the lossless form) and derive a microsecond ``ts``
-    timestamp for window/watermark operators."""
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) in some fixture
+    generations and TIMESTAMP(MICROS, isAdjustedToUTC=false) in others, so
+    the loader adapts to the stored physical type and always exposes the
+    same two columns: ``ts_ns`` (bigint epoch nanoseconds, the arithmetic
+    form every downstream query bins on) and ``ts`` (TIMESTAMP_NTZ
+    wall-clock, session-TZ independent, for window/watermark operators)."""
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
     if name == "events":
-        # nanosAsLong lets Spark resolve the TIMESTAMP(NANOS) column at
-        # all (TimestampType is microseconds); scoped to this read path —
-        # no other table carries nanos.
+        # nanosAsLong lets Spark resolve a TIMESTAMP(NANOS) column at
+        # all (TimestampType is microseconds); harmless for micros data
+        # and scoped to this read path — no other table carries nanos.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", ntz_from_epoch_us(F.expr("ts_ns div 1000")))
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # TIMESTAMP(NANOS) read as raw epoch-nano longs
+            df = (
+                df.withColumnRenamed("ts", "ts_ns")
+                .withColumn("ts", ntz_from_epoch_us(F.expr("ts_ns div 1000")))
+            )
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false): already the NTZ
+            # wall-clock we want; derive the epoch form field-wise so it
+            # is independent of the session timezone.
+            df = df.withColumn(
+                "ts_ns", epoch_us_from_ntz(F.col("ts")) * F.lit(1000))
+        else:
+            # TZ-adjusted TIMESTAMP: unix_micros is the absolute instant;
+            # rebuild ts as deterministic NTZ from it.
+            us = F.unix_micros(F.col("ts"))
+            df = (
+                df.withColumn("ts_ns", us * F.lit(1000))
+                .withColumn("ts", ntz_from_epoch_us(us))
+            )
+        # stable column order regardless of which physical type shipped
+        return df.select(
+            "event_id", "ts_ns", "user_id", "event_type", "value", "props", "ts")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -90,6 +112,22 @@ def ntz_from_epoch_us(us: Column) -> Column:
         ((rem % F.lit(3_600_000_000)) / F.lit(60_000_000)).cast("int"),
         (rem % F.lit(60_000_000)) / F.lit(1_000_000.0),
     )
+
+
+def epoch_us_from_ntz(ts: Column) -> Column:
+    """TIMESTAMP_NTZ wall-clock (interpreted as UTC) -> epoch microseconds,
+    via pure field extraction (date/hour/minute/fractional-second) so the
+    result never consults the session timezone — the exact inverse of
+    ntz_from_epoch_us. unix_date is days-since-epoch on DateType (negative
+    for pre-1970), and date_part('SECOND') carries the microsecond
+    fraction as an exact decimal, so the round-trip is lossless."""
+    days = F.unix_date(F.to_date(ts)).cast("long")
+    tod_us = (
+        F.hour(ts).cast("long") * F.lit(3_600_000_000)
+        + F.minute(ts).cast("long") * F.lit(60_000_000)
+        + (F.date_part(F.lit("SECOND"), ts) * F.lit(1_000_000)).cast("long")
+    )
+    return days * F.lit(86_400_000_000) + tod_us
 
 
 def load_tables(spark: SparkSession, sf_dir: str,

@@ -33,11 +33,21 @@ EVENTS_SCHEMA = T.StructType([
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one
     micro-batch under AvailableNow; on a real deployment this is the
-    kafka/file drop directory)."""
+    kafka/file drop directory).
+
+    File streams require a declared schema, and the fixture's ``ts`` has
+    shipped as both TIMESTAMP(NANOS) (read as epoch-nano longs) and
+    TIMESTAMP(MICROS) NTZ across generations — sniff the footer with a
+    cheap batch metadata read and declare whichever is stored."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stored = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    schema = T.StructType([
+        f if f.name != "ts" else T.StructField("ts", stored)
+        for f in EVENTS_SCHEMA.fields
+    ])
     # file-stream sources take a DIRECTORY; glob-filter to the events file
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
@@ -47,10 +57,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session timezone — run streaming sessions in UTC (get_spark does).
     # The driver-checked batch twins use TIMESTAMP_NTZ and are
     # timezone-independent (sources/readers.py::ntz_from_epoch_us).
-    return (
-        raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
-    )
+    if isinstance(stored, T.LongType):
+        return (
+            raw.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        )
+    if isinstance(stored, T.TimestampNTZType):
+        # NTZ wall-clock -> absolute instant: the streaming sessions run
+        # UTC (get_spark), so the cast is an identity on the fields.
+        from ..sources.readers import epoch_us_from_ntz
+        us = epoch_us_from_ntz(F.col("ts"))
+        return (
+            raw.withColumn("ts_ns", us * F.lit(1000))
+            .withColumn("ts", F.timestamp_micros(us))
+        )
+    return raw.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
 
 
 def hourly_event_counts(events: DataFrame,
