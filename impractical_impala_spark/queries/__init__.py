@@ -34,7 +34,7 @@ from . import (reference_ops, stats_ops, tpch, tpch_more,  # noqa: F401
                sketches, multimodal,
                tpch_plus, training_extras, windows_plus, tpch_plus2,
                streams_plus, tpch_final, pipelines, training_ops,
-               curation, analytics)
+               curation, analytics, lakehouse, ml_more)
 
 # Queries whose r3 driver row FAILED: the fixture's events.ts physical
 # type changed between rounds (TIMESTAMP(NANOS)->TIMESTAMP(MICROS) NTZ),
@@ -55,7 +55,14 @@ NEVER_CHECKED_R3 = [
 ]
 
 # New in round 4 — first driver exposure (appended as they are built).
-NEW_R4 = []
+NEW_R4 = [
+    # lakehouse maintenance (queries/lakehouse.py)
+    "scd2_user_state", "cdc_latest_state", "snapshot_diff",
+    "bucketed_join_segments",
+    # distributed-ML support (queries/ml_more.py)
+    "emb_covariance", "user_pagerank", "text_winsorized_stats",
+    "curriculum_buckets", "events_markov_transitions",
+]
 
 # r1-era fill: rows from CORRECTNESS_r01 are now three rounds old; these
 # are the fourteen rotated out of the r3 window plus the two held back

@@ -1,0 +1,360 @@
+"""Distributed-ML support operators: single-pass covariance over the
+embedding corpus, fixed-iteration PageRank, winsorized robust stats,
+percentile-cut curriculum bucketing, and Markov transition matrices.
+
+The reference computes per-series moments in R (sd/corr/acf —
+dtrendandstat_dlog.R:150-219); this module is the extension surface for
+the matrix- and graph-shaped statistics a training pipeline needs, each
+decomposed to Spark's execution model:
+
+- covariance: sufficient statistics in ONE corpus pass — per-batch
+  partial Gram matrices (Arrow-vectorized numpy X^T X inside
+  mapInPandas) summed by (i, j), column sums JVM-side via posexplode;
+  the d×d result and the final (S_ij - S_i S_j / n) / (n-1) projection
+  are model-size. No row of the corpus crosses the shuffle: only d²
+  partials per batch do.
+- PageRank: rank vector stays distributed (one row per node); each of
+  the 3 fixed iterations is one co-partitioned join + map-side-combined
+  sum. Fixed iteration count keeps lineage bounded (contrast
+  operators/graph.py's converge-and-checkpoint loop, which this
+  deliberately does not need).
+- winsorized stats / curriculum buckets: percentile cutpoints reduce to
+  a model-size frame (per-group or 1-row) broadcast back over the
+  corpus — the scalable alternative to a global NTILE window, which
+  would funnel the corpus through one task.
+- Markov transitions: one shuffle on the sequence key for the lead()
+  window, then a tiny-key count matrix; probabilities attach via a
+  broadcast join against per-source totals, not a second window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+DIM = 64  # embeddings fixture dimension (TESTDATA.md)
+
+
+# ------------------------------------------------ single-pass covariance
+# Fixed-point quantization scale. Float sums are order-dependent, and a
+# distributed sum's order is partition-dependent — so the sufficient
+# statistics are computed over floor(x * 1024) integers (1024 is a power
+# of two: float32 -> double -> *1024 -> floor is EXACT on both engines),
+# making every sum a bigint with one deterministic value. The only
+# floating-point ops are the final model-size projection, an identical
+# expression tree on both engines. Products |xq| <= ~2^13 summed over
+# the corpus stay far inside int64 until ~2^37 rows per (i, j) cell —
+# at larger corpora the partials switch to decimal(38).
+Q_SCALE = 1024
+
+
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the (quantized) embedding
+    corpus via one-pass sufficient statistics: cov_ij = (S_ij - S_i S_j
+    / n) / (n - 1), S_ij from per-batch integer numpy Gram partials
+    (Arrow-vectorized mapInPandas), S_i from a JVM-side posexplode
+    aggregation. Output is d(d+1)/2 model-size rows; no corpus row
+    crosses the shuffle — only d² bigint partials per batch do.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram_partials(batches):
+        iu = np.triu_indices(DIM)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            xq = np.floor(x * Q_SCALE).astype(np.int64)
+            g = xq.T @ xq
+            yield pd.DataFrame({
+                "i": iu[0].astype("int32"), "j": iu[1].astype("int32"),
+                "s": g[iu]})
+
+    gram = (
+        emb.mapInPandas(gram_partials, "i int, j int, s long")
+        .groupBy("i", "j").agg(F.sum("s").alias("s_ij"))
+    )
+    xq = F.floor(F.col("x").cast("double") * Q_SCALE).cast("long")
+    stats = (
+        emb.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum(xq).alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    sa = stats.select(F.col("i"), F.col("s").alias("s_i"), "n")
+    sb = stats.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+    unscale = float(Q_SCALE * Q_SCALE)
+    return (
+        gram.join(F.broadcast(sa), "i").join(F.broadcast(sb), "j")
+        .select(
+            "i", "j",
+            # + 0.0 folds IEEE -0.0 to +0.0: a tiny negative covariance
+            # rounds to zero with an engine-dependent sign otherwise
+            (F.round((F.col("s_ij").cast("double")
+                      - F.col("s_i").cast("double")
+                      * F.col("s_j").cast("double") / F.col("n"))
+                     / (F.col("n") - 1) / F.lit(unscale), 6)
+             + F.lit(0.0)).alias("cov"))
+        .orderBy("i", "j")
+    )
+
+
+register("emb_covariance", emb_covariance, f"""
+WITH idx AS (
+    SELECT UNNEST(range(1, {DIM} + 1)) AS k
+), ex AS (
+    SELECT vec_id, k - 1 AS i,
+           CAST(FLOOR(CAST(embedding[k] AS DOUBLE) * {Q_SCALE}) AS BIGINT)
+               AS xq
+    FROM embeddings CROSS JOIN idx
+), gram AS (
+    SELECT a.i AS i, b.i AS j, SUM(a.xq * b.xq) AS s_ij
+    FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+), stats AS (
+    SELECT i, SUM(xq) AS s, COUNT(*) AS n FROM ex GROUP BY i
+)
+SELECT g.i, g.j,
+       ROUND((CAST(g.s_ij AS DOUBLE)
+              - CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE) / sa.n)
+             / (sa.n - 1) / {float(Q_SCALE * Q_SCALE)}, 6) + 0.0 AS cov
+FROM gram g JOIN stats sa ON g.i = sa.i JOIN stats sb ON g.j = sb.i
+ORDER BY g.i, g.j
+""", "one-pass covariance via integer Gram partials (fixed-point exact)")
+
+
+# --------------------------------------------------------- pagerank
+PR_ITERS = 3
+PR_DAMP = 0.85
+PR_TOP = 25
+
+
+def user_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the user co-activity graph: users adjacent in the
+    sorted roster of each (hour, event_type) cohort are linked, edges
+    symmetrized, then 3 damped power iterations. Returns the top 25
+    users by rank (ties broken by user_id).
+
+    The graph construction (distinct cohort membership -> per-cohort
+    lead()) bounds edges at one per roster adjacency — no cohort
+    self-join, so a hot cohort contributes linearly, not quadratically.
+    Every node has degree >= 1 by construction (symmetrized), so the
+    iteration never drops nodes and needs no dangling-mass correction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ua = (ev.select("user_id",
+                    F.expr("ts_ns div 3600000000000").alias("hr"),
+                    "event_type")
+          .distinct())
+    w = Window.partitionBy("hr", "event_type").orderBy("user_id")
+    e0 = (ua.withColumn("b", F.lead("user_id").over(w))
+          .filter(F.col("b").isNotNull())
+          .select(F.col("user_id").alias("a"), "b"))
+    edges = (e0.unionByName(e0.select(F.col("b").alias("a"),
+                                      F.col("a").alias("b")))
+             .distinct())
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("d")) \
+               .withColumnRenamed("a", "node")
+    nrow = deg.agg(F.count(F.lit(1)).alias("n"))
+    pr = deg.crossJoin(F.broadcast(nrow)) \
+            .select("node", (F.lit(1.0) / F.col("n")).alias("pr"))
+    for _ in range(PR_ITERS):
+        src = pr.join(deg, "node")
+        contrib = (
+            edges.join(src, edges.a == src.node)
+            .groupBy("b")
+            .agg(F.sum(F.col("pr") / F.col("d")).alias("m"))
+        )
+        pr = (contrib.crossJoin(F.broadcast(nrow))
+              .select(F.col("b").alias("node"),
+                      ((1 - PR_DAMP) / F.col("n")
+                       + PR_DAMP * F.col("m")).alias("pr")))
+    return (
+        pr.select(F.col("node").alias("user_id"),
+                  F.round("pr", 8).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "user_id")
+        .limit(PR_TOP)
+    )
+
+
+def _pagerank_oracle() -> str:
+    prev = "pr0"
+    iters = []
+    for k in range(1, PR_ITERS + 1):
+        iters.append(f"""pr{k} AS (
+    SELECT e.b AS node,
+           (1 - {PR_DAMP}) / (SELECT n FROM nn)
+           + {PR_DAMP} * SUM(p.pr / d.d) AS pr
+    FROM edges e JOIN {prev} p ON p.node = e.a JOIN deg d ON d.node = e.a
+    GROUP BY e.b
+)""")
+        prev = f"pr{k}"
+    return f"""
+WITH ua AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hr, event_type
+    FROM events
+), e0 AS (
+    SELECT a, b FROM (
+        SELECT user_id AS a,
+               LEAD(user_id) OVER (PARTITION BY hr, event_type
+                                   ORDER BY user_id) AS b
+        FROM ua
+    ) WHERE b IS NOT NULL
+), edges AS (
+    SELECT DISTINCT a, b FROM (
+        SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0
+    )
+), deg AS (
+    SELECT a AS node, COUNT(*) AS d FROM edges GROUP BY a
+), nn AS (
+    SELECT COUNT(*) AS n FROM deg
+), pr0 AS (
+    SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM deg
+), {", ".join(iters)}
+SELECT node AS user_id, ROUND(pr, 8) AS pagerank
+FROM {prev} ORDER BY pagerank DESC, user_id LIMIT {PR_TOP}
+"""
+
+
+register("user_pagerank", user_pagerank, _pagerank_oracle(),
+         "3-iteration damped PageRank over the co-activity graph")
+
+
+# ------------------------------------------------- winsorized stats
+def text_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winsorized mean of document length: clip at the
+    in-group P05/P95 before averaging — the robust-stat companion to
+    the plain mean, immune to the long tail a crawl corpus always has.
+    Cutpoints reduce to one row per language and broadcast back; the
+    corpus is scanned twice but never shuffled beyond the lang-keyed
+    aggs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("double").alias("x"))
+    pct = docs.groupBy("lang").agg(
+        F.expr("percentile(x, 0.05)").alias("p05"),
+        F.expr("percentile(x, 0.95)").alias("p95"))
+    return (
+        docs.join(F.broadcast(pct), "lang")
+        .withColumn("cx", F.least(F.greatest(F.col("x"), F.col("p05")),
+                                  F.col("p95")))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg("cx"), 6).alias("winsor_mean"),
+             F.round(F.avg("x"), 6).alias("raw_mean"))
+        .orderBy("lang")
+    )
+
+
+register("text_winsorized_stats", text_winsorized_stats, """
+WITH pct AS (
+    SELECT lang,
+           quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS p05,
+           quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS p95
+    FROM documents GROUP BY lang
+)
+SELECT d.lang, COUNT(*) AS n_docs,
+       ROUND(AVG(LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), p.p05), p.p95)), 6)
+           AS winsor_mean,
+       ROUND(AVG(CAST(d.n_chars AS DOUBLE)), 6) AS raw_mean
+FROM documents d JOIN pct p USING (lang)
+GROUP BY d.lang ORDER BY d.lang
+""", "per-language winsorized (P05/P95-clipped) mean length")
+
+
+# ---------------------------------------------- curriculum bucketing
+def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to 4 curriculum buckets by global length
+    quartile and summarize each bucket. The cutpoints are a 1-row
+    percentile aggregate broadcast over the corpus — NOT a global
+    NTILE window, which would sort the whole corpus in one task. At
+    100 TB the exact percentile becomes approx_percentile with the
+    same downstream plan (see queries/sketches.py)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("double").alias("x"))
+    cuts = docs.agg(
+        F.expr("percentile(x, array(0.25, 0.5, 0.75))").alias("c"))
+    bucket = (
+        F.when(F.col("x") <= F.col("c")[0], 1)
+        .when(F.col("x") <= F.col("c")[1], 2)
+        .when(F.col("x") <= F.col("c")[2], 3)
+        .otherwise(4)
+    ).cast("long")
+    return (
+        docs.crossJoin(F.broadcast(cuts))
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.min("x"), 2).alias("min_chars"),
+             F.round(F.max("x"), 2).alias("max_chars"),
+             F.round(F.avg("x"), 6).alias("avg_chars"))
+        .orderBy("bucket")
+    )
+
+
+register("curriculum_buckets", curriculum_buckets, """
+WITH cuts AS (
+    SELECT quantile_cont(CAST(n_chars AS DOUBLE), [0.25, 0.5, 0.75]) AS c
+    FROM documents
+), b AS (
+    SELECT CAST(CASE WHEN CAST(n_chars AS DOUBLE) <= c[1] THEN 1
+                     WHEN CAST(n_chars AS DOUBLE) <= c[2] THEN 2
+                     WHEN CAST(n_chars AS DOUBLE) <= c[3] THEN 3
+                     ELSE 4 END AS BIGINT) AS bucket,
+           CAST(n_chars AS DOUBLE) AS x
+    FROM documents CROSS JOIN cuts
+)
+SELECT bucket, COUNT(*) AS n_docs,
+       ROUND(MIN(x), 2) AS min_chars, ROUND(MAX(x), 2) AS max_chars,
+       ROUND(AVG(x), 6) AS avg_chars
+FROM b GROUP BY bucket ORDER BY bucket
+""", "quartile curriculum buckets via broadcast cutpoints (no global NTILE)")
+
+
+# ------------------------------------------------ markov transitions
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: counts and row-normalized probabilities for every
+    (current, next) event-type pair. ONE corpus pass: a user-keyed
+    lead() window, then the #types² model-size count matrix; the
+    per-source normalization is a window over that tiny matrix —
+    deriving totals from a second aggregation branch would re-run the
+    whole corpus subtree (no common-subplan reuse at planning time),
+    which the plan test pins by asserting a single parquet scan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.expr("ts_ns div 1000").alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    tr = (ev.withColumn("next_type", F.lead("event_type").over(w))
+          .filter(F.col("next_type").isNotNull()))
+    cnt = (tr.groupBy(F.col("event_type").alias("src"),
+                      F.col("next_type").alias("dst"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    wsrc = Window.partitionBy("src")
+    return (
+        cnt.select("src", "dst", "n",
+                   F.round(F.col("n") / F.sum("n").over(wsrc), 6).alias("p"))
+        .orderBy("src", "dst")
+    )
+
+
+register("events_markov_transitions", events_markov_transitions, """
+WITH tr AS (
+    SELECT event_type AS src, next_type AS dst FROM (
+        SELECT event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id)
+                   AS next_type
+        FROM events
+    ) WHERE next_type IS NOT NULL
+), cnt AS (
+    SELECT src, dst, COUNT(*) AS n FROM tr GROUP BY src, dst
+)
+SELECT src, dst, n,
+       ROUND(n / SUM(n) OVER (PARTITION BY src), 6) AS p
+FROM cnt ORDER BY src, dst
+""", "per-user event-sequence Markov transition counts + probabilities")

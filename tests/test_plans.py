@@ -299,3 +299,73 @@ def test_centroid_map_side_combine(spark, sf_small):
     assert len(re.findall(r"\(\d+\) Generate\b", plan)) == 1
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_small):
+    """bucketed_join_segments' whole point: with broadcast disabled the
+    custkey join must be a SortMergeJoin fed DIRECTLY by the two
+    bucketed scans — zero Exchange between scan and join. The only
+    exchanges allowed are the post-join aggregation's."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(_Q["bucketed_join_segments"].build(spark, sf_small))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 1
+    assert plan.count("Bucketed: true") == 2, plan
+    # exchanges exist only above the join (groupBy + orderBy), so the
+    # join node id must be smaller than every exchange node id
+    join_id = int(re.search(r"\((\d+)\) SortMergeJoin", plan).group(1))
+    exch_ids = [int(m) for m in re.findall(r"\((\d+)\) Exchange", plan)]
+    assert exch_ids and all(e > join_id for e in exch_ids), plan
+
+
+def test_cdc_latest_has_no_window(spark, sf_small):
+    """cdc_latest_state must use the map-side-combinable struct max —
+    never a ROW_NUMBER window, which would sort each key's history."""
+    plan = plan_of(_Q["cdc_latest_state"].build(spark, sf_small))
+    assert not re.findall(r"\(\d+\) Window\b", plan)
+    # struct max is not hash-aggregable, so the per-user reduce plans as
+    # SortAggregate — crucially WITH a partial (map-side) mode before its
+    # exchange; the state rollup on top stays a HashAggregate pair
+    assert len(re.findall(r"\(\d+\) SortAggregate", plan)) == 2
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2
+
+
+def test_scd2_reuses_one_user_shuffle(spark, sf_small):
+    """Both SCD2 windows partition and order identically, so the plan
+    must carry exactly ONE user_id exchange (the change filter runs
+    between window passes without repartitioning)."""
+    plan = plan_of(_Q["scd2_user_state"].build(spark, sf_small))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(user_id", plan
+
+
+def test_covariance_corpus_stays_out_of_shuffle(spark, sf_small):
+    """emb_covariance's corpus pass happens inside MapInPandas (gram
+    partials) and Generate (posexplode with partial agg); the stats
+    frames attach via pinned broadcasts, never a corpus-side shuffle
+    join."""
+    plan = plan_of(_Q["emb_covariance"].build(spark, sf_small))
+    assert "MapInPandas" in plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2
+    assert not re.findall(r"\(\d+\) SortMergeJoin", plan)
+
+
+def test_curriculum_has_no_global_window(spark, sf_small):
+    """Bucket assignment must come from broadcast percentile cutpoints,
+    never a global NTILE window (a corpus funnel)."""
+    plan = plan_of(_Q["curriculum_buckets"].build(spark, sf_small))
+    assert not re.findall(r"\(\d+\) Window\b", plan)
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+
+
+def test_markov_single_corpus_pass(spark, sf_small):
+    """events_markov_transitions must scan the corpus ONCE: lead()
+    window + count matrix, normalized by a window over the model-size
+    matrix. A totals branch re-derived from the counts would duplicate
+    the whole scan->window->agg subtree (two scans)."""
+    plan = plan_of(_Q["events_markov_transitions"].build(spark, sf_small))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2
