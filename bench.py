@@ -73,6 +73,17 @@ HEADLINE = [
     "multimodal_frame_sample",
     "events_cohort_retention",
     "events_gapfill_locf",
+    # added round 4 (append-only): lakehouse + distributed-ML waves
+    "bucketed_join_segments",
+    "scd2_user_state",
+    "cdc_latest_state",
+    "emb_covariance",
+    "user_pagerank",
+    "events_markov_transitions",
+    "corpus_training_manifest",
+    "events_rolling_active_users",
+    "events_time_rollup",
+    "text_inverted_index",
 ]
 
 

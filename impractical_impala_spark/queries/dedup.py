@@ -93,14 +93,23 @@ def _spark_docsets(spark: SparkSession, sf_dir: str, mutated: bool) -> DataFrame
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text") \
         .repartition(n)
     base = docs.withColumn("words", F.expr(_SPARK_WORDS))
-    frames = [base]
     if mutated:
-        frames.append(
-            docs.filter(F.col("doc_id") % 3 == 0)
-            .withColumn("doc_id", F.col("doc_id") + F.lit(MUT_OFFSET))
-            .withColumn("words", F.expr(_SPARK_MUT.format(w=_SPARK_WORDS)))
-        )
-    out = frames[0] if len(frames) == 1 else frames[0].unionByName(frames[1])
+        # one corpus scan: every 3rd doc explodes into (base, mutated)
+        # row variants in place — a union of a second filtered scan
+        # would read the corpus twice and double the map-task count of
+        # everything downstream (the mutation reuses the already-split
+        # words, so no expression work repeats either)
+        variants = F.expr(
+            f"CASE WHEN doc_id % 3 = 0 THEN array("
+            f" named_struct('doc_id', doc_id, 'words', words),"
+            f" named_struct('doc_id', doc_id + {MUT_OFFSET},"
+            f"              'words', {_SPARK_MUT.format(w='words')}))"
+            f" ELSE array(named_struct('doc_id', doc_id, 'words', words))"
+            f" END")
+        out = (base.select(F.explode(variants).alias("v"))
+               .select("v.doc_id", "v.words"))
+    else:
+        out = base
     return (
         out.withColumn("sh", F.expr(_SPARK_SHINGLES.format(w="words")))
         .withColumn("dh", F.expr(_SPARK_HASHES.format(s="sh")))
@@ -169,14 +178,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     sigs = sigs.select("doc_id", "dh", *band_exprs).cache()
     # candidate generation on (id, band key) only — the shingle-hash
-    # arrays never ride through the pair-dedup shuffle
-    buckets = None
-    for band in range(BANDS):
-        b = sigs.select(
-            "doc_id",
-            F.lit(band).alias("band_idx"), F.col(f"band{band}").alias("bkey")
-        )
-        buckets = b if buckets is None else buckets.unionByName(b)
+    # arrays never ride through the pair-dedup shuffle. Band rows come
+    # from ONE explode pass over the cached signatures: a 4-way union
+    # would re-read the cache 4x and quadruple the map-task count of
+    # every downstream stage (measured: the union plan ran 256-task
+    # stages over a corpus that needs 64).
+    band_structs = F.array(*[
+        F.struct(F.lit(band).alias("band_idx"),
+                 F.col(f"band{band}").alias("bkey"))
+        for band in range(BANDS)
+    ])
+    buckets = (
+        sigs.select("doc_id", F.explode(band_structs).alias("bb"))
+        .select("doc_id", "bb.band_idx", "bb.bkey")
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     # small corpora broadcast (ids + band keys only) for plan
     # determinism; past the size gate the join shuffles on the band key,

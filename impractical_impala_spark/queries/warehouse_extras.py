@@ -1,0 +1,242 @@
+"""Warehouse/table-maintenance extras: cascade time rollups,
+incremental-view-maintenance state merging, deterministic array
+aggregation, referential-integrity auditing, and inverted-index
+statistics.
+
+Reference scope note: the reference ships none of these (SURVEY.md
+§1.3 — batch econometrics only); this is §7/M6 extension surface over
+the shared fixtures, each query the decomposition that survives 100 TB:
+
+- time rollup: hour/day/week grains computed as a CASCADE — one corpus
+  pass to the finest grain, then model-size re-aggregations — instead
+  of GROUPING SETS' Expand, which fans every corpus row out ×grains
+  BEFORE the shuffle;
+- IVM merge: combine partial aggregation states (n/sum/min/max) of a
+  base snapshot and a delta batch without touching base rows — the
+  oracle asserts the merged state equals a full recompute, which is
+  the incremental-view-maintenance correctness statement itself;
+- sorted collect: collect_set is unordered by contract; array_sort
+  before join makes the aggregate deterministic and hash-checkable —
+  the only safe way to emit set-valued columns across engines;
+- FK audit: referential orphans via anti joins — each check shuffles
+  on its own key with AQE free to broadcast the smaller side;
+- inverted index: explode → (token) agg with exact per-token distinct
+  doc counts; at 100 TB the COUNT(DISTINCT) swaps for HLL++
+  (queries/sketches.py) with the same plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+from .lakehouse import CUT_US
+
+
+# ------------------------------------------------- cascade time rollup
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour → day → week rollup of event counts and value sums in one
+    corpus pass: the day grain re-aggregates the hour frame, the week
+    grain the day frame (both model-size). GROUPING SETS would Expand
+    every corpus row ×3 before its shuffle; the cascade shuffles the
+    corpus once at the finest grain only."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts_ns div 3600000000000").alias("hr"), "value")
+    # cache the finest grain: it is model-size (#types × #hours) and all
+    # three output branches read it — without the cache the union
+    # re-expands the corpus-scan subtree per grain (measured: 3 parquet
+    # scans in the plan, only one recovered by runtime exchange reuse)
+    hour = (ev.groupBy("event_type", "hr")
+            .agg(F.sum("value").alias("sv"), F.count(F.lit(1)).alias("n"))
+            .cache())
+    day = (hour.withColumn("d", F.expr("hr div 24"))
+           .groupBy("event_type", "d")
+           .agg(F.sum("sv").alias("sv"), F.sum("n").alias("n")))
+    week = (day.withColumn("wk", F.expr("d div 7"))
+            .groupBy("event_type", "wk")
+            .agg(F.sum("sv").alias("sv"), F.sum("n").alias("n")))
+
+    def out(df, grain, bucket):
+        return df.select(
+            F.lit(grain).alias("grain"), "event_type",
+            F.col(bucket).cast("long").alias("bucket"),
+            F.col("n").cast("long").alias("n_events"),
+            F.round("sv", 4).alias("sum_value"))
+
+    return (
+        out(hour, "hour", "hr")
+        .unionByName(out(day, "day", "d"))
+        .unionByName(out(week, "week", "wk"))
+    )
+
+
+register("events_time_rollup", events_time_rollup, """
+WITH ev AS (
+    SELECT event_type, epoch_us(ts) // 3600000000 AS hr, value FROM events
+)
+SELECT 'hour' AS grain, event_type, hr AS bucket,
+       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM ev GROUP BY event_type, hr
+UNION ALL
+SELECT 'day', event_type, hr // 24,
+       COUNT(*), ROUND(SUM(value), 4)
+FROM ev GROUP BY event_type, hr // 24
+UNION ALL
+SELECT 'week', event_type, (hr // 24) // 7,
+       COUNT(*), ROUND(SUM(value), 4)
+FROM ev GROUP BY event_type, (hr // 24) // 7
+""", "hour/day/week rollup as a cascade (one corpus shuffle, no Expand)")
+
+
+# --------------------------------------------------------- IVM merge
+def ivm_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view maintenance: merge the partial aggregation
+    states (n, sum, min, max) of a base snapshot and a delta batch into
+    the updated view WITHOUT re-reading base rows. The oracle computes
+    the view from scratch over all events — the semantic contract that
+    merged partials equal a full recompute."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.expr("ts_ns div 1000").alias("ts_us"))
+
+    def state(pred):
+        return (ev.filter(pred).groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"),
+                     F.min("value").alias("mn"), F.max("value").alias("mx")))
+
+    base = state(F.col("ts_us") < CUT_US)
+    delta = state(F.col("ts_us") >= CUT_US)
+    b, d = base.alias("b"), delta.alias("d")
+    return (
+        b.join(d, F.col("b.event_type") == F.col("d.event_type"),
+               "full_outer")
+        .select(
+            F.coalesce(F.col("b.event_type"), F.col("d.event_type"))
+            .alias("event_type"),
+            (F.coalesce(F.col("b.n"), F.lit(0))
+             + F.coalesce(F.col("d.n"), F.lit(0))).alias("n_events"),
+            F.round(F.coalesce(F.col("b.s"), F.lit(0.0))
+                    + F.coalesce(F.col("d.s"), F.lit(0.0)), 4)
+            .alias("sum_value"),
+            F.round(F.least(F.coalesce(F.col("b.mn"), F.col("d.mn")),
+                            F.coalesce(F.col("d.mn"), F.col("b.mn"))), 4)
+            .alias("min_value"),
+            F.round(F.greatest(F.coalesce(F.col("b.mx"), F.col("d.mx")),
+                               F.coalesce(F.col("d.mx"), F.col("b.mx"))), 4)
+            .alias("max_value"))
+        .orderBy("event_type")
+    )
+
+
+register("ivm_merge_counts", ivm_merge_counts, """
+SELECT event_type, COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value,
+       ROUND(MIN(value), 4) AS min_value,
+       ROUND(MAX(value), 4) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+""", "merge base+delta partial agg states == full recompute (IVM contract)")
+
+
+# ----------------------------------------------------- sorted collect
+def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sorted distinct event-type roster as a joined string.
+    collect_set's order is execution-dependent; array_sort makes the
+    set-valued output deterministic — the only hash-safe way to ship
+    array aggregates across engines."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.array_join(F.array_sort(F.collect_set("event_type")), ",")
+             .alias("types"),
+             F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+register("q_collect_sorted", q_collect_sorted, """
+SELECT user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id ORDER BY user_id
+""", "deterministic (sorted) set-valued aggregation per key")
+
+
+# ------------------------------------------------------- FK audit
+_FK_CHECKS = (
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+)
+
+
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every declared
+    FK edge of the star schema, as one result frame. Each check is an
+    anti join on its own key (AQE broadcasts the dimension side when it
+    fits); the counts are 1-row frames combined by union — at 100 TB
+    each edge is an independent co-partitioned pass, never a multi-way
+    join."""
+    out = None
+    for name, child, ck, parent, pk in _FK_CHECKS:
+        c = load_table(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        row = (c.join(p, "k", "left_anti")
+               .agg(F.count(F.lit(1)).alias("n_orphans"))
+               .select(F.lit(name).alias("fk_check"), "n_orphans"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk_check")
+
+
+register("fk_integrity_audit", fk_integrity_audit, """
+SELECT 'lineitem_orders' AS fk_check, COUNT(*) AS n_orphans FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders_customer', COUNT(*) FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem_part', COUNT(*) FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+UNION ALL
+SELECT 'lineitem_supplier', COUNT(*) FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+ORDER BY fk_check
+""", "orphan counts for every FK edge of the star schema")
+
+
+# -------------------------------------------------- inverted index
+IDX_TOP = 30
+
+
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list statistics for the corpus vocabulary: per token,
+    document frequency (exact distinct) and total term frequency; top
+    30 by tf. The explode fans out corpus×tokens rows but they collapse
+    through partial aggregation before the single token-keyed shuffle;
+    at 100 TB the exact COUNT(DISTINCT doc) (which shuffles (token,
+    doc) pairs) swaps for approx_count_distinct with the same plan."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = (docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != ""))
+    return (
+        toks.groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("df"),
+             F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.desc("df"), "tok")
+        .limit(IDX_TOP)
+    )
+
+
+register("text_inverted_index", text_inverted_index, f"""
+WITH toks AS (
+    SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '\\s+')) AS tok
+    FROM documents
+)
+SELECT tok, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+FROM toks WHERE tok <> ''
+GROUP BY tok ORDER BY tf DESC, df DESC, tok LIMIT {IDX_TOP}
+""", "vocabulary posting-list stats (df/tf), exact distinct at test scale")

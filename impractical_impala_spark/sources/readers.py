@@ -115,19 +115,16 @@ def ntz_from_epoch_us(us: Column) -> Column:
 
 
 def epoch_us_from_ntz(ts: Column) -> Column:
-    """TIMESTAMP_NTZ wall-clock (interpreted as UTC) -> epoch microseconds,
-    via pure field extraction (date/hour/minute/fractional-second) so the
-    result never consults the session timezone — the exact inverse of
-    ntz_from_epoch_us. unix_date is days-since-epoch on DateType (negative
-    for pre-1970), and date_part('SECOND') carries the microsecond
-    fraction as an exact decimal, so the round-trip is lossless."""
-    days = F.unix_date(F.to_date(ts)).cast("long")
-    tod_us = (
-        F.hour(ts).cast("long") * F.lit(3_600_000_000)
-        + F.minute(ts).cast("long") * F.lit(60_000_000)
-        + (F.date_part(F.lit("SECOND"), ts) * F.lit(1_000_000)).cast("long")
-    )
-    return days * F.lit(86_400_000_000) + tod_us
+    """TIMESTAMP_NTZ wall-clock (interpreted as UTC) -> epoch microseconds
+    — the exact inverse of ntz_from_epoch_us. timestamp_diff between two
+    NTZ values is pure field arithmetic (never consults the session
+    timezone), is exact for pre-1970 values and microsecond fractions
+    (verified in tests), and runs as one codegen'd JVM intrinsic — an
+    order of magnitude fewer expression nodes than extracting
+    date/hour/minute/fraction separately."""
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), ts)
 
 
 def load_tables(spark: SparkSession, sf_dir: str,

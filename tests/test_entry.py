@@ -18,16 +18,17 @@ def test_queries_and_oracles_consistent():
         assert isinstance(sql, str) and "SELECT" in sql.upper()
 
 
-def test_driver_window_holds_round3_targets():
+def test_driver_window_holds_round4_targets():
     """The correctness driver checks the FIRST 50 entries of queries().
-    Round 3's window must contain every query that has never had a
-    driver CORRECTNESS row (the round-2 additions) plus everything
-    changed or added in round 3 — the rotation contract from
-    queries/__init__.py."""
-    from impractical_impala_spark.queries import NEVER_CHECKED_R2, NEW_R3, WINDOW
+    Round 4's window must lead with the nine queries whose r3 row
+    FAILED on the events.ts schema drift, then the never-checked late-r3
+    registrations and every round-4 addition — the rotation contract
+    from queries/__init__.py."""
+    from impractical_impala_spark.queries import (
+        FAILED_R3, NEVER_CHECKED_R3, NEW_R4, WINDOW)
 
     first50 = list(e.queries())[:50]
-    assert len(WINDOW) == 50
-    assert first50 == WINDOW
-    for name in NEVER_CHECKED_R2 + NEW_R3 + ["dedup_ngram_jaccard"]:
+    assert first50[:len(WINDOW)] == WINDOW[:50]
+    assert first50[:len(FAILED_R3)] == FAILED_R3
+    for name in FAILED_R3 + NEVER_CHECKED_R3 + NEW_R4:
         assert name in first50, f"{name} fell out of the driver window"

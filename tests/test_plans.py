@@ -369,3 +369,12 @@ def test_markov_single_corpus_pass(spark, sf_small):
     plan = plan_of(_Q["events_markov_transitions"].build(spark, sf_small))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2
+
+
+def test_time_rollup_single_corpus_scan(spark, sf_small):
+    """The hour/day/week cascade must scan the corpus ONCE: the cached
+    model-size hour frame feeds all three grains; an uncached union
+    re-expands the scan subtree per grain."""
+    plan = plan_of(_Q["events_time_rollup"].build(spark, sf_small))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert plan.count("InMemoryTableScan") >= 3
