@@ -34,7 +34,8 @@ from . import (reference_ops, stats_ops, tpch, tpch_more,  # noqa: F401
                sketches, multimodal,
                tpch_plus, training_extras, windows_plus, tpch_plus2,
                streams_plus, tpch_final, pipelines, training_ops,
-               curation, analytics, lakehouse, ml_more, warehouse_extras)
+               curation, analytics, lakehouse, ml_more, warehouse_extras,
+               layout)
 
 # Queries whose r3 driver row FAILED: the fixture's events.ts physical
 # type changed between rounds (TIMESTAMP(NANOS)->TIMESTAMP(MICROS) NTZ),
@@ -65,6 +66,8 @@ NEW_R4 = [
     # warehouse extras (queries/warehouse_extras.py)
     "events_time_rollup", "ivm_merge_counts", "q_collect_sorted",
     "fk_integrity_audit", "text_inverted_index",
+    # physical layout (queries/layout.py)
+    "zorder_layout_scan", "compact_small_files",
 ]
 
 # r1-era fill: rows from CORRECTNESS_r01 are now three rounds old; these
