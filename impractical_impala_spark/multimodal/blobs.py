@@ -172,3 +172,41 @@ def sample_frames(df: DataFrame, id_col: str = "blob_id",
             })
 
     return df.mapInPandas(fn, FRAME_SCHEMA)
+
+
+# audio-style windowed energy over PCM-interpreted payload bytes
+PCM_WIN = 64
+
+ENERGY_SCHEMA = (
+    "blob_id long, n_samples long, n_windows long, "
+    "total_energy long, max_window_energy long"
+)
+
+
+def audio_energy(df: DataFrame, id_col: str = "blob_id",
+                 blob_col: str = "payload") -> DataFrame:
+    """Audio feature extraction with the codec stubbed: payload bytes
+    are the PCM samples (a real decoder would produce int16 frames the
+    same way), and the kernel computes windowed energy — the vectorized
+    numpy inner loop a real DSP featurizer has. All arithmetic is
+    integer (byte² sums), so the result is hash-exact against the SQL
+    oracle with no float-order caveats."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for bid, blob in zip(pdf[id_col], pdf[blob_col]):
+                x = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.int64)
+                n = len(x)
+                n_win = (n + PCM_WIN - 1) // PCM_WIN
+                sq = x * x
+                wins = [int(sq[w * PCM_WIN:(w + 1) * PCM_WIN].sum())
+                        for w in range(n_win)]
+                rows.append((int(bid), n, n_win, int(sq.sum()),
+                             max(wins) if wins else 0))
+            yield pd.DataFrame(rows, columns=[
+                "blob_id", "n_samples", "n_windows",
+                "total_energy", "max_window_energy"])
+
+    return df.mapInPandas(fn, ENERGY_SCHEMA)

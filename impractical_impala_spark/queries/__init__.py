@@ -68,6 +68,8 @@ NEW_R4 = [
     "fk_integrity_audit", "text_inverted_index",
     # physical layout (queries/layout.py)
     "zorder_layout_scan", "compact_small_files",
+    # multimodal audio kernel (queries/multimodal.py)
+    "multimodal_audio_energy",
 ]
 
 # r1-era fill: rows from CORRECTNESS_r01 are now three rounds old; these

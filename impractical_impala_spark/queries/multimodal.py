@@ -82,3 +82,28 @@ FROM documents,
      UNNEST(range(0, (length(text) + 63) // 64)) AS t(f)
 WHERE f % 2 = 0
 """, "mapInPandas frame sampler (1->N row kernel) vs generate-series oracle")
+
+
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed-energy kernel under the hash gate: integer byte² sums
+    per 64-sample window keep the numpy path bit-identical to the SQL
+    oracle (no float accumulation anywhere)."""
+    from ..multimodal.blobs import audio_energy, documents_as_blobs
+
+    return audio_energy(documents_as_blobs(spark, sf_dir))
+
+
+register("multimodal_audio_energy", multimodal_audio_energy, """
+SELECT doc_id AS blob_id,
+       CAST(length(text) AS BIGINT) AS n_samples,
+       CAST((length(text) + 63) // 64 AS BIGINT) AS n_windows,
+       CAST(list_sum(list_transform(range(1, length(text) + 1),
+            i -> ascii(substr(text, i, 1)) * ascii(substr(text, i, 1))))
+            AS BIGINT) AS total_energy,
+       CAST(list_max(list_transform(range(0, (length(text) + 63) // 64),
+            w -> list_sum(list_transform(
+                 range(w * 64 + 1, least((w + 1) * 64, length(text)) + 1),
+                 i -> ascii(substr(text, i, 1)) * ascii(substr(text, i, 1))))))
+            AS BIGINT) AS max_window_energy
+FROM documents
+""", "windowed PCM energy kernel (integer-exact) vs nested-list oracle")
