@@ -35,7 +35,7 @@ from . import (reference_ops, stats_ops, tpch, tpch_more,  # noqa: F401
                tpch_plus, training_extras, windows_plus, tpch_plus2,
                streams_plus, tpch_final, pipelines, training_ops,
                curation, analytics, lakehouse, ml_more, warehouse_extras,
-               layout)
+               layout, feature_ops)
 
 # Queries whose r3 driver row FAILED: the fixture's events.ts physical
 # type changed between rounds (TIMESTAMP(NANOS)->TIMESTAMP(MICROS) NTZ),
@@ -70,6 +70,8 @@ NEW_R4 = [
     "zorder_layout_scan", "compact_small_files",
     # multimodal audio kernel (queries/multimodal.py)
     "multimodal_audio_energy",
+    # feature-store ops (queries/feature_ops.py) + schema evolution
+    "pit_state_join", "contrastive_negatives", "schema_evolution_read",
 ]
 
 # r1-era fill: rows from CORRECTNESS_r01 are now three rounds old; these

@@ -143,3 +143,39 @@ SELECT event_type, COUNT(*) AS n_events,
        ROUND(SUM(value), 4) AS sum_value
 FROM events GROUP BY event_type ORDER BY event_type
 """, "64-file sprawl -> 4-file coalesce compaction under the hash gate")
+
+
+# ----------------------------------------------- schema evolution
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two table vintages — the old writer without o_orderpriority, the
+    new writer with it — land in one dataset; mergeSchema reconciles
+    the footers and the old rows surface the new column as NULL, mapped
+    to a 'LEGACY' bucket. This is the reader-side half of schema
+    evolution: no rewrite of historical files, ever."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "evolve_orders")
+    shutil.rmtree(path, ignore_errors=True)
+    (orders.filter(F.col("o_orderkey") % 2 == 0)
+     .select("o_orderkey", "o_orderstatus", "o_totalprice")
+     .write.mode("overwrite").parquet(f"{path}/batch=1"))
+    (orders.filter(F.col("o_orderkey") % 2 == 1)
+     .select("o_orderkey", "o_orderstatus", "o_totalprice",
+             "o_orderpriority")
+     .write.mode("overwrite").parquet(f"{path}/batch=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        back.groupBy(F.coalesce("o_orderpriority", F.lit("LEGACY"))
+                     .alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 4).alias("total_price"))
+        .orderBy("priority")
+    )
+
+
+register("schema_evolution_read", schema_evolution_read, """
+SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+            ELSE 'LEGACY' END AS priority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 4) AS total_price
+FROM orders GROUP BY 1 ORDER BY 1
+""", "mergeSchema read across writer vintages under the hash gate")
