@@ -55,3 +55,74 @@ def test_mg_guarantees_vs_exact(spark, sf_small):
             if item in est:
                 # estimates never overcount and undercount by <= err
                 assert est[item] <= true_n <= est[item] + err
+
+
+def test_mg_restart_from_checkpoint(spark, sf_small, tmp_path):
+    """Kill-mid-stream resume of the Misra-Gries state: summaries
+    half-built in phase 1 must continue folding phase-2 events out of
+    the recovered state store, converging to the chronological batch
+    twin — the custom-state recovery coverage for the eviction-bearing
+    operator (summable window state recovers trivially; counter
+    eviction does not)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    # ordered 4-chunk replay of the fixture (same shape the other
+    # recovery tests use: chronological files = chronological batches)
+    out = str(tmp_path / "mg_events")
+    pdf = (load_table(spark, sf_small, "events")
+           .select("event_id", "ts_ns", "user_id", "event_type",
+                   "value", "props")
+           .withColumnRenamed("ts_ns", "ts")
+           .orderBy("ts").toPandas())
+    n = len(pdf)
+    for i in range(4):
+        chunk = pdf.iloc[i * n // 4:(i + 1) * n // 4]
+        spark.createDataFrame(chunk, schema=S.EVENTS_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(out)
+        _time.sleep(1.1)
+
+    def stream(max_files):
+        raw = (spark.readStream.schema(S.EVENTS_SCHEMA)
+               .option("maxFilesPerTrigger", max_files).parquet(out))
+        ev = raw.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        return H.streaming_heavy_hitters(ev)
+
+    # memory sink cannot recover an update-mode query from a
+    # checkpoint; foreachBatch into parquet is the recoverable custom
+    # sink (batch_id identifies each shard's LAST emission)
+    ckpt = str(tmp_path / "mg_ckpt")
+    res = str(tmp_path / "mg_out")
+
+    def sink(bdf, bid):
+        (bdf.withColumn("batch_id", F.lit(bid))
+         .write.mode("append").parquet(res))
+
+    q1 = (stream(1).writeStream.foreachBatch(sink)
+          .outputMode("update").option("checkpointLocation", ckpt).start())
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        lp = q1.lastProgress
+        if lp and lp.get("numInputRows", 0) > 0:
+            break
+        _time.sleep(0.2)
+    q1.stop()  # crash simulation: partially-folded counters in state
+
+    q2 = (stream(1).writeStream.foreachBatch(sink)
+          .outputMode("update").option("checkpointLocation", ckpt).start())
+    q2.processAllAvailable()
+    q2.stop()
+    allout = spark.read.parquet(res).toPandas()
+    last = allout.groupby("shard")["batch_id"].transform("max")
+    got = allout[allout["batch_id"] == last]
+
+    # batch twin over the SAME chronological order (event_id order ==
+    # ts order in this fixture replay)
+    want = H.batch_heavy_hitters(load_table(spark, sf_small, "events"))
+    g = got.sort_values(["shard", "item"]).reset_index(drop=True)
+    w = want.sort_values(["shard", "item"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        g[["shard", "item", "est_count", "n_shard"]].astype("int64"),
+        w[["shard", "item", "est_count", "n_shard"]].astype("int64"))
