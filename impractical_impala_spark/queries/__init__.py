@@ -72,6 +72,8 @@ NEW_R4 = [
     "multimodal_audio_energy",
     # feature-store ops (queries/feature_ops.py) + schema evolution
     "pit_state_join", "contrastive_negatives", "schema_evolution_read",
+    # row-level MERGE (queries/lakehouse.py)
+    "merge_upsert_orders",
 ]
 
 # r1-era fill: rows from CORRECTNESS_r01 are now three rounds old; these

@@ -277,3 +277,71 @@ SELECT c_mktsegment, COUNT(*) AS n_orders,
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """, "shuffle-free join of bucket-co-located tables under the hash gate")
+
+
+# ------------------------------------------------------ MERGE upsert
+INS_OFFSET = 20_000_000
+
+
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics composed from one full-outer join: a CDC
+    batch of updates (matched -> new price), inserts (not matched ->
+    new row) and deletes (matched -> drop) applies to orders in a
+    single co-partitioned pass — the row-level mutation primitive of a
+    lakehouse table format, without rewriting unmatched rows' content.
+    Summarized per order status; the oracle recomputes the merged
+    state with the same CASE rules."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    upd = (orders.filter(F.col("o_orderkey") % 97 == 0)
+           .select("o_orderkey",
+                   (F.col("o_totalprice") * 1.1).alias("c_price"))
+           .withColumn("op", F.lit("U"))
+           .withColumn("c_status", F.lit(None).cast("string")))
+    ins = (orders.filter(F.col("o_orderkey") % 101 == 0)
+           .select((F.col("o_orderkey") + INS_OFFSET).alias("o_orderkey"),
+                   F.col("o_totalprice").alias("c_price"))
+           .withColumn("op", F.lit("I"))
+           .withColumn("c_status", F.lit("N")))
+    dele = (orders.filter(F.col("o_orderkey") % 103 == 0)
+            .select("o_orderkey")
+            .withColumn("c_price", F.lit(None).cast("double"))
+            .withColumn("op", F.lit("D"))
+            .withColumn("c_status", F.lit(None).cast("string")))
+    changes = upd.unionByName(ins).unionByName(dele)
+    merged = (
+        orders.join(changes, "o_orderkey", "full_outer")
+        .filter(F.coalesce(F.col("op"), F.lit("")) != "D")
+        .select(
+            F.coalesce("c_status", "o_orderstatus").alias("status"),
+            F.coalesce("c_price", "o_totalprice").alias("price"))
+    )
+    return (
+        merged.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("price"), 4).alias("total_price"))
+        .orderBy("status")
+    )
+
+
+register("merge_upsert_orders", merge_upsert_orders, f"""
+WITH changes AS (
+    SELECT o_orderkey, o_totalprice * 1.1 AS c_price, 'U' AS op,
+           CAST(NULL AS VARCHAR) AS c_status
+    FROM orders WHERE o_orderkey % 97 = 0
+    UNION ALL
+    SELECT o_orderkey + {INS_OFFSET}, o_totalprice, 'I', 'N'
+    FROM orders WHERE o_orderkey % 101 = 0
+    UNION ALL
+    SELECT o_orderkey, CAST(NULL AS DOUBLE), 'D', CAST(NULL AS VARCHAR)
+    FROM orders WHERE o_orderkey % 103 = 0
+), merged AS (
+    SELECT COALESCE(c.c_status, o.o_orderstatus) AS status,
+           COALESCE(c.c_price, o.o_totalprice) AS price
+    FROM orders o FULL OUTER JOIN changes c USING (o_orderkey)
+    WHERE COALESCE(c.op, '') <> 'D'
+)
+SELECT status, COUNT(*) AS n_orders,
+       ROUND(SUM(price), 4) AS total_price
+FROM merged GROUP BY status ORDER BY status
+""", "MERGE (update/insert/delete) as one full-outer co-partitioned pass")
