@@ -84,6 +84,8 @@ HEADLINE = [
     "events_rolling_active_users",
     "events_time_rollup",
     "text_inverted_index",
+    "merge_upsert_orders",
+    "pit_state_join",
 ]
 
 
