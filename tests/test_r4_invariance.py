@@ -19,6 +19,9 @@ CASES = [
     "ivm_merge_counts",
     "contrastive_negatives",
     "pit_state_join",
+    "events_rolling_slope",      # integer-exact sliding sufficient sums
+    "session_paths",             # struct-sorted path assembly
+    "graph_triangles",
 ]
 
 
