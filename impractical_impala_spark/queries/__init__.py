@@ -35,7 +35,7 @@ from . import (reference_ops, stats_ops, tpch, tpch_more,  # noqa: F401
                tpch_plus, training_extras, windows_plus, tpch_plus2,
                streams_plus, tpch_final, pipelines, training_ops,
                curation, analytics, lakehouse, ml_more, warehouse_extras,
-               layout, feature_ops, paths_stats)
+               layout, feature_ops, paths_stats, modern_sql)
 
 # Queries whose r3 driver row FAILED: the fixture's events.ts physical
 # type changed between rounds (TIMESTAMP(NANOS)->TIMESTAMP(MICROS) NTZ),
