@@ -378,3 +378,28 @@ def test_time_rollup_single_corpus_scan(spark, sf_small):
     plan = plan_of(_Q["events_time_rollup"].build(spark, sf_small))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_lateral_topn_is_not_a_loop(spark, sf_small):
+    """The correlated LATERAL must be rewritten by Catalyst into a
+    windowed join — never a per-row nested loop or cartesian."""
+    plan = plan_of(_Q["q_lateral_topn"].build(spark, sf_small))
+    assert not re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_session_paths_one_corpus_shuffle(spark, sf_small):
+    """Sessionize + rank + path-assemble off ONE user-keyed exchange
+    (hash(user_id) satisfies the (user, session) grouping) and one
+    corpus scan; only the final path agg adds an exchange."""
+    plan = plan_of(_Q["session_paths"].build(spark, sf_small))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+
+
+def test_rolling_slope_one_corpus_shuffle(spark, sf_small):
+    """min-window, sliding-sum frames, and the per-user agg all reuse
+    the single user_id exchange; one corpus scan."""
+    plan = plan_of(_Q["events_rolling_slope"].build(spark, sf_small))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2

@@ -40,3 +40,78 @@ def test_partition_invariance(spark, sf_small, name):
         for k, v in old.items():
             spark.conf.set(k, v)
     assert base == skewed
+
+
+def test_scd2_replica_scaleup(spark, sf_small):
+    """50x user-replicated events must produce each replica's SCD2
+    history identically to the base run — no cross-user leakage in the
+    windowed change detection (the test_wdi_scaleup pattern for the
+    lakehouse family)."""
+    from pyspark.sql import functions as F
+
+    from impractical_impala_spark.queries.lakehouse import (
+        SCD2_USER_MOD, scd2_user_state)
+    from impractical_impala_spark.sources import load_table
+
+    base = {tuple(r) for r in
+            scd2_user_state(spark, sf_small).collect()}
+    ev = load_table(spark, sf_small, "events")
+    reps = 5
+    OFF = 1_000_000  # multiple of SCD2_USER_MOD: replicas keep the filter
+    assert OFF % SCD2_USER_MOD == 0
+    big = ev.select(
+        "*", F.explode(F.expr(f"sequence(0, {reps - 1})")).alias("rep")
+    ).withColumn("user_id", F.col("user_id") + F.col("rep") * OFF) \
+     .drop("rep")
+    big.createOrReplaceTempView("scd2_big")
+
+    # run the same plan over the replicated frame
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    evb = big.select("event_id", "user_id", "event_type",
+                     F.expr("ts_ns div 1000").alias("ts_us"))
+    changes = (evb.withColumn("prev", F.lag("event_type").over(w))
+               .filter(F.col("prev").isNull()
+                       | (F.col("prev") != F.col("event_type"))))
+    out = changes.filter(F.col("user_id") % SCD2_USER_MOD == 0).select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version_n"),
+        F.col("event_type").alias("state"),
+        F.col("ts_us").alias("valid_from_us"),
+        F.coalesce(F.lead("ts_us").over(w), F.lit(-1).cast("long"))
+        .alias("valid_to_us"))
+    got = out.collect()
+    assert len(got) == reps * len(base)
+    for r in got:
+        t = (r.user_id % OFF, r.version_n, r.state,
+             r.valid_from_us, r.valid_to_us)
+        assert t in base, t
+
+
+def test_markov_replica_scaleup(spark, sf_small):
+    """Replicating every user k times must scale each transition count
+    by exactly k and leave probabilities untouched."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from impractical_impala_spark.registry import all_queries
+    from impractical_impala_spark.sources import load_table
+
+    base = {(r.src, r.dst): (r.n, r.p) for r in
+            all_queries()["events_markov_transitions"]
+            .build(spark, sf_small).collect()}
+    ev = load_table(spark, sf_small, "events")
+    reps = 3
+    big = ev.select(
+        "*", F.explode(F.expr(f"sequence(0, {reps - 1})")).alias("rep")
+    ).withColumn("user_id", F.col("user_id") + F.col("rep") * 1_000_000)
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("ts_ns div 1000"), "event_id")
+    tr = (big.withColumn("nxt", F.lead("event_type").over(w))
+          .filter(F.col("nxt").isNotNull())
+          .groupBy(F.col("event_type").alias("src"),
+                   F.col("nxt").alias("dst"))
+          .agg(F.count(F.lit(1)).alias("n")))
+    for r in tr.collect():
+        n0, _ = base[(r.src, r.dst)]
+        assert r.n == reps * n0, (r.src, r.dst, r.n, n0)
