@@ -172,3 +172,63 @@ FROM documents,
      (SELECT UNNEST(range(0, 1000)) AS f) ks
 WHERE f < (length(text) + {CHUNK_CHARS} - 1) // {CHUNK_CHARS}
 """, "Python UDTF fan-out via LATERAL vs substr-arithmetic oracle")
+
+
+# ------------------------------------------- AQP block sampling
+SAMPLE_PCT = 10  # deterministic 10% sample
+
+
+def aqp_block_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing: estimate per-flag lineitem revenue
+    from a DETERMINISTIC 10% sample (md5-derived membership — the same
+    engine-portable hash-randomness trick as contrastive_negatives, so
+    both engines draw the identical sample) and report the scaled
+    estimate next to the exact value with the relative error. At 100 TB
+    the sample runs on 1/10th the data; the exact side here exists to
+    grade the estimate and would be dropped in production."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+    member = F.expr(
+        "pmod(cast(conv(substring(md5(concat(cast(l_orderkey as string),"
+        " '_', cast(l_linenumber as string))), 1, 7), 16, 10) as bigint),"
+        f" 100) < {SAMPLE_PCT}")
+    est = (li.filter(member)
+           .groupBy("l_returnflag")
+           .agg((F.sum("l_extendedprice") * (100.0 / SAMPLE_PCT))
+                .alias("est_revenue"),
+                F.count(F.lit(1)).alias("n_sampled")))
+    exact = (li.groupBy("l_returnflag")
+             .agg(F.sum("l_extendedprice").alias("exact_revenue")))
+    return (
+        est.join(exact, "l_returnflag")
+        .select("l_returnflag", "n_sampled",
+                F.round("est_revenue", 2).alias("est_revenue"),
+                F.round("exact_revenue", 2).alias("exact_revenue"),
+                F.round((F.col("est_revenue") - F.col("exact_revenue"))
+                        / F.col("exact_revenue"), 6).alias("rel_err"))
+        .orderBy("l_returnflag")
+    )
+
+
+register("aqp_block_sample", aqp_block_sample, f"""
+WITH s AS (
+    SELECT l_returnflag,
+           SUM(l_extendedprice) * (100.0 / {SAMPLE_PCT}) AS est_revenue,
+           COUNT(*) AS n_sampled
+    FROM lineitem
+    WHERE CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_'
+               || CAST(l_linenumber AS VARCHAR)), 1, 7)) AS BIGINT)
+          % 100 < {SAMPLE_PCT}
+    GROUP BY l_returnflag
+), x AS (
+    SELECT l_returnflag, SUM(l_extendedprice) AS exact_revenue
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT s.l_returnflag, s.n_sampled,
+       ROUND(s.est_revenue, 2) AS est_revenue,
+       ROUND(x.exact_revenue, 2) AS exact_revenue,
+       ROUND((s.est_revenue - x.exact_revenue) / x.exact_revenue, 6)
+           AS rel_err
+FROM s JOIN x USING (l_returnflag)
+ORDER BY s.l_returnflag
+""", "deterministic block-sample estimate with exact-error accounting")
