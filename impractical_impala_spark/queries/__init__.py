@@ -37,65 +37,55 @@ from . import (reference_ops, stats_ops, tpch, tpch_more,  # noqa: F401
                curation, analytics, lakehouse, ml_more, warehouse_extras,
                layout, feature_ops, paths_stats, modern_sql)
 
-# Queries whose r3 driver row FAILED: the fixture's events.ts physical
-# type changed between rounds (TIMESTAMP(NANOS)->TIMESTAMP(MICROS) NTZ),
-# breaking the Spark-side load of every events-family query
-# (CORRECTNESS_r03 `DATATYPE_MISMATCH` rows). sources/readers.py is now
-# schema-adaptive; these nine MUST re-prove first.
-FAILED_R3 = [
-    "events_stream_join", "events_sliding_avg", "events_dedup_counts",
-    "events_anomaly_zscore", "events_cumulative_users",
-    "events_cohort_retention", "events_funnel", "events_gapfill_locf",
-    "q_asof_attribution",
+# r5 window. VERDICT r4 top-next: every one of the 154 registered
+# queries should carry a green-or-sanctioned driver row after this
+# round. Priority 1: the eight late-r4 queries that registered after the
+# 50-slot window filled — never driver-checked (all pass the identical
+# local sf0.01 DuckDB gate).
+NEVER_CHECKED_R4 = [
+    "session_paths", "events_rolling_slope", "graph_triangles",
+    "json_variant_extract", "q_lateral_topn", "q_recursive_streaks",
+    "udtf_char_chunks", "aqp_block_sample",
 ]
 
-# Registered late in r3 after the window filled — never driver-checked.
-NEVER_CHECKED_R3 = [
-    "corpus_training_manifest", "events_time_weighted_avg",
-    "text_heavy_hitters", "events_rolling_active_users",
+# Priority 2: queries whose latest driver evidence is stale or an error.
+# q_approx_percentile's only driver row is the r1 harness crash
+# (unhashable-list canonicalization, fixed in r2 but never re-run);
+# q_approx_distinct / ann_ivf_trained carry r1/r3 rows-only rows.
+# ann_ivf_trained and graph_triangles also changed THIS round
+# (sample-bound training / bounded+oriented wedge join), so their rows
+# double as first proof of the new plans.
+STALE_REPROOF = [
+    "q_approx_percentile", "q_approx_distinct", "ann_ivf_trained",
 ]
 
-# New in round 4 — first driver exposure (appended as they are built).
-NEW_R4 = [
-    # lakehouse maintenance (queries/lakehouse.py)
-    "scd2_user_state", "cdc_latest_state", "snapshot_diff",
-    "bucketed_join_segments",
-    # distributed-ML support (queries/ml_more.py)
-    "emb_covariance", "user_pagerank", "text_winsorized_stats",
-    "curriculum_buckets", "events_markov_transitions",
-    # warehouse extras (queries/warehouse_extras.py)
-    "events_time_rollup", "ivm_merge_counts", "q_collect_sorted",
-    "fk_integrity_audit", "text_inverted_index",
-    # physical layout (queries/layout.py)
-    "zorder_layout_scan", "compact_small_files",
-    # multimodal audio kernel (queries/multimodal.py)
-    "multimodal_audio_energy",
-    # feature-store ops (queries/feature_ops.py) + schema evolution
-    "pit_state_join", "contrastive_negatives", "schema_evolution_read",
-    # row-level MERGE (queries/lakehouse.py)
-    "merge_upsert_orders",
+# New in round 5 — first driver exposure (appended as they are built).
+NEW_R5 = [
 ]
 
-# r1-era fill: rows from CORRECTNESS_r01 are now three rounds old; these
-# are the fourteen rotated out of the r3 window plus the two held back
-# (q_range_band_join, dedup_minhash_lsh) — oldest evidence first.
-R1_REFRESH = [
-    "dedup_minhash_lsh", "q_range_band_join", "q_stratified_sample",
-    "json_extract_props", "q_percentiles", "q_cube_revenue",
-    "w5_value_windows", "q_date_functions", "dedup_exact",
-    "ann_cosine_topk", "dedup_simhash", "ann_ivf_probe",
-    "multimodal_blob_stats", "dedup_embedding_neardup", "ann_lsh_bucketed",
-    "q_salted_agg",
+# Priority 3: the reference-operator family (o01-o29) re-proven under
+# the current fixture vintage — their green rows are r1/r2-era, from
+# before the events fixture drift. None touch `events`, but a fresh
+# batch guards against silent testdata drift on the TPC-H/WDI side too
+# (VERDICT r4 item 6).
+O_FAMILY_REPROOF = [
+    "o01_scan_projection", "o02_recode_case", "o03_unpivot", "o04_cast",
+    "o06_union_all", "o07_in_filter", "o08_sort_topk",
+    "o09_validity_flag", "o10_run_id", "o11_run_length", "o12_run_filter",
+    "o13_distinct", "o14_having", "o15_semi_join", "o16_pivot",
+    "o17_arithmetic", "o18_lookup_join", "o19_guarded_log", "o20_dlog",
+    "o21_time_index", "o22_hp_detrend_sd", "o23_quad_detrend_sd",
+    "o24_grouped_sd", "o25_ratio", "o26_corr", "o27_acf",
+    "o28_two_level_agg", "o29_max_by_group",
 ]
 
 WINDOW = (
-    FAILED_R3
-    + NEVER_CHECKED_R3
-    + NEW_R4
-    + R1_REFRESH
-    # remaining slots fall through to registration order: r1-era
-    # reference_ops/stats/tpch-wave-1 rows, which are also the oldest
-    # green evidence (r2's re-confirmation) — every slot earns a row.
+    NEVER_CHECKED_R4
+    + STALE_REPROOF
+    + NEW_R5
+    + O_FAMILY_REPROOF
+    # remaining slots fall through to registration order; o-family
+    # entries beyond slot 50 simply wait for r6.
 )
 
 set_window_order(WINDOW)
