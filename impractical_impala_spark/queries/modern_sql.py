@@ -163,13 +163,19 @@ def udtf_char_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+# The fan-out range bound is derived from the actual corpus max length,
+# so the oracle emits every chunk the UDTF does no matter how long a
+# document grows (a fixed range(0, 1000) would silently truncate past
+# 100,000 chars).
 register("udtf_char_chunks", udtf_char_chunks, f"""
 SELECT doc_id, CAST(f AS INT) AS chunk_idx,
        CAST(least({CHUNK_CHARS}, length(text) - f * {CHUNK_CHARS}) AS INT)
            AS chunk_len,
        ascii(substr(text, f * {CHUNK_CHARS} + 1, 1)) AS first_char
 FROM documents,
-     (SELECT UNNEST(range(0, 1000)) AS f) ks
+     (SELECT UNNEST(range(0,
+         (SELECT (MAX(length(text)) + {CHUNK_CHARS} - 1) // {CHUNK_CHARS}
+          FROM documents))) AS f) ks
 WHERE f < (length(text) + {CHUNK_CHARS} - 1) // {CHUNK_CHARS}
 """, "Python UDTF fan-out via LATERAL vs substr-arithmetic oracle")
 

@@ -93,17 +93,24 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_energy(documents_as_blobs(spark, sf_dir))
 
 
+# COALESCE(...,0) on the list folds: the kernel returns (0,0,0,0) for an
+# empty payload while DuckDB's list_sum/list_max over an empty list give
+# NULL — the guard makes the empty-document contract explicit instead of
+# relying on the fixture staying non-empty. The byte-vs-char length
+# equivalence (kernel counts bytes, oracle counts chars) is pinned by the
+# ASCII fixture invariant in tests/test_query_invariants.py.
 register("multimodal_audio_energy", multimodal_audio_energy, """
 SELECT doc_id AS blob_id,
        CAST(length(text) AS BIGINT) AS n_samples,
        CAST((length(text) + 63) // 64 AS BIGINT) AS n_windows,
-       CAST(list_sum(list_transform(range(1, length(text) + 1),
-            i -> ascii(substr(text, i, 1)) * ascii(substr(text, i, 1))))
+       CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+            i -> ascii(substr(text, i, 1)) * ascii(substr(text, i, 1)))), 0)
             AS BIGINT) AS total_energy,
-       CAST(list_max(list_transform(range(0, (length(text) + 63) // 64),
+       CAST(COALESCE(
+            list_max(list_transform(range(0, (length(text) + 63) // 64),
             w -> list_sum(list_transform(
                  range(w * 64 + 1, least((w + 1) * 64, length(text)) + 1),
-                 i -> ascii(substr(text, i, 1)) * ascii(substr(text, i, 1))))))
-            AS BIGINT) AS max_window_energy
+                 i -> ascii(substr(text, i, 1)) * ascii(substr(text, i, 1)))))),
+            0) AS BIGINT) AS max_window_energy
 FROM documents
 """, "windowed PCM energy kernel (integer-exact) vs nested-list oracle")

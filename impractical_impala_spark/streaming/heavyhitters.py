@@ -60,8 +60,14 @@ def _update(key: tuple, pdfs: Iterator[pd.DataFrame],
         d = dict(zip(items, counts))
     else:
         d, n = {}, 0
-    for pdf in pdfs:
-        pdf = pdf.sort_values("event_id")
+    # A shard group's rows can span multiple Arrow chunks in shuffle
+    # order; the MG fold is order-dependent, so concatenate ALL chunks
+    # and sort ONCE by event_id before folding — otherwise the
+    # AvailableNow==batch-twin convergence contract can flake whenever
+    # a micro-batch's group crosses an arrow.maxRecordsPerBatch edge.
+    chunks = [c for c in pdfs if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values("event_id")
         d = _mg_fold(d, pdf["item"].tolist())
         n += len(pdf)
     state.update((list(d.keys()), list(d.values()), n))

@@ -155,3 +155,20 @@ def test_embedding_lsh_finds_all_exact_copies(spark, sf_oracle):
                          == EMB_JIT_OFFSET).count()
     assert n_jit > 0
     pairs.unpersist()
+
+
+def test_documents_fixture_ascii_nonempty(spark, sf_oracle):
+    """The multimodal oracles equate char length (SQL) with byte length
+    (Arrow kernel) and assume payloads are non-empty; this pins that
+    contract on the fixture explicitly (ADVICE r4) so a driver fixture
+    change surfaces here, not as a silent hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from impractical_impala_spark.sources import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    bad = docs.filter(
+        (F.length("text") == 0)
+        | (F.length("text") != F.octet_length("text"))
+    ).count()
+    assert bad == 0, "documents fixture has empty or non-ASCII text"
