@@ -361,26 +361,38 @@ def train_ivf_centroids(spark: SparkSession, emb: DataFrame,
     return cent
 
 
-TRAIN_FRACTION = 0.5  # bounded, deterministic k-means training sample
-TRAIN_SEED = 42
+N_TRAIN_MAX = 4096  # absolute cap on k-means training rows
+
+
+def ivf_training_sample(emb: DataFrame, cap: int = N_TRAIN_MAX) -> DataFrame:
+    """Bounded, deterministic k-means training subset. A constant
+    *fraction* still scales with the corpus (0.5 of 100 TB is 50 TB), so
+    the cap is absolute: count the corpus (column-pruned, cheap), then
+    keep ~1/denom of rows by hash membership — xxhash64(vec_id) % denom,
+    the same engine-portable deterministic-randomness trick as
+    contrastive_negatives, so the subset is reproducible with no RNG
+    state. The k init vectors are unioned in so Lloyd initialization
+    stays deterministic under sampling; below the cap the subset is the
+    full corpus."""
+    n = emb.select("vec_id").count()
+    denom = max(1, n // cap)
+    return (
+        emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(denom)) == 0)
+        .unionByName(emb.filter(F.col("vec_id") < N_CELLS))
+        .dropDuplicates(["vec_id"])
+    )
 
 
 def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe-2 search against a Lloyd-trained coarse quantizer —
     the production variant of ann_ivf_probe (see train_ivf_centroids
     for why the driver check is rows-only). Training input is a
-    deterministic-seed SAMPLE of the corpus, per the trainer's own
-    contract: at 100 TB the quantizer is fit on a bounded subset (the
-    model only needs cluster geometry, not every row), while the
-    SEARCH still runs over the full corpus. The k init vectors are
-    unioned in so initialization stays deterministic under sampling."""
+    size-BOUNDED deterministic subset of the corpus, per the trainer's
+    own contract: the quantizer only needs cluster geometry, so at
+    100 TB it fits on <=N_TRAIN_MAX rows while the SEARCH still runs
+    over the full corpus."""
     emb = _emb(spark, sf_dir).cache()
-    train = (
-        emb.sample(fraction=TRAIN_FRACTION, seed=TRAIN_SEED)
-        .unionByName(emb.filter(F.col("vec_id") < N_CELLS))
-        .dropDuplicates(["vec_id"])
-    )
-    return _ivf_search(emb, train_ivf_centroids(spark, train))
+    return _ivf_search(emb, train_ivf_centroids(spark, ivf_training_sample(emb)))
 
 
 register("ann_ivf_trained", ann_ivf_trained, None,
