@@ -171,19 +171,30 @@ FROM slopes GROUP BY user_id ORDER BY user_id
 
 
 # ------------------------------------------------------- triangles
-def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count of the within-cohort co-activity graph: all pairs
-    inside each (hour, event_type) roster (rosters are a few users —
-    the bounded-block discipline), deduped to an a<b edge set, then the
-    ordered edge³ join so each triangle counts once. Reports nodes,
-    edges, triangles and the global clustering-relevant wedge count."""
-    ev = load_table(spark, sf_dir, "events")
-    ua = (ev.select("user_id",
-                    F.expr("ts_ns div 3600000000000").alias("hr"),
-                    "event_type")
-          .distinct())
+K_COHORT = 64  # per-(hour, event_type) roster cap before the pair join
+
+
+def cohort_edges(ev: DataFrame, cap: int = K_COHORT) -> DataFrame:
+    """The a<b co-activity edge set from CAPPED cohort rosters. The
+    (hour, event_type) pair join is quadratic in roster size, so one hot
+    cohort at 100x scale would go quadratic without a bound (VERDICT r4
+    item 3): each roster keeps its ``cap`` most-active users
+    (event-count desc, user_id tiebreak — fully deterministic, mirrored
+    in the oracle SQL), making per-cohort pair work <= cap²/2 whatever
+    the data does. The truncation is part of the operator's documented
+    semantics, not a silent sample."""
+    act = (ev.select("user_id",
+                     F.expr("ts_ns div 3600000000000").alias("hr"),
+                     "event_type")
+           .groupBy("hr", "event_type", "user_id")
+           .agg(F.count(F.lit(1)).alias("n_ev")))
+    wk = Window.partitionBy("hr", "event_type").orderBy(
+        F.col("n_ev").desc(), "user_id")
+    ua = (act.withColumn("rk", F.row_number().over(wk))
+          .filter(F.col("rk") <= cap)
+          .select("user_id", "hr", "event_type"))
     r1, r2 = ua.alias("r1"), ua.alias("r2")
-    edges = (
+    return (
         r1.join(r2, (F.col("r1.hr") == F.col("r2.hr"))
                 & (F.col("r1.event_type") == F.col("r2.event_type"))
                 & (F.col("r1.user_id") < F.col("r2.user_id")))
@@ -191,24 +202,64 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("r2.user_id").alias("b"))
         .distinct()
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
-        .join(e3, (F.col("e1.a") == F.col("e3.a"))
-              & (F.col("e2.b") == F.col("e3.b")))
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Degree-oriented wedge-join triangle count. Orienting every edge
+    from its lower-(degree, id) endpoint to the higher one caps any
+    node's out-degree at O(sqrt(m)), so the wedge join's per-key fanout
+    is bounded even on heavy hubs — the standard fix for the skew the
+    naive edge³ join hits at scale. Each triangle has exactly one pivot
+    with out-edges to both other corners, so it is counted once; the
+    closing edge is checked against the id-ordered undirected set. Same
+    count as the a<b<c edge³ join, different (bounded) physical shape."""
+    deg = (edges.select(F.col("a").alias("u"))
+           .unionByName(edges.select(F.col("b").alias("u")))
+           .groupBy("u").agg(F.count(F.lit(1)).alias("deg")))
+    ed = (edges
+          .join(deg.select(F.col("u").alias("a"), F.col("deg").alias("da")),
+                "a")
+          .join(deg.select(F.col("u").alias("b"), F.col("deg").alias("db")),
+                "b"))
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
     )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = (o1.join(o2, (F.col("o1.src") == F.col("o2.src"))
+                      & (F.col("o1.dst") < F.col("o2.dst")))
+              .select(F.col("o1.dst").alias("x"), F.col("o2.dst").alias("y")))
+    return (wedges.join(edges, (F.col("x") == F.col("a"))
+                        & (F.col("y") == F.col("b")))
+            .agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the within-cohort co-activity graph: capped
+    (hour, event_type) rosters -> a<b edge set -> degree-oriented wedge
+    join (see cohort_edges / triangle_count for the two scale bounds).
+    Reports nodes, edges and triangles."""
+    edges = cohort_edges(load_table(spark, sf_dir, "events")).cache()
     nodes = (edges.select(F.col("a").alias("u"))
              .unionByName(edges.select(F.col("b").alias("u")))
              .distinct().agg(F.count(F.lit(1)).alias("n_nodes")))
     ecnt = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    return nodes.crossJoin(ecnt).crossJoin(tri)
+    return nodes.crossJoin(ecnt).crossJoin(triangle_count(edges))
 
 
-register("graph_triangles", graph_triangles, """
-WITH ua AS (
-    SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hr, event_type
-    FROM events
+register("graph_triangles", graph_triangles, f"""
+WITH act AS (
+    SELECT epoch_us(ts) // 3600000000 AS hr, event_type, user_id,
+           COUNT(*) AS n_ev
+    FROM events GROUP BY 1, 2, 3
+), ua AS (
+    SELECT user_id, hr, event_type
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY hr, event_type
+                                       ORDER BY n_ev DESC, user_id) AS rk
+          FROM act)
+    WHERE rk <= {K_COHORT}
 ), edges AS (
     SELECT DISTINCT r1.user_id AS a, r2.user_id AS b
     FROM ua r1 JOIN ua r2
@@ -222,4 +273,4 @@ SELECT (SELECT COUNT(DISTINCT u) FROM (
        (SELECT COUNT(*) FROM edges e1
         JOIN edges e2 ON e1.b = e2.a
         JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b) AS n_triangles
-""", "ordered edge-join triangle count over bounded cohort blocks")
+""", "capped-roster, degree-oriented wedge-join triangle count")
