@@ -27,6 +27,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--methods", nargs="+", default=["dlog", "hp", "hp625", "logquad"],
                    choices=["dlog", "hp", "hp625", "logquad"])
     p.add_argument("--cpus", type=int, default=None)
+    p.add_argument("--golden-csv", action="store_true",
+                   help="emit CSVs via pandas for byte-exact "
+                        "readr::write_csv float formatting (default: "
+                        "distributed executor-side writer)")
     args = p.parse_args(argv)
 
     from .plans import wdi
@@ -36,7 +40,7 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
     outputs = wdi.run_all(spark, args.data_dir, methods=tuple(args.methods))
-    wdi.write_csv_outputs(outputs, args.out_dir)
+    wdi.write_csv_outputs(outputs, args.out_dir, golden=args.golden_csv)
     print(f"wrote {len(outputs)} outputs to {args.out_dir} "
           f"in {time.time() - t0:.1f}s", file=sys.stderr)
     return 0

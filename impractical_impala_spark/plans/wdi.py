@@ -19,6 +19,7 @@ group-wise kernels parallelize over entities, aggregations are partial
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -303,10 +304,29 @@ def run_all(spark: SparkSession, data_dir: str,
     return out
 
 
-def write_csv_outputs(outputs: dict[str, DataFrame], out_dir: str) -> None:
+def write_csv_outputs(outputs: dict[str, DataFrame], out_dir: str,
+                      golden: bool = False) -> None:
     """O30 (dtrendandstat_dlog.R:211-219): one headered CSV per output,
-    full float precision, NA -> empty cell (readr::write_csv parity)."""
+    NA -> empty cell.
+
+    Default path is the DISTRIBUTED writer — executors stream the rows,
+    the driver never materializes the result (``coalesce(1)`` only
+    funnels the final write task so a single headered file comes out,
+    matching the reference's one-file-per-output contract). The
+    ``golden=True`` path routes through pandas for byte-exact
+    readr::write_csv float formatting and is reserved for R-golden
+    emission of the model-size stat tables (<=45 rows each) — as the
+    engine's generic CSV sink it would bottleneck on the driver."""
     os.makedirs(out_dir, exist_ok=True)
     for name, df in outputs.items():
-        df.toPandas().to_csv(os.path.join(out_dir, f"{name}.csv"),
-                             index=False, na_rep="")
+        dest = os.path.join(out_dir, f"{name}.csv")
+        if golden:
+            df.toPandas().to_csv(dest, index=False, na_rep="")
+            continue
+        tmp = os.path.join(out_dir, f"_{name}.csv.spark")
+        (df.coalesce(1).write.mode("overwrite")
+         .option("header", True).option("nullValue", "").csv(tmp))
+        part = next(f for f in os.listdir(tmp)
+                    if f.startswith("part-") and f.endswith(".csv"))
+        os.replace(os.path.join(tmp, part), dest)
+        shutil.rmtree(tmp)
