@@ -35,7 +35,7 @@ from . import (reference_ops, stats_ops, tpch, tpch_more,  # noqa: F401
                tpch_plus, training_extras, windows_plus, tpch_plus2,
                streams_plus, tpch_final, pipelines, training_ops,
                curation, analytics, lakehouse, ml_more, warehouse_extras,
-               layout, feature_ops, paths_stats, modern_sql)
+               layout, feature_ops, paths_stats, modern_sql, profiling)
 
 # r5 window. VERDICT r4 top-next: every one of the 154 registered
 # queries should carry a green-or-sanctioned driver row after this
@@ -61,6 +61,15 @@ STALE_REPROOF = [
 
 # New in round 5 — first driver exposure (appended as they are built).
 NEW_R5 = [
+    # warehouse diagnostics + concentration analytics (profiling.py)
+    "price_histogram", "skew_key_profile", "customer_pareto",
+    "nation_revenue_yoy",
+    # pairwise-stat-without-pairwise-join (ml_more.py)
+    "emb_intra_label_cohesion",
+    # asymmetric containment dedup (dedup.py)
+    "dedup_containment",
+    # blocked fuzzy entity resolution (joins_special.py)
+    "fuzzy_part_match",
 ]
 
 # Priority 3: the reference-operator family (o01-o29) re-proven under

@@ -718,3 +718,108 @@ FROM scored WHERE cos >= {COS_T}
 
 register("dedup_embedding_lsh", dedup_embedding_lsh, _emb_lsh_oracle(),
          "bucketed near-dup embedding pairs (hyperplane LSH + cosine confirm)")
+
+
+# ---------------------------------------------------------- containment
+TRUNC_OFFSET = 3_000_000
+CONTAIN_T = 0.6
+ANCHOR_K = 4          # bottom-k shingle hashes used as candidate anchors
+MAX_ANCHOR_DOCS = 32  # stop-shingle cut: anchors hotter than this drop
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection — containment |A∩B|/|A| finds a
+    short document quoted/embedded inside a longer one, which Jaccard
+    misses (a half-length excerpt of a 100-shingle doc has J≈0.5 but
+    containment 1.0). Candidate generation is bottom-k sketch anchoring:
+    docs meet only when they share one of each other's ANCHOR_K smallest
+    shingle hashes (if A ⊆ B, B's minimum shingle lands in A with
+    probability |A|/|B| per anchor — the standard containment-LSH
+    argument), and anchors shared by more than MAX_ANCHOR_DOCS docs are
+    dropped entirely (the stop-shingle cut that bounds every bucket at
+    scale; the oracle replicates the same cut, so both engines see the
+    identical candidate set by construction). Every 4th doc is augmented
+    with its first-half truncation so true containments exist at every
+    scale factor. Pair sets are re-fetched by doc_id join after the
+    bounded candidate stage — the LSH-family shape."""
+    n = spark.sparkContext.defaultParallelism
+    docs = (load_table(spark, sf_dir, "documents").select("doc_id", "text")
+            .repartition(n))
+    base = docs.withColumn("words", F.expr(_SPARK_WORDS))
+    variants = F.expr(
+        f"CASE WHEN doc_id % 4 = 0 THEN array("
+        f" named_struct('doc_id', doc_id, 'words', words),"
+        f" named_struct('doc_id', doc_id + {TRUNC_OFFSET}, 'words',"
+        f"   slice(words, 1, greatest(size(words) div 2, 1))))"
+        f" ELSE array(named_struct('doc_id', doc_id, 'words', words)) END")
+    ds = (base.select(F.explode(variants).alias("v"))
+          .select("v.doc_id", "v.words")
+          .withColumn("sh", F.expr(_SPARK_SHINGLES.format(w="words")))
+          .withColumn("dh", F.expr(_SPARK_HASHES.format(s="sh")))
+          .select("doc_id", "dh", F.size("dh").alias("nh"))
+          .cache())
+    anchors = ds.select(
+        "doc_id", "nh",
+        F.explode(F.expr(f"slice(array_sort(dh), 1, {ANCHOR_K})")).alias("ah"))
+    keep = (anchors.groupBy("ah").agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") <= MAX_ANCHOR_DOCS).select("ah"))
+    anchors = anchors.join(keep, "ah")
+    a, b = anchors.alias("a"), anchors.alias("b")
+    cand = (a.join(b, (F.col("a.ah") == F.col("b.ah"))
+                   & ((F.col("a.nh") < F.col("b.nh"))
+                      | ((F.col("a.nh") == F.col("b.nh"))
+                         & (F.col("a.doc_id") < F.col("b.doc_id")))))
+            .select(F.col("a.doc_id").alias("doc_small"),
+                    F.col("b.doc_id").alias("doc_big"))
+            .distinct())
+    sa = ds.select(F.col("doc_id").alias("doc_small"),
+                   F.col("dh").alias("dh_a"))
+    sb = ds.select(F.col("doc_id").alias("doc_big"),
+                   F.col("dh").alias("dh_b"))
+    scored = (cand.join(sa, "doc_small").join(sb, "doc_big")
+              .select("doc_small", "doc_big",
+                      (F.size(F.array_intersect("dh_a", "dh_b"))
+                       .cast("double") / F.size("dh_a").cast("double"))
+                      .alias("containment")))
+    return (scored.filter(F.col("containment") >= CONTAIN_T)
+            .select("doc_small", "doc_big",
+                    F.round("containment", 6).alias("containment")))
+
+
+register("dedup_containment", dedup_containment, f"""
+WITH ds AS (
+    SELECT doc_id,
+           {_DUCK_HASHES.format(s=_DUCK_SHINGLES.format(w='words'))} AS dh
+    FROM (
+        SELECT doc_id, {_DUCK_WORDS} AS words FROM documents
+        UNION ALL
+        SELECT doc_id + {TRUNC_OFFSET},
+               list_slice(w, 1, greatest(len(w) // 2, 1))
+        FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents)
+        WHERE doc_id % 4 = 0
+    )
+), dss AS (
+    SELECT doc_id, dh, len(dh) AS nh FROM ds
+), anchors0 AS (
+    SELECT doc_id, nh, UNNEST(list_slice(list_sort(dh), 1, {ANCHOR_K})) AS ah
+    FROM dss
+), keep AS (
+    SELECT ah FROM anchors0 GROUP BY ah HAVING COUNT(*) <= {MAX_ANCHOR_DOCS}
+), anchors AS (
+    SELECT a.* FROM anchors0 a JOIN keep USING (ah)
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_small, b.doc_id AS doc_big
+    FROM anchors a JOIN anchors b
+      ON a.ah = b.ah
+     AND (a.nh < b.nh OR (a.nh = b.nh AND a.doc_id < b.doc_id))
+), scored AS (
+    SELECT c.doc_small, c.doc_big,
+           CAST(len(list_intersect(x.dh, y.dh)) AS DOUBLE)
+           / CAST(len(x.dh) AS DOUBLE) AS containment
+    FROM cand c
+    JOIN dss x ON c.doc_small = x.doc_id
+    JOIN dss y ON c.doc_big = y.doc_id
+)
+SELECT doc_small, doc_big, ROUND(containment, 6) AS containment
+FROM scored WHERE containment >= {CONTAIN_T}
+""", "bottom-k-anchored asymmetric containment (quote/excerpt detection)")

@@ -358,3 +358,83 @@ SELECT src, dst, n,
        ROUND(n / SUM(n) OVER (PARTITION BY src), 6) AS p
 FROM cnt ORDER BY src, dst
 """, "per-user event-sequence Markov transition counts + probabilities")
+
+
+# ------------------------------------- intra-label embedding cohesion
+COH_SCALE = 4096  # power of two: quantized components sum exactly
+COH_DIM = 64
+
+
+def emb_intra_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean pairwise intra-label (quantized) cosine WITHOUT the pairwise
+    join: for unit vectors, sum over pairs of dot(a,b) equals
+    (|S|² - Σ|v|²)/2 where S = Σv — so the O(n²) metric-learning QA
+    statistic collapses to per-label vector sums, O(n·d) with one
+    shuffle on (label, pos). Components are floor-quantized to integers
+    AFTER normalization (identical IEEE arithmetic on both engines), so
+    every distributed sum has exactly one value — the emb_covariance
+    determinism trick applied to a pairwise statistic. At 100 TB the
+    per-label state is d+1 integers; no row ever meets another row."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    q = (emb.withColumn(
+            "norm",
+            F.expr("sqrt(aggregate(v, cast(0.0 as double),"
+                   " (acc, x) -> acc + x * x))"))
+         .filter(F.col("norm") > 0)
+         .select("label", F.expr(
+             f"transform(v, x -> cast(floor(x / norm * {COH_SCALE})"
+             f" as bigint))").alias("q"))
+         .withColumn("qsq", F.expr(
+             "aggregate(q, cast(0 as bigint), (acc, x) -> acc + x * x)")))
+    possums = (q.select("label", F.posexplode("q").alias("pos", "x"))
+               .groupBy("label", "pos").agg(F.sum("x").alias("s")))
+    s2 = possums.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("s2"))
+    per = q.groupBy("label").agg(F.count(F.lit(1)).alias("n"),
+                                 F.sum("qsq").alias("qsum"))
+    return (per.join(s2, "label").filter(F.col("n") >= 2)
+            .select("label", "n",
+                    (F.round((F.col("s2") - F.col("qsum"))
+                             / (F.col("n") * (F.col("n") - 1))
+                             / float(COH_SCALE * COH_SCALE), 6) + 0.0)
+                    .alias("mean_intra_cos"))
+            .orderBy("label"))
+
+
+register("emb_intra_label_cohesion", emb_intra_label_cohesion, f"""
+WITH nv AS (
+    SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), q AS (
+    SELECT label,
+           list_transform(v, x -> CAST(FLOOR(x / norm * {COH_SCALE})
+                                       AS BIGINT)) AS q
+    FROM (SELECT label, v,
+                 sqrt(list_reduce(list_transform(v, x -> x * x),
+                                  (acc, x) -> acc + x)) AS norm
+          FROM nv)
+    WHERE norm > 0
+), qs AS (
+    SELECT label, q,
+           CAST(list_reduce(list_transform(q, x -> x * x),
+                            (acc, x) -> acc + x) AS BIGINT) AS qsq
+    FROM q
+), possums AS (
+    SELECT label, k, CAST(SUM(q[k]) AS BIGINT) AS s
+    FROM qs, (SELECT UNNEST(range(1, {COH_DIM} + 1)) AS k) ks
+    GROUP BY label, k
+), s2 AS (
+    SELECT label, CAST(SUM(s * s) AS BIGINT) AS s2 FROM possums GROUP BY label
+), per AS (
+    SELECT label, COUNT(*) AS n, CAST(SUM(qsq) AS BIGINT) AS qsum FROM qs
+    GROUP BY label
+)
+SELECT per.label, per.n,
+       ROUND(CAST(s2.s2 - per.qsum AS DOUBLE)
+             / (per.n * (per.n - 1)) / {float(COH_SCALE * COH_SCALE)}, 6)
+           + 0.0 AS mean_intra_cos
+FROM per JOIN s2 ON per.label = s2.label
+WHERE per.n >= 2 ORDER BY per.label
+""", "intra-label mean pairwise cosine via the sum-of-vectors identity")

@@ -403,3 +403,44 @@ def test_rolling_slope_one_corpus_shuffle(spark, sf_small):
     plan = plan_of(_Q["events_rolling_slope"].build(spark, sf_small))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_skew_profile_topk_is_take_ordered(spark, sf_small):
+    """Top-20 hot keys must compile to TakeOrderedAndProject (per-
+    partition top-k + 20-row merge), never a single-partition global
+    window over the key aggregate."""
+    plan = plan_of(_Q["skew_key_profile"].build(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_yoy_broadcasts_both_dims(spark, sf_small):
+    """customer and nation attach to the orders fact as broadcasts; the
+    only exchange shuffles the yearly aggregate's grouping key."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(_Q["nation_revenue_yoy"].build(spark, sf_small))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2
+    assert not re.findall(r"\(\d+\) SortMergeJoin", plan)
+
+
+def test_histogram_stats_attach_without_fact_shuffle(spark, sf_small):
+    """The dynamic range is a 1-row aggregate broadcast back over the
+    scan — the orders column must not shuffle before binning (the only
+    exchanges are the 1-row stats exchange and the 16-bin group-by)."""
+    plan = plan_of(_Q["price_histogram"].build(spark, sf_small))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "ReadSchema: struct<o_totalprice:double>" in plan
+
+
+def test_cohesion_never_joins_rows_to_rows(spark, sf_small):
+    """The sum-of-vectors identity must keep the plan free of any
+    vector-to-vector join: the only join combines the two per-label
+    aggregate frames (model-size)."""
+    plan = plan_of(_Q["emb_intra_label_cohesion"].build(spark, sf_small))
+    assert len(re.findall(r"\(\d+\) (?:Broadcast|SortMerge|ShuffledHash)HashJoin",
+                          plan)) <= 1
+    assert "CartesianProduct" not in plan
