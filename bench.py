@@ -86,6 +86,15 @@ HEADLINE = [
     "text_inverted_index",
     "merge_upsert_orders",
     "pit_state_join",
+    # added round 5 (append-only): diagnostics + new dedup/ML shapes
+    "graph_triangles",
+    "dedup_containment",
+    "fuzzy_part_match",
+    "emb_intra_label_cohesion",
+    "price_histogram",
+    "skew_key_profile",
+    "customer_pareto",
+    "nation_revenue_yoy",
 ]
 
 

@@ -171,18 +171,29 @@ FROM slopes GROUP BY user_id ORDER BY user_id
 
 
 # ------------------------------------------------------- triangles
-K_COHORT = 64  # per-(hour, event_type) roster cap before the pair join
+K_COHORT = 64      # per-(hour, event_type) roster cap before the pair join
+EDGE_CAP = 20_000  # co-activity backbone: top-E edges by support
 
 
-def cohort_edges(ev: DataFrame, cap: int = K_COHORT) -> DataFrame:
-    """The a<b co-activity edge set from CAPPED cohort rosters. The
-    (hour, event_type) pair join is quadratic in roster size, so one hot
-    cohort at 100x scale would go quadratic without a bound (VERDICT r4
-    item 3): each roster keeps its ``cap`` most-active users
-    (event-count desc, user_id tiebreak — fully deterministic, mirrored
-    in the oracle SQL), making per-cohort pair work <= cap²/2 whatever
-    the data does. The truncation is part of the operator's documented
-    semantics, not a silent sample."""
+def cohort_edges(ev: DataFrame, cap: int = K_COHORT,
+                 edge_cap: int = EDGE_CAP) -> DataFrame:
+    """The a<b co-activity BACKBONE from capped cohort rosters. Two
+    bounds, both deterministic and oracle-mirrored (truncation is part
+    of the operator's documented semantics, not a silent sample):
+
+    1. Roster cap (VERDICT r4 item 3): the (hour, event_type) pair join
+       is quadratic in roster size, so each roster keeps its ``cap``
+       most-active users (event-count desc, user_id tiebreak) — per-
+       cohort pair work <= cap²/2 whatever the data does.
+    2. Edge cap: a co-activity graph DENSIFIES as data grows (at sf0.1
+       the raw graph is 1500 nodes / 789k edges — 70% of complete; no
+       triangle algorithm survives a near-complete graph). The operator
+       therefore counts each pair's SUPPORT (number of cohorts it
+       co-occurs in) and keeps the ``edge_cap`` strongest edges
+       (support desc, then (a, b) — a total order, so the cut is
+       deterministic). Top-E is a distributed TakeOrdered; E is
+       model-size. Below the cap (sf0.01: 7,788 edges) every edge
+       survives and the backbone IS the full graph."""
     act = (ev.select("user_id",
                      F.expr("ts_ns div 3600000000000").alias("hr"),
                      "event_type")
@@ -194,14 +205,17 @@ def cohort_edges(ev: DataFrame, cap: int = K_COHORT) -> DataFrame:
           .filter(F.col("rk") <= cap)
           .select("user_id", "hr", "event_type"))
     r1, r2 = ua.alias("r1"), ua.alias("r2")
-    return (
+    support = (
         r1.join(r2, (F.col("r1.hr") == F.col("r2.hr"))
                 & (F.col("r1.event_type") == F.col("r2.event_type"))
                 & (F.col("r1.user_id") < F.col("r2.user_id")))
-        .select(F.col("r1.user_id").alias("a"),
-                F.col("r2.user_id").alias("b"))
-        .distinct()
+        .groupBy(F.col("r1.user_id").alias("a"),
+                 F.col("r2.user_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("support"))
     )
+    return (support
+            .orderBy(F.col("support").desc(), "a", "b").limit(edge_cap)
+            .select("a", "b"))
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
@@ -237,10 +251,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
 
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count of the within-cohort co-activity graph: capped
-    (hour, event_type) rosters -> a<b edge set -> degree-oriented wedge
-    join (see cohort_edges / triangle_count for the two scale bounds).
-    Reports nodes, edges and triangles."""
+    """Triangle count of the co-activity BACKBONE graph: capped
+    (hour, event_type) rosters -> support-ranked top-E edge set ->
+    degree-oriented wedge join (see cohort_edges / triangle_count for
+    the three scale bounds). Reports nodes, edges and triangles."""
     edges = cohort_edges(load_table(spark, sf_dir, "events")).cache()
     nodes = (edges.select(F.col("a").alias("u"))
              .unionByName(edges.select(F.col("b").alias("u")))
@@ -260,11 +274,15 @@ WITH act AS (
                                        ORDER BY n_ev DESC, user_id) AS rk
           FROM act)
     WHERE rk <= {K_COHORT}
-), edges AS (
-    SELECT DISTINCT r1.user_id AS a, r2.user_id AS b
+), support AS (
+    SELECT r1.user_id AS a, r2.user_id AS b, COUNT(*) AS support
     FROM ua r1 JOIN ua r2
       ON r1.hr = r2.hr AND r1.event_type = r2.event_type
      AND r1.user_id < r2.user_id
+    GROUP BY 1, 2
+), edges AS (
+    SELECT a, b FROM support
+    ORDER BY support DESC, a, b LIMIT {EDGE_CAP}
 )
 SELECT (SELECT COUNT(DISTINCT u) FROM (
             SELECT a AS u FROM edges UNION ALL SELECT b FROM edges))

@@ -18,17 +18,17 @@ def test_queries_and_oracles_consistent():
         assert isinstance(sql, str) and "SELECT" in sql.upper()
 
 
-def test_driver_window_holds_round4_targets():
+def test_driver_window_holds_round5_targets():
     """The correctness driver checks the FIRST 50 entries of queries().
-    Round 4's window must lead with the nine queries whose r3 row
-    FAILED on the events.ts schema drift, then the never-checked late-r3
-    registrations and every round-4 addition — the rotation contract
-    from queries/__init__.py."""
+    Round 5's window must lead with the eight late-r4 queries that have
+    never had a driver row, then the stale re-proofs (q_approx_* and the
+    resampled/rewritten ann_ivf_trained), then every round-5 addition —
+    the rotation contract from queries/__init__.py."""
     from impractical_impala_spark.queries import (
-        FAILED_R3, NEVER_CHECKED_R3, NEW_R4, WINDOW)
+        NEVER_CHECKED_R4, NEW_R5, STALE_REPROOF, WINDOW)
 
     first50 = list(e.queries())[:50]
     assert first50[:len(WINDOW)] == WINDOW[:50]
-    assert first50[:len(FAILED_R3)] == FAILED_R3
-    for name in FAILED_R3 + NEVER_CHECKED_R3 + NEW_R4:
+    assert first50[:len(NEVER_CHECKED_R4)] == NEVER_CHECKED_R4
+    for name in NEVER_CHECKED_R4 + STALE_REPROOF + NEW_R5:
         assert name in first50, f"{name} fell out of the driver window"

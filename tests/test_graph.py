@@ -121,3 +121,27 @@ def test_cohort_roster_cap_bounds_hot_cohorts(spark):
             .distinct().filter(F.col("u") < 10_000_000).collect()}
     assert len(kept) == K_COHORT
     assert all((u % 7) + 1 >= 6 for u in kept), sorted(kept)[:10]
+
+
+def test_edge_cap_bounds_densified_graph(spark):
+    """r5: the co-activity graph densifies as data grows; the backbone
+    keeps only the edge_cap strongest-support edges, chosen by a total
+    order — and below the cap the backbone is the full graph."""
+    from impractical_impala_spark.queries.paths_stats import cohort_edges
+
+    rows = []
+    # 30 users all co-active in hour 0 -> C(30,2)=435 raw edges; pairs
+    # of LOW ids co-occur again in later hours (higher support)
+    for u in range(30):
+        rows.append((u, 0, u, "t"))
+    for h in range(1, 4):
+        for u in range(10):
+            rows.append((1000 * h + u, h * 3_600_000_000_000 + u, u, "t"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_ns long, user_id long, event_type string")
+    full = cohort_edges(ev)
+    assert full.count() == 435
+    top = cohort_edges(ev, edge_cap=45).collect()
+    assert len(top) == 45
+    # the C(10,2)=45 high-support pairs (ids 0-9, support 4) win the cut
+    assert all(r.a < 10 and r.b < 10 for r in top)
