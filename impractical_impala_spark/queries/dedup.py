@@ -217,7 +217,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _duck_minhash_ctes() -> str:
+    """The minhash→banding→confirmed-pairs pipeline as composable CTE
+    bodies (docsets, sigs, buckets, cand, lsh_pairs) — shared by the
+    dedup_minhash_lsh oracle and the dedup_lsh_audit oracle."""
     mh = ",\n           ".join(
         f"list_min(list_transform(dh, h -> ({a} * h + {b}) % {P})) AS mh{i}"
         for i, (a, b) in enumerate(PERMS)
@@ -230,8 +233,7 @@ def _minhash_oracle() -> str:
         + " AS bkey FROM sigs"
         for band in range(BANDS)
     )
-    return f"""
-WITH {_duck_docsets(mutated=True).lstrip()},
+    return f"""{_duck_docsets(mutated=True).lstrip()},
 sigs AS (
     SELECT doc_id, dh,
            {mh}
@@ -245,15 +247,23 @@ cand AS (
            a.dh AS dha, b.dh AS dhb
     FROM buckets a JOIN buckets b
       ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b,
-       CAST(len(list_intersect(dha, dhb)) AS DOUBLE)
-       / CAST(len(dha) + len(dhb) - len(list_intersect(dha, dhb)) AS DOUBLE)
-           AS jaccard
-FROM cand
-WHERE CAST(len(list_intersect(dha, dhb)) AS DOUBLE)
-      / CAST(len(dha) + len(dhb) - len(list_intersect(dha, dhb)) AS DOUBLE)
-      >= {JACCARD_T}
+),
+lsh_pairs AS (
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(dha, dhb)) AS DOUBLE)
+           / CAST(len(dha) + len(dhb) - len(list_intersect(dha, dhb))
+                  AS DOUBLE) AS jaccard
+    FROM cand
+    WHERE CAST(len(list_intersect(dha, dhb)) AS DOUBLE)
+          / CAST(len(dha) + len(dhb) - len(list_intersect(dha, dhb))
+                 AS DOUBLE) >= {JACCARD_T}
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_duck_minhash_ctes()}
+SELECT doc_a, doc_b, jaccard FROM lsh_pairs
 """
 
 
@@ -823,3 +833,75 @@ WITH ds AS (
 SELECT doc_small, doc_big, ROUND(containment, 6) AS containment
 FROM scored WHERE containment >= {CONTAIN_T}
 """, "bottom-k-anchored asymmetric containment (quote/excerpt detection)")
+
+
+# ------------------------------------------------------------ LSH audit
+def dedup_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tuning audit for the probabilistic dedup path: the LSH-confirmed
+    pair set against the blocked-exact-Jaccard ground truth, as ONE
+    integer-exact summary row (pair counts, overlap, recall in ppm).
+    This is the operator that answers "are 4 bands x 4 rows enough at
+    this Jaccard threshold?" — run it on a sample before committing a
+    corpus-wide dedup configuration. Composes the two registered
+    pipelines unchanged (each self-contained, the pipelines.py
+    discipline); the full-outer join runs on the two PAIR sets
+    (near-dup-sized, orders below corpus-sized)."""
+    lsh = dedup_minhash_lsh(spark, sf_dir) \
+        .select("doc_a", "doc_b", F.lit(1).alias("in_lsh"))
+    truth = dedup_ngram_jaccard(spark, sf_dir) \
+        .select("doc_a", "doc_b", F.lit(1).alias("in_truth"))
+    j = lsh.join(truth, ["doc_a", "doc_b"], "full_outer")
+    return j.agg(
+        F.sum(F.coalesce(F.col("in_lsh"), F.lit(0))).alias("n_lsh"),
+        F.sum(F.coalesce(F.col("in_truth"), F.lit(0))).alias("n_truth"),
+        F.sum(F.coalesce(F.col("in_lsh"), F.lit(0))
+              * F.coalesce(F.col("in_truth"), F.lit(0))).alias("n_both"),
+    ).select(
+        "n_lsh", "n_truth", "n_both",
+        F.expr("n_both * 1000000 div n_truth").alias("recall_ppm"),
+        (F.col("n_lsh") - F.col("n_both")).alias("lsh_only_pairs"),
+        (F.col("n_truth") - F.col("n_both")).alias("truth_only_pairs"),
+    )
+
+
+register("dedup_lsh_audit", dedup_lsh_audit, f"""
+WITH {_duck_minhash_ctes()},
+meta AS (
+    SELECT doc_id, lang, source FROM documents
+    UNION ALL
+    SELECT doc_id + {MUT_OFFSET}, lang, source FROM documents
+    WHERE doc_id % 3 = 0
+),
+dsb AS (
+    SELECT d.doc_id, d.dh, m.lang, m.source,
+           CAST(floor(log2(len(d.dh))) AS BIGINT) AS len_band,
+           ({_duck_simhash_terms('d.dh')})
+               >> {SIMHASH_BITS - NGRAM_PREFIX_BITS} AS blk
+    FROM docsets d JOIN meta m USING (doc_id)
+),
+truth_pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM dsb a JOIN dsb b
+      ON a.lang = b.lang AND a.source = b.source
+     AND a.len_band = b.len_band AND a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.dh, b.dh)) AS DOUBLE)
+          / CAST(len(a.dh) + len(b.dh) - len(list_intersect(a.dh, b.dh))
+                 AS DOUBLE) >= {JACCARD_T}
+),
+j AS (
+    SELECT COALESCE(l.flag, 0) AS in_lsh, COALESCE(t.flag, 0) AS in_truth
+    FROM (SELECT doc_a, doc_b, 1 AS flag FROM lsh_pairs) l
+    FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS flag FROM truth_pairs) t
+    USING (doc_a, doc_b)
+)
+SELECT CAST(SUM(in_lsh) AS BIGINT) AS n_lsh,
+       CAST(SUM(in_truth) AS BIGINT) AS n_truth,
+       CAST(SUM(in_lsh * in_truth) AS BIGINT) AS n_both,
+       CAST(SUM(in_lsh * in_truth) * 1000000 // SUM(in_truth) AS BIGINT)
+           AS recall_ppm,
+       CAST(SUM(in_lsh) - SUM(in_lsh * in_truth) AS BIGINT)
+           AS lsh_only_pairs,
+       CAST(SUM(in_truth) - SUM(in_lsh * in_truth) AS BIGINT)
+           AS truth_only_pairs
+FROM j
+""", "LSH-vs-exact-Jaccard recall/overlap audit (integer-exact ppm)")

@@ -272,3 +272,36 @@ SELECT o_orderkey, o_totalprice,
        ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
 FROM orders
 """, "scalable global row numbering (range partitions + offset join)")
+
+
+def q_filtered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER-clause conditional aggregation: several differently-
+    filtered aggregates in ONE pass over the fact table (the idiom that
+    replaces N self-joins or N CASE-WHEN pyramids; Catalyst plans one
+    scan + one two-phase aggregate). Revenue quantized to integer cents
+    pre-sum so the filtered sums are distribution-order exact."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_fa")
+    return spark.sql("""
+        SELECT l_returnflag,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+               COUNT(*) FILTER (WHERE l_quantity < 10) AS n_small_qty,
+               SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                   FILTER (WHERE l_tax = 0) AS taxfree_cents
+        FROM li_fa
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """)
+
+
+register("q_filtered_aggs", q_filtered_aggs, """
+SELECT l_returnflag,
+       COUNT(*) AS n_all,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       COUNT(*) FILTER (WHERE l_quantity < 10) AS n_small_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+            FILTER (WHERE l_tax = 0) AS BIGINT) AS taxfree_cents
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""", "single-pass FILTER-clause conditional aggregation")
