@@ -205,3 +205,139 @@ SELECT n_name, CAST(yr AS INT) AS yr, revenue_cents,
              * 100, 4) + 0.0 AS yoy_pct
 FROM yearly ORDER BY n_name, yr
 """, "cents-exact yearly revenue with LAG year-over-year growth")
+
+
+# ------------------------------------------------ market-basket lift
+MIN_SUPPORT = 10
+
+
+def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining (market basket) over order/brand baskets:
+    support, confidence and lift for every brand pair that co-occurs in
+    >= MIN_SUPPORT orders. Scale shape: baskets reduce to ONE sorted
+    brand array per order (bounded by the 25-brand dimension), pairs
+    explode from the array with an index-offset lambda — no basket
+    self-join ever touches the fact table — and the per-brand totals +
+    grand total attach via broadcasts. Lift's float division happens
+    once per surviving pair (dimension² rows) and is rounded."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+          .select("l_orderkey", "p_brand").distinct())
+    baskets = (ob.groupBy("l_orderkey")
+               .agg(F.array_sort(F.collect_set("p_brand")).alias("brands")))
+    pairs = baskets.select(F.explode(F.expr(
+        "flatten(transform(brands, (x, i) ->"
+        " transform(slice(brands, i + 2, size(brands)),"
+        " y -> struct(x AS brand_a, y AS brand_b))))")).alias("p")) \
+        .select("p.brand_a", "p.brand_b")
+    sup = pairs.groupBy("brand_a", "brand_b") \
+        .agg(F.count(F.lit(1)).alias("support_ab")) \
+        .filter(F.col("support_ab") >= MIN_SUPPORT)
+    bcnt = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("s"))
+    tot = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    return (sup
+            .join(F.broadcast(bcnt.select(F.col("p_brand").alias("brand_a"),
+                                          F.col("s").alias("sa"))), "brand_a")
+            .join(F.broadcast(bcnt.select(F.col("p_brand").alias("brand_b"),
+                                          F.col("s").alias("sb"))), "brand_b")
+            .crossJoin(F.broadcast(tot))
+            .select("brand_a", "brand_b", "support_ab",
+                    F.expr("support_ab * 1000000 div sa")
+                    .alias("confidence_ppm"),
+                    (F.round(F.col("support_ab") * F.col("n_orders")
+                             / (F.col("sa") * F.col("sb")), 6) + 0.0)
+                    .alias("lift"))
+            .orderBy("brand_a", "brand_b"))
+
+
+register("basket_brand_lift", basket_brand_lift, f"""
+WITH ob AS (
+    SELECT DISTINCT l_orderkey, p_brand
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+), sup AS (
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           COUNT(*) AS support_ab
+    FROM ob a JOIN ob b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_SUPPORT}
+), bcnt AS (
+    SELECT p_brand, COUNT(*) AS s FROM ob GROUP BY p_brand
+), tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob)
+SELECT brand_a, brand_b, support_ab,
+       CAST(support_ab * 1000000 // sa.s AS BIGINT) AS confidence_ppm,
+       ROUND(CAST(support_ab AS DOUBLE) * n_orders / (sa.s * sb.s), 6)
+           + 0.0 AS lift
+FROM sup
+JOIN bcnt sa ON sup.brand_a = sa.p_brand
+JOIN bcnt sb ON sup.brand_b = sb.p_brand
+CROSS JOIN tot
+ORDER BY brand_a, brand_b
+""", "market-basket brand association: support/confidence/lift")
+
+
+# --------------------------------------------------- RFM segmentation
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order,
+    against the corpus max date — a 1-row broadcast, never a driver
+    round-trip), frequency (order count) and monetary (cents-exact
+    revenue) scored 1-3 by fixed thresholds, aggregated per segment.
+    Every scoring input is an integer, so the segment assignment is
+    deterministic on both engines; only the final per-segment average
+    is floating point, and it is rounded."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("datediff(o_orderdate, DATE '1970-01-01')").alias("epoch_day"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    ref = orders.agg(F.max("epoch_day").alias("ref_day"))
+    rfm = (orders.crossJoin(F.broadcast(ref))
+           .groupBy("o_custkey")
+           .agg((F.first("ref_day") - F.max("epoch_day")).alias("recency_d"),
+                F.count(F.lit(1)).alias("frequency"),
+                F.sum("cents").alias("monetary_cents")))
+    seg = rfm.select(
+        F.expr("CASE WHEN recency_d < 365 THEN 3"
+               " WHEN recency_d < 1095 THEN 2 ELSE 1 END").alias("r_score"),
+        F.expr("CASE WHEN frequency >= 15 THEN 3"
+               " WHEN frequency >= 8 THEN 2 ELSE 1 END").alias("f_score"),
+        F.expr("CASE WHEN monetary_cents >= 200000000 THEN 3"
+               " WHEN monetary_cents >= 80000000 THEN 2 ELSE 1 END")
+        .alias("m_score"),
+        "monetary_cents")
+    return (seg.groupBy("r_score", "f_score", "m_score")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 (F.round(F.avg("monetary_cents") / 100.0, 4) + 0.0)
+                 .alias("avg_monetary"))
+            .orderBy("r_score", "f_score", "m_score"))
+
+
+register("orders_rfm_segments", orders_rfm_segments, """
+WITH o AS (
+    SELECT o_custkey,
+           CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS epoch_day,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), ref AS (SELECT MAX(epoch_day) AS ref_day FROM o),
+rfm AS (
+    SELECT o_custkey,
+           ANY_VALUE(ref_day) - MAX(epoch_day) AS recency_d,
+           COUNT(*) AS frequency,
+           CAST(SUM(cents) AS BIGINT) AS monetary_cents
+    FROM o CROSS JOIN ref GROUP BY o_custkey
+), seg AS (
+    SELECT CASE WHEN recency_d < 365 THEN 3
+                WHEN recency_d < 1095 THEN 2 ELSE 1 END AS r_score,
+           CASE WHEN frequency >= 15 THEN 3
+                WHEN frequency >= 8 THEN 2 ELSE 1 END AS f_score,
+           CASE WHEN monetary_cents >= 200000000 THEN 3
+                WHEN monetary_cents >= 80000000 THEN 2 ELSE 1 END AS m_score,
+           monetary_cents
+    FROM rfm
+)
+SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       COUNT(*) AS n_customers,
+       ROUND(AVG(monetary_cents) / 100.0, 4) + 0.0 AS avg_monetary
+FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""", "integer-thresholded RFM segmentation with broadcast reference date")
