@@ -172,3 +172,42 @@ def test_documents_fixture_ascii_nonempty(spark, sf_oracle):
         | (F.length("text") != F.octet_length("text"))
     ).count()
     assert bad == 0, "documents fixture has empty or non-ASCII text"
+
+
+def test_containment_anchor_cut_drops_hot_shingles(spark):
+    """The stop-shingle frequency cut is what bounds dedup_containment's
+    candidate buckets: an anchor shared by more docs than the cap must
+    generate ZERO candidate pairs, while normal anchors still match.
+    Synthetic corpus: 40 docs sharing one hot leading bigram (over the
+    32-doc cap) plus one true truncation-containment pair."""
+    from pyspark.sql import functions as F
+
+    from impractical_impala_spark.queries.dedup import (
+        MAX_ANCHOR_DOCS, dedup_containment)
+
+    # all queries read documents from parquet; build a temp dir
+    import tempfile
+
+    n_hot = MAX_ANCHOR_DOCS + 8
+    rows = []
+    for i in range(n_hot):
+        # 'zz zz' bigram leads every doc -> one hot anchor, rest distinct
+        rows.append((i, f"zz zz unique{i}a unique{i}b unique{i}c "
+                        f"unique{i}d unique{i}e unique{i}f unique{i}g "
+                        f"unique{i}h", "en", "s"))
+    # doc 4000 % 4 == 0 -> gets a first-half truncation twin
+    rows.append((4000, "alpha beta gamma delta epsilon zeta eta theta",
+                 "en", "s"))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string") \
+            .withColumn("n_chars", F.length("text").cast("long")) \
+            .coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        pairs = dedup_containment(spark, d).collect()
+    # the hot-anchor docs must not all-pair (39*38/2 would dwarf this);
+    # only containment hits survive — and the planted truncation pair is
+    # found via its non-hot anchors
+    assert any(r.doc_small == 4000 + 3_000_000 and r.doc_big == 4000
+               for r in pairs)
+    hot_pairs = [r for r in pairs if r.doc_small < n_hot and r.doc_big < n_hot]
+    assert len(hot_pairs) == 0, hot_pairs[:5]

@@ -115,3 +115,38 @@ def test_markov_replica_scaleup(spark, sf_small):
     for r in tr.collect():
         n0, _ = base[(r.src, r.dst)]
         assert r.n == reps * n0, (r.src, r.dst, r.n, n0)
+
+
+R5_CASES = [
+    "emb_intra_label_cohesion",  # integer sum-of-vectors partials
+    "dedup_containment",         # anchor-bucketed pair generation
+    "fuzzy_part_match",          # capped-block levenshtein pairs
+    "basket_brand_lift",         # per-order array pair explode
+    "customer_pareto",           # total-ordered ntile over aggregate
+    "price_histogram",           # broadcast-range binning
+    "skew_key_profile",          # distributed TakeOrdered top-k
+    "orders_rfm_segments",       # integer-threshold scoring
+    "nation_revenue_yoy",
+    "dedup_lsh_audit",           # full-outer pair-set reconciliation
+    "q_filtered_aggs",
+]
+
+
+@pytest.mark.parametrize("name", R5_CASES)
+def test_r5_partition_invariance(spark, sf_small, name):
+    """Round-5 determinism claims under hostile splits: narrow scan
+    partitions, prime shuffle width, small Arrow batches must not
+    change a single output value."""
+    base = sorted(map(tuple, _Q[name].build(spark, sf_small).collect()))
+    conf = [("spark.sql.files.maxPartitionBytes", "65536"),
+            ("spark.sql.shuffle.partitions", "7"),
+            ("spark.sql.execution.arrow.maxRecordsPerBatch", "37")]
+    old = {k: spark.conf.get(k) for k, _ in conf}
+    try:
+        for k, v in conf:
+            spark.conf.set(k, v)
+        skewed = sorted(map(tuple, _Q[name].build(spark, sf_small).collect()))
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert base == skewed
