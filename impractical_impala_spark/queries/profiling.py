@@ -341,3 +341,49 @@ SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
        ROUND(AVG(monetary_cents) / 100.0, 4) + 0.0 AS avg_monetary
 FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """, "integer-thresholded RFM segmentation with broadcast reference date")
+
+
+# -------------------------------------------- audience diversity
+def events_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-diversity diagnosis per event type: Gini-Simpson index
+    (1 - Σp²) and the inverse-Simpson "effective user count" — the
+    concentration metrics that complement skew_key_profile's top-k
+    view. Chosen over Shannon entropy deliberately: Σn_u² is an exact
+    INTEGER (no per-term log whose last-ulp could differ between
+    engines), so the whole statistic is integer arithmetic until the
+    two final rounded divisions."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    per_user = (ev.groupBy("event_type", "user_id")
+                .agg(F.count(F.lit(1)).alias("n_u")))
+    return (per_user.groupBy("event_type")
+            .agg(F.sum("n_u").alias("n_events"),
+                 F.count(F.lit(1)).alias("n_users"),
+                 F.sum(F.col("n_u") * F.col("n_u")).alias("sum_sq"))
+            .select("event_type", "n_events", "n_users",
+                    (F.round(F.lit(1.0) - F.col("sum_sq")
+                             / (F.col("n_events") * F.col("n_events")), 6)
+                     + 0.0).alias("simpson"),
+                    (F.round(F.col("n_events") * F.col("n_events")
+                             / F.col("sum_sq"), 4) + 0.0)
+                    .alias("effective_users"))
+            .orderBy("event_type"))
+
+
+register("events_diversity_profile", events_diversity_profile, """
+WITH per_user AS (
+    SELECT event_type, user_id, COUNT(*) AS n_u
+    FROM events GROUP BY 1, 2
+), agg AS (
+    SELECT event_type,
+           CAST(SUM(n_u) AS BIGINT) AS n_events,
+           COUNT(*) AS n_users,
+           CAST(SUM(n_u * n_u) AS BIGINT) AS sum_sq
+    FROM per_user GROUP BY event_type
+)
+SELECT event_type, n_events, n_users,
+       ROUND(1.0 - CAST(sum_sq AS DOUBLE) / (n_events * n_events), 6) + 0.0
+           AS simpson,
+       ROUND(CAST(n_events AS DOUBLE) * n_events / sum_sq, 4) + 0.0
+           AS effective_users
+FROM agg ORDER BY event_type
+""", "integer-exact Simpson diversity / effective audience per event type")
