@@ -305,3 +305,51 @@ FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """, "single-pass FILTER-clause conditional aggregation")
+
+
+def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division (the 'suppliers who cover ALL/most parts of
+    a brand' textbook operator) in its count-match decomposition: both
+    sides reduce to distinct key sets, coverage is an integer count
+    compare — never a per-divisor-row loop. Output per brand: part
+    count, supplier count, the best supplier's coverage in ppm, and how
+    many suppliers clear quarter coverage. All integers — hash-exact."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey",
+                                                      "l_partkey")
+    sp = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+          .select("l_suppkey", "p_brand", "l_partkey").distinct())
+    bp = part.groupBy("p_brand").agg(
+        F.countDistinct("p_partkey").alias("n_parts"))
+    cov = sp.groupBy("p_brand", "l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("k"))
+    return (cov.join(F.broadcast(bp), "p_brand")
+            .groupBy("p_brand", "n_parts")
+            .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                 F.expr("max(k * 1000000 div n_parts)")
+                 .alias("best_coverage_ppm"),
+                 F.sum(F.expr("CASE WHEN 4 * k >= n_parts THEN 1 ELSE 0 END"))
+                 .alias("n_quarter_coverage"))
+            .orderBy("p_brand"))
+
+
+register("q_relational_division", q_relational_division, """
+WITH sp AS (
+    SELECT DISTINCT l_suppkey, p_brand, l_partkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+), bp AS (
+    SELECT p_brand, COUNT(DISTINCT p_partkey) AS n_parts
+    FROM part GROUP BY p_brand
+), cov AS (
+    SELECT p_brand, l_suppkey, COUNT(DISTINCT l_partkey) AS k
+    FROM sp GROUP BY 1, 2
+)
+SELECT cov.p_brand, ANY_VALUE(bp.n_parts) AS n_parts,
+       COUNT(*) AS n_suppliers,
+       CAST(MAX(k * 1000000 // bp.n_parts) AS BIGINT)
+           AS best_coverage_ppm,
+       CAST(SUM(CASE WHEN 4 * k >= bp.n_parts THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_quarter_coverage
+FROM cov JOIN bp USING (p_brand)
+GROUP BY cov.p_brand ORDER BY cov.p_brand
+""", "relational division via count-match (brand part-coverage matrix)")

@@ -253,3 +253,70 @@ SELECT doc_id, term, tf, df, tfidf, rk FROM ranked WHERE rk <= 3
 
 register("text_tfidf_top_terms", text_tfidf_top_terms, _tfidf_oracle(),
          "TF-IDF top-3 terms per document (inverted-index pattern)")
+
+
+# ------------------------------------------------------------ Zipf fit
+ZIPF_TOP = 100
+ZIPF_SCALE = 1 << 20  # fixed-point log quantum; cancels in the slope
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-linguistics QA: the Zipf exponent — the OLS slope of
+    ln(frequency) against ln(rank) over the top-100 tokens. A healthy
+    natural-language corpus sits near -1; a pipeline bug (boilerplate
+    flood, template spam) shows up as a flat or cliff-shaped curve.
+    Determinism: both logs are floor-quantized to integers
+    (emb_covariance discipline), so the OLS sufficient sums are exact
+    whatever the 100-row frame's physical order; the ZIPF_SCALE factor
+    cancels in the slope ratio. Top-100 selection is a distributed
+    TakeOrdered; everything after runs on a model-size frame."""
+    from pyspark.sql import Window
+
+    toks = (load_table(spark, sf_dir, "documents")
+            .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+            .filter(F.length("tok") > 0)
+            .groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    top = toks.orderBy(F.col("c").desc(), "tok").limit(ZIPF_TOP)
+    Wr = Window.orderBy(F.col("c").desc(), "tok")
+    pts = (top.withColumn("r", F.row_number().over(Wr))
+           .select(F.expr(f"cast(floor(ln(r) * {ZIPF_SCALE}) as bigint)")
+                   .alias("x"),
+                   F.expr(f"cast(floor(ln(c) * {ZIPF_SCALE}) as bigint)")
+                   .alias("y")))
+    return (pts.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                    F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                    F.sum(F.col("x") * F.col("x")).alias("sxx"))
+            .select("n",
+                    (F.round((F.col("n") * F.col("sxy")
+                              - F.col("sx") * F.col("sy")).cast("double")
+                             / (F.col("n") * F.col("sxx")
+                                - F.col("sx") * F.col("sx")).cast("double"),
+                             6) + 0.0).alias("zipf_slope")))
+
+
+register("text_zipf_fit", text_zipf_fit, f"""
+WITH toks AS (
+    SELECT t.tok, COUNT(*) AS c
+    FROM (SELECT UNNEST(string_split(lower(text), ' ')) AS tok
+          FROM documents) t
+    WHERE length(t.tok) > 0
+    GROUP BY t.tok
+), top AS (
+    SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r
+    FROM toks ORDER BY c DESC, tok LIMIT {ZIPF_TOP}
+), pts AS (
+    SELECT CAST(FLOOR(ln(r) * {ZIPF_SCALE}) AS BIGINT) AS x,
+           CAST(FLOOR(ln(c) * {ZIPF_SCALE}) AS BIGINT) AS y
+    FROM top
+), s AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM pts
+)
+SELECT n, ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0.0 AS zipf_slope
+FROM s
+""", "Zipf-exponent corpus QA via integer-quantized log-log OLS")
