@@ -320,3 +320,66 @@ SELECT n, ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0.0 AS zipf_slope
 FROM s
 """, "Zipf-exponent corpus QA via integer-quantized log-log OLS")
+
+
+# ------------------------------------------------- bigram surprisal
+SURP_SCALE = 1 << 20
+
+
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model-free perplexity proxy (the KenLM-style quality
+    signal): per language, the corpus-average bigram surprisal
+    -ln P(w2|w1) under the corpus's own bigram MLE. Template-flooded or
+    degenerate text scores near 0; diverse text scores high — the
+    standard cheap filter before an expensive model-based quality pass.
+
+    Shape: one corpus scan explodes bigrams; counts aggregate per
+    (lang, w1, w2) and per (lang, w1); the conditional join is co-keyed
+    on (lang, w1) — never a broadcast of a corpus-sized vocabulary.
+    Each occurrence's surprisal is floor-quantized to an integer
+    (emb_covariance discipline), so the per-language averages are exact
+    integer ratios until the single final rounded division."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    bi = (docs.select(
+            "lang",
+            F.explode(F.expr(
+                "transform(sequence(1, greatest(size(split(lower(text),' '))"
+                " - 1, 0)), i -> struct(split(lower(text),' ')[i-1] AS w1,"
+                " split(lower(text),' ')[i] AS w2))")).alias("b"))
+          .select("lang", "b.w1", "b.w2"))
+    c12 = bi.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy("lang", "w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (c12.join(c1, ["lang", "w1"])
+              .select("lang", "c12",
+                      F.expr(f"cast(floor(-ln(c12 / c1) * {SURP_SCALE})"
+                             f" as bigint)").alias("sq")))
+    return (scored.groupBy("lang")
+            .agg(F.sum("c12").alias("n_bigrams"),
+                 F.sum(F.col("sq") * F.col("c12")).alias("sq_sum"))
+            .select("lang", "n_bigrams",
+                    (F.round(F.col("sq_sum")
+                             / (F.col("n_bigrams") * float(SURP_SCALE)), 6)
+                     + 0.0).alias("avg_surprisal"))
+            .orderBy("lang"))
+
+
+register("text_bigram_surprisal", text_bigram_surprisal, f"""
+WITH bi AS (
+    SELECT lang, w[i] AS w1, w[i + 1] AS w2
+    FROM (SELECT lang, string_split(lower(text), ' ') AS w FROM documents),
+         UNNEST(range(1, greatest(len(w) - 1, 0) + 1)) AS t(i)
+), c12 AS (
+    SELECT lang, w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2, 3
+), c1 AS (
+    SELECT lang, w1, COUNT(*) AS c1 FROM bi GROUP BY 1, 2
+), scored AS (
+    SELECT c12.lang, c12.c12,
+           CAST(FLOOR(-ln(CAST(c12.c12 AS DOUBLE) / c1.c1) * {SURP_SCALE})
+                AS BIGINT) AS sq
+    FROM c12 JOIN c1 ON c12.lang = c1.lang AND c12.w1 = c1.w1
+)
+SELECT lang, CAST(SUM(c12) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(sq * c12) AS DOUBLE)
+             / (SUM(c12) * {float(SURP_SCALE)}), 6) + 0.0 AS avg_surprisal
+FROM scored GROUP BY lang ORDER BY lang
+""", "corpus-MLE bigram surprisal per language (perplexity-proxy QA)")
