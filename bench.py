@@ -95,6 +95,15 @@ HEADLINE = [
     "skew_key_profile",
     "customer_pareto",
     "nation_revenue_yoy",
+    # late round 5 (append-only): audit/association/QA wave
+    "dedup_lsh_audit",
+    "q_filtered_aggs",
+    "basket_brand_lift",
+    "orders_rfm_segments",
+    "events_diversity_profile",
+    "text_zipf_fit",
+    "q_relational_division",
+    "text_bigram_surprisal",
 ]
 
 

@@ -340,12 +340,14 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb_covariance discipline), so the per-language averages are exact
     integer ratios until the single final rounded division."""
     docs = load_table(spark, sf_dir, "documents").select("lang", "text")
-    bi = (docs.select(
-            "lang",
-            F.explode(F.expr(
-                "transform(sequence(1, greatest(size(split(lower(text),' '))"
-                " - 1, 0)), i -> struct(split(lower(text),' ')[i-1] AS w1,"
-                " split(lower(text),' ')[i] AS w2))")).alias("b"))
+    # split once per row; the pair lambda only indexes the materialized
+    # array instead of re-splitting the text three times per row
+    bi = (docs.select("lang", F.expr(_SPARK_WORDS).alias("w"))
+          .select(
+              "lang",
+              F.explode(F.expr(
+                  "transform(sequence(1, greatest(size(w) - 1, 0)),"
+                  " i -> struct(w[i-1] AS w1, w[i] AS w2))")).alias("b"))
           .select("lang", "b.w1", "b.w2"))
     c12 = bi.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = bi.groupBy("lang", "w1").agg(F.count(F.lit(1)).alias("c1"))
