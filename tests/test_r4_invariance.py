@@ -129,6 +129,10 @@ R5_CASES = [
     "nation_revenue_yoy",
     "dedup_lsh_audit",           # full-outer pair-set reconciliation
     "q_filtered_aggs",
+    "events_diversity_profile",  # integer sum-of-squares
+    "text_zipf_fit",             # quantized-log OLS sums
+    "q_relational_division",     # count-match coverage
+    "text_bigram_surprisal",     # quantized surprisal averaging
 ]
 
 
