@@ -344,3 +344,65 @@ FROM expanded, mx
 WHERE day_idx <= mxd
 GROUP BY day_idx
 """, "trailing-7-day distinct active users (reduced-frame fan-out)")
+
+
+# ---------------------------------------- time-bounded funnel
+FUNNEL_MAX_DELAY_US = 24 * 3600 * 1_000_000  # conversion window: 24h
+
+
+def events_funnel_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_funnel with a CONVERSION WINDOW: a click only counts
+    within 24h of the user's first view, a purchase within 24h of that
+    click — the form every product-analytics funnel actually ships
+    (unbounded funnels over-credit; see events_funnel for the baseline).
+    Same scale shape as the unbounded twin — per-stage state is ONE
+    timestamp per user, stages chain by user-keyed joins with an extra
+    integer-µs upper bound, and no per-user event sort ever happens."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns div 1000").alias("ts_us"))
+    viewed = (ev.filter(F.col("event_type") == "view")
+              .groupBy("user_id").agg(F.min("ts_us").alias("view_us")))
+    clicked = (
+        ev.filter(F.col("event_type") == "click")
+        .join(viewed, "user_id")
+        .filter((F.col("ts_us") >= F.col("view_us"))
+                & (F.col("ts_us") <= F.col("view_us") + FUNNEL_MAX_DELAY_US))
+        .groupBy("user_id").agg(F.min("ts_us").alias("click_us")))
+    purchased = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicked, "user_id")
+        .filter((F.col("ts_us") >= F.col("click_us"))
+                & (F.col("ts_us") <= F.col("click_us") + FUNNEL_MAX_DELAY_US))
+        .groupBy("user_id").agg(F.min("ts_us").alias("purchase_us")))
+    return (
+        viewed.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(clicked.agg(F.count(F.lit(1)).alias("n_clicked_24h")))
+        .crossJoin(purchased.agg(F.count(F.lit(1)).alias("n_purchased_24h")))
+    )
+
+
+register("events_funnel_bounded", events_funnel_bounded, f"""
+WITH ev AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+), viewed AS (
+    SELECT user_id, MIN(ts_us) AS view_us FROM ev
+    WHERE event_type = 'view' GROUP BY user_id
+), clicked AS (
+    SELECT e.user_id, MIN(e.ts_us) AS click_us
+    FROM ev e JOIN viewed v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click'
+      AND e.ts_us >= v.view_us
+      AND e.ts_us <= v.view_us + {FUNNEL_MAX_DELAY_US}
+    GROUP BY e.user_id
+), purchased AS (
+    SELECT e.user_id, MIN(e.ts_us) AS purchase_us
+    FROM ev e JOIN clicked c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase'
+      AND e.ts_us >= c.click_us
+      AND e.ts_us <= c.click_us + {FUNNEL_MAX_DELAY_US}
+    GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM viewed) AS n_viewed,
+       (SELECT COUNT(*) FROM clicked) AS n_clicked_24h,
+       (SELECT COUNT(*) FROM purchased) AS n_purchased_24h
+""", "conversion funnel with a 24h per-stage conversion window")
