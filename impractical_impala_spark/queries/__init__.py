@@ -72,26 +72,41 @@ NEW_R5 = [
     "fuzzy_part_match",
 ]
 
+# Registered later in round 5 (after the first window cut). These are
+# first-exposure queries — leaving them past slot 50 would recreate the
+# exact "never driver-checked" gap VERDICT r4 ranked as item 1, so they
+# outrank the o-family re-proof (which only refreshes already-green
+# r1/r2 rows).
+LATE_R5 = [
+    "dedup_lsh_audit", "q_filtered_aggs", "basket_brand_lift",
+    "orders_rfm_segments", "events_diversity_profile", "text_zipf_fit",
+    "q_relational_division", "text_bigram_surprisal",
+    "events_funnel_bounded",
+]
+
 # Priority 3: the reference-operator family (o01-o29) re-proven under
 # the current fixture vintage — their green rows are r1/r2-era, from
 # before the events fixture drift. None touch `events`, but a fresh
 # batch guards against silent testdata drift on the TPC-H/WDI side too
-# (VERDICT r4 item 6).
+# (VERDICT r4 item 6). The verdict's named drift-guard batch
+# (o10-o12, o16, o22-o23) leads; the tail spills past slot 50 and waits
+# for r6 as new round-5 queries are inserted above it.
 O_FAMILY_REPROOF = [
+    "o10_run_id", "o11_run_length", "o12_run_filter", "o16_pivot",
+    "o22_hp_detrend_sd", "o23_quad_detrend_sd",
     "o01_scan_projection", "o02_recode_case", "o03_unpivot", "o04_cast",
     "o06_union_all", "o07_in_filter", "o08_sort_topk",
-    "o09_validity_flag", "o10_run_id", "o11_run_length", "o12_run_filter",
-    "o13_distinct", "o14_having", "o15_semi_join", "o16_pivot",
+    "o09_validity_flag", "o13_distinct", "o14_having", "o15_semi_join",
     "o17_arithmetic", "o18_lookup_join", "o19_guarded_log", "o20_dlog",
-    "o21_time_index", "o22_hp_detrend_sd", "o23_quad_detrend_sd",
-    "o24_grouped_sd", "o25_ratio", "o26_corr", "o27_acf",
-    "o28_two_level_agg", "o29_max_by_group",
+    "o21_time_index", "o24_grouped_sd", "o25_ratio", "o26_corr",
+    "o27_acf", "o28_two_level_agg", "o29_max_by_group",
 ]
 
 WINDOW = (
     NEVER_CHECKED_R4
     + STALE_REPROOF
     + NEW_R5
+    + LATE_R5
     + O_FAMILY_REPROOF
     # remaining slots fall through to registration order; o-family
     # entries beyond slot 50 simply wait for r6.
