@@ -104,6 +104,12 @@ HEADLINE = [
     "text_zipf_fit",
     "q_relational_division",
     "text_bigram_surprisal",
+    # late round 5 (append-only): drift-detection / statistical QA wave
+    "events_value_ks_drift",
+    "orders_backlog_profile",
+    "supplier_gini_by_nation",
+    "events_ewma_hourly",
+    "events_chi2_daypart",
 ]
 
 

@@ -35,7 +35,8 @@ from . import (reference_ops, stats_ops, tpch, tpch_more,  # noqa: F401
                tpch_plus, training_extras, windows_plus, tpch_plus2,
                streams_plus, tpch_final, pipelines, training_ops,
                curation, analytics, lakehouse, ml_more, warehouse_extras,
-               layout, feature_ops, paths_stats, modern_sql, profiling)
+               layout, feature_ops, paths_stats, modern_sql, profiling,
+               drift)
 
 # r5 window. VERDICT r4 top-next: every one of the 154 registered
 # queries should carry a green-or-sanctioned driver row after this
@@ -102,11 +103,20 @@ O_FAMILY_REPROOF = [
     "o27_acf", "o28_two_level_agg", "o29_max_by_group",
 ]
 
+# Statistical-QA / drift-detection wave, added after the LATE_R5 cut —
+# same first-exposure priority.
+DRIFT_R5 = [
+    "events_value_ks_drift", "orders_backlog_profile",
+    "supplier_gini_by_nation", "events_ewma_hourly",
+    "events_chi2_daypart",
+]
+
 WINDOW = (
     NEVER_CHECKED_R4
     + STALE_REPROOF
     + NEW_R5
     + LATE_R5
+    + DRIFT_R5
     + O_FAMILY_REPROOF
     # remaining slots fall through to registration order; o-family
     # entries beyond slot 50 simply wait for r6.

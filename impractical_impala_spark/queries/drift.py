@@ -1,0 +1,355 @@
+"""Distribution-drift detection and statistical QA operators.
+
+The monitoring family a training-data pipeline runs between snapshot
+ingests: "did this week's data shift?" (KS test, chi-square), "how
+concentrated is the load?" (Gini), "what is the smoothed trend?"
+(EWMA), "how deep is the backlog?" (interval sweep-line). Each is built
+in its scale-correct decomposition:
+
+- KS drift: the two-sample Kolmogorov-Smirnov statistic over a
+  QUANTIZED value domain (256 bins from a broadcast 1-row min/max), so
+  the ECDF window runs over bounded cardinality (<= types x 256 rows)
+  instead of a total order over every distinct double. The D statistic
+  numerator max|cumA*nB - cumB*nA| is exact INTEGER arithmetic; one
+  rounded division at the end.
+- backlog sweep-line: intervals collapse to +1/-1 deltas per calendar
+  day FIRST (fact-size shuffle to a ~few-thousand-row delta table),
+  then the running sum runs over day cardinality — bounded by the
+  calendar, not the data volume.
+- Gini: per-supplier cents-exact revenue ranked WITHIN nation
+  partitions; numerator 2*sum(rk*rev) - (n+1)*sum(rev) stays integer.
+  Ranks run over the supplier AGGREGATE (dimension-sized), never the
+  fact table.
+- EWMA: alpha=1/2 exponential smoothing as a 16-term lag polynomial
+  with power-of-two weights — sum(cnt_k * 2^(15-k)) is an exact
+  integer on both engines, and the emitted value is an integer
+  fixed-point division (x1000), so there is NO floating-point
+  accumulation anywhere. Partition cardinality is (event_type x hour):
+  grows with time span, not data volume.
+- chi-square: the contingency table is (event_type x daypart) — model
+  size — so row/column totals attach via broadcast 1-row/`k`-row
+  aggregates and the float work happens once per cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+N_KS_BINS = 256
+HOUR_NS = 3_600_000_000_000
+HOUR_US = 3_600_000_000
+
+
+# ------------------------------------------- two-sample KS drift test
+def events_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type, the two-sample KS statistic between the early and
+    late half of the time range (split at the midpoint timestamp — a
+    1-row broadcast, never a driver round-trip). Values quantize into
+    256 equi-width bins from the broadcast global min/max, so the ECDF
+    window is bounded at types x 256 rows no matter the corpus size.
+    D's numerator is the integer max|cumA*nB - cumB*nA|; the only float
+    op is the final rounded division (plus an integer ppm twin)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts_ns", "value")
+    stats = ev.agg(F.min("value").alias("mn_v"), F.max("value").alias("mx_v"),
+                   F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("mid_ns"))
+    binned = ev.crossJoin(F.broadcast(stats)).select(
+        "event_type",
+        F.least(F.lit(N_KS_BINS - 1),
+                F.floor((F.col("value") - F.col("mn_v")) * N_KS_BINS
+                        / (F.col("mx_v") - F.col("mn_v")))).alias("bin"),
+        F.expr("CASE WHEN ts_ns <= mid_ns THEN 1 ELSE 0 END").alias("early"))
+    per_bin = binned.groupBy("event_type", "bin").agg(
+        F.sum("early").alias("ca"),
+        F.sum(F.lit(1) - F.col("early")).alias("cb"))
+    tot = per_bin.groupBy("event_type").agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    w = Window.partitionBy("event_type").orderBy("bin")
+    # per-side ppm ECDF before differencing: |cumA/nA - cumB/nB| in
+    # integer parts-per-million. cum*1e6 stays inside int64 up to ~9e12
+    # rows per side, where cumA*nB would overflow at any billion-row
+    # split; the <=1ppm quantization is part of the operator contract.
+    gaps = (per_bin
+            .withColumn("cum_a", F.sum("ca").over(w))
+            .withColumn("cum_b", F.sum("cb").over(w))
+            .join(F.broadcast(tot), "event_type")
+            .select("event_type", "n_a", "n_b",
+                    F.abs(F.expr("cum_a * 1000000 div n_a")
+                          - F.expr("cum_b * 1000000 div n_b")).alias("gap")))
+    return (gaps.groupBy("event_type")
+            .agg(F.first("n_a").alias("n_a"), F.first("n_b").alias("n_b"),
+                 F.max("gap").alias("ks_ppm"))
+            .select("event_type", "n_a", "n_b", "ks_ppm",
+                    (F.round(F.col("ks_ppm") / 1000000.0, 6) + 0.0)
+                    .alias("ks_d"))
+            .orderBy("event_type"))
+
+
+register("events_value_ks_drift", events_value_ks_drift, f"""
+WITH stats AS (
+    SELECT MIN(value) AS mn_v, MAX(value) AS mx_v,
+           (MIN(CAST(epoch_us(ts) AS BIGINT)) * 1000
+            + MAX(CAST(epoch_us(ts) AS BIGINT)) * 1000) // 2 AS mid_ns
+    FROM events
+), binned AS (
+    SELECT event_type,
+           LEAST({N_KS_BINS - 1},
+                 CAST(FLOOR((value - mn_v) * {N_KS_BINS} / (mx_v - mn_v))
+                      AS BIGINT)) AS bin,
+           CASE WHEN CAST(epoch_us(ts) AS BIGINT) * 1000 <= mid_ns
+                THEN 1 ELSE 0 END AS early
+    FROM events CROSS JOIN stats
+), per_bin AS (
+    SELECT event_type, bin,
+           CAST(SUM(early) AS BIGINT) AS ca,
+           CAST(SUM(1 - early) AS BIGINT) AS cb
+    FROM binned GROUP BY 1, 2
+), tot AS (
+    SELECT event_type, CAST(SUM(ca) AS BIGINT) AS n_a,
+           CAST(SUM(cb) AS BIGINT) AS n_b
+    FROM per_bin GROUP BY event_type
+), gaps AS (
+    SELECT p.event_type, t.n_a, t.n_b,
+           ABS(CAST(SUM(p.ca) OVER (PARTITION BY p.event_type
+                                    ORDER BY p.bin) AS BIGINT)
+                   * 1000000 // t.n_a
+               - CAST(SUM(p.cb) OVER (PARTITION BY p.event_type
+                                      ORDER BY p.bin) AS BIGINT)
+                   * 1000000 // t.n_b) AS gap
+    FROM per_bin p JOIN tot t ON p.event_type = t.event_type
+)
+SELECT event_type, n_a, n_b,
+       CAST(MAX(gap) AS BIGINT) AS ks_ppm,
+       ROUND(CAST(MAX(gap) AS DOUBLE) / 1000000.0, 6) + 0.0 AS ks_d
+FROM gaps GROUP BY event_type, n_a, n_b ORDER BY event_type
+""", "two-sample KS drift test over a quantized 256-bin ECDF")
+
+
+# --------------------------------------- interval sweep-line backlog
+def orders_backlog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent open orders per year via the sweep-line
+    decomposition: each order's fulfillment interval [o_orderdate,
+    max(l_shipdate)] becomes a +1 delta at the start day and a -1 the
+    day after the end, deltas aggregate per calendar day (the ONLY
+    fact-size shuffle), and the running sum runs over day cardinality —
+    bounded by the calendar span, not data volume. Peaks are evaluated
+    at delta days (order activity days), which is exact whenever any
+    order starts or ends in the year — true at any realistic density."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("datediff(o_orderdate, DATE '1970-01-01')").alias("s_day"))
+    ship = (load_table(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.expr("datediff(max(l_shipdate), DATE '1970-01-01')")
+                 .alias("e_day")))
+    iv = orders.join(ship, orders.o_orderkey == ship.l_orderkey)
+    deltas = (iv.select(F.col("s_day").alias("day"), F.lit(1).alias("d"))
+              .unionAll(iv.select((F.col("e_day") + 1).alias("day"),
+                                  F.lit(-1).alias("d")))
+              .groupBy("day").agg(F.sum("d").alias("delta")))
+    running = deltas.withColumn(
+        "open_orders", F.sum("delta").over(Window.orderBy("day")))
+    return (running
+            .select(F.year(F.expr("date_add(DATE '1970-01-01', "
+                                  "cast(day AS int))")).alias("yr"),
+                    "open_orders")
+            .groupBy("yr")
+            .agg(F.max("open_orders").alias("peak_open"),
+                 F.count(F.lit(1)).alias("delta_days"))
+            .orderBy("yr"))
+
+
+register("orders_backlog_profile", orders_backlog_profile, """
+WITH iv AS (
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS s_day,
+           MAX(CAST(l.l_shipdate AS DATE) - DATE '1970-01-01') AS e_day
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+), deltas AS (
+    SELECT day, CAST(SUM(d) AS BIGINT) AS delta FROM (
+        SELECT s_day AS day, 1 AS d FROM iv
+        UNION ALL
+        SELECT e_day + 1 AS day, -1 AS d FROM iv
+    ) GROUP BY day
+), running AS (
+    SELECT day, SUM(delta) OVER (ORDER BY day) AS open_orders
+    FROM deltas
+)
+SELECT CAST(EXTRACT(year FROM DATE '1970-01-01' + CAST(day AS INT)) AS INT)
+           AS yr,
+       CAST(MAX(open_orders) AS BIGINT) AS peak_open,
+       COUNT(*) AS delta_days
+FROM running GROUP BY 1 ORDER BY 1
+""", "sweep-line peak concurrent open orders per year")
+
+
+# ----------------------------------------- Gini concentration index
+def supplier_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini per nation: cents-exact per-supplier
+    revenue, ascending rank within the nation partition (supplier
+    aggregate — dimension-sized, the same documented bound as
+    customer_pareto), and the classic 2*sum(rk*x) identity whose
+    numerator stays integer until one rounded division."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long").alias("cents"))
+    per_supp = li.groupBy("l_suppkey").agg(F.sum("cents").alias("rev"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    ranked = (per_supp
+              .join(F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey)
+              .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+              .withColumn("rk", F.row_number().over(
+                  Window.partitionBy("n_name")
+                  .orderBy("rev", "l_suppkey"))))
+    return (ranked.groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                 F.sum("rev").alias("total_cents"),
+                 F.sum(F.col("rk") * F.col("rev")).alias("srw"))
+            .select("n_name", "n_suppliers", "total_cents",
+                    (F.round((2 * F.col("srw")
+                              - (F.col("n_suppliers") + 1)
+                              * F.col("total_cents"))
+                             / (F.col("n_suppliers") * F.col("total_cents")),
+                             6) + 0.0).alias("gini"))
+            .orderBy("n_name"))
+
+
+register("supplier_gini_by_nation", supplier_gini_by_nation, """
+WITH per_supp AS (
+    SELECT l_suppkey,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS rev
+    FROM lineitem GROUP BY l_suppkey
+), ranked AS (
+    SELECT n_name, rev,
+           ROW_NUMBER() OVER (PARTITION BY n_name
+                              ORDER BY rev, l_suppkey) AS rk
+    FROM per_supp
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT n_name, COUNT(*) AS n_suppliers,
+       CAST(SUM(rev) AS BIGINT) AS total_cents,
+       ROUND(CAST(2 * SUM(rk * rev) - (COUNT(*) + 1) * SUM(rev) AS DOUBLE)
+             / (COUNT(*) * SUM(rev)), 6) + 0.0 AS gini
+FROM ranked GROUP BY n_name ORDER BY n_name
+""", "cents-exact within-nation Gini revenue concentration")
+
+
+# ------------------------------------- integer-exact EWMA smoothing
+EWMA_TERMS = 16
+
+
+def _ewma_terms_sql() -> tuple[str, str]:
+    """The 16-term lag polynomial, shared verbatim by the Spark plan
+    (via F.expr — Spark SQL accepts inline OVER clauses) and the DuckDB
+    oracle: same text, same integer arithmetic, bit-identical result."""
+    over = "OVER (PARTITION BY event_type ORDER BY hr)"
+    scaled = [f"cnt * {1 << (EWMA_TERMS - 1)}"]
+    norm = [str(1 << (EWMA_TERMS - 1))]
+    for k in range(1, EWMA_TERMS):
+        weight = 1 << (EWMA_TERMS - 1 - k)
+        scaled.append(f"COALESCE(LAG(cnt, {k}) {over}, 0) * {weight}")
+        norm.append(f"CASE WHEN LAG(cnt, {k}) {over} IS NULL"
+                    f" THEN 0 ELSE {weight} END")
+    return " + ".join(scaled), " + ".join(norm)
+
+
+_SCALED_SQL, _NORM_SQL = _ewma_terms_sql()
+
+
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha=1/2 EWMA of hourly event counts per event type, as a
+    16-term lag polynomial with power-of-two weights: scaled =
+    sum(cnt_{t-k} * 2^(15-k)) is exact INTEGER arithmetic, and the
+    emitted smoothed value is the fixed-point integer scaled*1000 div
+    norm — no floating-point accumulation anywhere, so both engines
+    agree bit-for-bit. The lag window partitions on event_type over the
+    hourly AGGREGATE, whose cardinality grows with the time span, not
+    the data volume."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts_ns div {HOUR_NS}").alias("hr"))
+    hourly = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    return (hourly
+            .select("event_type", "hr", F.col("cnt").alias("n_events"),
+                    F.expr(f"CAST(({_SCALED_SQL}) * 1000"
+                           f" div ({_NORM_SQL}) AS BIGINT)")
+                    .alias("ewma_milli"))
+            .orderBy("event_type", "hr"))
+
+register("events_ewma_hourly", events_ewma_hourly, f"""
+WITH hourly AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) AS BIGINT) // {HOUR_US} AS hr,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, hr, cnt AS n_events,
+       CAST(({_SCALED_SQL}) * 1000 // ({_NORM_SQL}) AS BIGINT)
+           AS ewma_milli
+FROM hourly ORDER BY event_type, hr
+""", "integer-exact alpha=1/2 EWMA of hourly counts (2^-k lag weights)")
+
+
+# --------------------------------- chi-square independence test
+def events_chi2_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence scan of event_type x daypart (6-hour
+    buckets of the hour-of-day): observed integer counts, expected
+    row_total*col_total/N, per-cell contribution. The contingency table
+    is model-sized (types x 4), so the marginals attach via broadcast
+    k-row aggregates and every float op runs once per cell."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"((ts_ns div {HOUR_NS}) % 24) div 6").alias("daypart"))
+    obs = ev.groupBy("event_type", "daypart").agg(
+        F.count(F.lit(1)).alias("obs"))
+    row_t = obs.groupBy("event_type").agg(F.sum("obs").alias("rt"))
+    col_t = obs.groupBy("daypart").agg(F.sum("obs").alias("ct"))
+    n_tot = obs.agg(F.sum("obs").alias("n"))
+    exp = F.col("rt") * F.col("ct") / F.col("n")
+    return (obs
+            .join(F.broadcast(row_t), "event_type")
+            .join(F.broadcast(col_t), "daypart")
+            .crossJoin(F.broadcast(n_tot))
+            .select("event_type", "daypart", "obs",
+                    (F.round(exp, 4) + 0.0).alias("expected"),
+                    (F.round((F.col("obs") - exp) * (F.col("obs") - exp)
+                             / exp, 6) + 0.0).alias("chi2_part"))
+            .orderBy("event_type", "daypart"))
+
+
+register("events_chi2_daypart", events_chi2_daypart, f"""
+WITH ev AS (
+    SELECT event_type,
+           ((CAST(epoch_us(ts) AS BIGINT) // {HOUR_US}) % 24) // 6
+               AS daypart
+    FROM events
+), obs AS (
+    SELECT event_type, daypart, COUNT(*) AS obs FROM ev GROUP BY 1, 2
+), row_t AS (
+    SELECT event_type, CAST(SUM(obs) AS BIGINT) AS rt
+    FROM obs GROUP BY event_type
+), col_t AS (
+    SELECT daypart, CAST(SUM(obs) AS BIGINT) AS ct FROM obs GROUP BY daypart
+), n_tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM obs)
+SELECT o.event_type, o.daypart, o.obs,
+       ROUND(CAST(rt AS DOUBLE) * ct / n, 4) + 0.0 AS expected,
+       ROUND((o.obs - CAST(rt AS DOUBLE) * ct / n)
+             * (o.obs - CAST(rt AS DOUBLE) * ct / n)
+             / (CAST(rt AS DOUBLE) * ct / n), 6) + 0.0 AS chi2_part
+FROM obs o
+JOIN row_t USING (event_type)
+JOIN col_t USING (daypart)
+CROSS JOIN n_tot
+ORDER BY o.event_type, o.daypart
+""", "chi-square independence contributions over a model-size table")

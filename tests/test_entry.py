@@ -25,10 +25,11 @@ def test_driver_window_holds_round5_targets():
     resampled/rewritten ann_ivf_trained), then every round-5 addition —
     the rotation contract from queries/__init__.py."""
     from impractical_impala_spark.queries import (
-        LATE_R5, NEVER_CHECKED_R4, NEW_R5, STALE_REPROOF, WINDOW)
+        DRIFT_R5, LATE_R5, NEVER_CHECKED_R4, NEW_R5, STALE_REPROOF, WINDOW)
 
     first50 = list(e.queries())[:50]
     assert first50 == WINDOW[:50]
     assert first50[:len(NEVER_CHECKED_R4)] == NEVER_CHECKED_R4
-    for name in NEVER_CHECKED_R4 + STALE_REPROOF + NEW_R5 + LATE_R5:
+    for name in (NEVER_CHECKED_R4 + STALE_REPROOF + NEW_R5 + LATE_R5
+                 + DRIFT_R5):
         assert name in first50, f"{name} fell out of the driver window"

@@ -133,6 +133,11 @@ R5_CASES = [
     "text_zipf_fit",             # quantized-log OLS sums
     "q_relational_division",     # count-match coverage
     "text_bigram_surprisal",     # quantized surprisal averaging
+    "events_value_ks_drift",     # integer ppm ECDF gaps
+    "orders_backlog_profile",    # integer sweep-line running sum
+    "supplier_gini_by_nation",   # integer rank identity
+    "events_ewma_hourly",        # integer 2^-k lag polynomial
+    "events_chi2_daypart",       # model-size contingency floats
 ]
 
 
