@@ -110,6 +110,9 @@ HEADLINE = [
     "supplier_gini_by_nation",
     "events_ewma_hourly",
     "events_chi2_daypart",
+    "dq_column_profile",
+    "audience_overlap_matrix",
+    "user_churn_hazard",
 ]
 
 

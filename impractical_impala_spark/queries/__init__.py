@@ -36,7 +36,7 @@ from . import (reference_ops, stats_ops, tpch, tpch_more,  # noqa: F401
                streams_plus, tpch_final, pipelines, training_ops,
                curation, analytics, lakehouse, ml_more, warehouse_extras,
                layout, feature_ops, paths_stats, modern_sql, profiling,
-               drift)
+               drift, quality)
 
 # r5 window. VERDICT r4 top-next: every one of the 154 registered
 # queries should carry a green-or-sanctioned driver row after this
@@ -109,6 +109,8 @@ DRIFT_R5 = [
     "events_value_ks_drift", "orders_backlog_profile",
     "supplier_gini_by_nation", "events_ewma_hourly",
     "events_chi2_daypart",
+    # data-quality / set-analysis wave
+    "dq_column_profile", "audience_overlap_matrix", "user_churn_hazard",
 ]
 
 WINDOW = (

@@ -1,0 +1,226 @@
+"""Data-quality validation and audience set-analysis operators.
+
+The pre-ingest gate of a training-data pipeline ("does this snapshot
+satisfy its contract?") plus exact set-overlap analytics, each in its
+scale-correct decomposition:
+
+- column profile: a Deequ-style constraint report — completeness,
+  uniqueness, range, domain and pattern conformance — computed in ONE
+  scan as a single wide aggregate row, then unpivoted to (column,
+  metric, value) tuples with stack(). Every metric is an integer
+  (ranges in cents), so the report hashes exactly.
+- audience overlap: exact pairwise user-set intersections between
+  event types WITHOUT a fact self-join. Each user reduces to one type
+  BITMASK row; mask frequencies form a model-size table (<= 2^T rows
+  for T types), and every |A ∩ B| / |A ∪ B| is then computed on that
+  tiny table. Bounded for T <= ~20 types (2^20 = 1M mask rows); past
+  that the same answer comes from basket_brand_lift's per-row sorted
+  pair explode, which is linear in T^2 per user instead.
+- churn hazard: the discrete-time hazard table of the Kaplan-Meier
+  estimator — per lifetime-day: churns, at-risk counts (a cumulative
+  window over the bounded day domain) and the ppm hazard. The
+  cumulative product (the survival curve itself) is deliberately NOT
+  emitted: it is a float product whose last ulp could differ between
+  engines; the hazard table carries the same information in exact
+  integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+DAY_NS = 86_400_000_000_000
+
+
+# -------------------------------------------- Deequ-style DQ report
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint metrics over the orders snapshot, one scan: row count,
+    key uniqueness (distinct == n), per-column null counts, price range
+    in integer cents, status-domain violations and priority-pattern
+    violations. The wide 1-row aggregate unpivots via stack() — the
+    whole report is a single job with no shuffle beyond the aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("key_distinct"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .alias("custkey_nulls"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0))
+        .alias("price_nulls"),
+        F.min(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .alias("price_min_cents"),
+        F.max(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .alias("price_max_cents"),
+        F.sum(F.when(F.col("o_orderstatus").isin("O", "F", "P"), 0)
+              .otherwise(1)).alias("status_violations"),
+        F.sum(F.when(F.col("o_orderpriority").rlike("^[1-5]-"), 0)
+              .otherwise(1)).alias("priority_violations"),
+    )
+    return agg.selectExpr(
+        "stack(8,"
+        " 'o_orderkey',     'n_rows',              n_rows,"
+        " 'o_orderkey',     'n_distinct',          key_distinct,"
+        " 'o_custkey',      'n_null',              custkey_nulls,"
+        " 'o_totalprice',   'n_null',              price_nulls,"
+        " 'o_totalprice',   'min_cents',           price_min_cents,"
+        " 'o_totalprice',   'max_cents',           price_max_cents,"
+        " 'o_orderstatus',  'n_out_of_domain',     status_violations,"
+        " 'o_orderpriority','n_nonconforming',     priority_violations"
+        ") AS (column_name, metric, value)"
+    ).orderBy("column_name", "metric")
+
+
+register("dq_column_profile", dq_column_profile, """
+WITH agg AS (
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_orderkey) AS key_distinct,
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+               AS custkey_nulls,
+           SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+               AS price_nulls,
+           MIN(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+               AS price_min_cents,
+           MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+               AS price_max_cents,
+           SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END)
+               AS status_violations,
+           SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                    THEN 0 ELSE 1 END) AS priority_violations
+    FROM orders
+)
+SELECT column_name, metric, CAST(value AS BIGINT) AS value FROM (
+    SELECT 'o_orderkey' AS column_name, 'n_rows' AS metric,
+           n_rows AS value FROM agg
+    UNION ALL SELECT 'o_orderkey', 'n_distinct', key_distinct FROM agg
+    UNION ALL SELECT 'o_custkey', 'n_null', custkey_nulls FROM agg
+    UNION ALL SELECT 'o_totalprice', 'n_null', price_nulls FROM agg
+    UNION ALL SELECT 'o_totalprice', 'min_cents', price_min_cents FROM agg
+    UNION ALL SELECT 'o_totalprice', 'max_cents', price_max_cents FROM agg
+    UNION ALL SELECT 'o_orderstatus', 'n_out_of_domain',
+                     status_violations FROM agg
+    UNION ALL SELECT 'o_orderpriority', 'n_nonconforming',
+                     priority_violations FROM agg
+)
+ORDER BY column_name, metric
+""", "one-scan Deequ-style constraint report, unpivoted to metric rows")
+
+
+# ------------------------------------- exact audience overlap matrix
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise audience overlap between event types via the
+    bitmask reduction: one distinct pass gives (user, type), a
+    broadcast row_number over the sorted type dimension assigns bit
+    positions, each user folds to a single integer mask, and mask
+    FREQUENCIES (a <= 2^T-row model table) answer every |A∩B|, |A∪B|
+    and Jaccard exactly — the corpus is touched once and no user ever
+    meets another user in a join."""
+    ev = load_table(spark, sf_dir, "events") \
+        .select("user_id", "event_type").distinct()
+    types = (ev.select("event_type").distinct()
+             .withColumn("bit", F.row_number().over(
+                 Window.orderBy("event_type")) - 1))
+    masks = (ev.join(F.broadcast(types), "event_type")
+             .groupBy("user_id")
+             .agg(F.sum(F.expr("shiftleft(1, cast(bit AS int))"))
+                  .alias("mask")))
+    mask_freq = masks.groupBy("mask").agg(F.count(F.lit(1)).alias("n_users"))
+    pairs = (types.alias("a").crossJoin(types.alias("b"))
+             .filter(F.col("a.event_type") < F.col("b.event_type"))
+             .select(F.col("a.event_type").alias("type_a"),
+                     F.col("b.event_type").alias("type_b"),
+                     F.col("a.bit").alias("bit_a"),
+                     F.col("b.bit").alias("bit_b")))
+    joined = F.broadcast(pairs).crossJoin(mask_freq)
+    has_a = F.expr("(mask div shiftleft(1, bit_a)) % 2 = 1")
+    has_b = F.expr("(mask div shiftleft(1, bit_b)) % 2 = 1")
+    return (joined.groupBy("type_a", "type_b")
+            .agg(F.sum(F.when(has_a, F.col("n_users")).otherwise(0))
+                 .alias("n_a"),
+                 F.sum(F.when(has_b, F.col("n_users")).otherwise(0))
+                 .alias("n_b"),
+                 F.sum(F.when(has_a & has_b, F.col("n_users")).otherwise(0))
+                 .alias("n_both"))
+            .select("type_a", "type_b", "n_a", "n_b", "n_both",
+                    F.expr("n_both * 1000000 div (n_a + n_b - n_both)")
+                    .alias("jaccard_ppm"))
+            .orderBy("type_a", "type_b"))
+
+
+register("audience_overlap_matrix", audience_overlap_matrix, """
+WITH ut AS (
+    SELECT DISTINCT user_id, event_type FROM events
+), per_type AS (
+    SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type
+), ab AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_both
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT type_a, type_b,
+       CAST(pa.n AS BIGINT) AS n_a, CAST(pb.n AS BIGINT) AS n_b,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST(n_both * 1000000 // (pa.n + pb.n - n_both) AS BIGINT)
+           AS jaccard_ppm
+FROM ab
+JOIN per_type pa ON type_a = pa.event_type
+JOIN per_type pb ON type_b = pb.event_type
+ORDER BY type_a, type_b
+""", "exact audience Jaccard matrix via bitmask reduction (no user join)")
+
+
+# ----------------------------------------- discrete churn hazard
+def user_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard table: per user lifetime (days
+    between first and last event), the number churning at each
+    lifetime-day and the at-risk count (everyone whose lifetime is >=
+    that day — a cumulative window over the BOUNDED lifetime-day
+    domain), with the hazard in integer ppm. The float survival
+    product is deliberately left to the consumer; every emitted value
+    here is exact."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts_ns")
+    life = (ev.groupBy("user_id")
+            .agg(F.expr(f"(max(ts_ns) - min(ts_ns)) div {DAY_NS}")
+                 .alias("lifetime_d")))
+    per_day = life.groupBy("lifetime_d").agg(
+        F.count(F.lit(1)).alias("n_churned"))
+    w = (Window.orderBy("lifetime_d")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    tot = per_day.agg(F.sum("n_churned").alias("n_total"))
+    return (per_day.crossJoin(F.broadcast(tot))
+            .withColumn("n_at_risk",
+                        F.col("n_total")
+                        - F.coalesce(F.sum("n_churned").over(w), F.lit(0)))
+            .select("lifetime_d", "n_churned", "n_at_risk",
+                    F.expr("n_churned * 1000000 div n_at_risk")
+                    .alias("hazard_ppm"))
+            .orderBy("lifetime_d"))
+
+
+register("user_churn_hazard", user_churn_hazard, f"""
+WITH life AS (
+    SELECT user_id,
+           (MAX(CAST(epoch_us(ts) AS BIGINT)) * 1000
+            - MIN(CAST(epoch_us(ts) AS BIGINT)) * 1000) // {DAY_NS}
+               AS lifetime_d
+    FROM events GROUP BY user_id
+), per_day AS (
+    SELECT lifetime_d, COUNT(*) AS n_churned FROM life GROUP BY lifetime_d
+), tot AS (SELECT CAST(SUM(n_churned) AS BIGINT) AS n_total FROM per_day)
+SELECT lifetime_d, n_churned,
+       n_total - COALESCE(CAST(SUM(n_churned) OVER (
+           ORDER BY lifetime_d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           AS n_at_risk,
+       CAST(n_churned * 1000000 // (n_total - COALESCE(CAST(SUM(n_churned)
+           OVER (ORDER BY lifetime_d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS BIGINT), 0)) AS BIGINT) AS hazard_ppm
+FROM per_day CROSS JOIN tot
+ORDER BY lifetime_d
+""", "discrete Kaplan-Meier hazard table in exact integers")

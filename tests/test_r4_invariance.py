@@ -138,6 +138,9 @@ R5_CASES = [
     "supplier_gini_by_nation",   # integer rank identity
     "events_ewma_hourly",        # integer 2^-k lag polynomial
     "events_chi2_daypart",       # model-size contingency floats
+    "dq_column_profile",         # one-scan wide aggregate unpivot
+    "audience_overlap_matrix",   # bitmask fold across splits
+    "user_churn_hazard",         # bounded-domain cumulative window
 ]
 
 
