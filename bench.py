@@ -113,6 +113,8 @@ HEADLINE = [
     "dq_column_profile",
     "audience_overlap_matrix",
     "user_churn_hazard",
+    "dpp_partition_prune",
+    "lineitem_weighted_median",
 ]
 
 

@@ -111,6 +111,8 @@ DRIFT_R5 = [
     "events_chi2_daypart",
     # data-quality / set-analysis wave
     "dq_column_profile", "audience_overlap_matrix", "user_churn_hazard",
+    # physical-layout + order-statistics additions
+    "dpp_partition_prune", "lineitem_weighted_median",
 ]
 
 WINDOW = (

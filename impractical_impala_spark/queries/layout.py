@@ -179,3 +179,58 @@ SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
        ROUND(SUM(o_totalprice), 4) AS total_price
 FROM orders GROUP BY 1 ORDER BY 1
 """, "mergeSchema read across writer vintages under the hash gate")
+
+
+# ------------------------------------- dynamic partition pruning
+DPP_TARGET_YEARS = (1996, 1999)  # fixture order years span 1995-2001
+
+
+def write_year_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Write orders hive-partitioned by order year; returns the path.
+    At 100 TB this is the standard fact layout: the partition column in
+    the directory structure, so a pruned query never opens the skipped
+    years' files at all."""
+    path = _scratch(sf_dir, "orders_by_year")
+    shutil.rmtree(path, ignore_errors=True)
+    (load_table(spark, sf_dir, "orders")
+     .withColumn("o_year", F.year("o_orderdate"))
+     .repartition("o_year")
+     .write.mode("overwrite").partitionBy("o_year").parquet(path))
+    return path
+
+
+def dpp_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is partitioned by
+    order year, the dim side carries the year->campaign-label mapping,
+    and the label filter selects the target years AT RUNTIME through
+    the broadcast join — Catalyst inserts a dynamicpruning subquery
+    into the fact scan's PartitionFilters, so only the matching year
+    directories are ever read (tests/test_plans.py asserts the
+    pruning expression is in the scan). This is the join-driven twin of
+    static partition pruning: the scan cost is proportional to the
+    SELECTED years, not the table size."""
+    path = write_year_partitioned_orders(spark, sf_dir)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(yr, "target" if yr in DPP_TARGET_YEARS else "other")
+         for yr in range(1995, 2002)],
+        ["yr", "campaign"])
+    return (fact
+            .join(F.broadcast(dim.filter(F.col("campaign") == "target")),
+                  fact.o_year == F.col("yr"))
+            .groupBy("o_year")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+                 .alias("revenue_cents"))
+            .orderBy("o_year"))
+
+
+register("dpp_partition_prune", dpp_partition_prune, f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders
+WHERE EXTRACT(year FROM o_orderdate) IN {DPP_TARGET_YEARS}
+GROUP BY 1 ORDER BY 1
+""", "join-driven dynamic partition pruning on a year-partitioned fact")

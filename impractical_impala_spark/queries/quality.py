@@ -224,3 +224,82 @@ SELECT lifetime_d, n_churned,
 FROM per_day CROSS JOIN tot
 ORDER BY lifetime_d
 """, "discrete Kaplan-Meier hazard table in exact integers")
+
+
+# -------------------------------- weighted median at scale
+N_WM_BINS = 1024
+
+
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag, via the
+    quantized-histogram decomposition: prices bin into 1024 equi-width
+    buckets from a broadcast 1-row min/max, weights aggregate per
+    (flag, bin), and the median bin is the first whose doubled
+    cumulative weight reaches the total — a window over <= flags x 1024
+    rows, NEVER a per-group sort of the fact table. Bin resolution is
+    the operator contract (same trade as events_value_ks_drift); the
+    emitted bin lower bound uses the identical IEEE expression on both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("w"))
+    stats = li.agg(F.min("l_extendedprice").alias("mn"),
+                   F.max("l_extendedprice").alias("mx"))
+    binned = (li.crossJoin(F.broadcast(stats))
+              .select("l_returnflag", "w", "mn", "mx",
+                      F.least(F.lit(N_WM_BINS - 1),
+                              F.floor((F.col("l_extendedprice") - F.col("mn"))
+                                      * N_WM_BINS
+                                      / (F.col("mx") - F.col("mn"))))
+                      .alias("bin")))
+    per_bin = binned.groupBy("l_returnflag", "bin").agg(
+        F.sum("w").alias("bw"),
+        F.first("mn").alias("mn"), F.first("mx").alias("mx"))
+    wcum = Window.partitionBy("l_returnflag").orderBy("bin")
+    tot = per_bin.groupBy("l_returnflag").agg(F.sum("bw").alias("tw"))
+    hits = (per_bin
+            .withColumn("cum", F.sum("bw").over(wcum))
+            .join(F.broadcast(tot), "l_returnflag")
+            .filter(F.col("cum") * 2 >= F.col("tw")))
+    return (hits.groupBy("l_returnflag")
+            .agg(F.first("tw").alias("total_weight"),
+                 F.min("bin").alias("median_bin"),
+                 F.first("mn").alias("mn"), F.first("mx").alias("mx"))
+            .select("l_returnflag", "total_weight", "median_bin",
+                    F.floor((F.col("mn") + F.col("median_bin")
+                             * (F.col("mx") - F.col("mn")) / N_WM_BINS)
+                            * 100).cast("long").alias("median_lo_cents"))
+            .orderBy("l_returnflag"))
+
+
+register("lineitem_weighted_median", lineitem_weighted_median, f"""
+WITH stats AS (
+    SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+    FROM lineitem
+), binned AS (
+    SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS w, mn, mx,
+           LEAST({N_WM_BINS - 1},
+                 CAST(FLOOR((l_extendedprice - mn) * {N_WM_BINS}
+                            / (mx - mn)) AS BIGINT)) AS bin
+    FROM lineitem CROSS JOIN stats
+), per_bin AS (
+    SELECT l_returnflag, bin, CAST(SUM(w) AS BIGINT) AS bw,
+           ANY_VALUE(mn) AS mn, ANY_VALUE(mx) AS mx
+    FROM binned GROUP BY 1, 2
+), tot AS (
+    SELECT l_returnflag, CAST(SUM(bw) AS BIGINT) AS tw
+    FROM per_bin GROUP BY 1
+), hits AS (
+    SELECT p.l_returnflag, p.bin, p.mn, p.mx, t.tw,
+           CAST(SUM(p.bw) OVER (PARTITION BY p.l_returnflag
+                                ORDER BY p.bin) AS BIGINT) AS cum
+    FROM per_bin p JOIN tot t ON p.l_returnflag = t.l_returnflag
+)
+SELECT l_returnflag, ANY_VALUE(tw) AS total_weight,
+       MIN(bin) AS median_bin,
+       CAST(FLOOR((ANY_VALUE(mn) + MIN(bin)
+                   * (ANY_VALUE(mx) - ANY_VALUE(mn)) / {N_WM_BINS}) * 100)
+            AS BIGINT) AS median_lo_cents
+FROM hits WHERE cum * 2 >= tw
+GROUP BY l_returnflag ORDER BY l_returnflag
+""", "quantity-weighted median via quantized histogram (no fact sort)")

@@ -444,3 +444,14 @@ def test_cohesion_never_joins_rows_to_rows(spark, sf_small):
     assert len(re.findall(r"\(\d+\) (?:Broadcast|SortMerge|ShuffledHash)HashJoin",
                           plan)) <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_dpp_scan_has_dynamic_pruning(spark, sf_small):
+    """dpp_partition_prune's whole contract: the year-partitioned fact
+    scan must carry a dynamicpruning subquery in its PartitionFilters —
+    the runtime join-driven prune that makes scan cost proportional to
+    the selected years. The executed plan (not just explain) is
+    inspected because the pruning subquery renders there."""
+    df = _Q["dpp_partition_prune"].build(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

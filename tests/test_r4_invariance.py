@@ -141,6 +141,8 @@ R5_CASES = [
     "dq_column_profile",         # one-scan wide aggregate unpivot
     "audience_overlap_matrix",   # bitmask fold across splits
     "user_churn_hazard",         # bounded-domain cumulative window
+    "dpp_partition_prune",       # pruned-scan aggregate
+    "lineitem_weighted_median",  # quantized weighted order statistic
 ]
 
 
