@@ -115,6 +115,7 @@ HEADLINE = [
     "user_churn_hazard",
     "dpp_partition_prune",
     "lineitem_weighted_median",
+    "multimodal_phash_neardup",
 ]
 
 

@@ -210,3 +210,47 @@ def audio_energy(df: DataFrame, id_col: str = "blob_id",
                 "total_energy", "max_window_energy"])
 
     return df.mapInPandas(fn, ENERGY_SCHEMA)
+
+
+# ---------------------------------------------------- perceptual hash
+AHASH_CELLS = 56   # fake 7x8 grid -> bits 0..55 (sign bit never set)
+
+AHASH_SCHEMA = T.StructType([
+    T.StructField("blob_id", T.LongType()),
+    T.StructField("ahash", T.LongType()),
+])
+
+
+def ahash_blobs(df: DataFrame, id_col: str = "blob_id",
+                blob_col: str = "payload") -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint with the codec
+    stubbed: nearest-neighbor sample AHASH_CELLS bytes as the fake
+    decoded grid, set bit i iff cell_i is above the grid mean. The
+    mean compare is the INTEGER inequality 56*cell > sum(cells) — no
+    float ever, so engines agree bit-for-bit. A real deployment decodes
+    and downsamples pixels instead of bytes; the Spark side (Arrow
+    batches in, one int64 fingerprint out, payload projected away) is
+    exactly what that kernel needs. 56 cells, not 64: bit 63 would be
+    the int64 sign bit, which DuckDB's BIGINT shift rejects."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(AHASH_CELLS, dtype=np.uint64)
+        for pdf in batches:
+            out = []
+            for blob in pdf[blob_col]:
+                n = len(blob)
+                if n == 0:
+                    out.append(0)
+                    continue
+                arr = np.frombuffer(blob, dtype=np.uint8)
+                idx = (np.arange(AHASH_CELLS, dtype=np.int64) * n) \
+                    // AHASH_CELLS
+                cells = arr[idx].astype(np.int64)
+                bits = (cells * AHASH_CELLS > cells.sum()).astype(np.uint64)
+                out.append(int((bits << shifts).sum()))
+            yield pd.DataFrame({
+                "blob_id": pdf[id_col].astype("int64"),
+                "ahash": pd.Series(out, dtype="int64"),
+            })
+
+    return df.mapInPandas(fn, AHASH_SCHEMA)

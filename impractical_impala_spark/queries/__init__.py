@@ -113,6 +113,8 @@ DRIFT_R5 = [
     "dq_column_profile", "audience_overlap_matrix", "user_churn_hazard",
     # physical-layout + order-statistics additions
     "dpp_partition_prune", "lineitem_weighted_median",
+    # cross-modal dedup
+    "multimodal_phash_neardup",
 ]
 
 WINDOW = (

@@ -114,3 +114,89 @@ SELECT doc_id AS blob_id,
             0) AS BIGINT) AS max_window_energy
 FROM documents
 """, "windowed PCM energy kernel (integer-exact) vs nested-list oracle")
+
+
+# ------------------------------------- perceptual-hash near-dup join
+PH_COPY_OFFSET = 9_000_000
+PH_MUT_OFFSET = 9_500_000
+PH_BLOCK_SHIFT = 40          # block on the top 16 of the 56 hash bits
+PH_HAMMING_T = 6
+
+
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-style near-duplicate detection over binary payloads: the
+    aHash kernel (multimodal/blobs.py::ahash_blobs, Arrow mapInPandas)
+    fingerprints every blob to one int64, candidates block on the top
+    16 hash bits (the simhash-prefix pattern — block cardinality grows
+    with content diversity, so blocks stay bounded at scale), and
+    survivors confirm with bit_count Hamming distance <= 6. The corpus
+    is seeded in ONE scan with exact copies (every 7th doc -> Hamming
+    0, always recalled) and first-byte mutations (every 11th doc ->
+    near-dup recalled iff its block bits survive the mean shift, the
+    documented LSH-style recall trade). No pair of payloads ever meets:
+    only (id, 8-byte hash) rows cross the candidate shuffle."""
+    from ..multimodal.blobs import ahash_blobs
+    from ..sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = F.expr(
+        f"CASE WHEN doc_id % 7 = 0 THEN array("
+        f" named_struct('doc_id', doc_id, 'text', text),"
+        f" named_struct('doc_id', doc_id + {PH_COPY_OFFSET}, 'text', text))"
+        f" WHEN doc_id % 11 = 0 THEN array("
+        f" named_struct('doc_id', doc_id, 'text', text),"
+        f" named_struct('doc_id', doc_id + {PH_MUT_OFFSET},"
+        f"              'text', concat('Z', substring(text, 2))))"
+        f" ELSE array(named_struct('doc_id', doc_id, 'text', text)) END")
+    corpus = (docs.select(F.explode(variants).alias("v"))
+              .select(F.col("v.doc_id").alias("blob_id"),
+                      F.col("v.text").cast("binary").alias("payload")))
+    hashed = ahash_blobs(corpus).withColumn(
+        "blk", F.expr(f"ahash >> {PH_BLOCK_SHIFT}"))
+    a = hashed.select(F.col("blob_id").alias("doc_a"),
+                      F.col("ahash").alias("ha"), "blk")
+    b = hashed.select(F.col("blob_id").alias("doc_b"),
+                      F.col("ahash").alias("hb"), "blk")
+    return (a.join(b, ["blk"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .withColumn("hamming",
+                        F.expr("bit_count(ha ^ hb)").cast("int"))
+            .filter(F.col("hamming") <= PH_HAMMING_T)
+            .select("doc_a", "doc_b", "hamming")
+            .orderBy("doc_a", "doc_b"))
+
+
+from ..multimodal.blobs import AHASH_CELLS  # noqa: E402
+
+register("multimodal_phash_neardup", multimodal_phash_neardup, f"""
+WITH corpus AS (
+    SELECT doc_id AS blob_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {PH_COPY_OFFSET}, text FROM documents
+    WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + {PH_MUT_OFFSET}, 'Z' || substr(text, 2)
+    FROM documents WHERE doc_id % 11 = 0 AND doc_id % 7 != 0
+), cells AS (
+    SELECT blob_id,
+           list_transform(range(0, {AHASH_CELLS}),
+               i -> ascii(substr(text,
+                    CAST((i * length(text)) // {AHASH_CELLS} AS INT) + 1,
+                    1))) AS c
+    FROM corpus
+), hashed AS (
+    SELECT blob_id,
+           CAST(list_sum(list_transform(range(0, {AHASH_CELLS}),
+               i -> CASE WHEN c[i + 1] * {AHASH_CELLS} > list_sum(c)
+                    THEN 1::BIGINT << i ELSE 0::BIGINT END)) AS BIGINT)
+               AS ahash
+    FROM cells
+)
+SELECT a.blob_id AS doc_a, b.blob_id AS doc_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+FROM hashed a JOIN hashed b
+  ON (a.ahash >> {PH_BLOCK_SHIFT}) = (b.ahash >> {PH_BLOCK_SHIFT})
+ AND a.blob_id < b.blob_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= {PH_HAMMING_T}
+ORDER BY doc_a, doc_b
+""", "aHash fingerprint -> prefix-blocked Hamming near-dup pairs")

@@ -75,3 +75,50 @@ def test_frame_sampler_emits_one_row_per_sampled_frame(spark, sf_small):
             fr = docs[bid][r.frame_idx * B.FRAME_BYTES:
                            (r.frame_idx + 1) * B.FRAME_BYTES]
             assert bytes(r.frame) == fr and r.frame_len == len(fr)
+
+
+def test_ahash_matches_local_kernel(spark, sf_small):
+    """The distributed aHash must equal a straight numpy reimplementation
+    per blob (Arrow batching and the integer mean-compare leave no room
+    for drift)."""
+    import numpy as np
+
+    from impractical_impala_spark.sources import load_table
+
+    docs = {r.doc_id: r.text.encode()
+            for r in load_table(spark, sf_small, "documents").collect()}
+    got = {r.blob_id: r.ahash
+           for r in B.ahash_blobs(B.documents_as_blobs(spark, sf_small))
+           .collect()}
+    assert set(got) == set(docs)
+    for bid, blob in docs.items():
+        arr = np.frombuffer(blob, dtype=np.uint8)
+        idx = (np.arange(B.AHASH_CELLS, dtype=np.int64) * len(blob)) \
+            // B.AHASH_CELLS
+        cells = arr[idx].astype(np.int64)
+        want = sum(1 << i for i, c in enumerate(cells)
+                   if c * B.AHASH_CELLS > cells.sum())
+        assert got[bid] == want, bid
+        assert 0 <= got[bid] < (1 << B.AHASH_CELLS)  # sign bit never set
+
+
+def test_phash_neardup_recalls_every_exact_copy(spark, sf_small):
+    """Exact copies share the hash, so every 7th doc MUST appear as a
+    hamming-0 pair with its offset copy — the recall floor of the
+    blocked join. Mutated (every 11th, not 7th) docs are recalled iff
+    their block bits survive the mean shift; assert a nonzero count so
+    the near (not just exact) path is exercised."""
+    from impractical_impala_spark.queries.multimodal import (
+        PH_COPY_OFFSET, PH_MUT_OFFSET, multimodal_phash_neardup)
+    from impractical_impala_spark.sources import load_table
+
+    ids = [r.doc_id for r in
+           load_table(spark, sf_small, "documents").select("doc_id")
+           .collect()]
+    rows = multimodal_phash_neardup(spark, sf_small).collect()
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    for did in ids:
+        if did % 7 == 0:
+            assert pairs.get((did, did + PH_COPY_OFFSET)) == 0, did
+    n_mut = sum(1 for (a, b) in pairs if b >= PH_MUT_OFFSET)
+    assert n_mut > 0

@@ -143,6 +143,7 @@ R5_CASES = [
     "user_churn_hazard",         # bounded-domain cumulative window
     "dpp_partition_prune",       # pruned-scan aggregate
     "lineitem_weighted_median",  # quantized weighted order statistic
+    "multimodal_phash_neardup",  # Arrow aHash fold + blocked pairs
 ]
 
 
