@@ -45,16 +45,10 @@ HOUR_US = 3_600_000_000
 
 
 # ------------------------------------------- two-sample KS drift test
-def events_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per event type, the two-sample KS statistic between the early and
-    late half of the time range (split at the midpoint timestamp — a
-    1-row broadcast, never a driver round-trip). Values quantize into
-    256 equi-width bins from the broadcast global min/max, so the ECDF
-    window is bounded at types x 256 rows no matter the corpus size.
-    D's numerator is the integer max|cumA*nB - cumB*nA|; the only float
-    op is the final rounded division (plus an integer ppm twin)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "ts_ns", "value")
+def ks_drift_frame(ev: DataFrame) -> DataFrame:
+    """Core of events_value_ks_drift over any (event_type, ts_ns, value)
+    frame — exposed so the replica scale-up test can inject an inflated
+    corpus through the identical plan."""
     stats = ev.agg(F.min("value").alias("mn_v"), F.max("value").alias("mx_v"),
                    F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("mid_ns"))
     binned = ev.crossJoin(F.broadcast(stats)).select(
@@ -87,6 +81,18 @@ def events_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round(F.col("ks_ppm") / 1000000.0, 6) + 0.0)
                     .alias("ks_d"))
             .orderBy("event_type"))
+
+
+def events_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type, the two-sample KS statistic between the early and
+    late half of the time range (split at the midpoint timestamp — a
+    1-row broadcast, never a driver round-trip). Values quantize into
+    256 equi-width bins from the broadcast global min/max, so the ECDF
+    window is bounded at types x 256 rows no matter the corpus size.
+    D's numerator stays integer; the only float op is the final rounded
+    division (plus an integer ppm twin)."""
+    return ks_drift_frame(load_table(spark, sf_dir, "events")
+                          .select("event_type", "ts_ns", "value"))
 
 
 register("events_value_ks_drift", events_value_ks_drift, f"""

@@ -110,16 +110,10 @@ ORDER BY column_name, metric
 
 
 # ------------------------------------- exact audience overlap matrix
-def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pairwise audience overlap between event types via the
-    bitmask reduction: one distinct pass gives (user, type), a
-    broadcast row_number over the sorted type dimension assigns bit
-    positions, each user folds to a single integer mask, and mask
-    FREQUENCIES (a <= 2^T-row model table) answer every |A∩B|, |A∪B|
-    and Jaccard exactly — the corpus is touched once and no user ever
-    meets another user in a join."""
-    ev = load_table(spark, sf_dir, "events") \
-        .select("user_id", "event_type").distinct()
+def overlap_frame(ev_raw: DataFrame) -> DataFrame:
+    """Core of audience_overlap_matrix over any (user_id, event_type)
+    frame — exposed for the replica scale-up test."""
+    ev = ev_raw.select("user_id", "event_type").distinct()
     types = (ev.select("event_type").distinct()
              .withColumn("bit", F.row_number().over(
                  Window.orderBy("event_type")) - 1))
@@ -150,6 +144,17 @@ def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("type_a", "type_b"))
 
 
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise audience overlap between event types via the
+    bitmask reduction: one distinct pass gives (user, type), a
+    broadcast row_number over the sorted type dimension assigns bit
+    positions, each user folds to a single integer mask, and mask
+    FREQUENCIES (a <= 2^T-row model table) answer every |A∩B|, |A∪B|
+    and Jaccard exactly — the corpus is touched once and no user ever
+    meets another user in a join."""
+    return overlap_frame(load_table(spark, sf_dir, "events"))
+
+
 register("audience_overlap_matrix", audience_overlap_matrix, """
 WITH ut AS (
     SELECT DISTINCT user_id, event_type FROM events
@@ -175,15 +180,9 @@ ORDER BY type_a, type_b
 
 
 # ----------------------------------------- discrete churn hazard
-def user_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Discrete-time churn hazard table: per user lifetime (days
-    between first and last event), the number churning at each
-    lifetime-day and the at-risk count (everyone whose lifetime is >=
-    that day — a cumulative window over the BOUNDED lifetime-day
-    domain), with the hazard in integer ppm. The float survival
-    product is deliberately left to the consumer; every emitted value
-    here is exact."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts_ns")
+def hazard_frame(ev: DataFrame) -> DataFrame:
+    """Core of user_churn_hazard over any (user_id, ts_ns) frame —
+    exposed for the replica scale-up test."""
     life = (ev.groupBy("user_id")
             .agg(F.expr(f"(max(ts_ns) - min(ts_ns)) div {DAY_NS}")
                  .alias("lifetime_d")))
@@ -200,6 +199,18 @@ def user_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("n_churned * 1000000 div n_at_risk")
                     .alias("hazard_ppm"))
             .orderBy("lifetime_d"))
+
+
+def user_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard table: per user lifetime (days
+    between first and last event), the number churning at each
+    lifetime-day and the at-risk count (everyone whose lifetime is >=
+    that day — a cumulative window over the BOUNDED lifetime-day
+    domain), with the hazard in integer ppm. The float survival
+    product is deliberately left to the consumer; every emitted value
+    here is exact."""
+    return hazard_frame(load_table(spark, sf_dir, "events")
+                        .select("user_id", "ts_ns"))
 
 
 register("user_churn_hazard", user_churn_hazard, f"""
@@ -230,19 +241,10 @@ ORDER BY lifetime_d
 N_WM_BINS = 1024
 
 
-def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantity-weighted median extended price per return flag, via the
-    quantized-histogram decomposition: prices bin into 1024 equi-width
-    buckets from a broadcast 1-row min/max, weights aggregate per
-    (flag, bin), and the median bin is the first whose doubled
-    cumulative weight reaches the total — a window over <= flags x 1024
-    rows, NEVER a per-group sort of the fact table. Bin resolution is
-    the operator contract (same trade as events_value_ks_drift); the
-    emitted bin lower bound uses the identical IEEE expression on both
-    engines."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_extendedprice",
-        F.col("l_quantity").cast("long").alias("w"))
+def weighted_median_frame(li: DataFrame) -> DataFrame:
+    """Core of lineitem_weighted_median over any (l_returnflag,
+    l_extendedprice, w) frame — exposed for the replica scale-up
+    test."""
     stats = li.agg(F.min("l_extendedprice").alias("mn"),
                    F.max("l_extendedprice").alias("mx"))
     binned = (li.crossJoin(F.broadcast(stats))
@@ -270,6 +272,22 @@ def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                              * (F.col("mx") - F.col("mn")) / N_WM_BINS)
                             * 100).cast("long").alias("median_lo_cents"))
             .orderBy("l_returnflag"))
+
+
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag, via the
+    quantized-histogram decomposition: prices bin into 1024 equi-width
+    buckets from a broadcast 1-row min/max, weights aggregate per
+    (flag, bin), and the median bin is the first whose doubled
+    cumulative weight reaches the total — a window over <= flags x 1024
+    rows, NEVER a per-group sort of the fact table. Bin resolution is
+    the operator contract (same trade as events_value_ks_drift); the
+    emitted bin lower bound uses the identical IEEE expression on both
+    engines."""
+    return weighted_median_frame(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_extendedprice",
+            F.col("l_quantity").cast("long").alias("w")))
 
 
 register("lineitem_weighted_median", lineitem_weighted_median, f"""
