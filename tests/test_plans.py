@@ -455,3 +455,39 @@ def test_dpp_scan_has_dynamic_pruning(spark, sf_small):
     df = _Q["dpp_partition_prune"].build(spark, sf_small)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_runtime_bloom_filter_join_injects(spark, sf_small):
+    """Runtime row-level Bloom-filter pruning (the shuffle-join sibling
+    of DPP): with a selective dim filter and a forced shuffle join, the
+    optimizer must build a bloom_filter_agg on the filtered side and
+    probe it on the fact side before the shuffle — at 100 TB this is
+    what keeps a selective star join from shuffling the whole fact
+    table. Thresholds are lowered only inside this test; the engine
+    leaves the conservative defaults for real plans."""
+    from pyspark.sql import functions as F
+
+    from impractical_impala_spark.sources import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_small, "lineitem") \
+            .select("l_orderkey", "l_extendedprice")
+        o = load_table(spark, sf_small, "orders") \
+            .filter(F.col("o_orderpriority") == "1-URGENT") \
+            .select("o_orderkey")
+        j = li.join(o, li.l_orderkey == o.o_orderkey) \
+            .agg(F.count(F.lit(1)).alias("n"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert "bloom_filter_agg" in plan, plan[:2000]
+    assert "might_contain" in plan.lower(), plan[:2000]
