@@ -44,6 +44,17 @@ HOUR_NS = 3_600_000_000_000
 HOUR_US = 3_600_000_000
 
 
+def clip_bin(value_col, mn_col, mx_col, n_bins: int):
+    """Broadcast-range equi-width clip binning — the ONE quantized-
+    domain contract shared by ks_drift_frame (256 bins),
+    weighted_median_frame (1024 bins) and, in numpy form,
+    streaming/drift.py::value_histogram. Change resolution or clamping
+    here (and in the SQL oracles), nowhere else."""
+    return F.least(F.lit(n_bins - 1),
+                   F.floor((value_col - mn_col) * n_bins
+                           / (mx_col - mn_col)))
+
+
 # ------------------------------------------- two-sample KS drift test
 def ks_drift_frame(ev: DataFrame) -> DataFrame:
     """Core of events_value_ks_drift over any (event_type, ts_ns, value)
@@ -53,9 +64,8 @@ def ks_drift_frame(ev: DataFrame) -> DataFrame:
                    F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("mid_ns"))
     binned = ev.crossJoin(F.broadcast(stats)).select(
         "event_type",
-        F.least(F.lit(N_KS_BINS - 1),
-                F.floor((F.col("value") - F.col("mn_v")) * N_KS_BINS
-                        / (F.col("mx_v") - F.col("mn_v")))).alias("bin"),
+        clip_bin(F.col("value"), F.col("mn_v"), F.col("mx_v"),
+                 N_KS_BINS).alias("bin"),
         F.expr("CASE WHEN ts_ns <= mid_ns THEN 1 ELSE 0 END").alias("early"))
     per_bin = binned.groupBy("event_type", "bin").agg(
         F.sum("early").alias("ca"),
@@ -279,14 +289,22 @@ def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum(cnt_{t-k} * 2^(15-k)) is exact INTEGER arithmetic, and the
     emitted smoothed value is the fixed-point integer scaled*1000 div
     norm — no floating-point accumulation anywhere, so both engines
-    agree bit-for-bit. The lag window partitions on event_type over the
-    hourly AGGREGATE, whose cardinality grows with the time span, not
-    the data volume."""
+    agree bit-for-bit. Counts first land on a DENSE per-type hourly
+    spine (events_gapfill_locf's pattern) so the lag steps are true
+    HOURS — a 23-hour gap decays the EWMA by 2^-23, it doesn't get
+    skipped as one row. Spine and window cardinality grow with the
+    time span, not the data volume."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.expr(f"ts_ns div {HOUR_NS}").alias("hr"))
     hourly = ev.groupBy("event_type", "hr").agg(
         F.count(F.lit(1)).alias("cnt"))
-    return (hourly
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    spine = bounds.select(
+        "event_type", F.explode(F.expr("sequence(h0, h1)")).alias("hr"))
+    dense = (spine.join(hourly, ["event_type", "hr"], "left")
+             .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0))))
+    return (dense
             .select("event_type", "hr", F.col("cnt").alias("n_events"),
                     F.expr(f"CAST(({_SCALED_SQL}) * 1000"
                            f" div ({_NORM_SQL}) AS BIGINT)")
@@ -299,12 +317,21 @@ WITH hourly AS (
            CAST(epoch_us(ts) AS BIGINT) // {HOUR_US} AS hr,
            COUNT(*) AS cnt
     FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1 FROM hourly
+    GROUP BY event_type
+), spine AS (
+    SELECT event_type, UNNEST(range(h0, h1 + 1)) AS hr FROM bounds
+), dense AS (
+    SELECT s.event_type, s.hr, COALESCE(h.cnt, 0) AS cnt
+    FROM spine s LEFT JOIN hourly h
+      ON s.event_type = h.event_type AND s.hr = h.hr
 )
 SELECT event_type, hr, cnt AS n_events,
        CAST(({_SCALED_SQL}) * 1000 // ({_NORM_SQL}) AS BIGINT)
            AS ewma_milli
-FROM hourly ORDER BY event_type, hr
-""", "integer-exact alpha=1/2 EWMA of hourly counts (2^-k lag weights)")
+FROM dense ORDER BY event_type, hr
+""", "integer-exact alpha=1/2 EWMA on a dense hourly spine (2^-k lags)")
 
 
 # --------------------------------- chi-square independence test

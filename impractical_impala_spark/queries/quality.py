@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_table
+from .drift import clip_bin
 
 DAY_NS = 86_400_000_000_000
 
@@ -112,15 +113,22 @@ ORDER BY column_name, metric
 # ------------------------------------- exact audience overlap matrix
 def overlap_frame(ev_raw: DataFrame) -> DataFrame:
     """Core of audience_overlap_matrix over any (user_id, event_type)
-    frame — exposed for the replica scale-up test."""
+    frame — exposed for the replica scale-up test. Only pairs with a
+    NONZERO intersection are emitted (the oracle's user self-join can
+    never see a disjoint pair, so the contract is pinned there too).
+    Masks are bigint: correct through 62 types, and assert_true on the
+    bit position fails loudly past that instead of silently wrapping."""
     ev = ev_raw.select("user_id", "event_type").distinct()
     types = (ev.select("event_type").distinct()
              .withColumn("bit", F.row_number().over(
-                 Window.orderBy("event_type")) - 1))
+                 Window.orderBy("event_type")) - 1)
+             .withColumn("bit", F.when(F.assert_true(F.col("bit") < 62)
+                                       .isNull(), F.col("bit"))))
     masks = (ev.join(F.broadcast(types), "event_type")
              .groupBy("user_id")
-             .agg(F.sum(F.expr("shiftleft(1, cast(bit AS int))"))
-                  .alias("mask")))
+             .agg(F.sum(F.expr(
+                 "shiftleft(cast(1 AS bigint), cast(bit AS int))"))
+                 .alias("mask")))
     mask_freq = masks.groupBy("mask").agg(F.count(F.lit(1)).alias("n_users"))
     pairs = (types.alias("a").crossJoin(types.alias("b"))
              .filter(F.col("a.event_type") < F.col("b.event_type"))
@@ -129,8 +137,10 @@ def overlap_frame(ev_raw: DataFrame) -> DataFrame:
                      F.col("a.bit").alias("bit_a"),
                      F.col("b.bit").alias("bit_b")))
     joined = F.broadcast(pairs).crossJoin(mask_freq)
-    has_a = F.expr("(mask div shiftleft(1, bit_a)) % 2 = 1")
-    has_b = F.expr("(mask div shiftleft(1, bit_b)) % 2 = 1")
+    has_a = F.expr(
+        "(mask div shiftleft(cast(1 AS bigint), cast(bit_a AS int))) % 2 = 1")
+    has_b = F.expr(
+        "(mask div shiftleft(cast(1 AS bigint), cast(bit_b AS int))) % 2 = 1")
     return (joined.groupBy("type_a", "type_b")
             .agg(F.sum(F.when(has_a, F.col("n_users")).otherwise(0))
                  .alias("n_a"),
@@ -138,6 +148,7 @@ def overlap_frame(ev_raw: DataFrame) -> DataFrame:
                  .alias("n_b"),
                  F.sum(F.when(has_a & has_b, F.col("n_users")).otherwise(0))
                  .alias("n_both"))
+            .filter(F.col("n_both") > 0)
             .select("type_a", "type_b", "n_a", "n_b", "n_both",
                     F.expr("n_both * 1000000 div (n_a + n_b - n_both)")
                     .alias("jaccard_ppm"))
@@ -249,11 +260,8 @@ def weighted_median_frame(li: DataFrame) -> DataFrame:
                    F.max("l_extendedprice").alias("mx"))
     binned = (li.crossJoin(F.broadcast(stats))
               .select("l_returnflag", "w", "mn", "mx",
-                      F.least(F.lit(N_WM_BINS - 1),
-                              F.floor((F.col("l_extendedprice") - F.col("mn"))
-                                      * N_WM_BINS
-                                      / (F.col("mx") - F.col("mn"))))
-                      .alias("bin")))
+                      clip_bin(F.col("l_extendedprice"), F.col("mn"),
+                               F.col("mx"), N_WM_BINS).alias("bin")))
     per_bin = binned.groupBy("l_returnflag", "bin").agg(
         F.sum("w").alias("bw"),
         F.first("mn").alias("mn"), F.first("mx").alias("mx"))
