@@ -116,6 +116,7 @@ HEADLINE = [
     "dpp_partition_prune",
     "lineitem_weighted_median",
     "multimodal_phash_neardup",
+    "lineitem_mad_outliers",
 ]
 
 

@@ -115,6 +115,8 @@ DRIFT_R5 = [
     "dpp_partition_prune", "lineitem_weighted_median",
     # cross-modal dedup
     "multimodal_phash_neardup",
+    # robust statistics
+    "lineitem_mad_outliers",
 ]
 
 WINDOW = (

@@ -329,3 +329,111 @@ SELECT l_returnflag, ANY_VALUE(tw) AS total_weight,
 FROM hits WHERE cum * 2 >= tw
 GROUP BY l_returnflag ORDER BY l_returnflag
 """, "quantity-weighted median via quantized histogram (no fact sort)")
+
+
+# ----------------------------------- robust (median/MAD) outliers
+MAD_K = 3   # flag rows beyond 3 MADs
+
+
+def lineitem_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profile per return flag: median and MAD (median
+    absolute deviation) of the extended price over the shared 1024-bin
+    quantized domain, then the count of rows beyond 3 MADs. Both
+    medians are first-crossing scans of cumulative windows over the
+    BOUNDED bin table (never a fact sort), and every emitted number is
+    an exact integer — the z-score twin (events_anomaly_zscore) breaks
+    under heavy tails; this is the estimator that doesn't."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice")
+    stats = li.agg(F.min("l_extendedprice").alias("mn"),
+                   F.max("l_extendedprice").alias("mx"))
+    binned = (li.crossJoin(F.broadcast(stats))
+              .select("l_returnflag",
+                      clip_bin(F.col("l_extendedprice"), F.col("mn"),
+                               F.col("mx"), N_WM_BINS).alias("bin")))
+    # four consumers (median, deviations, MAD, final count) branch off
+    # per_bin; caching the <= flags x 1024-row aggregate keeps the
+    # lineitem scan + binning to ONE pass instead of four
+    per_bin = binned.groupBy("l_returnflag", "bin").agg(
+        F.count(F.lit(1)).alias("n")).cache()
+    tot = per_bin.groupBy("l_returnflag").agg(F.sum("n").alias("nt"))
+    wb = Window.partitionBy("l_returnflag").orderBy("bin")
+    med = (per_bin.withColumn("cum", F.sum("n").over(wb))
+           .join(F.broadcast(tot), "l_returnflag")
+           .filter(F.col("cum") * 2 >= F.col("nt"))
+           .groupBy("l_returnflag").agg(F.min("bin").alias("med")))
+    dev = (per_bin.join(F.broadcast(med), "l_returnflag")
+           .select("l_returnflag", F.abs(F.col("bin") - F.col("med"))
+                   .alias("d"), "n")
+           .groupBy("l_returnflag", "d").agg(F.sum("n").alias("nd")))
+    wd = Window.partitionBy("l_returnflag").orderBy("d")
+    mad = (dev.withColumn("cum", F.sum("nd").over(wd))
+           .join(F.broadcast(tot), "l_returnflag")
+           .filter(F.col("cum") * 2 >= F.col("nt"))
+           .groupBy("l_returnflag").agg(F.min("d").alias("mad")))
+    return (per_bin
+            .join(F.broadcast(med), "l_returnflag")
+            .join(F.broadcast(mad), "l_returnflag")
+            .join(F.broadcast(tot), "l_returnflag")
+            .groupBy("l_returnflag")
+            .agg(F.first("nt").alias("n_rows"),
+                 F.first("med").alias("median_bin"),
+                 F.first("mad").alias("mad_bins"),
+                 F.sum(F.when(F.abs(F.col("bin") - F.col("med"))
+                              > MAD_K * F.col("mad"), F.col("n"))
+                       .otherwise(0)).alias("n_outliers"))
+            .select("l_returnflag", "n_rows", "median_bin", "mad_bins",
+                    "n_outliers",
+                    F.expr("n_outliers * 1000000 div n_rows")
+                    .alias("outlier_ppm"))
+            .orderBy("l_returnflag"))
+
+
+register("lineitem_mad_outliers", lineitem_mad_outliers, f"""
+WITH stats AS (
+    SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+    FROM lineitem
+), binned AS (
+    SELECT l_returnflag,
+           LEAST({N_WM_BINS - 1},
+                 CAST(FLOOR((l_extendedprice - mn) * {N_WM_BINS}
+                            / (mx - mn)) AS BIGINT)) AS bin
+    FROM lineitem CROSS JOIN stats
+), per_bin AS (
+    SELECT l_returnflag, bin, COUNT(*) AS n FROM binned GROUP BY 1, 2
+), tot AS (
+    SELECT l_returnflag, CAST(SUM(n) AS BIGINT) AS nt
+    FROM per_bin GROUP BY 1
+), med AS (
+    SELECT l_returnflag, MIN(bin) AS med FROM (
+        SELECT p.l_returnflag, p.bin, t.nt,
+               CAST(SUM(p.n) OVER (PARTITION BY p.l_returnflag
+                                   ORDER BY p.bin) AS BIGINT) AS cum
+        FROM per_bin p JOIN tot t USING (l_returnflag)
+    ) WHERE cum * 2 >= nt GROUP BY 1
+), dev AS (
+    SELECT p.l_returnflag, ABS(p.bin - m.med) AS d,
+           CAST(SUM(p.n) AS BIGINT) AS nd
+    FROM per_bin p JOIN med m USING (l_returnflag)
+    GROUP BY 1, 2
+), mad AS (
+    SELECT l_returnflag, MIN(d) AS mad FROM (
+        SELECT v.l_returnflag, v.d, t.nt,
+               CAST(SUM(v.nd) OVER (PARTITION BY v.l_returnflag
+                                    ORDER BY v.d) AS BIGINT) AS cum
+        FROM dev v JOIN tot t USING (l_returnflag)
+    ) WHERE cum * 2 >= nt GROUP BY 1
+)
+SELECT p.l_returnflag, ANY_VALUE(t.nt) AS n_rows,
+       ANY_VALUE(m.med) AS median_bin, ANY_VALUE(a.mad) AS mad_bins,
+       CAST(SUM(CASE WHEN ABS(p.bin - m.med) > {MAD_K} * a.mad
+                THEN p.n ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(SUM(CASE WHEN ABS(p.bin - m.med) > {MAD_K} * a.mad
+                THEN p.n ELSE 0 END) * 1000000 // ANY_VALUE(t.nt)
+            AS BIGINT) AS outlier_ppm
+FROM per_bin p
+JOIN med m USING (l_returnflag)
+JOIN mad a USING (l_returnflag)
+JOIN tot t USING (l_returnflag)
+GROUP BY p.l_returnflag ORDER BY p.l_returnflag
+""", "median/MAD robust outlier profile over the quantized bin domain")

@@ -144,6 +144,7 @@ R5_CASES = [
     "dpp_partition_prune",       # pruned-scan aggregate
     "lineitem_weighted_median",  # quantized weighted order statistic
     "multimodal_phash_neardup",  # Arrow aHash fold + blocked pairs
+    "lineitem_mad_outliers",     # chained bin-median first-crossings
 ]
 
 
