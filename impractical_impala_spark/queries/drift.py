@@ -49,10 +49,16 @@ def clip_bin(value_col, mn_col, mx_col, n_bins: int):
     domain contract shared by ks_drift_frame (256 bins),
     weighted_median_frame (1024 bins) and, in numpy form,
     streaming/drift.py::value_histogram. Change resolution or clamping
-    here (and in the SQL oracles), nowhere else."""
-    return F.least(F.lit(n_bins - 1),
-                   F.floor((value_col - mn_col) * n_bins
-                           / (mx_col - mn_col)))
+    here (and in the SQL oracles), nowhere else.
+
+    Degenerate range (mx == mn, an all-equal column) maps every row to
+    bin 0 explicitly: without the guard the 0/0 division yields NaN,
+    where Spark floors to NULL-ish NaN and DuckDB errors on the CAST —
+    the two engines would disagree on single-valued input."""
+    return F.when(mx_col == mn_col, F.lit(0)).otherwise(
+        F.least(F.lit(n_bins - 1),
+                F.floor((value_col - mn_col) * n_bins
+                        / (mx_col - mn_col))))
 
 
 # ------------------------------------------- two-sample KS drift test
@@ -113,9 +119,10 @@ WITH stats AS (
     FROM events
 ), binned AS (
     SELECT event_type,
-           LEAST({N_KS_BINS - 1},
-                 CAST(FLOOR((value - mn_v) * {N_KS_BINS} / (mx_v - mn_v))
-                      AS BIGINT)) AS bin,
+           CASE WHEN mx_v = mn_v THEN 0 ELSE
+                LEAST({N_KS_BINS - 1},
+                      CAST(FLOOR((value - mn_v) * {N_KS_BINS}
+                                 / (mx_v - mn_v)) AS BIGINT)) END AS bin,
            CASE WHEN CAST(epoch_us(ts) AS BIGINT) * 1000 <= mid_ns
                 THEN 1 ELSE 0 END AS early
     FROM events CROSS JOIN stats
@@ -152,9 +159,14 @@ def orders_backlog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     max(l_shipdate)] becomes a +1 delta at the start day and a -1 the
     day after the end, deltas aggregate per calendar day (the ONLY
     fact-size shuffle), and the running sum runs over day cardinality —
-    bounded by the calendar span, not data volume. Peaks are evaluated
-    at delta days (order activity days), which is exact whenever any
-    order starts or ends in the year — true at any realistic density."""
+    bounded by the calendar span, not data volume. The running value is
+    a step function that changes only at delta days, so a year's true
+    peak is max(carry-in at the year boundary, within-year delta-day
+    values); the carry-in is the previous emitted year's last running
+    value (no deltas occur in between), folded in via a lag over the
+    year-cardinality aggregate. Years with no order activity at all are
+    not emitted — that is the operator contract (delta_days is part of
+    the output)."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.expr("datediff(o_orderdate, DATE '1970-01-01')").alias("s_day"))
@@ -169,13 +181,20 @@ def orders_backlog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy("day").agg(F.sum("d").alias("delta")))
     running = deltas.withColumn(
         "open_orders", F.sum("delta").over(Window.orderBy("day")))
-    return (running
-            .select(F.year(F.expr("date_add(DATE '1970-01-01', "
-                                  "cast(day AS int))")).alias("yr"),
-                    "open_orders")
-            .groupBy("yr")
-            .agg(F.max("open_orders").alias("peak_open"),
-                 F.count(F.lit(1)).alias("delta_days"))
+    per_year = (running
+                .select(F.year(F.expr("date_add(DATE '1970-01-01', "
+                                      "cast(day AS int))")).alias("yr"),
+                        "day", "open_orders")
+                .groupBy("yr")
+                .agg(F.max("open_orders").alias("within_peak"),
+                     F.max_by("open_orders", "day").alias("last_open"),
+                     F.count(F.lit(1)).alias("delta_days")))
+    carry = F.coalesce(
+        F.lag("last_open").over(Window.orderBy("yr")), F.lit(0))
+    return (per_year
+            .select("yr",
+                    F.greatest("within_peak", carry).alias("peak_open"),
+                    "delta_days")
             .orderBy("yr"))
 
 
@@ -195,12 +214,20 @@ WITH iv AS (
 ), running AS (
     SELECT day, SUM(delta) OVER (ORDER BY day) AS open_orders
     FROM deltas
+), per_year AS (
+    SELECT CAST(EXTRACT(year FROM DATE '1970-01-01' + CAST(day AS INT))
+                AS INT) AS yr,
+           CAST(MAX(open_orders) AS BIGINT) AS within_peak,
+           CAST(ARG_MAX(open_orders, day) AS BIGINT) AS last_open,
+           COUNT(*) AS delta_days
+    FROM running GROUP BY 1
 )
-SELECT CAST(EXTRACT(year FROM DATE '1970-01-01' + CAST(day AS INT)) AS INT)
-           AS yr,
-       CAST(MAX(open_orders) AS BIGINT) AS peak_open,
-       COUNT(*) AS delta_days
-FROM running GROUP BY 1 ORDER BY 1
+SELECT yr,
+       CAST(GREATEST(within_peak,
+                     COALESCE(LAG(last_open) OVER (ORDER BY yr), 0))
+            AS BIGINT) AS peak_open,
+       delta_days
+FROM per_year ORDER BY yr
 """, "sweep-line peak concurrent open orders per year")
 
 
@@ -349,7 +376,11 @@ def events_chi2_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_t = obs.groupBy("event_type").agg(F.sum("obs").alias("rt"))
     col_t = obs.groupBy("daypart").agg(F.sum("obs").alias("ct"))
     n_tot = obs.agg(F.sum("obs").alias("n"))
-    exp = F.col("rt") * F.col("ct") / F.col("n")
+    # rt cast to double BEFORE the multiply: bigint rt*ct would wrap past
+    # int64 at ~3e9 rows per marginal (non-ANSI Spark wraps silently), and
+    # the double-first association matches the oracle's CAST(rt AS DOUBLE)
+    # so both engines round identically past 2^53.
+    exp = F.col("rt").cast("double") * F.col("ct") / F.col("n")
     return (obs
             .join(F.broadcast(row_t), "event_type")
             .join(F.broadcast(col_t), "daypart")

@@ -151,8 +151,11 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = (docs.select(F.explode(variants).alias("v"))
               .select(F.col("v.doc_id").alias("blob_id"),
                       F.col("v.text").cast("binary").alias("payload")))
+    # cache before deriving the a/b sides (dedup.py band-join
+    # convention): the self-join would otherwise run the Arrow aHash
+    # kernel — and the corpus explode feeding it — twice per query
     hashed = ahash_blobs(corpus).withColumn(
-        "blk", F.expr(f"ahash >> {PH_BLOCK_SHIFT}"))
+        "blk", F.expr(f"ahash >> {PH_BLOCK_SHIFT}")).cache()
     a = hashed.select(F.col("blob_id").alias("doc_a"),
                       F.col("ahash").alias("ha"), "blk")
     b = hashed.select(F.col("blob_id").alias("doc_b"),

@@ -304,9 +304,10 @@ WITH stats AS (
     FROM lineitem
 ), binned AS (
     SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS w, mn, mx,
-           LEAST({N_WM_BINS - 1},
-                 CAST(FLOOR((l_extendedprice - mn) * {N_WM_BINS}
-                            / (mx - mn)) AS BIGINT)) AS bin
+           CASE WHEN mx = mn THEN 0 ELSE
+                LEAST({N_WM_BINS - 1},
+                      CAST(FLOOR((l_extendedprice - mn) * {N_WM_BINS}
+                                 / (mx - mn)) AS BIGINT)) END AS bin
     FROM lineitem CROSS JOIN stats
 ), per_bin AS (
     SELECT l_returnflag, bin, CAST(SUM(w) AS BIGINT) AS bw,
@@ -395,9 +396,10 @@ WITH stats AS (
     FROM lineitem
 ), binned AS (
     SELECT l_returnflag,
-           LEAST({N_WM_BINS - 1},
-                 CAST(FLOOR((l_extendedprice - mn) * {N_WM_BINS}
-                            / (mx - mn)) AS BIGINT)) AS bin
+           CASE WHEN mx = mn THEN 0 ELSE
+                LEAST({N_WM_BINS - 1},
+                      CAST(FLOOR((l_extendedprice - mn) * {N_WM_BINS}
+                                 / (mx - mn)) AS BIGINT)) END AS bin
     FROM lineitem CROSS JOIN stats
 ), per_bin AS (
     SELECT l_returnflag, bin, COUNT(*) AS n FROM binned GROUP BY 1, 2
