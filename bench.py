@@ -1,9 +1,17 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the engine's headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "sf": ..., "n_queries": N,
+     "cpu_ref_sec": ..., "cpu_ref_par_sec": ..., "detail": "BENCH_DETAIL.json"}
+
+Per-query timings go to BENCH_DETAIL.json next to this script: the
+driver records only the LAST 2,000 bytes of stdout, and past ~70
+headline queries an inline {"queries": {...}} map outgrew that window
+(round 5's recorded bench line truncated mid-JSON and failed to parse).
+The stdout line is everything the driver needs; the repo file keeps the
+per-query history the round-over-round comparisons use.
 
 Each query executes to completion by aggregating a checksum over EVERY
 output column (count() alone would let Catalyst prune projection
@@ -199,14 +207,29 @@ def main() -> None:
         # memory/GC pressure into the next measurement
         spark.catalog.clearCache()
 
+    ref_sec, ref_par_sec = cpu_ref_sec(), cpu_ref_par_sec()
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump({
+            "metric": "headline_query_wall_sec",
+            "value": round(total, 4),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "cpu_ref_sec": ref_sec,
+            "cpu_ref_par_sec": ref_par_sec,
+        }, f, indent=1, sort_keys=True)
+        f.write("\n")
     print(json.dumps({
         "metric": "headline_query_wall_sec",
         "value": round(total, 4),
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
-        "cpu_ref_sec": cpu_ref_sec(),
-        "cpu_ref_par_sec": cpu_ref_par_sec(),
+        "n_queries": len(timings),
+        "cpu_ref_sec": ref_sec,
+        "cpu_ref_par_sec": ref_par_sec,
+        "detail": "BENCH_DETAIL.json",
     }))
     spark.stop()
 
