@@ -405,19 +405,33 @@ register("dedup_simhash", dedup_simhash, _simhash_oracle(),
 
 
 # ---------------------------------------------------------------- embedding near-dup
-def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest-duplicate candidate per embedding: top-1 cosine neighbor,
-    brute force via JVM-side higher-order functions (zip_with dot
-    product). At real scale the pair space is pruned by the LSH/IVF
-    bucketing in the similarity module; this is the exact baseline.
-    Reuses the similarity module's embedding loader/cosine expressions —
-    one numeric pipeline to keep correct."""
+NB_QUERY_MAX = 1024  # absolute cap on the exact-baseline query panel
+
+
+def embedding_neardup_frame(emb: DataFrame, cap: int = NB_QUERY_MAX) -> DataFrame:
+    """Exact top-1 cosine neighbor for a size-BOUNDED deterministic query
+    panel, against the FULL corpus. The exact baseline exists to audit
+    the LSH twin's recall, and a recall estimate only needs a bounded
+    panel of query points — so the QUERY side is capped at ~`cap` rows
+    by hash membership (md5-prefix mod, the contrastive_negatives
+    engine-portable trick; in-plan via a broadcast 1-row count, no
+    driver round-trip, no RNG state) while the CANDIDATE side stays the
+    whole corpus. Pair space is cap x n — linear in the corpus like
+    ann_cosine_topk, never quadratic. Below the cap the panel is the
+    full corpus, so small-SF results are unchanged from the unbounded
+    form (tests pin the unbounded twin against this one)."""
     from pyspark.sql import Window
 
-    from .similarity import _emb
-
-    emb = _emb(spark, sf_dir).cache()
-    a, b = emb.alias("a"), emb.alias("b")
+    n = emb.agg(F.count(F.lit(1)).alias("n_vec"))
+    panel = (
+        emb.crossJoin(F.broadcast(n))
+        .filter(F.pmod(
+            F.expr("cast(conv(substring(md5(cast(vec_id as string)), 1, 7),"
+                   " 16, 10) as bigint)"),
+            F.greatest(F.lit(1), F.expr(f"n_vec div {cap}"))) == 0)
+        .select("vec_id", "v", "norm")
+    )
+    a, b = panel.alias("a"), emb.alias("b")
     dot = F.expr(
         "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0.0 as double),"
         " (acc, x) -> acc + x)"
@@ -438,16 +452,35 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("dedup_embedding_neardup", dedup_embedding_neardup, """
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-cosine nearest-duplicate baseline over a deterministic
+    bounded query panel (see embedding_neardup_frame): top-1 neighbor
+    via JVM-side zip_with dot products. At real scale candidate
+    generation is the LSH twin (dedup_embedding_lsh); this baseline's
+    job is recall auditing, which a capped panel serves at any corpus
+    size. Reuses the similarity module's embedding loader — one numeric
+    pipeline to keep correct."""
+    from .similarity import _emb
+
+    return embedding_neardup_frame(_emb(spark, sf_dir).cache())
+
+
+register("dedup_embedding_neardup", dedup_embedding_neardup, f"""
 WITH norms AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings
+), n AS (
+    SELECT COUNT(*) AS n_vec FROM norms
+), panel AS (
+    SELECT vec_id, v FROM norms, n
+    WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7)) AS BIGINT)
+          % GREATEST(1, n_vec // {NB_QUERY_MAX}) = 0
 ), pairs AS (
     SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
            list_dot_product(a.v, b.v)
            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
                AS cos
-    FROM norms a JOIN norms b ON a.vec_id <> b.vec_id
+    FROM panel a JOIN norms b ON a.vec_id <> b.vec_id
 ), ranked AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                  ORDER BY cos DESC, neighbor_id) AS rn
@@ -455,7 +488,7 @@ WITH norms AS (
 )
 SELECT vec_id, neighbor_id, ROUND(cos, 6) AS cos
 FROM ranked WHERE rn = 1
-""", "top-1 cosine neighbor per embedding (exact baseline)")
+""", "top-1 cosine neighbor, bounded query panel vs full corpus")
 
 
 # ---------------------------------------------------------------- clusters
