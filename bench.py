@@ -125,6 +125,12 @@ HEADLINE = [
     "lineitem_weighted_median",
     "multimodal_phash_neardup",
     "lineitem_mad_outliers",
+    # added round 6 (append-only): overlap wide twin + corpus-QA wave
+    "audience_overlap_wide",
+    "source_token_entropy",
+    "doc_length_drift_psi",
+    "orders_seasonal_index",
+    "events_interarrival_profile",
 ]
 
 

@@ -119,15 +119,54 @@ DRIFT_R5 = [
     "lineitem_mad_outliers",
 ]
 
-WINDOW = (
-    NEVER_CHECKED_R4
-    + STALE_REPROOF
-    + NEW_R5
-    + LATE_R5
-    + DRIFT_R5
-    + O_FAMILY_REPROOF
-    # remaining slots fall through to registration order; o-family
-    # entries beyond slot 50 simply wait for r6.
-)
+# ---------------------------------------------------------------- r6
+# r6 window (replaces the r5 ordering above, kept for history). The r5
+# window went 46 hash + 4 sanctioned rows-only, 0 errors, so every slot
+# is free for VERDICT r5's #1 ask: rotate onto the 42 queries whose
+# latest driver row is r1/r2-era. With the 5 new queries and the 2
+# whose semantics changed this round, that is exactly 49 slots; the
+# 50th re-proves events_chi2_daypart, whose Spark-side overflow-guard
+# cast is value-identical at sf0.01 but deserves a fresh row anyway.
+
+# First driver exposure — round-6 additions.
+NEW_R6 = [
+    "audience_overlap_wide",        # >20-type overlap regime (VERDICT #5)
+    "source_token_entropy",
+    "doc_length_drift_psi",
+    "orders_seasonal_index",
+    "events_interarrival_profile",
+]
+
+# Changed this round — bounded query panel / year-boundary carry-in;
+# their green rows double as first proof of the new plans.
+CHANGED_R6 = [
+    "dedup_embedding_neardup",
+    "orders_backlog_profile",
+    "events_chi2_daypart",
+]
+
+# The 42 stale rows, oldest evidence first: the three events queries
+# whose rows predate the r3 fixture type drift lead (the only ones
+# with any real risk), then the untouched o-family, r2 TPC-H/text/w
+# waves and the three r1-era rows.
+STALE_R1R2 = [
+    "events_hourly_counts", "events_session_window", "events_sessionized",
+    "o07_in_filter", "o08_sort_topk", "o09_validity_flag", "o13_distinct",
+    "o14_having", "o15_semi_join", "o17_arithmetic", "o18_lookup_join",
+    "o19_guarded_log", "o20_dlog", "o21_time_index", "o24_grouped_sd",
+    "o25_ratio", "o26_corr", "o27_acf", "o28_two_level_agg",
+    "o29_max_by_group",
+    "q1_pricing_summary", "q3_top_unshipped_orders", "q5_revenue_by_nation",
+    "q6_revenue_delta", "q13_order_count_distribution",
+    "q18_large_volume_customers", "q_anti_join", "q_correlated_max",
+    "q_exists_priority", "q_rollup_revenue",
+    "q_profile_table", "q_set_ops", "string_functions",
+    "text_fingerprint", "text_langid", "text_quality_score",
+    "text_tfidf_top_terms", "text_token_count",
+    "w1_running_sum", "w2_rank_orders", "w3_top1_per_group",
+    "w4_moving_avg",
+]
+
+WINDOW = NEW_R6 + CHANGED_R6[:2] + STALE_R1R2 + CHANGED_R6[2:]
 
 set_window_order(WINDOW)

@@ -417,3 +417,285 @@ JOIN col_t USING (daypart)
 CROSS JOIN n_tot
 ORDER BY o.event_type, o.daypart
 """, "chi-square independence contributions over a model-size table")
+
+
+# --------------------------- population stability index (PSI) drift
+N_PSI_BINS = 64
+PSI_SMOOTH_K = 4096  # smoothing scale: pseudo-mass = NB/(n*K + NB)
+
+
+def doc_length_psi_frame(docs: DataFrame) -> DataFrame:
+    """Core of doc_length_drift_psi over any (source, n_chars) frame —
+    exposed for the replica scale-up test. Per-source length
+    distribution vs the whole-corpus distribution over N_PSI_BINS
+    equi-width bins (broadcast min/max, clip_bin contract). Zero bins
+    are smoothed with a SCALED Laplace term, p = (c*K + 1)/(n*K + NB)
+    with K = 4096: plain +1 smoothing injects NB pseudo-counts, which
+    dominates any source smaller than ~NB docs and makes the statistic
+    drift under corpus replication; the scaled form keeps the
+    pseudo-mass at NB/(n*K + NB) (~0.06% even at 25 docs) so PSI
+    measures the distribution, not the smoother. All inputs stay
+    integer; each non-negative (pa-pb)*ln(pa/pb) term is quantized to
+    nano units BEFORE summing (the bigram-surprisal convention), so the
+    cross-partition sum is pure integer — no float accumulation order
+    anywhere. Work after the per-bin aggregate is sources x 64 rows."""
+    stats = docs.agg(F.min("n_chars").alias("mn"),
+                     F.max("n_chars").alias("mx"))
+    binned = (docs.crossJoin(F.broadcast(stats))
+              .select("source",
+                      clip_bin(F.col("n_chars").cast("double"),
+                               F.col("mn").cast("double"),
+                               F.col("mx").cast("double"),
+                               N_PSI_BINS).alias("bin")))
+    src_bin = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("ca"))
+    corpus_bin = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cb"))
+    src_tot = src_bin.groupBy("source").agg(F.sum("ca").alias("na"))
+    n_tot = corpus_bin.agg(F.sum("cb").alias("n"))
+    # dense (source x bin) spine: missing bins must contribute their
+    # smoothed mass, and the spine is model-sized (sources x 64)
+    spine = (src_tot.select("source", "na")
+             .crossJoin(F.broadcast(
+                 corpus_bin.crossJoin(F.broadcast(n_tot)))))
+    pa = (F.coalesce(F.col("ca"), F.lit(0)) * PSI_SMOOTH_K + 1) \
+        / (F.col("na") * PSI_SMOOTH_K + F.lit(N_PSI_BINS)).cast("double")
+    pb = (F.col("cb") * PSI_SMOOTH_K + 1) \
+        / (F.col("n") * PSI_SMOOTH_K + F.lit(N_PSI_BINS)).cast("double")
+    part_nano = F.floor((pa - pb) * F.log(pa / pb) * 1e9).cast("long")
+    return (spine.join(src_bin, ["source", "bin"], "left")
+            .select("source", "na", part_nano.alias("part_nano"))
+            .groupBy("source")
+            .agg(F.first("na").alias("n_docs"),
+                 F.sum("part_nano").alias("psi_nano"))
+            .select("source", "n_docs", "psi_nano",
+                    (F.round(F.col("psi_nano") / 1e9, 6) + 0.0).alias("psi"))
+            .orderBy("source"))
+
+
+def doc_length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's document-length
+    distribution against the whole corpus — the standard production
+    drift gate next to the KS test (PSI > 0.25 conventionally blocks a
+    snapshot). See doc_length_psi_frame for the decomposition."""
+    return doc_length_psi_frame(
+        load_table(spark, sf_dir, "documents").select("source", "n_chars"))
+
+
+register("doc_length_drift_psi", doc_length_drift_psi, f"""
+WITH stats AS (
+    SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents
+), binned AS (
+    SELECT source,
+           CASE WHEN mx = mn THEN 0 ELSE
+                LEAST({N_PSI_BINS - 1},
+                      CAST(FLOOR((CAST(n_chars AS DOUBLE) - mn)
+                                 * {N_PSI_BINS} / (mx - mn))
+                           AS BIGINT)) END AS bin
+    FROM documents CROSS JOIN stats
+), src_bin AS (
+    SELECT source, bin, COUNT(*) AS ca FROM binned GROUP BY 1, 2
+), corpus_bin AS (
+    SELECT bin, COUNT(*) AS cb FROM binned GROUP BY bin
+), src_tot AS (
+    SELECT source, CAST(SUM(ca) AS BIGINT) AS na FROM src_bin
+    GROUP BY source
+), n_tot AS (SELECT CAST(SUM(cb) AS BIGINT) AS n FROM corpus_bin),
+spine AS (
+    SELECT s.source, s.na, c.bin, c.cb, t.n
+    FROM src_tot s CROSS JOIN corpus_bin c CROSS JOIN n_tot t
+), terms AS (
+    SELECT source, na,
+           CAST(FLOOR(
+               ((COALESCE(sb.ca, 0) * {PSI_SMOOTH_K} + 1)
+                    / CAST(na * {PSI_SMOOTH_K} + {N_PSI_BINS} AS DOUBLE)
+                - (cb * {PSI_SMOOTH_K} + 1)
+                    / CAST(n * {PSI_SMOOTH_K} + {N_PSI_BINS} AS DOUBLE))
+               * LN(((COALESCE(sb.ca, 0) * {PSI_SMOOTH_K} + 1)
+                     / CAST(na * {PSI_SMOOTH_K} + {N_PSI_BINS} AS DOUBLE))
+                    / ((cb * {PSI_SMOOTH_K} + 1)
+                       / CAST(n * {PSI_SMOOTH_K} + {N_PSI_BINS} AS DOUBLE)))
+               * 1e9) AS BIGINT) AS part_nano
+    FROM spine LEFT JOIN src_bin sb USING (source, bin)
+)
+SELECT source, ANY_VALUE(na) AS n_docs,
+       CAST(SUM(part_nano) AS BIGINT) AS psi_nano,
+       ROUND(CAST(SUM(part_nano) AS DOUBLE) / 1e9, 6) + 0.0 AS psi
+FROM terms GROUP BY source ORDER BY source
+""", "per-source PSI length-distribution drift vs the corpus")
+
+
+# ------------------------- ratio-to-moving-average seasonal index
+def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of monthly order revenue: the
+    ratio-to-moving-average index per calendar month. Monthly cents
+    land on a DENSE month spine (the EWMA spine discipline — a missing
+    month is a real zero, not a skipped lag), each month's ratio is the
+    exact integer cents*12e6 div trailing-12-month-sum (emitted only
+    with full history), and the per-calendar-month index is the integer
+    mean of those ratios. Spine and window cardinality are calendar-
+    bounded; the fact table is touched once for the monthly aggregate.
+    Zero floating point anywhere."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.expr("year(o_orderdate) * 12 + month(o_orderdate) - 1")
+        .alias("mkey"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    monthly = orders.groupBy("mkey").agg(F.sum("cents").alias("cents"))
+    bounds = monthly.agg(F.min("mkey").alias("m0"), F.max("mkey").alias("m1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(m0, m1)")).alias("mkey"))
+    dense = (spine.join(monthly, "mkey", "left")
+             .withColumn("cents", F.coalesce(F.col("cents"), F.lit(0))))
+    w12 = Window.orderBy("mkey").rowsBetween(-11, 0)
+    ratios = (dense
+              .withColumn("sum12", F.sum("cents").over(w12))
+              .withColumn("n12", F.count(F.lit(1)).over(w12))
+              .filter((F.col("n12") == 12) & (F.col("sum12") > 0))
+              .select((F.col("mkey") % 12 + 1).alias("month_of_year"),
+                      F.expr("cents * 12000000 div sum12").alias("ratio_ppm")))
+    return (ratios.groupBy("month_of_year")
+            .agg(F.count(F.lit(1)).alias("n_months"),
+                 F.expr("sum(ratio_ppm) div count(1)")
+                 .alias("seasonal_index_ppm"))
+            .orderBy("month_of_year"))
+
+
+register("orders_seasonal_index", orders_seasonal_index, """
+WITH monthly AS (
+    SELECT EXTRACT(year FROM o_orderdate) * 12
+           + EXTRACT(month FROM o_orderdate) - 1 AS mkey,
+           SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders GROUP BY 1
+), bounds AS (
+    SELECT MIN(mkey) AS m0, MAX(mkey) AS m1 FROM monthly
+), spine AS (
+    SELECT UNNEST(range(m0, m1 + 1)) AS mkey FROM bounds
+), dense AS (
+    SELECT s.mkey, COALESCE(m.cents, 0) AS cents
+    FROM spine s LEFT JOIN monthly m ON s.mkey = m.mkey
+), ratios AS (
+    SELECT CAST(mkey % 12 + 1 AS BIGINT) AS month_of_year,
+           cents * 12000000
+           // SUM(cents) OVER (ORDER BY mkey
+                               ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+               AS ratio_ppm,
+           COUNT(*) OVER (ORDER BY mkey
+                          ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS n12,
+           SUM(cents) OVER (ORDER BY mkey
+                            ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+               AS sum12
+    FROM dense
+)
+SELECT month_of_year, COUNT(*) AS n_months,
+       CAST(SUM(ratio_ppm) // COUNT(*) AS BIGINT) AS seasonal_index_ppm
+FROM ratios WHERE n12 = 12 AND sum12 > 0
+GROUP BY month_of_year ORDER BY month_of_year
+""", "integer ratio-to-moving-average monthly seasonal index")
+
+
+# ----------------------- inter-arrival gap order statistics
+N_GAP_BINS = 256
+
+
+def interarrival_frame(ev: DataFrame) -> DataFrame:
+    """Core of events_interarrival_profile over any (event_type, ts_ns,
+    event_id) frame — exposed for the replica scale-up test. Gaps come
+    from one lag per type (the sessionization shuffle — key-partitioned,
+    no total order); their median and p90 use the quantized first-
+    crossing scan over per-TYPE 256-bin histograms (per-type min/max
+    attach via a type-dimension broadcast), so the order-statistic
+    windows run over types x 256 rows while the integer bin bounds and
+    counts hash exactly."""
+    wlag = Window.partitionBy("event_type").orderBy("ts_ns", "event_id")
+    gaps = (ev
+            .withColumn("gap", F.col("ts_ns")
+                        - F.lag("ts_ns").over(wlag))
+            .filter(F.col("gap").isNotNull())
+            .select("event_type", "gap"))
+    stats = gaps.groupBy("event_type").agg(
+        F.min("gap").alias("mn"), F.max("gap").alias("mx"))
+    binned = (gaps.join(F.broadcast(stats), "event_type")
+              .select("event_type", "mn", "mx",
+                      clip_bin(F.col("gap").cast("double"),
+                               F.col("mn").cast("double"),
+                               F.col("mx").cast("double"),
+                               N_GAP_BINS).alias("bin")))
+    per_bin = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.first("mn").alias("mn"), F.first("mx").alias("mx"))
+    wcum = Window.partitionBy("event_type").orderBy("bin")
+    tot = per_bin.groupBy("event_type").agg(F.sum("c").alias("n_gaps"))
+    cum = (per_bin.withColumn("cum", F.sum("c").over(wcum))
+           .join(F.broadcast(tot), "event_type"))
+    med = (cum.filter(F.col("cum") * 2 >= F.col("n_gaps"))
+           .groupBy("event_type").agg(F.min("bin").alias("med_bin")))
+    p90 = (cum.filter(F.col("cum") * 10 >= F.col("n_gaps") * 9)
+           .groupBy("event_type").agg(F.min("bin").alias("p90_bin")))
+    return (tot
+            .join(F.broadcast(stats), "event_type")
+            .join(F.broadcast(med), "event_type")
+            .join(F.broadcast(p90), "event_type")
+            .select("event_type", "n_gaps",
+                    F.col("mn").alias("mn_gap_ns"),
+                    F.col("mx").alias("mx_gap_ns"),
+                    "med_bin", "p90_bin")
+            .orderBy("event_type"))
+
+
+def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile per event type: gap count, exact
+    min/max gap, and quantized median / p90 gap bins (bin resolution is
+    the operator contract, the events_value_ks_drift trade). The lag
+    runs key-partitioned per type; everything after the per-bin
+    aggregate is bounded at types x 256 rows."""
+    return interarrival_frame(
+        load_table(spark, sf_dir, "events").select(
+            "event_type", "ts_ns", "event_id"))
+
+
+register("events_interarrival_profile", events_interarrival_profile, f"""
+WITH ev AS (
+    SELECT event_type, CAST(epoch_us(ts) AS BIGINT) * 1000 AS ts_ns,
+           event_id
+    FROM events
+), gaps AS (
+    SELECT event_type,
+           ts_ns - LAG(ts_ns) OVER (PARTITION BY event_type
+                                    ORDER BY ts_ns, event_id) AS gap
+    FROM ev
+), g AS (SELECT event_type, gap FROM gaps WHERE gap IS NOT NULL),
+stats AS (
+    SELECT event_type, MIN(gap) AS mn, MAX(gap) AS mx
+    FROM g GROUP BY event_type
+), binned AS (
+    SELECT g.event_type,
+           CASE WHEN mx = mn THEN 0 ELSE
+                LEAST({N_GAP_BINS - 1},
+                      CAST(FLOOR((CAST(gap AS DOUBLE) - mn) * {N_GAP_BINS}
+                                 / (mx - mn)) AS BIGINT)) END AS bin
+    FROM g JOIN stats ON g.event_type = stats.event_type
+), per_bin AS (
+    SELECT event_type, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2
+), tot AS (
+    SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_gaps FROM per_bin
+    GROUP BY event_type
+), cum AS (
+    SELECT p.event_type, p.bin,
+           CAST(SUM(p.c) OVER (PARTITION BY p.event_type ORDER BY p.bin)
+                AS BIGINT) AS cum,
+           t.n_gaps
+    FROM per_bin p JOIN tot t ON p.event_type = t.event_type
+), med AS (
+    SELECT event_type, MIN(bin) AS med_bin FROM cum
+    WHERE cum * 2 >= n_gaps GROUP BY event_type
+), p90 AS (
+    SELECT event_type, MIN(bin) AS p90_bin FROM cum
+    WHERE cum * 10 >= n_gaps * 9 GROUP BY event_type
+)
+SELECT t.event_type, t.n_gaps, s.mn AS mn_gap_ns, s.mx AS mx_gap_ns,
+       m.med_bin, p.p90_bin
+FROM tot t
+JOIN stats s ON t.event_type = s.event_type
+JOIN med m ON t.event_type = m.event_type
+JOIN p90 p ON t.event_type = p.event_type
+ORDER BY t.event_type
+""", "per-type inter-arrival gap profile: quantized median/p90 bins")

@@ -190,6 +190,75 @@ ORDER BY type_a, type_b
 """, "exact audience Jaccard matrix via bitmask reduction (no user join)")
 
 
+# -------------------------------- wide-regime audience overlap twin
+def overlap_wide_frame(ev_raw: DataFrame) -> DataFrame:
+    """audience_overlap_matrix's answer via the basket-style sorted
+    pair explode (basket_brand_lift's shape) instead of the bitmask
+    fold: each user reduces to ONE sorted type array (bounded by the
+    type dimension), pairs explode from the array with the index-offset
+    lambda — per-user work is T^2, with NO 2^T mask-domain anywhere —
+    so this is the registered path for the >~20-type regime where the
+    mask table outgrows its model-size budget (and past 62 types, where
+    the bigint mask cannot exist at all). Per-type audience sizes
+    attach via one broadcast; intersections never join users to users.
+    Same output contract as the bitmask twin — a test pins frame
+    equality between the two paths on the same input."""
+    ev = ev_raw.select("user_id", "event_type").distinct()
+    sets = (ev.groupBy("user_id")
+            .agg(F.array_sort(F.collect_set("event_type")).alias("types")))
+    pairs = (sets.select(F.explode(F.expr(
+        "flatten(transform(types, (x, i) ->"
+        " transform(slice(types, i + 2, size(types)),"
+        " y -> struct(x AS type_a, y AS type_b))))")).alias("p"))
+        .select("p.type_a", "p.type_b"))
+    n_both = (pairs.groupBy("type_a", "type_b")
+              .agg(F.count(F.lit(1)).alias("n_both")))
+    per_type = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (n_both
+            .join(F.broadcast(per_type.select(
+                F.col("event_type").alias("type_a"),
+                F.col("n").alias("n_a"))), "type_a")
+            .join(F.broadcast(per_type.select(
+                F.col("event_type").alias("type_b"),
+                F.col("n").alias("n_b"))), "type_b")
+            .select("type_a", "type_b", "n_a", "n_b", "n_both",
+                    F.expr("n_both * 1000000 div (n_a + n_b - n_both)")
+                    .alias("jaccard_ppm"))
+            .orderBy("type_a", "type_b"))
+
+
+def audience_overlap_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise audience overlap for the wide-type regime: the
+    sorted-pair-explode decomposition (see overlap_wide_frame), linear
+    in users x T^2 instead of mask-domain-bounded. Emits the identical
+    matrix as audience_overlap_matrix wherever both are defined."""
+    return overlap_wide_frame(load_table(spark, sf_dir, "events"))
+
+
+register("audience_overlap_wide", audience_overlap_wide, """
+WITH ut AS (
+    SELECT DISTINCT user_id, event_type FROM events
+), per_type AS (
+    SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type
+), ab AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_both
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT type_a, type_b,
+       CAST(pa.n AS BIGINT) AS n_a, CAST(pb.n AS BIGINT) AS n_b,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST(n_both * 1000000 // (pa.n + pb.n - n_both) AS BIGINT)
+           AS jaccard_ppm
+FROM ab
+JOIN per_type pa ON type_a = pa.event_type
+JOIN per_type pb ON type_b = pb.event_type
+ORDER BY type_a, type_b
+""", "audience Jaccard matrix via sorted pair explode (>20-type regime)")
+
+
 # ----------------------------------------- discrete churn hazard
 def hazard_frame(ev: DataFrame) -> DataFrame:
     """Core of user_churn_hazard over any (user_id, ts_ns) frame —

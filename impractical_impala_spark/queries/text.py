@@ -385,3 +385,57 @@ SELECT lang, CAST(SUM(c12) AS BIGINT) AS n_bigrams,
              / (SUM(c12) * {float(SURP_SCALE)}), 6) + 0.0 AS avg_surprisal
 FROM scored GROUP BY lang ORDER BY lang
 """, "corpus-MLE bigram surprisal per language (perplexity-proxy QA)")
+
+
+# ------------------------------------- token-distribution entropy
+def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution — the
+    classic corpus-health metric (a collapsing or template-spammed
+    source shows as an entropy drop before any dedup pass finds it).
+    One explode pass gives per-(source, token) integer counts (the
+    TF-IDF shuffle shape, vocabulary-bounded after the aggregate);
+    each -p*log2(p) term is computed once per distinct token from
+    exact integers and quantized to nano-bits BEFORE the sum (the
+    bigram-surprisal convention), so the accumulation is pure integer
+    and both engines agree bit-for-bit. Normalized entropy divides by
+    log2(vocab) — one final rounded float op."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    toks = docs.select(
+        "source", F.explode(F.expr(_SPARK_WORDS)).alias("tok"))
+    counts = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    term_nano = F.floor(-p * F.log2(p) * 1e9).cast("long")
+    return (counts.join(F.broadcast(tot), "source")
+            .select("source", "n", term_nano.alias("tn"))
+            .groupBy("source")
+            .agg(F.first("n").alias("n_tokens"),
+                 F.count(F.lit(1)).alias("vocab"),
+                 F.sum("tn").alias("entropy_nano"))
+            .select("source", "n_tokens", "vocab", "entropy_nano",
+                    (F.round(F.col("entropy_nano") / 1e9
+                             / F.log2(F.col("vocab").cast("double")), 6)
+                     + 0.0).alias("norm_entropy"))
+            .orderBy("source"))
+
+
+register("source_token_entropy", source_token_entropy, f"""
+WITH toks AS (
+    SELECT source, UNNEST({_DUCK_WORDS}) AS tok FROM documents
+), counts AS (
+    SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+), tot AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY source
+), terms AS (
+    SELECT counts.source, t.n,
+           CAST(FLOOR(-(c / CAST(n AS DOUBLE))
+                      * LOG2(c / CAST(n AS DOUBLE)) * 1e9) AS BIGINT) AS tn
+    FROM counts JOIN tot t ON counts.source = t.source
+)
+SELECT source, ANY_VALUE(n) AS n_tokens, COUNT(*) AS vocab,
+       CAST(SUM(tn) AS BIGINT) AS entropy_nano,
+       ROUND(CAST(SUM(tn) AS DOUBLE) / 1e9
+             / LOG2(CAST(COUNT(*) AS DOUBLE)), 6) + 0.0 AS norm_entropy
+FROM terms GROUP BY source ORDER BY source
+""", "integer-quantized Shannon entropy of each source's token mix")

