@@ -131,6 +131,15 @@ HEADLINE = [
     "doc_length_drift_psi",
     "orders_seasonal_index",
     "events_interarrival_profile",
+    # round 6 wave 2 (append-only): eval-harness + feature-store ops
+    "langid_confusion_matrix",
+    "vocab_oov_coverage",
+    "events_fano_burstiness",
+    "events_hourly_autocorr24",
+    "supplier_hhi_by_nation",
+    "user_feature_matrix",
+    "dedup_rate_by_source",
+    "minhash_calibration",
 ]
 
 

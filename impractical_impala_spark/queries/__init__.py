@@ -167,6 +167,29 @@ STALE_R1R2 = [
     "w4_moving_avg",
 ]
 
-WINDOW = NEW_R6 + CHANGED_R6[:2] + STALE_R1R2 + CHANGED_R6[2:]
+# Second round-6 wave — first exposure. Per the r5 verdict's standing
+# window discipline, new queries evict RE-PROOF slots (never
+# first-exposure ones): the seven lowest-risk o-family re-proofs
+# (o21, o24-o29 — r1/r2-green, no events dependency) and the
+# events_chi2_daypart insurance slot (its Spark-side change is
+# value-identical at sf0.01, so the existing green row stays truthful)
+# wait for round 7.
+NEW_R6B = [
+    "langid_confusion_matrix", "vocab_oov_coverage",
+    "events_fano_burstiness", "events_hourly_autocorr24",
+    "supplier_hhi_by_nation", "user_feature_matrix",
+    "dedup_rate_by_source", "minhash_calibration",
+]
+
+_EVICTED_TO_R7 = [
+    "o21_time_index", "o24_grouped_sd", "o25_ratio", "o26_corr",
+    "o27_acf", "o28_two_level_agg", "o29_max_by_group",
+]
+
+WINDOW = (
+    NEW_R6 + NEW_R6B + CHANGED_R6[:2]
+    + [q for q in STALE_R1R2 if q not in _EVICTED_TO_R7]
+    + _EVICTED_TO_R7 + CHANGED_R6[2:]
+)
 
 set_window_order(WINDOW)

@@ -938,3 +938,162 @@ SELECT CAST(SUM(in_lsh) AS BIGINT) AS n_lsh,
            AS truth_only_pairs
 FROM j
 """, "LSH-vs-exact-Jaccard recall/overlap audit (integer-exact ppm)")
+
+
+# ---------------------------------------------------------------- dup-rate gauge
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation-dashboard gauge downstream of exact dedup: per
+    source, how much of the snapshot is redundant. Same augmented
+    corpus as dedup_exact (every 5th doc duplicated, copies keep their
+    source); one shuffle on (source, content hash) then a source-
+    dimension aggregate — n_docs, n_unique, dup_ppm. At the lake this
+    is the per-partition dedup-rate monitor that decides which sources
+    re-enter the MinHash pipeline."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    copies = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(COPY_OFFSET))
+    allr = docs.unionByName(copies)
+    hashed = allr.select("source", F.md5("text").alias("h"))
+    per_hash = hashed.groupBy("source", "h").agg(
+        F.count(F.lit(1)).alias("n"))
+    return (per_hash.groupBy("source")
+            .agg(F.sum("n").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_unique"))
+            .select("source", "n_docs", "n_unique",
+                    F.expr("(n_docs - n_unique) * 1000000 div n_docs")
+                    .alias("dup_ppm"))
+            .orderBy("source"))
+
+
+register("dedup_rate_by_source", dedup_rate_by_source, f"""
+WITH allr AS (
+    SELECT doc_id, source, text FROM documents
+    UNION ALL
+    SELECT doc_id + {COPY_OFFSET}, source, text FROM documents
+    WHERE doc_id % 5 = 0
+), per_hash AS (
+    SELECT source, md5(text) AS h, COUNT(*) AS n FROM allr GROUP BY 1, 2
+)
+SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_unique,
+       CAST((SUM(n) - COUNT(*)) * 1000000 // SUM(n) AS BIGINT) AS dup_ppm
+FROM per_hash GROUP BY source ORDER BY source
+""", "exact-duplicate rate per source (curation dashboard gauge)")
+
+
+# ---------------------------------------------------------------- calibration
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: on the LSH candidate pairs (BEFORE the
+    Jaccard threshold — the full calibration curve needs the rejected
+    tail too), compare the 16-permutation minhash ESTIMATE of Jaccard
+    (matching components / 16) against the exact shingle Jaccard, and
+    report the calibration per estimator bucket: n_pairs, mean true
+    Jaccard, mean absolute error — all integer ppm (sums of exact
+    integers, one div per aggregate). Self-contained recomputation of
+    the signature pipeline (the dedup_survivors convention); candidate
+    generation stays band-bucketed, so the audit costs what the dedup
+    run costs, never all-pairs. This is the measurement that justifies
+    NUM_PERM=16: more permutations buy error ~1/sqrt(n_perm)."""
+    ds = _spark_docsets(spark, sf_dir, mutated=True)
+    mh_cols = [
+        F.array_min(F.expr(
+            f"transform(dh, h -> ({a} * h + {b}) % {P})")).alias(f"mh{i}")
+        for i, (a, b) in enumerate(PERMS)
+    ]
+    sigs = ds.select("doc_id", "dh", *mh_cols)
+    band_exprs = [
+        F.concat_ws("_", *[F.col(f"mh{band * ROWS_PER_BAND + r}")
+                           for r in range(ROWS_PER_BAND)]).alias(f"band{band}")
+        for band in range(BANDS)
+    ]
+    sigs = sigs.select("doc_id", "dh",
+                       *[F.col(f"mh{i}") for i in range(NUM_PERM)],
+                       *band_exprs).cache()
+    band_structs = F.array(*[
+        F.struct(F.lit(band).alias("band_idx"),
+                 F.col(f"band{band}").alias("bkey"))
+        for band in range(BANDS)
+    ])
+    buckets = (
+        sigs.select("doc_id", F.explode(band_structs).alias("bb"))
+        .select("doc_id", "bb.band_idx", "bb.bkey")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(_maybe_broadcast(b, sf_dir),
+               (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("dh").alias("dha"),
+                     *[F.col(f"mh{i}").alias(f"ma{i}")
+                       for i in range(NUM_PERM)])
+    sb = sigs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("dh").alias("dhb"),
+                     *[F.col(f"mh{i}").alias(f"mb{i}")
+                       for i in range(NUM_PERM)])
+    joined = pairs.join(_maybe_broadcast(sa, sf_dir), "doc_a") \
+                  .join(_maybe_broadcast(sb, sf_dir), "doc_b")
+    matches = sum(
+        (F.col(f"ma{i}") == F.col(f"mb{i}")).cast("long")
+        for i in range(NUM_PERM))
+    inter = F.size(F.array_intersect("dha", "dhb")).cast("long")
+    union = (F.size("dha") + F.size("dhb")).cast("long") - inter
+    scored = joined.select(
+        matches.alias("est_matches"),
+        inter.alias("inter"), union.alias("uni"))
+    est_ppm = F.expr(f"est_matches * 1000000 div {NUM_PERM}")
+    return (scored
+            .select("est_matches",
+                    F.expr("inter * 1000000 div uni").alias("true_ppm"),
+                    est_ppm.alias("est_ppm"))
+            .groupBy("est_matches", "est_ppm")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.expr("sum(true_ppm) div count(1)").alias("mean_true_ppm"),
+                 F.expr("sum(abs(est_ppm - true_ppm)) div count(1)")
+                 .alias("mean_abs_err_ppm"))
+            .orderBy("est_matches"))
+
+
+def _calibration_oracle() -> str:
+    match_terms = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_PERM))
+    return f"""
+WITH {_duck_minhash_ctes()},
+scored AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ({match_terms}) AS est_matches,
+           CAST(len(list_intersect(a.dh, b.dh)) * 1000000
+                // (len(a.dh) + len(b.dh) - len(list_intersect(a.dh, b.dh)))
+                AS BIGINT) AS true_ppm
+    FROM (SELECT DISTINCT s.doc_id, s.dh, s.mh0, s.mh1, s.mh2, s.mh3,
+                 s.mh4, s.mh5, s.mh6, s.mh7, s.mh8, s.mh9, s.mh10,
+                 s.mh11, s.mh12, s.mh13, s.mh14, s.mh15
+          FROM sigs s) a
+    JOIN (SELECT DISTINCT s.doc_id, s.dh, s.mh0, s.mh1, s.mh2, s.mh3,
+                 s.mh4, s.mh5, s.mh6, s.mh7, s.mh8, s.mh9, s.mh10,
+                 s.mh11, s.mh12, s.mh13, s.mh14, s.mh15
+          FROM sigs s) b
+      ON a.doc_id < b.doc_id
+    WHERE EXISTS (SELECT 1 FROM buckets x JOIN buckets y
+                  ON x.band_idx = y.band_idx AND x.bkey = y.bkey
+                  WHERE x.doc_id = a.doc_id AND y.doc_id = b.doc_id)
+)
+SELECT est_matches,
+       CAST(est_matches * 1000000 // {NUM_PERM} AS BIGINT) AS est_ppm,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(true_ppm) // COUNT(*) AS BIGINT) AS mean_true_ppm,
+       CAST(SUM(ABS(est_matches * 1000000 // {NUM_PERM} - true_ppm))
+            // COUNT(*) AS BIGINT) AS mean_abs_err_ppm
+FROM scored GROUP BY est_matches ORDER BY est_matches
+"""
+
+
+register("minhash_calibration", minhash_calibration, _calibration_oracle(),
+         "minhash-estimate vs true Jaccard calibration per sketch bucket")

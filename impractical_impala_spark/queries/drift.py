@@ -699,3 +699,132 @@ JOIN med m ON t.event_type = m.event_type
 JOIN p90 p ON t.event_type = p.event_type
 ORDER BY t.event_type
 """, "per-type inter-arrival gap profile: quantized median/p90 bins")
+
+
+# --------------------------------- burstiness (index of dispersion)
+def events_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion, population var/mean) of hourly
+    event counts per type — the burstiness gauge that separates Poisson
+    arrival (~1000 milli) from bursty traffic (>>1000). Counts land on
+    the dense hourly spine (events_ewma_hourly's discipline — silent
+    hours are real zeros), then the statistic is three integer sums
+    (n, S1 = sum c, S2 = sum c^2) and ONE integer fixed-point division:
+    fano_milli = (n*S2 - S1^2) * 1000 div (n * S1). n*S2 and S1^2 stay
+    inside int64 while S1 < ~3e9 events per type; past that the named
+    fallback is double-typed sufficient statistics (the
+    audience_overlap_matrix documented-bound convention)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts_ns div {HOUR_NS}").alias("hr"))
+    hourly = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    spine = bounds.select(
+        "event_type", F.explode(F.expr("sequence(h0, h1)")).alias("hr"))
+    dense = (spine.join(hourly, ["event_type", "hr"], "left")
+             .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0))))
+    return (dense.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_hours"),
+                 F.sum("cnt").alias("n_events"),
+                 F.sum(F.col("cnt") * F.col("cnt")).alias("s2"))
+            .select("event_type", "n_hours", "n_events",
+                    F.expr("(n_hours * s2 - n_events * n_events) * 1000"
+                           " div (n_hours * n_events)").alias("fano_milli"))
+            .orderBy("event_type"))
+
+
+register("events_fano_burstiness", events_fano_burstiness, f"""
+WITH hourly AS (
+    SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // {HOUR_US} AS hr,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1 FROM hourly
+    GROUP BY event_type
+), spine AS (
+    SELECT event_type, UNNEST(range(h0, h1 + 1)) AS hr FROM bounds
+), dense AS (
+    SELECT s.event_type, s.hr, COALESCE(h.cnt, 0) AS cnt
+    FROM spine s LEFT JOIN hourly h
+      ON s.event_type = h.event_type AND s.hr = h.hr
+)
+SELECT event_type, COUNT(*) AS n_hours,
+       CAST(SUM(cnt) AS BIGINT) AS n_events,
+       CAST((COUNT(*) * SUM(cnt * cnt) - SUM(cnt) * SUM(cnt)) * 1000
+            // (COUNT(*) * SUM(cnt)) AS BIGINT) AS fano_milli
+FROM dense GROUP BY event_type ORDER BY event_type
+""", "integer Fano-factor burstiness of hourly counts per type")
+
+
+# ------------------------- daily-seasonality lag-24 autocorrelation
+def events_hourly_autocorr24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-24 Pearson autocorrelation of hourly counts per event type —
+    the daily-seasonality detector (high r24 = strong diurnal cycle).
+    Dense hourly spine, one lag, then Pearson from five integer
+    sufficient statistics (the o26_corr formula); the only float work
+    is the final covariance/stddev division, rounded. Window
+    cardinality is the hourly spine — time-span-bounded."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts_ns div {HOUR_NS}").alias("hr"))
+    hourly = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    spine = bounds.select(
+        "event_type", F.explode(F.expr("sequence(h0, h1)")).alias("hr"))
+    dense = (spine.join(hourly, ["event_type", "hr"], "left")
+             .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0))))
+    wl = Window.partitionBy("event_type").orderBy("hr")
+    lagged = (dense
+              .withColumn("prev", F.lag("cnt", 24).over(wl))
+              .filter(F.col("prev").isNotNull()))
+    stats = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("sx"), F.sum("prev").alias("sy"),
+        F.sum(F.col("cnt") * F.col("prev")).alias("sxy"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sx2"),
+        F.sum(F.col("prev") * F.col("prev")).alias("sy2"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt((F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx"))
+                 .cast("double")
+                 * (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy"))
+                 .cast("double"))
+    return (stats.select("event_type", "n",
+                         (F.round(num.cast("double") / den, 6) + 0.0)
+                         .alias("r24"))
+            .orderBy("event_type"))
+
+
+register("events_hourly_autocorr24", events_hourly_autocorr24, f"""
+WITH hourly AS (
+    SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // {HOUR_US} AS hr,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1 FROM hourly
+    GROUP BY event_type
+), spine AS (
+    SELECT event_type, UNNEST(range(h0, h1 + 1)) AS hr FROM bounds
+), dense AS (
+    SELECT s.event_type, s.hr, COALESCE(h.cnt, 0) AS cnt
+    FROM spine s LEFT JOIN hourly h
+      ON s.event_type = h.event_type AND s.hr = h.hr
+), lagged AS (
+    SELECT event_type, cnt,
+           LAG(cnt, 24) OVER (PARTITION BY event_type ORDER BY hr) AS prev
+    FROM dense
+), l AS (SELECT * FROM lagged WHERE prev IS NOT NULL),
+stats AS (
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(cnt) AS BIGINT) AS sx, CAST(SUM(prev) AS BIGINT) AS sy,
+           CAST(SUM(cnt * prev) AS BIGINT) AS sxy,
+           CAST(SUM(cnt * cnt) AS BIGINT) AS sx2,
+           CAST(SUM(prev * prev) AS BIGINT) AS sy2
+    FROM l GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sx2 - sx * sx AS DOUBLE)
+                    * CAST(n * sy2 - sy * sy AS DOUBLE)), 6) + 0.0 AS r24
+FROM stats ORDER BY event_type
+""", "lag-24 autocorrelation of hourly counts (diurnal-cycle detector)")

@@ -141,3 +141,66 @@ JOIN documents x ON x.doc_id = c.neg_doc_id
 WHERE c.neg_doc_id <> c.doc_id AND md5(a.text) <> md5(x.text)
 ORDER BY c.doc_id, c.k
 """, "reproducible hash-derived negative sampling, content-exclusion safe")
+
+
+# --------------------------------------- per-user feature materialization
+DAY_NS = 86_400_000_000_000
+
+
+def user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-store materialization pass: one scan of the event
+    stream folds to a per-user feature row — event volume, type
+    diversity, active-day count, recency against the corpus max day (a
+    broadcast 1-row aggregate, never a driver round-trip), cents-exact
+    value stats, and an integer events-per-active-day rate. Every
+    feature is an integer (cents / milli fixed-point), so the matrix
+    hashes exactly; the single shuffle is the user-key aggregate. At
+    the lake this is the daily feature-refresh job the PIT join
+    (pit_state_join) consumes."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr(f"ts_ns div {DAY_NS}").alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    corpus_max = ev.agg(F.max("day").alias("max_day"))
+    feats = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.countDistinct("event_type").alias("n_types"),
+                  F.countDistinct("day").alias("active_days"),
+                  F.max("day").alias("last_day"),
+                  F.sum("cents").alias("value_cents")))
+    return (feats.crossJoin(F.broadcast(corpus_max))
+            .select("user_id", "n_events", "n_types", "active_days",
+                    (F.col("max_day") - F.col("last_day"))
+                    .alias("recency_days"),
+                    "value_cents",
+                    F.expr("value_cents * 10 div n_events")
+                    .alias("avg_value_milli"),
+                    F.expr("n_events * 1000 div active_days")
+                    .alias("events_per_day_milli"))
+            .orderBy("user_id"))
+
+
+register("user_feature_matrix", user_feature_matrix, f"""
+WITH ev AS (
+    SELECT user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) * 1000 // {DAY_NS} AS day,
+           CAST(FLOOR(value * 100) AS BIGINT) AS cents
+    FROM events
+), corpus_max AS (SELECT MAX(day) AS max_day FROM ev),
+feats AS (
+    SELECT user_id, COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           COUNT(DISTINCT day) AS active_days,
+           MAX(day) AS last_day,
+           CAST(SUM(cents) AS BIGINT) AS value_cents
+    FROM ev GROUP BY user_id
+)
+SELECT user_id, n_events, n_types, active_days,
+       max_day - last_day AS recency_days,
+       value_cents,
+       CAST(value_cents * 10 // n_events AS BIGINT) AS avg_value_milli,
+       CAST(n_events * 1000 // active_days AS BIGINT)
+           AS events_per_day_milli
+FROM feats CROSS JOIN corpus_max
+ORDER BY user_id
+""", "one-scan integer per-user feature matrix (feature-store refresh)")

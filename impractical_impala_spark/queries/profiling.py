@@ -387,3 +387,61 @@ SELECT event_type, n_events, n_users,
            AS effective_users
 FROM agg ORDER BY event_type
 """, "integer-exact Simpson diversity / effective audience per event type")
+
+
+# -------------------------------------------- Herfindahl concentration
+def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman revenue-concentration index per nation —
+    the antitrust-style complement to supplier_gini_by_nation (HHI
+    weights the LARGE suppliers, Gini the whole curve; monitoring both
+    catches different failure shapes). Cents-exact revenue per
+    supplier, integer ppm share per supplier (the floor quantization is
+    the operator contract, mirrored in the oracle), hhi_ppm =
+    sum(share_ppm^2) div 1e6 — shares <= 1e6 keep every square <=
+    1e12 and any realistic supplier count far inside int64. Ranks and
+    shares run over the supplier AGGREGATE (dimension-sized), never
+    the fact table."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long").alias("cents"))
+    per_supp = li.groupBy("l_suppkey").agg(F.sum("cents").alias("rev"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    shares = (per_supp
+              .join(F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey)
+              .join(F.broadcast(nation),
+                    supp.s_nationkey == nation.n_nationkey)
+              .withColumn("tot", F.sum("rev").over(
+                  Window.partitionBy("n_name")))
+              .withColumn("share_ppm", F.expr("rev * 1000000 div tot")))
+    return (shares.groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                 F.first("tot").alias("total_cents"),
+                 F.expr("sum(share_ppm * share_ppm) div 1000000")
+                 .alias("hhi_ppm"))
+            .orderBy("n_name"))
+
+
+register("supplier_hhi_by_nation", supplier_hhi_by_nation, """
+WITH per_supp AS (
+    SELECT l_suppkey,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS rev
+    FROM lineitem GROUP BY l_suppkey
+), shares AS (
+    SELECT n_name, rev,
+           CAST(SUM(rev) OVER (PARTITION BY n_name) AS BIGINT) AS tot,
+           rev * 1000000 // CAST(SUM(rev) OVER (PARTITION BY n_name)
+                                 AS BIGINT) AS share_ppm
+    FROM per_supp
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT n_name, COUNT(*) AS n_suppliers,
+       ANY_VALUE(tot) AS total_cents,
+       CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm
+FROM shares GROUP BY n_name ORDER BY n_name
+""", "integer Herfindahl revenue-concentration index per nation")

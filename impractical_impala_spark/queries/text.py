@@ -8,7 +8,7 @@ no Python in the row path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -439,3 +439,91 @@ SELECT source, ANY_VALUE(n) AS n_tokens, COUNT(*) AS vocab,
              / LOG2(CAST(COUNT(*) AS DOUBLE)), 6) + 0.0 AS norm_entropy
 FROM terms GROUP BY source ORDER BY source
 """, "integer-quantized Shannon entropy of each source's token mix")
+
+
+# ------------------------------- language-ID evaluation harness
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation harness over the langid predictions: the
+    (labeled lang x predicted lang) confusion matrix with per-cell
+    counts and integer recall shares. Composes the registered
+    text_langid plan unchanged (the dedup_lsh_audit composition
+    pattern); the confusion table is model-sized (|langs|^2), so the
+    row totals attach via a broadcast and the corpus is scanned once.
+    The synthetic corpus makes accuracy chance-level — the operator
+    under test is the evaluation plan, not the model."""
+    preds = text_langid(spark, sf_dir).select("lang", "pred_lang")
+    cells = preds.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n"))
+    row_tot = cells.groupBy("lang").agg(F.sum("n").alias("rt"))
+    return (cells.join(F.broadcast(row_tot), "lang")
+            .select("lang", "pred_lang", "n",
+                    F.expr("n * 1000000 div rt").alias("recall_ppm"))
+            .orderBy("lang", "pred_lang"))
+
+
+register("langid_confusion_matrix", langid_confusion_matrix, f"""
+WITH preds AS (
+    SELECT lang, pred_lang FROM ({_langid_oracle().strip()})
+), cells AS (
+    SELECT lang, pred_lang, COUNT(*) AS n FROM preds GROUP BY 1, 2
+), row_tot AS (
+    SELECT lang, CAST(SUM(n) AS BIGINT) AS rt FROM cells GROUP BY lang
+)
+SELECT c.lang, c.pred_lang, c.n,
+       CAST(c.n * 1000000 // r.rt AS BIGINT) AS recall_ppm
+FROM cells c JOIN row_tot r ON c.lang = r.lang
+ORDER BY c.lang, c.pred_lang
+""", "labeled-vs-predicted language confusion matrix with recall ppm")
+
+
+# ------------------------------- tokenizer vocabulary OOV coverage
+VOCAB_K = 256
+
+
+def vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-health gate: build the top-VOCAB_K corpus vocabulary
+    (count desc, token asc — fully deterministic) and measure each
+    language's out-of-vocabulary token rate. The vocabulary ranking
+    runs over the token AGGREGATE (vocabulary-sized, one window), the
+    K-row vocab broadcasts, and coverage is a map-side membership flag
+    folded per language — the corpus token stream shuffles once for
+    the count and once per (lang, token) for coverage, never by row."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    toks = docs.select(
+        "lang", F.explode(F.expr(_SPARK_WORDS)).alias("tok")).cache()
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy(F.col("c").desc(), "tok")
+    vocab = (freq.withColumn("rk", F.row_number().over(wv))
+             .filter(F.col("rk") <= VOCAB_K)
+             .select("tok", F.lit(1).alias("in_vocab")))
+    per_lang_tok = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).alias("c"))
+    return (per_lang_tok.join(F.broadcast(vocab), "tok", "left")
+            .groupBy("lang")
+            .agg(F.sum("c").alias("n_tokens"),
+                 F.sum(F.when(F.col("in_vocab").isNull(), F.col("c"))
+                       .otherwise(0)).alias("n_oov"))
+            .select("lang", "n_tokens", "n_oov",
+                    F.expr("n_oov * 1000000 div n_tokens").alias("oov_ppm"))
+            .orderBy("lang"))
+
+
+register("vocab_oov_coverage", vocab_oov_coverage, f"""
+WITH toks AS (
+    SELECT lang, UNNEST({_DUCK_WORDS}) AS tok FROM documents
+), freq AS (
+    SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+), vocab AS (
+    SELECT tok FROM freq
+    QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, tok) <= {VOCAB_K}
+), per_lang_tok AS (
+    SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+)
+SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) AS BIGINT)
+           AS n_oov,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) * 1000000
+            // SUM(c) AS BIGINT) AS oov_ppm
+FROM per_lang_tok p LEFT JOIN vocab v ON p.tok = v.tok
+GROUP BY lang ORDER BY lang
+""", "top-K vocabulary OOV rate per language (tokenizer health gate)")

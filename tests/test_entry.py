@@ -18,18 +18,21 @@ def test_queries_and_oracles_consistent():
         assert isinstance(sql, str) and "SELECT" in sql.upper()
 
 
-def test_driver_window_holds_round5_targets():
+def test_driver_window_holds_round6_targets():
     """The correctness driver checks the FIRST 50 entries of queries().
-    Round 5's window must lead with the eight late-r4 queries that have
-    never had a driver row, then the stale re-proofs (q_approx_* and the
-    resampled/rewritten ann_ivf_trained), then every round-5 addition —
-    the rotation contract from queries/__init__.py."""
+    Round 6's window must lead with the new first-exposure queries,
+    then the two semantically-changed plans, then the 42 queries whose
+    latest driver row was r1/r2-era — the rotation contract from
+    queries/__init__.py."""
     from impractical_impala_spark.queries import (
-        DRIFT_R5, LATE_R5, NEVER_CHECKED_R4, NEW_R5, STALE_REPROOF, WINDOW)
+        _EVICTED_TO_R7, CHANGED_R6, NEW_R6, NEW_R6B, STALE_R1R2, WINDOW)
 
     first50 = list(e.queries())[:50]
     assert first50 == WINDOW[:50]
-    assert first50[:len(NEVER_CHECKED_R4)] == NEVER_CHECKED_R4
-    for name in (NEVER_CHECKED_R4 + STALE_REPROOF + NEW_R5 + LATE_R5
-                 + DRIFT_R5):
+    assert first50[:len(NEW_R6)] == NEW_R6
+    for name in NEW_R6 + NEW_R6B + CHANGED_R6[:2]:
         assert name in first50, f"{name} fell out of the driver window"
+    # every stale row not explicitly deferred to r7 gets its re-proof
+    for name in STALE_R1R2:
+        if name not in _EVICTED_TO_R7:
+            assert name in first50, f"{name} fell out of the driver window"

@@ -195,3 +195,33 @@ def test_r6_partition_invariance(spark, sf_small, name):
         for k, v in old.items():
             spark.conf.set(k, v)
     assert base == skewed
+
+
+R6B_CASES = [
+    "langid_confusion_matrix",
+    "vocab_oov_coverage",
+    "events_fano_burstiness",
+    "events_hourly_autocorr24",
+    "supplier_hhi_by_nation",
+    "user_feature_matrix",
+    "dedup_rate_by_source",
+    "minhash_calibration",
+]
+
+
+@pytest.mark.parametrize("name", R6B_CASES)
+def test_r6b_partition_invariance(spark, sf_small, name):
+    """Wave-2 determinism under hostile splits, same contract as r5/r6."""
+    base = sorted(map(tuple, _Q[name].build(spark, sf_small).collect()))
+    conf = [("spark.sql.files.maxPartitionBytes", "65536"),
+            ("spark.sql.shuffle.partitions", "7"),
+            ("spark.sql.execution.arrow.maxRecordsPerBatch", "37")]
+    old = {k: spark.conf.get(k) for k, _ in conf}
+    try:
+        for k, v in conf:
+            spark.conf.set(k, v)
+        skewed = sorted(map(tuple, _Q[name].build(spark, sf_small).collect()))
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert base == skewed
