@@ -140,6 +140,12 @@ HEADLINE = [
     "user_feature_matrix",
     "dedup_rate_by_source",
     "minhash_calibration",
+    # round 6 wave 3 (append-only): statistical-rigor ops
+    "events_cusum_changepoint",
+    "events_mw_rank_drift",
+    "benford_digit_profile",
+    "orders_bootstrap_ci",
+    "text_ngram_novelty",
 ]
 
 

@@ -184,10 +184,24 @@ NEW_R6B = [
 _EVICTED_TO_R7 = [
     "o21_time_index", "o24_grouped_sd", "o25_ratio", "o26_corr",
     "o27_acf", "o28_two_level_agg", "o29_max_by_group",
+    # evicted by the third round-6 wave (NEW_R6C) — r1/r2-green scalar
+    # projections/aggregations with no events dependency, the
+    # lowest-risk remaining re-proofs
+    "o14_having", "o17_arithmetic", "o18_lookup_join", "o19_guarded_log",
+    "o20_dlog",
+]
+
+# Third round-6 wave — first exposure (statistical-rigor ops: CUSUM
+# change-point, Mann-Whitney drift, Benford audit, Poisson bootstrap,
+# n-gram novelty). Same discipline: into the first 50, evicting
+# re-proof slots only.
+NEW_R6C = [
+    "events_cusum_changepoint", "events_mw_rank_drift",
+    "benford_digit_profile", "orders_bootstrap_ci", "text_ngram_novelty",
 ]
 
 WINDOW = (
-    NEW_R6 + NEW_R6B + CHANGED_R6[:2]
+    NEW_R6 + NEW_R6B + NEW_R6C + CHANGED_R6[:2]
     + [q for q in STALE_R1R2 if q not in _EVICTED_TO_R7]
     + _EVICTED_TO_R7 + CHANGED_R6[2:]
 )

@@ -828,3 +828,180 @@ SELECT event_type, n,
                     * CAST(n * sy2 - sy * sy AS DOUBLE)), 6) + 0.0 AS r24
 FROM stats ORDER BY event_type
 """, "lag-24 autocorrelation of hourly counts (diurnal-cycle detector)")
+
+
+# ------------------------------------------- CUSUM change-point scan
+def cusum_frame(hourly: DataFrame) -> DataFrame:
+    """Core of events_cusum_changepoint over any (event_type, hr, cnt)
+    hourly-count frame — exposed so the replica scale-up test can push
+    a scaled corpus through the identical plan."""
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    spine = bounds.select(
+        "event_type", F.explode(F.expr("sequence(h0, h1)")).alias("hr"))
+    dense = (spine.join(hourly, ["event_type", "hr"], "left")
+             .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0))))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    tot = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"), F.sum("cnt").alias("total"))
+    scan = (dense
+            .withColumn("cum", F.sum("cnt").over(w))
+            .withColumn("t", F.row_number().over(w))
+            .join(F.broadcast(tot), "event_type")
+            .select("event_type", "hr", "n_hours", "total",
+                    F.abs(F.col("n_hours") * F.col("cum")
+                          - F.col("t") * F.col("total")).alias("s_abs")))
+    peak = scan.groupBy("event_type").agg(
+        F.max("s_abs").alias("cusum_scaled"))
+    return (scan.join(F.broadcast(peak), "event_type")
+            .filter(F.col("s_abs") == F.col("cusum_scaled"))
+            .groupBy("event_type")
+            .agg(F.first("n_hours").alias("n_hours"),
+                 F.first("total").alias("total_events"),
+                 F.first("cusum_scaled").alias("cusum_scaled"),
+                 F.min("hr").alias("cp_hr"))
+            .orderBy("event_type"))
+
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detector over hourly event counts per type:
+    S_t = sum_{k<=t}(cnt_k - mean), the classic level-shift statistic
+    (Page 1954) whose peak |S_t| marks the most likely change hour.
+    Counts land on the DENSE per-type hourly spine first (the
+    events_ewma_hourly convention) so quiet hours pull the statistic
+    down instead of being skipped. The mean is fractional, so the
+    emitted statistic is the n-SCALED form n*S_t = n*cum_t - t*total —
+    exact INTEGER arithmetic end to end (|n*S| <= n_hours * total; at
+    1e5 hours x 1e12 events that is 1e17, inside int64 — past that you
+    shard the spine by year before scanning). The argmax hour
+    tie-breaks to the EARLIEST hour (MIN over hours attaining the max),
+    making the answer deterministic on both engines. Window/spine
+    cardinality is (event_type x hours): grows with the time span,
+    never the data volume."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts_ns div {HOUR_NS}").alias("hr"))
+    return cusum_frame(ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("cnt")))
+
+
+register("events_cusum_changepoint", events_cusum_changepoint, f"""
+WITH hourly AS (
+    SELECT event_type, CAST(epoch_us(ts) AS BIGINT) * 1000 // {HOUR_NS} AS hr,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1
+    FROM hourly GROUP BY event_type
+), spine AS (
+    SELECT event_type, UNNEST(range(h0, h1 + 1)) AS hr FROM bounds
+), dense AS (
+    SELECT s.event_type, s.hr, COALESCE(h.cnt, 0) AS cnt
+    FROM spine s LEFT JOIN hourly h
+      ON s.event_type = h.event_type AND s.hr = h.hr
+), tot AS (
+    SELECT event_type, COUNT(*) AS n_hours, CAST(SUM(cnt) AS BIGINT) AS total
+    FROM dense GROUP BY event_type
+), scan AS (
+    SELECT d.event_type, d.hr, t.n_hours, t.total,
+           ABS(t.n_hours * CAST(SUM(d.cnt) OVER (PARTITION BY d.event_type
+                                                 ORDER BY d.hr) AS BIGINT)
+               - CAST(ROW_NUMBER() OVER (PARTITION BY d.event_type
+                                         ORDER BY d.hr) AS BIGINT)
+                 * t.total) AS s_abs
+    FROM dense d JOIN tot t ON d.event_type = t.event_type
+), peak AS (
+    SELECT event_type, MAX(s_abs) AS cusum_scaled FROM scan GROUP BY event_type
+)
+SELECT s.event_type, ANY_VALUE(s.n_hours) AS n_hours,
+       ANY_VALUE(s.total) AS total_events,
+       ANY_VALUE(p.cusum_scaled) AS cusum_scaled,
+       MIN(s.hr) AS cp_hr
+FROM scan s JOIN peak p
+  ON s.event_type = p.event_type AND s.s_abs = p.cusum_scaled
+GROUP BY s.event_type ORDER BY s.event_type
+""", "CUSUM level-shift change-point over dense hourly counts")
+
+
+# --------------------------------- Mann-Whitney U / rank-sum drift test
+def mw_rank_frame(ev: DataFrame) -> DataFrame:
+    """Core of events_mw_rank_drift over any (event_type, ts_ns, value)
+    frame — exposed for the replica scale-up test."""
+    stats = ev.agg(F.min("value").alias("mn_v"), F.max("value").alias("mx_v"),
+                   F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("mid_ns"))
+    binned = ev.crossJoin(F.broadcast(stats)).select(
+        "event_type",
+        clip_bin(F.col("value"), F.col("mn_v"), F.col("mx_v"),
+                 N_KS_BINS).alias("bin"),
+        F.expr("CASE WHEN ts_ns <= mid_ns THEN 1 ELSE 0 END").alias("early"))
+    per_bin = binned.groupBy("event_type", "bin").agg(
+        F.sum("early").alias("ca"),
+        F.sum(F.lit(1) - F.col("early")).alias("cb"))
+    w = Window.partitionBy("event_type").orderBy("bin")
+    terms = (per_bin
+             .withColumn("cum_ca", F.sum("ca").over(w))
+             .select("event_type", "ca", "cb",
+                     (F.col("cb") * (2 * (F.col("cum_ca") - F.col("ca"))
+                                     + F.col("ca"))).alias("u2_term")))
+    return (terms.groupBy("event_type")
+            .agg(F.sum("ca").alias("n_early"),
+                 F.sum("cb").alias("n_late"),
+                 F.sum("u2_term").alias("u2"))
+            .select("event_type", "n_early", "n_late", "u2",
+                    (F.round(F.col("u2") / (2.0 * F.col("n_early")
+                                            * F.col("n_late")), 6) + 0.0)
+                    .alias("auc_late_gt_early"))
+            .orderBy("event_type"))
+
+
+def events_mw_rank_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) drift test between the early and late
+    half of each event type's value stream — the effect-size companion
+    to events_value_ks_drift: U/(nA*nB) is exactly P(late > early)
+    (the AUC), robust to outliers where a mean-shift test is not.
+    Values quantize into the shared 256-bin domain (clip_bin), so ranks
+    never total-order the fact table: with per-bin early/late counts
+    ca/cb, the tie-corrected doubled statistic is
+        u2 = sum_bins cb * (2 * cum_ca_below + ca)     (exact integer)
+    i.e. each LATE row counts 2 per early row strictly below its bin
+    and 1 per tied one. |u2| <= 2*nA*nB, so int64 holds to ~2.1e9 rows per side
+    per type; past that you pre-shard the halves and sum u2 partials.
+    The emitted AUC is one rounded float division on exact integers."""
+    return mw_rank_frame(load_table(spark, sf_dir, "events")
+                         .select("event_type", "ts_ns", "value"))
+
+
+register("events_mw_rank_drift", events_mw_rank_drift, f"""
+WITH stats AS (
+    SELECT MIN(value) AS mn_v, MAX(value) AS mx_v,
+           (MIN(CAST(epoch_us(ts) AS BIGINT)) * 1000
+            + MAX(CAST(epoch_us(ts) AS BIGINT)) * 1000) // 2 AS mid_ns
+    FROM events
+), binned AS (
+    SELECT event_type,
+           CASE WHEN mx_v = mn_v THEN 0 ELSE
+                LEAST({N_KS_BINS - 1},
+                      CAST(FLOOR((value - mn_v) * {N_KS_BINS}
+                                 / (mx_v - mn_v)) AS BIGINT)) END AS bin,
+           CASE WHEN CAST(epoch_us(ts) AS BIGINT) * 1000 <= mid_ns
+                THEN 1 ELSE 0 END AS early
+    FROM events CROSS JOIN stats
+), per_bin AS (
+    SELECT event_type, bin,
+           CAST(SUM(early) AS BIGINT) AS ca,
+           CAST(SUM(1 - early) AS BIGINT) AS cb
+    FROM binned GROUP BY 1, 2
+), terms AS (
+    SELECT event_type, ca, cb,
+           cb * (2 * (CAST(SUM(ca) OVER (PARTITION BY event_type
+                                         ORDER BY bin) AS BIGINT) - ca)
+                 + ca) AS u2_term
+    FROM per_bin
+)
+SELECT event_type,
+       CAST(SUM(ca) AS BIGINT) AS n_early,
+       CAST(SUM(cb) AS BIGINT) AS n_late,
+       CAST(SUM(u2_term) AS BIGINT) AS u2,
+       ROUND(CAST(SUM(u2_term) AS DOUBLE)
+             / (2.0 * SUM(ca) * SUM(cb)), 6) + 0.0 AS auc_late_gt_early
+FROM terms GROUP BY event_type ORDER BY event_type
+""", "tie-corrected Mann-Whitney U / AUC drift over the quantized bins")

@@ -445,3 +445,63 @@ SELECT n_name, COUNT(*) AS n_suppliers,
        CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm
 FROM shares GROUP BY n_name ORDER BY n_name
 """, "integer Herfindahl revenue-concentration index per nation")
+
+
+# ------------------------------------------ Benford first-digit audit
+# Expected first-digit shares log10(1 + 1/d) in integer ppm, computed
+# ONCE here and embedded as literals in BOTH engines' plans — neither
+# engine evaluates a log at runtime, so there is no libm/rounding edge
+# to disagree on.
+import math as _math
+
+BENFORD_PPM = {d: round(_math.log10(1 + 1 / d) * 1_000_000)
+               for d in range(1, 10)}
+_BENFORD_CASE = ("CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items()) + " END")
+
+
+def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order amounts — the classic
+    fabricated-data / unit-mixing detector for financial columns. The
+    first significant digit comes from the CENTS integer's decimal
+    string (substring of a bigint cast — bit-identical on both engines;
+    float log10 near power-of-ten boundaries is not), counts aggregate
+    per digit (9 groups), and observed shares are integer ppm against
+    the broadcast total. Expected shares are compile-time literals
+    (BENFORD_PPM above). One fact scan into a 9-row aggregate — the
+    same plan at any scale; dev_ppm is the exact-integer per-digit
+    excess over the Benford expectation."""
+    cents = (load_table(spark, sf_dir, "orders")
+             .select(F.floor(F.col("o_totalprice") * 100).cast("long")
+                     .alias("cents"))
+             .filter(F.col("cents") > 0))
+    per_digit = (cents
+                 .select(F.substring(F.col("cents").cast("string"), 1, 1)
+                         .cast("int").alias("digit"))
+                 .groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders")))
+    tot = per_digit.agg(F.sum("n_orders").alias("n_total"))
+    return (per_digit.crossJoin(F.broadcast(tot))
+            .select("digit", "n_orders",
+                    F.expr("n_orders * 1000000 div n_total").alias("obs_ppm"),
+                    F.expr(_BENFORD_CASE).cast("long").alias("exp_ppm"))
+            .withColumn("dev_ppm",
+                        F.col("obs_ppm") - F.col("exp_ppm"))
+            .orderBy("digit"))
+
+
+register("benford_digit_profile", benford_digit_profile, f"""
+WITH cents AS (
+    SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders WHERE FLOOR(o_totalprice * 100) > 0
+), per_digit AS (
+    SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+           COUNT(*) AS n_orders
+    FROM cents GROUP BY 1
+), tot AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS n_total FROM per_digit)
+SELECT digit, n_orders,
+       n_orders * 1000000 // n_total AS obs_ppm,
+       CAST({_BENFORD_CASE} AS BIGINT) AS exp_ppm,
+       n_orders * 1000000 // n_total
+           - CAST({_BENFORD_CASE} AS BIGINT) AS dev_ppm
+FROM per_digit CROSS JOIN tot ORDER BY digit
+""", "Benford first-digit audit of order amounts, integer ppm shares")

@@ -508,3 +508,139 @@ JOIN mad a USING (l_returnflag)
 JOIN tot t USING (l_returnflag)
 GROUP BY p.l_returnflag ORDER BY p.l_returnflag
 """, "median/MAD robust outlier profile over the quantized bin domain")
+
+
+# ------------------------------------- deterministic Poisson bootstrap
+# Inverse-CDF thresholds for Poisson(1) in integer ppm, computed ONCE
+# and embedded as literals in BOTH engines' plans (the Benford
+# convention): a uniform u in [0, 1e6) maps to the bootstrap weight w =
+# #times the row enters the replicate. P(w > 9) < 1e-7 is truncated to
+# 9 — part of the operator contract, mirrored exactly in the oracle.
+import math as _math
+
+BOOT_R = 64
+_pois_cum, _acc = [], 0.0
+for _k in range(9):
+    _acc += _math.exp(-1.0) / _math.factorial(_k)
+    _pois_cum.append(round(_acc * 1_000_000))
+_POIS_CASE = ("CASE " + " ".join(
+    f"WHEN u < {c} THEN {k}" for k, c in enumerate(_pois_cum))
+    + " ELSE 9 END")
+
+_SPARK_U = ("pmod(cast(conv(substring(md5(concat(cast(o_orderkey as string),"
+            " ':', cast(r as string))), 1, 7), 16, 10) as bigint), 1000000)")
+_DUCK_U = ("CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||"
+           " CAST(r AS VARCHAR)), 1, 7)) AS BIGINT) % 1000000")
+
+
+def bootstrap_frame(fact: DataFrame) -> DataFrame:
+    """Core of orders_bootstrap_ci over any (o_orderkey, n_name, cents)
+    frame — exposed for the replica scale-up test."""
+    base = fact.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("sum(cents) div count(1)").alias("mean_cents"))
+    reps = (fact
+            .select("o_orderkey", "n_name", "cents",
+                    F.explode(F.expr(f"sequence(0, {BOOT_R - 1})")).alias("r"))
+            .withColumn("u", F.expr(_SPARK_U))
+            .withColumn("w", F.expr(_POIS_CASE))
+            .groupBy("n_name", "r")
+            .agg(F.sum("w").alias("sw"),
+                 F.sum(F.col("w") * F.col("cents")).alias("swc"))
+            .filter(F.col("sw") > 0)
+            .withColumn("mean_r", F.expr("swc div sw")))
+    spread = reps.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.sum("mean_r").alias("sm"),
+        F.sum(F.col("mean_r") * F.col("mean_r")).alias("sm2"))
+    return (base.join(spread, "n_name")
+            .select("n_name", "n_orders", "mean_cents", "n_replicates",
+                    F.round(F.sqrt((F.col("n_replicates") * F.col("sm2")
+                                    - F.col("sm") * F.col("sm"))
+                                   / (F.col("n_replicates")
+                                      * (F.col("n_replicates") - 1))), 2)
+                    .alias("boot_se_cents"))
+            .withColumn("ci_lo_cents",
+                        F.round(F.col("mean_cents")
+                                - 1.96 * F.col("boot_se_cents"), 2))
+            .withColumn("ci_hi_cents",
+                        F.round(F.col("mean_cents")
+                                + 1.96 * F.col("boot_se_cents"), 2))
+            .orderBy("n_name"))
+
+
+def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap standard error and 95% CI for the mean order
+    value per nation — uncertainty quantification in ONE distributed
+    pass, the way resampling actually runs at lake scale (Poisson
+    bootstrap: each row independently enters replicate r with weight
+    ~ Poisson(1), so no replicate ever materializes a resampled
+    table). The weight is the md5-derived uniform pushed through the
+    compile-time inverse-CDF literals above — fully deterministic and
+    engine-identical. The fact explodes x64 replicates but aggregates
+    map-side into (nation, r) partials, so the shuffle is nations x 64
+    rows no matter the corpus size. Replicate means are integer cents
+    (div-truncated — the quantization contract); their spread
+    aggregates via exact integer sum/sumsq (means ~1e7 cents keep
+    64 * mean^2 ~ 1e16 inside int64), and the only float work is the
+    final sqrt/1.96 multiply on exact integers."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    return bootstrap_frame(
+        orders
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("o_orderkey", "n_name", "cents"))
+
+
+register("orders_bootstrap_ci", orders_bootstrap_ci, f"""
+WITH fact AS (
+    SELECT o_orderkey, n_name,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+), base AS (
+    SELECT n_name, COUNT(*) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) // COUNT(*) AS mean_cents
+    FROM fact GROUP BY n_name
+), reps AS (
+    SELECT n_name, r, CAST(SUM(w * cents) AS BIGINT)
+                          // CAST(SUM(w) AS BIGINT) AS mean_r
+    FROM (
+        SELECT n_name, cents, r,
+               {_POIS_CASE.replace('WHEN u <', 'WHEN uu <')} AS w
+        FROM (
+            SELECT f.n_name, f.cents, rr.r, {_DUCK_U} AS uu
+            FROM fact f
+            CROSS JOIN (SELECT UNNEST(range(0, {BOOT_R})) AS r) rr
+        ) withu
+    ) t
+    GROUP BY n_name, r HAVING SUM(w) > 0
+), spread AS (
+    SELECT n_name, COUNT(*) AS n_replicates,
+           CAST(SUM(mean_r) AS BIGINT) AS sm,
+           CAST(SUM(mean_r * mean_r) AS BIGINT) AS sm2
+    FROM reps GROUP BY n_name
+)
+SELECT b.n_name, b.n_orders, b.mean_cents, s.n_replicates,
+       ROUND(SQRT(CAST(s.n_replicates * s.sm2 - s.sm * s.sm AS DOUBLE)
+                  / (s.n_replicates * (s.n_replicates - 1))), 2)
+           AS boot_se_cents,
+       ROUND(b.mean_cents
+             - 1.96 * ROUND(SQRT(CAST(s.n_replicates * s.sm2
+                                      - s.sm * s.sm AS DOUBLE)
+                                 / (s.n_replicates * (s.n_replicates - 1))),
+                            2), 2) AS ci_lo_cents,
+       ROUND(b.mean_cents
+             + 1.96 * ROUND(SQRT(CAST(s.n_replicates * s.sm2
+                                      - s.sm * s.sm AS DOUBLE)
+                                 / (s.n_replicates * (s.n_replicates - 1))),
+                            2), 2) AS ci_hi_cents
+FROM base b JOIN spread s ON b.n_name = s.n_name ORDER BY b.n_name
+""", "deterministic Poisson-bootstrap SE/CI for mean order value")

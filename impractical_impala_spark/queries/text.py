@@ -527,3 +527,75 @@ SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
 FROM per_lang_tok p LEFT JOIN vocab v ON p.tok = v.tok
 GROUP BY lang ORDER BY lang
 """, "top-K vocabulary OOV rate per language (tokenizer health gate)")
+
+
+# word-bigram shingles (the dedup.py k=2 convention; a 1-word doc
+# yields its single word)
+_SPARK_SH = ("transform(sequence(1, greatest(size({w}) - 1, 1)),"
+             " i -> concat_ws(' ', slice({w}, i, 2)))")
+_DUCK_SH = ("list_transform(range(1, greatest(len({w}) - 1, 1) + 1),"
+            " i -> array_to_string(list_slice({w}, i, i + 1), ' '))")
+
+
+def novelty_frame(docs: DataFrame) -> DataFrame:
+    """Core of text_ngram_novelty over any (doc_id, source, text) frame
+    — exposed for the corpus-duplication scale test."""
+    sh = docs.select(
+        "doc_id", "source",
+        F.explode(F.expr(
+            "array_distinct(" + _SPARK_SH.format(w=_SPARK_WORDS) + ")"))
+        .alias("sh"))
+    df_counts = sh.groupBy("sh").agg(
+        F.count(F.lit(1)).alias("df"))
+    per_doc = (sh.join(df_counts, "sh")
+               .groupBy("doc_id", "source")
+               .agg(F.count(F.lit(1)).alias("n_sh"),
+                    F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                    .alias("n_uniq"))
+               .withColumn("nov_ppm", F.expr("n_uniq * 1000000 div n_sh")))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_sh").alias("total_shingles"),
+                 F.sum("n_uniq").alias("unique_shingles"),
+                 F.expr("sum(nov_ppm) div count(1)")
+                 .alias("mean_novelty_ppm"))
+            .orderBy("source"))
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty: what fraction of each document's
+    distinct word-bigram shingles appear NOWHERE else in the corpus
+    (global document frequency 1)? The intra-corpus complement of
+    text_ngram_contamination (which checks against an external probe
+    set) — low novelty flags a source as templated/boilerplate before
+    any pairwise dedup runs. One explode of per-doc DISTINCT shingles,
+    a shingle-key count with map-side combine (the inverted-index
+    shuffle shape — keys are the shingle vocabulary, not the corpus),
+    then two bounded aggregates. Per-doc novelty is integer ppm
+    (floor-quantized, the contract); the per-source mean is the exact
+    integer div of summed ppms."""
+    return novelty_frame(load_table(spark, sf_dir, "documents")
+                         .select("doc_id", "source", "text"))
+
+
+register("text_ngram_novelty", text_ngram_novelty, f"""
+WITH sh AS (
+    SELECT doc_id, source,
+           UNNEST(list_distinct({_DUCK_SH.format(w=_DUCK_WORDS)})) AS sh
+    FROM documents
+), df_counts AS (
+    SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh
+), per_doc AS (
+    SELECT s.doc_id, s.source, COUNT(*) AS n_sh,
+           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_uniq
+    FROM sh s JOIN df_counts d ON s.sh = d.sh
+    GROUP BY s.doc_id, s.source
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_sh) AS BIGINT) AS total_shingles,
+       CAST(SUM(n_uniq) AS BIGINT) AS unique_shingles,
+       CAST(SUM(n_uniq * 1000000 // n_sh) AS BIGINT) // COUNT(*)
+           AS mean_novelty_ppm
+FROM per_doc GROUP BY source ORDER BY source
+""", "per-source fraction of corpus-unique word-bigram shingles")

@@ -225,3 +225,30 @@ def test_r6b_partition_invariance(spark, sf_small, name):
         for k, v in old.items():
             spark.conf.set(k, v)
     assert base == skewed
+
+
+R6C_CASES = [
+    "events_cusum_changepoint",  # integer n-scaled CUSUM, earliest-tie
+    "events_mw_rank_drift",      # integer tie-corrected U over bins
+    "benford_digit_profile",     # decimal-string digit, integer ppm
+    "orders_bootstrap_ci",       # md5-deterministic Poisson weights
+    "text_ngram_novelty",        # global-df shingle uniqueness
+]
+
+
+@pytest.mark.parametrize("name", R6C_CASES)
+def test_r6c_partition_invariance(spark, sf_small, name):
+    """Wave-3 determinism under hostile splits, same contract as r5/r6."""
+    base = sorted(map(tuple, _Q[name].build(spark, sf_small).collect()))
+    conf = [("spark.sql.files.maxPartitionBytes", "65536"),
+            ("spark.sql.shuffle.partitions", "7"),
+            ("spark.sql.execution.arrow.maxRecordsPerBatch", "37")]
+    old = {k: spark.conf.get(k) for k, _ in conf}
+    try:
+        for k, v in conf:
+            spark.conf.set(k, v)
+        skewed = sorted(map(tuple, _Q[name].build(spark, sf_small).collect()))
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert base == skewed

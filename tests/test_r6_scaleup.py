@@ -232,3 +232,149 @@ def test_autocorr24_and_fano_scale_shapes(spark, sf_small):
         fano_k = (r.n * k * k * r.s2 - k * r.s1 * k * r.s1) * 1000 \
             // (r.n * k * r.s1)
         assert fano_k == k * fano or abs(fano_k - k * fano) <= 1
+
+
+# ---------------------------------------------------------------------
+# wave-3 invariants: CUSUM / Mann-Whitney / Benford / bootstrap / novelty
+
+
+def test_cusum_scales_linearly_under_replication(spark, sf_small):
+    """Scaling every hourly count by k multiplies the n-scaled CUSUM
+    statistic by exactly k and leaves the change-point hour untouched
+    (integer identity: n*(k*cum) - t*(k*tot) = k * (n*cum - t*tot))."""
+    from impractical_impala_spark.queries.drift import HOUR_NS, cusum_frame
+    from impractical_impala_spark.sources import load_table
+    ev = load_table(spark, sf_small, "events").select(
+        "event_type", F.expr(f"ts_ns div {HOUR_NS}").alias("hr"))
+    hourly = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("cnt")).cache()
+    base = {r.event_type: r for r in cusum_frame(hourly).collect()}
+    k = 3
+    big = {r.event_type: r for r in cusum_frame(
+        hourly.withColumn("cnt", F.col("cnt") * k)).collect()}
+    assert set(base) == set(big)
+    for t in base:
+        assert big[t].n_hours == base[t].n_hours
+        assert big[t].total_events == k * base[t].total_events
+        assert big[t].cusum_scaled == k * base[t].cusum_scaled
+        assert big[t].cp_hr == base[t].cp_hr
+
+
+def test_mw_auc_invariant_under_replication(spark, sf_small):
+    """k-fold row replication scales both halves by k, so u2 scales by
+    k^2 and the AUC is exactly unchanged."""
+    from impractical_impala_spark.queries.drift import mw_rank_frame
+    from impractical_impala_spark.sources import load_table
+    ev = load_table(spark, sf_small, "events").select(
+        "event_type", "ts_ns", "value").cache()
+    base = {r.event_type: r for r in mw_rank_frame(ev).collect()}
+    k = 3
+    big = {r.event_type: r for r in mw_rank_frame(
+        _inflate_plain(ev, k)).collect()}
+    assert set(base) == set(big)
+    for t in base:
+        assert big[t].n_early == k * base[t].n_early
+        assert big[t].n_late == k * base[t].n_late
+        assert big[t].u2 == k * k * base[t].u2
+        assert big[t].auc_late_gt_early == base[t].auc_late_gt_early
+
+
+def test_mw_detects_injected_shift(spark, sf_small):
+    """Sanity on the statistic itself: shifting the late half of one
+    synthetic stream up must push its AUC well above 0.5, while an
+    unshifted twin stays near 0.5."""
+    from impractical_impala_spark.queries.drift import mw_rank_frame
+    n = 4000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, "shifted").otherwise("flat")
+        .alias("event_type"),
+        F.col("id").alias("ts_ns"),
+        # flat: hash noise in [0,1); shifted: late half moved up by 2
+        (F.pmod(F.xxhash64("id"), F.lit(1000)) / 1000.0
+         + F.when((F.col("id") % 2 == 0) & (F.col("id") > n / 2), 2.0)
+         .otherwise(0.0)).alias("value"))
+    out = {r.event_type: r.auc_late_gt_early
+           for r in mw_rank_frame(df).collect()}
+    assert out["shifted"] > 0.9
+    assert abs(out["flat"] - 0.5) < 0.1
+
+
+def test_benford_shares_invariant_under_replication(spark, sf_small):
+    """Replication multiplies every digit count by k and leaves the ppm
+    shares (and dev_ppm) exactly unchanged — checked through the same
+    integer identity the query uses, over the replicated cents frame."""
+    from impractical_impala_spark.registry import all_queries
+    base = {r.digit: r for r in
+            all_queries()["benford_digit_profile"]
+            .build(spark, sf_small).collect()}
+    from impractical_impala_spark.sources import load_table
+    cents = (load_table(spark, sf_small, "orders")
+             .select(F.floor(F.col("o_totalprice") * 100).cast("long")
+                     .alias("cents"))
+             .filter(F.col("cents") > 0))
+    k = 3
+    per_digit = (_inflate_plain(cents, k)
+                 .select(F.substring(F.col("cents").cast("string"), 1, 1)
+                         .cast("int").alias("digit"))
+                 .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    tot = per_digit.agg(F.sum("n").alias("nt"))
+    big = {r.digit: r for r in
+           per_digit.crossJoin(F.broadcast(tot))
+           .select("digit", "n", F.expr("n * 1000000 div nt").alias("obs"))
+           .collect()}
+    assert set(base) == set(big)
+    for d in base:
+        assert big[d].n == k * base[d].n_orders
+        assert big[d].obs == base[d].obs_ppm
+
+
+def test_bootstrap_se_invariant_under_key_replication(spark, sf_small):
+    """Replicating rows WITH THE SAME o_orderkey leaves every
+    replicate's weights identical per copy, so sw/swc scale by k and
+    every replicate mean — hence the bootstrap SE and CI — is exactly
+    unchanged, while n_orders scales by k. (Replication with fresh keys
+    would legitimately shrink the SE ~ 1/sqrt(k); same-key replication
+    is the deterministic invariant.)"""
+    from impractical_impala_spark.queries.quality import bootstrap_frame
+    from impractical_impala_spark.sources import load_table
+    orders = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    cust = load_table(spark, sf_small, "customer").select(
+        "c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_small, "nation").select(
+        "n_nationkey", "n_name")
+    fact = (orders
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation),
+                  cust.c_nationkey == nation.n_nationkey)
+            .select("o_orderkey", "n_name", "cents").cache())
+    base = {r.n_name: r for r in bootstrap_frame(fact).collect()}
+    k = 3
+    big = {r.n_name: r for r in bootstrap_frame(
+        _inflate_plain(fact, k)).collect()}
+    assert set(base) == set(big)
+    for n in base:
+        assert big[n].n_orders == k * base[n].n_orders
+        assert big[n].mean_cents == base[n].mean_cents
+        assert big[n].n_replicates == base[n].n_replicates
+        assert big[n].boot_se_cents == base[n].boot_se_cents
+        assert big[n].ci_lo_cents == base[n].ci_lo_cents
+
+
+def test_novelty_collapses_under_corpus_duplication(spark, sf_small):
+    """Duplicating the whole corpus under fresh doc_ids makes every
+    shingle's document frequency >= 2, so unique_shingles and the mean
+    novelty must collapse to exactly 0 — the semantic point of the
+    metric (and why it belongs BEFORE pairwise dedup in a pipeline)."""
+    from impractical_impala_spark.queries.text import novelty_frame
+    from impractical_impala_spark.sources import load_table
+    docs = load_table(spark, sf_small, "documents").select(
+        "doc_id", "source", "text")
+    dup = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(50_000_000)))
+    out = novelty_frame(dup).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.unique_shingles == 0
+        assert r.mean_novelty_ppm == 0
