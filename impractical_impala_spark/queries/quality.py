@@ -527,10 +527,20 @@ _POIS_CASE = ("CASE " + " ".join(
     f"WHEN u < {c} THEN {k}" for k, c in enumerate(_pois_cum))
     + " ELSE 9 END")
 
-_SPARK_U = ("pmod(cast(conv(substring(md5(concat(cast(o_orderkey as string),"
-            " ':', cast(r as string))), 1, 7), 16, 10) as bigint), 1000000)")
-_DUCK_U = ("CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||"
-           " CAST(r AS VARCHAR)), 1, 7)) AS BIGINT) % 1000000")
+# Per-(row, replicate) uniform WITHOUT per-row string hashing: the
+# weight expression runs rows x 64 times, and md5-of-concat there is
+# ~10x the whole query's remaining cost (13.1 s -> ~1.5 s at sf0.1).
+# Two chained Knuth multiplicative rounds mod 2^31 are pure int64-safe
+# integer arithmetic — bit-identical on both engines — and mix
+# (orderkey, r) well enough for bootstrap weights (each round is the
+# classic golden-ratio 32-bit multiplicative hash). Keys are reduced
+# mod 2^31 first so the 2654435761 product stays under 2^63 at any
+# key magnitude.
+_KNUTH, _M31 = 2654435761, 2147483648
+_SPARK_U = (f"pmod((pmod(pmod(o_orderkey, {_M31}) * {_KNUTH}, {_M31}) + r)"
+            f" * {_KNUTH}, {_M31}) % 1000000")
+_DUCK_U = (f"(((((o_orderkey % {_M31}) * {_KNUTH}) % {_M31} + r)"
+           f" * {_KNUTH}) % {_M31}) % 1000000")
 
 
 def bootstrap_frame(fact: DataFrame) -> DataFrame:
@@ -575,7 +585,8 @@ def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, the way resampling actually runs at lake scale (Poisson
     bootstrap: each row independently enters replicate r with weight
     ~ Poisson(1), so no replicate ever materializes a resampled
-    table). The weight is the md5-derived uniform pushed through the
+    table). The weight is a chained Knuth-multiplicative integer
+    uniform (see _SPARK_U) pushed through the
     compile-time inverse-CDF literals above — fully deterministic and
     engine-identical. The fact explodes x64 replicates but aggregates
     map-side into (nation, r) partials, so the shuffle is nations x 64

@@ -231,7 +231,7 @@ R6C_CASES = [
     "events_cusum_changepoint",  # integer n-scaled CUSUM, earliest-tie
     "events_mw_rank_drift",      # integer tie-corrected U over bins
     "benford_digit_profile",     # decimal-string digit, integer ppm
-    "orders_bootstrap_ci",       # md5-deterministic Poisson weights
+    "orders_bootstrap_ci",       # integer-mix Poisson weights
     "text_ngram_novelty",        # global-df shingle uniqueness
 ]
 
