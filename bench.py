@@ -146,6 +146,11 @@ HEADLINE = [
     "benford_digit_profile",
     "orders_bootstrap_ci",
     "text_ngram_novelty",
+    # round 6 wave 4 (append-only): ranking/robust-rank/ANN audit
+    "ann_recall_audit",
+    "part_return_rate_wilson",
+    "nation_theilsen_trend",
+    "lineitem_spearman_corr",
 ]
 
 

@@ -189,6 +189,10 @@ _EVICTED_TO_R7 = [
     # lowest-risk remaining re-proofs
     "o14_having", "o17_arithmetic", "o18_lookup_join", "o19_guarded_log",
     "o20_dlog",
+    # evicted by the fourth wave (NEW_R6D) — r2-green window functions,
+    # no events dependency
+    "w1_running_sum", "w2_rank_orders", "w3_top1_per_group",
+    "w4_moving_avg",
 ]
 
 # Third round-6 wave — first exposure (statistical-rigor ops: CUSUM
@@ -200,8 +204,15 @@ NEW_R6C = [
     "benford_digit_profile", "orders_bootstrap_ci", "text_ngram_novelty",
 ]
 
+# Fourth round-6 wave — first exposure (ranking-under-uncertainty,
+# robust-rank statistics, ANN audit).
+NEW_R6D = [
+    "ann_recall_audit", "part_return_rate_wilson",
+    "nation_theilsen_trend", "lineitem_spearman_corr",
+]
+
 WINDOW = (
-    NEW_R6 + NEW_R6B + NEW_R6C + CHANGED_R6[:2]
+    NEW_R6 + NEW_R6B + NEW_R6C + NEW_R6D + CHANGED_R6[:2]
     + [q for q in STALE_R1R2 if q not in _EVICTED_TO_R7]
     + _EVICTED_TO_R7 + CHANGED_R6[2:]
 )

@@ -505,3 +505,129 @@ SELECT digit, n_orders,
            - CAST({_BENFORD_CASE} AS BIGINT) AS dev_ppm
 FROM per_digit CROSS JOIN tot ORDER BY digit
 """, "Benford first-digit audit of order amounts, integer ppm shares")
+
+
+# ------------------------------------ Wilson lower-bound return rates
+def part_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand return-rate ranking by the Wilson 95% LOWER confidence
+    bound — the standard fix for naive-rate rankings where a brand with
+    2/2 returns outranks one with 180/1000: the bound shrinks toward
+    zero for thin evidence. One fact scan into a brand-sized aggregate
+    (k returned, n total as exact integers); the Wilson formula is the
+    only float work, evaluated once per brand row with an IDENTICAL
+    expression tree on both engines (z^2 embedded as the literal 3.8416
+    so neither engine re-derives it), rounded to 6. ret_ppm is the
+    exact-integer naive rate for comparison."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"))
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_brand = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+                 .groupBy("p_brand")
+                 .agg(F.count(F.lit(1)).alias("n_items"),
+                      F.sum("ret").alias("n_returned")))
+    ph = F.col("n_returned") / F.col("n_items")
+    n = F.col("n_items").cast("double")
+    lb = ((ph + F.lit(3.8416) / (2 * n)
+           - 1.96 * F.sqrt((ph * (1 - ph) + F.lit(3.8416) / (4 * n)) / n))
+          / (1 + F.lit(3.8416) / n))
+    return (per_brand
+            .select("p_brand", "n_items", "n_returned",
+                    F.expr("n_returned * 1000000 div n_items")
+                    .alias("ret_ppm"),
+                    (F.round(lb, 6) + 0.0).alias("wilson_lb"))
+            .orderBy("p_brand"))
+
+
+register("part_return_rate_wilson", part_return_rate_wilson, """
+WITH per_brand AS (
+    SELECT p_brand, COUNT(*) AS n_items,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+)
+SELECT p_brand, n_items, n_returned,
+       n_returned * 1000000 // n_items AS ret_ppm,
+       ROUND((CAST(n_returned AS DOUBLE) / n_items
+              + 3.8416 / (2 * CAST(n_items AS DOUBLE))
+              - 1.96 * SQRT((CAST(n_returned AS DOUBLE) / n_items
+                             * (1 - CAST(n_returned AS DOUBLE) / n_items)
+                             + 3.8416 / (4 * CAST(n_items AS DOUBLE)))
+                            / CAST(n_items AS DOUBLE)))
+             / (1 + 3.8416 / CAST(n_items AS DOUBLE)), 6) + 0.0 AS wilson_lb
+FROM per_brand ORDER BY p_brand
+""", "Wilson 95% lower-bound return-rate ranking per brand")
+
+
+# ------------------------------------- Theil-Sen robust revenue trend
+def nation_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust monthly-revenue trend per nation: the median of
+    all pairwise slopes (c2-c1)/(m2-m1) over the nation's monthly
+    totals — a single outlier month barely moves it, where OLS swings.
+    The pair space is (months choose 2) on the MONTHLY AGGREGATE
+    (calendar-bounded: ~84 months -> ~3.5k pairs per nation), never the
+    fact table, so the quadratic lives entirely in dimension-sized
+    data. Slopes are integer milli-cents-per-month (floor-quantized,
+    the contract); the median is the LOWER median (element (n+1) div 2
+    of the slope order, ties broken by the earlier month pair via the
+    ORDER BY) — fully deterministic on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    monthly = (orders
+               .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+               .join(F.broadcast(nation),
+                     cust.c_nationkey == nation.n_nationkey)
+               .groupBy("n_name",
+                        F.expr("year(o_orderdate) * 12 + month(o_orderdate)")
+                        .alias("mkey"))
+               .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+                    .alias("cents")))
+    a, b = monthly.alias("a"), monthly.alias("b")
+    slopes = (a.join(b, (F.col("a.n_name") == F.col("b.n_name"))
+                     & (F.col("a.mkey") < F.col("b.mkey")))
+              .select(F.col("a.n_name").alias("n_name"),
+                      F.expr("(b.cents - a.cents) * 1000"
+                             " div (b.mkey - a.mkey)").alias("slope_milli"),
+                      F.col("a.mkey").alias("m1"), F.col("b.mkey").alias("m2")))
+    w = Window.partitionBy("n_name").orderBy("slope_milli", "m1", "m2")
+    ranked = (slopes
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("cnt", F.count(F.lit(1)).over(
+                  Window.partitionBy("n_name"))))
+    return (ranked.filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+            .select("n_name", F.col("cnt").alias("n_pairs"),
+                    F.col("slope_milli").alias("theilsen_slope_milli"))
+            .orderBy("n_name"))
+
+
+register("nation_theilsen_trend", nation_theilsen_trend, """
+WITH monthly AS (
+    SELECT n_name,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+               AS mkey,
+           SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2
+), slopes AS (
+    SELECT a.n_name,
+           (b.cents - a.cents) * 1000 // (b.mkey - a.mkey) AS slope_milli,
+           a.mkey AS m1, b.mkey AS m2
+    FROM monthly a JOIN monthly b
+      ON a.n_name = b.n_name AND a.mkey < b.mkey
+), ranked AS (
+    SELECT n_name, slope_milli,
+           ROW_NUMBER() OVER (PARTITION BY n_name
+                              ORDER BY slope_milli, m1, m2) AS rn,
+           COUNT(*) OVER (PARTITION BY n_name) AS cnt
+    FROM slopes
+)
+SELECT n_name, CAST(cnt AS BIGINT) AS n_pairs,
+       CAST(slope_milli AS BIGINT) AS theilsen_slope_milli
+FROM ranked WHERE rn = (cnt + 1) // 2 ORDER BY n_name
+""", "Theil-Sen median-of-slopes robust monthly revenue trend per nation")

@@ -655,3 +655,129 @@ SELECT b.n_name, b.n_orders, b.mean_cents, s.n_replicates,
                             2), 2) AS ci_hi_cents
 FROM base b JOIN spread s ON b.n_name = s.n_name ORDER BY b.n_name
 """, "deterministic Poisson-bootstrap SE/CI for mean order value")
+
+
+# ------------------------- Spearman rank correlation (quantized ranks)
+N_SP_BINS = 256
+
+
+def lineitem_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between extended price and quantity
+    per return flag — the robust-rank complement of o26's Pearson: ties
+    are handled with MIDRANKS and the monotone (not linear) association
+    is measured. Ranks NEVER total-order the fact table: price
+    quantizes into the shared 256-bin broadcast-range domain (clip_bin;
+    the <=bin-width rank quantization is the operator contract,
+    mirrored in the oracle) and quantity is already discrete, so
+    midranks come from the two bounded MARGINAL histograms (2*cum_below
+    + cnt + 1, exact integer doubled midranks), normalized to integer
+    ppm of 2n. Sufficient sums accumulate over the JOINT histogram
+    (flag x 256 x ~50 cells) as DECIMAL(38,0) on Spark / HUGEINT on
+    DuckDB — exact at any corpus size (terms <= cnt * 1e12, sums <=
+    n * 1e12 < 1e38 up to 1e26 rows) and order-free, so the one float
+    evaluation at the end sees identical inputs on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("l_quantity")).cast("long").alias("qv"))
+    stats = li.agg(F.min("cents").alias("mn_c"), F.max("cents").alias("mx_c"))
+    binned = li.crossJoin(F.broadcast(stats)).select(
+        "flag", "qv",
+        clip_bin(F.col("cents"), F.col("mn_c"), F.col("mx_c"),
+                 N_SP_BINS).alias("pbin"))
+    joint = binned.groupBy("flag", "pbin", "qv").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    tot = joint.groupBy("flag").agg(F.sum("cnt").alias("n"))
+    wp = Window.partitionBy("flag").orderBy("pbin")
+    marg_p = (joint.groupBy("flag", "pbin").agg(F.sum("cnt").alias("cp"))
+              .withColumn("mx2", 2 * (F.sum("cp").over(wp) - F.col("cp"))
+                          + F.col("cp") + 1)
+              .join(F.broadcast(tot), "flag")
+              .select("flag", "pbin",
+                      F.expr("mx2 * 500000 div n").alias("mxp")))
+    wq = Window.partitionBy("flag").orderBy("qv")
+    marg_q = (joint.groupBy("flag", "qv").agg(F.sum("cnt").alias("cq"))
+              .withColumn("my2", 2 * (F.sum("cq").over(wq) - F.col("cq"))
+                          + F.col("cq") + 1)
+              .join(F.broadcast(tot), "flag")
+              .select("flag", "qv",
+                      F.expr("my2 * 500000 div n").alias("myq")))
+    cells = (joint.join(F.broadcast(marg_p), ["flag", "pbin"])
+             .join(F.broadcast(marg_q), ["flag", "qv"]))
+    sums = (cells.groupBy("flag")
+            .agg(F.sum("cnt").alias("n"),
+                 F.expr("sum(cast(cnt as decimal(20,0)) * mxp)").alias("sx"),
+                 F.expr("sum(cast(cnt as decimal(20,0)) * myq)").alias("sy"),
+                 F.expr("sum(cast(cnt as decimal(20,0)) * mxp * mxp)")
+                 .alias("sxx"),
+                 F.expr("sum(cast(cnt as decimal(20,0)) * myq * myq)")
+                 .alias("syy"),
+                 F.expr("sum(cast(cnt as decimal(20,0)) * mxp * myq)")
+                 .alias("sxy")))
+    rho = F.expr(
+        "(cast(sxy as double) / n - (cast(sx as double) / n)"
+        " * (cast(sy as double) / n))"
+        " / sqrt((cast(sxx as double) / n - (cast(sx as double) / n)"
+        "         * (cast(sx as double) / n))"
+        "        * (cast(syy as double) / n - (cast(sy as double) / n)"
+        "           * (cast(sy as double) / n)))")
+    return (sums.select(F.col("flag").alias("l_returnflag"),
+                        F.col("n").alias("n_items"),
+                        (F.round(rho, 6) + 0.0).alias("spearman_rho"))
+            .orderBy("l_returnflag"))
+
+
+register("lineitem_spearman_corr", lineitem_spearman_corr, f"""
+WITH li AS (
+    SELECT l_returnflag AS flag,
+           CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qv
+    FROM lineitem
+), stats AS (SELECT MIN(cents) AS mn_c, MAX(cents) AS mx_c FROM li),
+binned AS (
+    SELECT flag, qv,
+           CASE WHEN mx_c = mn_c THEN 0 ELSE
+                LEAST({N_SP_BINS - 1},
+                      CAST(FLOOR((cents - mn_c) * {N_SP_BINS}
+                                 / (mx_c - mn_c)) AS BIGINT)) END AS pbin
+    FROM li CROSS JOIN stats
+), joint AS (
+    SELECT flag, pbin, qv, COUNT(*) AS cnt FROM binned GROUP BY 1, 2, 3
+), tot AS (
+    SELECT flag, CAST(SUM(cnt) AS BIGINT) AS n FROM joint GROUP BY flag
+), marg_p AS (
+    SELECT m.flag, m.pbin,
+           (2 * (CAST(SUM(m.cp) OVER (PARTITION BY m.flag ORDER BY m.pbin)
+                      AS BIGINT) - m.cp) + m.cp + 1) * 500000 // t.n AS mxp
+    FROM (SELECT flag, pbin, CAST(SUM(cnt) AS BIGINT) AS cp
+          FROM joint GROUP BY flag, pbin) m
+    JOIN tot t ON m.flag = t.flag
+), marg_q AS (
+    SELECT m.flag, m.qv,
+           (2 * (CAST(SUM(m.cq) OVER (PARTITION BY m.flag ORDER BY m.qv)
+                      AS BIGINT) - m.cq) + m.cq + 1) * 500000 // t.n AS myq
+    FROM (SELECT flag, qv, CAST(SUM(cnt) AS BIGINT) AS cq
+          FROM joint GROUP BY flag, qv) m
+    JOIN tot t ON m.flag = t.flag
+), sums AS (
+    SELECT j.flag, CAST(SUM(j.cnt) AS BIGINT) AS n,
+           SUM(CAST(j.cnt AS HUGEINT) * p.mxp) AS sx,
+           SUM(CAST(j.cnt AS HUGEINT) * q.myq) AS sy,
+           SUM(CAST(j.cnt AS HUGEINT) * p.mxp * p.mxp) AS sxx,
+           SUM(CAST(j.cnt AS HUGEINT) * q.myq * q.myq) AS syy,
+           SUM(CAST(j.cnt AS HUGEINT) * p.mxp * q.myq) AS sxy
+    FROM joint j
+    JOIN marg_p p ON j.flag = p.flag AND j.pbin = p.pbin
+    JOIN marg_q q ON j.flag = q.flag AND j.qv = q.qv
+    GROUP BY j.flag
+)
+SELECT flag AS l_returnflag, n AS n_items,
+       ROUND((CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+              * (CAST(sy AS DOUBLE) / n))
+             / sqrt((CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+                     * (CAST(sx AS DOUBLE) / n))
+                    * (CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n)
+                       * (CAST(sy AS DOUBLE) / n))), 6) + 0.0
+           AS spearman_rho
+FROM sums ORDER BY l_returnflag
+""", "tie-corrected Spearman rank correlation over quantized midranks")

@@ -397,3 +397,86 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("ann_ivf_trained", ann_ivf_trained, None,
          "IVF probe-2 over a k-means-trained coarse quantizer")
+
+
+# ------------------------------------------------- ANN recall audit
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for the hyperplane-LSH ANN path against the exact
+    brute-force panel — the dedup_lsh_audit discipline applied to
+    similarity search: ONE integer-exact summary row answering "are 3
+    tables x 4 bits enough on this corpus?" before an index
+    configuration ships. Composes the two registered pipelines
+    unchanged; the join runs on the panel-sized result sets (queries x
+    top-5 rows), never the corpus. recall@1 counts LSH's top-1 hitting
+    the true nearest neighbor, recall@5 its top-1 landing anywhere in
+    the true top-5, and cos_gap_micro is the summed micro-quantized
+    cosine regret of the answered queries (0 when LSH finds the true
+    neighbor) — quantized per query BEFORE summing, so the total is
+    order-free exact."""
+    exact = ann_cosine_topk(spark, sf_dir)
+    lsh = (ann_lsh_bucketed(spark, sf_dir)
+           .filter(F.col("vec_id") < N_QUERIES)
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("neighbor_id").alias("lsh_nn"),
+                   F.col("cos").alias("lsh_cos")))
+    per_q = (exact.join(lsh, "query_id", "left")
+             .groupBy("query_id")
+             .agg(F.max(F.when(F.col("rn") == 1, F.col("neighbor_id")))
+                  .alias("exact_nn"),
+                  F.max(F.when(F.col("rn") == 1, F.col("cos")))
+                  .alias("exact_cos"),
+                  F.first("lsh_nn").alias("lsh_nn"),
+                  F.first("lsh_cos").alias("lsh_cos"),
+                  F.max(F.when(F.col("neighbor_id") == F.col("lsh_nn"), 1)
+                        .otherwise(0)).alias("hit5")))
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.when(F.col("lsh_nn").isNotNull(), 1).otherwise(0))
+        .alias("n_answered"),
+        F.sum(F.when(F.col("lsh_nn") == F.col("exact_nn"), 1).otherwise(0))
+        .alias("n_hit1"),
+        F.sum("hit5").alias("n_hit5"),
+        F.sum(F.when(F.col("lsh_nn").isNotNull(),
+                     F.round((F.col("exact_cos") - F.col("lsh_cos"))
+                             * 1_000_000).cast("long")).otherwise(0))
+        .alias("cos_gap_micro"),
+    ).select(
+        "n_queries", "n_answered", "n_hit1", "n_hit5",
+        F.expr("n_hit1 * 1000000 div n_queries").alias("recall1_ppm"),
+        F.expr("n_hit5 * 1000000 div n_queries").alias("recall5_ppm"),
+        "cos_gap_micro",
+    )
+
+
+from ..registry import _REGISTRY as _REG  # composed-oracle reuse
+
+
+register("ann_recall_audit", ann_recall_audit, f"""
+WITH exact AS (SELECT * FROM ({_REG["ann_cosine_topk"].oracle}) e0),
+lsh AS (SELECT * FROM ({_REG["ann_lsh_bucketed"].oracle}) l0
+        WHERE vec_id < {N_QUERIES}),
+per_q AS (
+    SELECT e.query_id,
+           MAX(CASE WHEN e.rn = 1 THEN e.neighbor_id END) AS exact_nn,
+           MAX(CASE WHEN e.rn = 1 THEN e.cos END) AS exact_cos,
+           ANY_VALUE(l.neighbor_id) AS lsh_nn,
+           ANY_VALUE(l.cos) AS lsh_cos,
+           MAX(CASE WHEN l.neighbor_id = e.neighbor_id
+               THEN 1 ELSE 0 END) AS hit5
+    FROM exact e LEFT JOIN lsh l ON l.vec_id = e.query_id
+    GROUP BY e.query_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN lsh_nn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_answered,
+       CAST(SUM(CASE WHEN lsh_nn = exact_nn THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hit1,
+       CAST(SUM(hit5) AS BIGINT) AS n_hit5,
+       CAST(SUM(CASE WHEN lsh_nn = exact_nn THEN 1 ELSE 0 END) AS BIGINT)
+           * 1000000 // COUNT(*) AS recall1_ppm,
+       CAST(SUM(hit5) AS BIGINT) * 1000000 // COUNT(*) AS recall5_ppm,
+       CAST(SUM(CASE WHEN lsh_nn IS NOT NULL
+                THEN CAST(ROUND((exact_cos - lsh_cos) * 1000000) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS cos_gap_micro
+FROM per_q
+""", "LSH-vs-exact ANN recall@1/@5 audit with micro-quantized regret")

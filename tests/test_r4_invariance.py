@@ -233,6 +233,10 @@ R6C_CASES = [
     "benford_digit_profile",     # decimal-string digit, integer ppm
     "orders_bootstrap_ci",       # integer-mix Poisson weights
     "text_ngram_novelty",        # global-df shingle uniqueness
+    "ann_recall_audit",          # panel-sized pipeline composition
+    "part_return_rate_wilson",   # per-row float on exact integers
+    "nation_theilsen_trend",     # bounded pair space, lower median
+    "lineitem_spearman_corr",    # decimal(38) exact accumulation
 ]
 
 

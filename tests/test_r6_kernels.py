@@ -126,3 +126,187 @@ def test_seasonal_index_matches_pandas(spark, sf_small):
     for moy, ratios in ref.items():
         assert got[moy].n_months == len(ratios)
         assert got[moy].seasonal_index_ppm == sum(ratios) // len(ratios)
+
+
+# ------------------------------------------------ wave-3/4 references
+
+
+def test_cusum_matches_numpy(spark, sf_small):
+    from impractical_impala_spark.queries.drift import (
+        HOUR_NS, events_cusum_changepoint)
+    got = {r.event_type: r for r in
+           events_cusum_changepoint(spark, sf_small).collect()}
+    ev = (load_table(spark, sf_small, "events")
+          .select("event_type", F.expr(f"ts_ns div {HOUR_NS}").alias("hr"))
+          .toPandas())
+    for et, grp in ev.groupby("event_type"):
+        counts = grp.groupby("hr").size()
+        full = counts.reindex(
+            range(int(counts.index.min()), int(counts.index.max()) + 1),
+            fill_value=0).to_numpy(dtype=np.int64)
+        n = len(full)
+        cum = np.cumsum(full)
+        t = np.arange(1, n + 1, dtype=np.int64)
+        s = np.abs(n * cum - t * int(full.sum()))
+        assert got[et].cusum_scaled == int(s.max())
+        # earliest argmax hour
+        assert got[et].cp_hr == int(counts.index.min()) + int(np.argmax(s))
+
+
+def test_mw_auc_matches_naive_numpy(spark, sf_small):
+    """Independent O(nA*nB)-free reference: AUC over the QUANTIZED bin
+    values computed with the naive per-value comparison counts (wins +
+    half-ties), not the cum-bin identity the query uses."""
+    from impractical_impala_spark.queries.drift import (
+        N_KS_BINS, events_mw_rank_drift)
+    got = {r.event_type: r for r in
+           events_mw_rank_drift(spark, sf_small).collect()}
+    ev = (load_table(spark, sf_small, "events")
+          .select("event_type", "ts_ns", "value").toPandas())
+    mn, mx = ev.value.min(), ev.value.max()
+    mid = (int(ev.ts_ns.min()) + int(ev.ts_ns.max())) // 2
+    bins = np.minimum(N_KS_BINS - 1, np.floor(
+        (ev.value.to_numpy() - mn) * N_KS_BINS / (mx - mn))).astype(np.int64)
+    ev = ev.assign(bin=bins, early=(ev.ts_ns <= mid))
+    for et, grp in ev.groupby("event_type"):
+        a = np.sort(grp[grp.early].bin.to_numpy())
+        b = np.sort(grp[~grp.early].bin.to_numpy())
+        # for each late value: #early strictly below + 0.5 * #early tied
+        lo = np.searchsorted(a, b, side="left")
+        hi = np.searchsorted(a, b, side="right")
+        u2 = int((lo + hi).sum())  # = 2 * (wins + ties/2)
+        assert got[et].u2 == u2, (et, got[et].u2, u2)
+        ref = u2 / (2.0 * len(a) * len(b))
+        assert math.isclose(got[et].auc_late_gt_early, round(ref, 6),
+                            abs_tol=1e-9)
+
+
+def test_benford_matches_numpy(spark, sf_small):
+    from impractical_impala_spark.queries.profiling import (
+        benford_digit_profile)
+    got = {r.digit: r for r in
+           benford_digit_profile(spark, sf_small).collect()}
+    o = load_table(spark, sf_small, "orders").select("o_totalprice") \
+        .toPandas()
+    cents = np.floor(o.o_totalprice.to_numpy() * 100).astype(np.int64)
+    cents = cents[cents > 0]
+    digits = np.array([int(str(c)[0]) for c in cents])
+    n = len(digits)
+    for d in range(1, 10):
+        k = int((digits == d).sum())
+        if k == 0:
+            assert d not in got
+            continue
+        assert got[d].n_orders == k
+        assert got[d].obs_ppm == k * 1_000_000 // n
+        assert got[d].exp_ppm == round(math.log10(1 + 1 / d) * 1_000_000)
+
+
+def test_wilson_matches_numpy(spark, sf_small):
+    from impractical_impala_spark.queries.profiling import (
+        part_return_rate_wilson)
+    rows = part_return_rate_wilson(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        k, n = r.n_returned, r.n_items
+        ph, z2 = k / n, 3.8416
+        ref = (ph + z2 / (2 * n)
+               - 1.96 * math.sqrt((ph * (1 - ph) + z2 / (4 * n)) / n)) \
+            / (1 + z2 / n)
+        assert math.isclose(r.wilson_lb, round(ref, 6), abs_tol=1e-9)
+        # the bound shrinks toward zero and never exceeds the naive rate
+        assert r.wilson_lb <= k / n + 1e-12
+
+
+def test_theilsen_matches_numpy(spark, sf_small):
+    from impractical_impala_spark.queries.profiling import (
+        nation_theilsen_trend)
+    got = {r.n_name: r for r in
+           nation_theilsen_trend(spark, sf_small).collect()}
+    orders = (load_table(spark, sf_small, "orders")
+              .join(F.broadcast(load_table(spark, sf_small, "customer")
+                                .select("c_custkey", "c_nationkey")),
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(load_table(spark, sf_small, "nation")
+                                .select("n_nationkey", "n_name")),
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+              .select("n_name", "o_orderdate", "o_totalprice").toPandas())
+    orders["mkey"] = (pd.to_datetime(orders.o_orderdate).dt.year * 12
+                      + pd.to_datetime(orders.o_orderdate).dt.month)
+    orders["cents"] = np.floor(orders.o_totalprice * 100).astype(np.int64)
+    for name, grp in orders.groupby("n_name"):
+        m = grp.groupby("mkey").cents.sum().sort_index()
+        keys, vals = m.index.to_numpy(), m.to_numpy()
+        slopes = []
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                num = int(vals[j] - vals[i]) * 1000
+                den = int(keys[j] - keys[i])
+                # Spark div / DuckDB // truncate toward zero
+                slopes.append((int(num / den), keys[i], keys[j]))
+        slopes.sort()
+        lower_median = slopes[(len(slopes) + 1) // 2 - 1][0]
+        assert got[name].n_pairs == len(slopes)
+        assert got[name].theilsen_slope_milli == lower_median, name
+
+
+def test_spearman_matches_pandas_midranks(spark, sf_small):
+    """Independent reference: pandas rank(method='average') supplies
+    the midranks (vs the query's marginal-histogram identity), pushed
+    through the same ppm quantization, then plain np.corrcoef."""
+    from impractical_impala_spark.queries.quality import (
+        N_SP_BINS, lineitem_spearman_corr)
+    got = {r.l_returnflag: r for r in
+           lineitem_spearman_corr(spark, sf_small).collect()}
+    li = load_table(spark, sf_small, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity").toPandas()
+    cents = np.floor(li.l_extendedprice.to_numpy() * 100).astype(np.int64)
+    mn, mx = cents.min(), cents.max()
+    li["pbin"] = np.minimum(N_SP_BINS - 1,
+                            (cents - mn) * N_SP_BINS // (mx - mn))
+    li["qv"] = np.floor(li.l_quantity).astype(np.int64)
+    for flag, grp in li.groupby("l_returnflag"):
+        n = len(grp)
+        mx2 = (2 * grp.pbin.rank(method="average")).astype(np.int64)
+        my2 = (2 * grp.qv.rank(method="average")).astype(np.int64)
+        xp = mx2.to_numpy() * 500_000 // n
+        yp = my2.to_numpy() * 500_000 // n
+        ref = np.corrcoef(xp, yp)[0, 1]
+        assert math.isclose(got[flag].spearman_rho, round(ref, 6),
+                            abs_tol=2e-6), (flag, got[flag].spearman_rho, ref)
+
+
+def test_bootstrap_matches_numpy(spark, sf_small):
+    """Recompute the replicate means and SE in numpy from the same
+    integer mix — independent accumulation path (python ints vs
+    distributed partial aggregates)."""
+    from impractical_impala_spark.queries.quality import (
+        BOOT_R, _M31, _KNUTH, _pois_cum, orders_bootstrap_ci)
+    got = {r.n_name: r for r in
+           orders_bootstrap_ci(spark, sf_small).collect()}
+    fact = (load_table(spark, sf_small, "orders")
+            .join(F.broadcast(load_table(spark, sf_small, "customer")
+                              .select("c_custkey", "c_nationkey")),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(load_table(spark, sf_small, "nation")
+                              .select("n_nationkey", "n_name")),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("o_orderkey", "n_name", "o_totalprice").toPandas())
+    fact["cents"] = np.floor(fact.o_totalprice * 100).astype(np.int64)
+    cuts = np.array(_pois_cum)
+    for name, grp in fact.groupby("n_name"):
+        keys = grp.o_orderkey.to_numpy(dtype=np.int64)
+        cents = grp.cents.to_numpy(dtype=np.int64)
+        means = []
+        h1 = (keys % _M31) * _KNUTH % _M31
+        for r in range(BOOT_R):
+            u = ((h1 + r) * _KNUTH) % _M31 % 1_000_000
+            w = np.searchsorted(cuts, u, side="right")
+            sw = int(w.sum())
+            if sw > 0:
+                means.append(int((w * cents).sum()) // sw)
+        m = np.array(means, dtype=np.int64)
+        R = len(m)
+        var = (R * int((m * m).sum()) - int(m.sum()) ** 2) / (R * (R - 1))
+        assert got[name].n_replicates == R
+        assert got[name].boot_se_cents == round(math.sqrt(var), 2), name
