@@ -230,8 +230,13 @@ def main() -> None:
         timings[name] = dt
         total += dt
         # each query stands alone: intra-query caches must not leak
-        # memory/GC pressure into the next measurement
+        # memory/GC pressure into the next measurement (r5's recorded
+        # dedup_minhash_lsh 5.7s vs 1.6-4.3s same-session re-runs was
+        # bench-position GC debt, not a plan change — force collection
+        # OUTSIDE the timed region so each query starts from a clean
+        # heap)
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     ref_sec, ref_par_sec = cpu_ref_sec(), cpu_ref_par_sec()
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
