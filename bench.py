@@ -151,6 +151,9 @@ HEADLINE = [
     "part_return_rate_wilson",
     "nation_theilsen_trend",
     "lineitem_spearman_corr",
+    # round 6 wave 5 (append-only): privacy audit + fixed-point PCA
+    "privacy_kanon_audit",
+    "emb_pca_power",
 ]
 
 

@@ -193,6 +193,9 @@ _EVICTED_TO_R7 = [
     # no events dependency
     "w1_running_sum", "w2_rank_orders", "w3_top1_per_group",
     "w4_moving_avg",
+    # evicted by the fifth wave (NEW_R6E) — r1-era profile/set-op
+    # rows, no events dependency
+    "q_profile_table", "q_set_ops",
 ]
 
 # Third round-6 wave — first exposure (statistical-rigor ops: CUSUM
@@ -211,8 +214,14 @@ NEW_R6D = [
     "nation_theilsen_trend", "lineitem_spearman_corr",
 ]
 
+# Fifth round-6 wave — first exposure (privacy release audit, exact
+# fixed-point numerical linear algebra).
+NEW_R6E = [
+    "privacy_kanon_audit", "emb_pca_power",
+]
+
 WINDOW = (
-    NEW_R6 + NEW_R6B + NEW_R6C + NEW_R6D + CHANGED_R6[:2]
+    NEW_R6 + NEW_R6B + NEW_R6C + NEW_R6D + NEW_R6E + CHANGED_R6[:2]
     + [q for q in STALE_R1R2 if q not in _EVICTED_TO_R7]
     + _EVICTED_TO_R7 + CHANGED_R6[2:]
 )

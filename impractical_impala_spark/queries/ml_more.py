@@ -438,3 +438,134 @@ SELECT per.label, per.n,
 FROM per JOIN s2 ON per.label = s2.label
 WHERE per.n >= 2 ORDER BY per.label
 """, "intra-label mean pairwise cosine via the sum-of-vectors identity")
+
+
+# ----------------------- dominant principal direction (power iteration)
+PCA_ITERS = 128  # convergence needs gap^iters << 1; fixture gap ~0.93
+PCA_VNORM = 16384       # eigenvector fixed-point scale (2^14)
+PCA_SNORM = 1 << 20     # normalized-matrix fixed-point scale
+
+
+def _trunc_div(a, b):
+    """Integer division truncating toward zero — the Spark `div` /
+    DuckDB `//` semantics (Python's // floors, which differs on
+    negatives; numpy likewise)."""
+    import numpy as np
+    q = np.abs(a) // np.abs(b)
+    return np.where((a < 0) != (b < 0), -q, q)
+
+
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus via power
+    iteration in EXACT fixed-point integer arithmetic end to end — the
+    numerical-linear-algebra pattern that survives distribution: the
+    corpus reduces to the d x d integer second-moment matrix S (the
+    emb_covariance Gram partials: Arrow-batched integer numpy, only d^2
+    bigint partials per batch cross the shuffle), the matrix is
+    model-size (4096 rows), and the iteration runs on it driver-side
+    (the ann_ivf_trained discipline for model-size state). S normalizes
+    to PCA_SNORM fixed-point by its max |entry|, v starts at the
+    all-ones vector x PCA_VNORM, and every step is
+        w = S_norm @ v;  v' = w * PCA_VNORM trunc-div max|w|
+    — pure int64 (|w| <= d * 2^20 * 2^14 = 2^40), identical in Python,
+    Spark and the machine-generated unrolled-CTE DuckDB oracle; sign is
+    pinned by the deterministic start vector. Emits the 64 loadings in
+    1/1024 units plus the Rayleigh quotient of the final iterate
+    (integer sufficient products, one float division at the end).
+    Uncentered second moment by design: embedding corpora are
+    mean-reduced upstream and the uncentered form keeps every
+    accumulation exact without the n*S_i*S_j overflow ladder."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram_partials(batches):
+        iu = np.triu_indices(DIM)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            xq = np.floor(x * Q_SCALE).astype(np.int64)
+            g = xq.T @ xq
+            yield pd.DataFrame({
+                "i": iu[0].astype("int32"), "j": iu[1].astype("int32"),
+                "s": g[iu]})
+
+    gram = (emb.mapInPandas(gram_partials, "i int, j int, s long")
+            .groupBy("i", "j").agg(F.sum("s").alias("s_ij")))
+    rows = gram.collect()  # model-size: d(d+1)/2 = 2080 bigint cells
+    S = np.zeros((DIM, DIM), dtype=np.int64)
+    for r in rows:
+        S[r.i, r.j] = r.s_ij
+        S[r.j, r.i] = r.s_ij
+    smax = int(np.abs(S).max())
+    sn = _trunc_div(S * PCA_SNORM, np.int64(smax))
+    v = np.full(DIM, PCA_VNORM, dtype=np.int64)
+    w = sn @ v
+    for _ in range(PCA_ITERS - 1):
+        v = _trunc_div(w * PCA_VNORM, np.int64(np.abs(w).max()))
+        w = sn @ v
+    num, den = int(v @ w), int(v @ v)
+    ray_ppm = int(round(num / den / PCA_SNORM * 1_000_000))
+    out = pd.DataFrame({
+        "dim_idx": np.arange(DIM, dtype=np.int64),
+        "loading_q": _trunc_div(w * PCA_VNORM,
+                                np.int64(np.abs(w).max())),
+        "rayleigh_ppm": np.int64(ray_ppm)})
+    return spark.createDataFrame(out).orderBy("dim_idx")
+
+
+def _pca_oracle() -> str:
+    """Machine-generated unrolled power iteration: the same integer
+    steps as the driver-side numpy loop, as chained CTEs."""
+    stages = []
+    prev = "v0"
+    for k in range(1, PCA_ITERS + 1):
+        stages.append(
+            f"w{k} AS MATERIALIZED (SELECT s.i, CAST(SUM(s.sn * v.v) AS BIGINT) AS w\n"
+            f"  FROM sn s JOIN {prev} v ON s.j = v.i GROUP BY s.i)")
+        if k < PCA_ITERS:
+            stages.append(
+                f"m{k} AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM w{k})")
+            stages.append(
+                f"v{k} AS MATERIALIZED (SELECT i, w * {PCA_VNORM} // m AS v\n"
+                f"  FROM w{k} CROSS JOIN m{k})")
+            prev = f"v{k}"
+    K = PCA_ITERS
+    chained = ",\n".join(stages)
+    return f"""
+WITH dims AS (
+    SELECT UNNEST(range(1, {DIM} + 1)) AS k
+), q AS MATERIALIZED (
+    SELECT e.vec_id, d.k - 1 AS i,
+           CAST(FLOOR(CAST(e.embedding[d.k] AS DOUBLE) * {Q_SCALE})
+                AS BIGINT) AS qv
+    FROM embeddings e CROSS JOIN dims d
+), s AS MATERIALIZED (
+    SELECT a.i AS i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS s_ij
+    FROM q a JOIN q b ON a.vec_id = b.vec_id
+    GROUP BY a.i, b.i
+), smax AS (SELECT MAX(ABS(s_ij)) AS m FROM s),
+sn AS MATERIALIZED (
+    SELECT i, j, s_ij * {PCA_SNORM} // m AS sn FROM s CROSS JOIN smax
+), v0 AS (
+    SELECT DISTINCT i, CAST({PCA_VNORM} AS BIGINT) AS v FROM sn
+),
+{chained},
+ray AS (
+    SELECT CAST(SUM(v.v * w.w) AS BIGINT) AS num,
+           CAST(SUM(v.v * v.v) AS BIGINT) AS den
+    FROM v{K - 1} v JOIN w{K} w ON v.i = w.i
+), mw AS (SELECT MAX(ABS(w)) AS m FROM w{K})
+SELECT CAST(w.i AS BIGINT) AS dim_idx,
+       w.w * {PCA_VNORM} // mw.m AS loading_q,
+       CAST(ROUND(CAST(num AS DOUBLE) / den / {PCA_SNORM} * 1000000)
+            AS BIGINT) AS rayleigh_ppm
+FROM w{K} w CROSS JOIN mw CROSS JOIN ray
+ORDER BY dim_idx
+"""
+
+
+register("emb_pca_power", emb_pca_power, _pca_oracle(),
+         "dominant principal direction via exact fixed-point power iteration")

@@ -781,3 +781,67 @@ SELECT flag AS l_returnflag, n AS n_items,
            AS spearman_rho
 FROM sums ORDER BY l_returnflag
 """, "tie-corrected Spearman rank correlation over quantized midranks")
+
+
+# --------------------------------------- k-anonymity / l-diversity audit
+KANON_K = 5
+
+
+def privacy_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit before a dataset leaves the pipeline: treat
+    (nation, order year, order priority) as the quasi-identifier and
+    o_orderstatus as the sensitive attribute, then measure k-anonymity
+    (the smallest equivalence-class size — any release is only as
+    anonymous as its loneliest class), l-diversity (the smallest number
+    of distinct sensitive values within a class) and how much of the
+    data sits in classes below k=5. One fact scan into the
+    QI-class aggregate (nations x years x priorities — model-size),
+    then a 1-row summary; every metric is an exact integer. At lake
+    scale the class aggregate is exactly the k-anonymity working set —
+    it grows with the QI domain, never the row count."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    classes = (orders
+               .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+               .groupBy("c_nationkey",
+                        F.year("o_orderdate").alias("yr"),
+                        F.col("o_orderpriority").alias("prio"))
+               .agg(F.count(F.lit(1)).alias("sz"),
+                    F.countDistinct("o_orderstatus").alias("l_div")))
+    return classes.agg(
+        F.sum("sz").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("sz").alias("k_anonymity"),
+        F.min("l_div").alias("l_diversity"),
+        F.sum(F.when(F.col("sz") < KANON_K, 1).otherwise(0))
+        .alias("classes_below_k"),
+        F.sum(F.when(F.col("sz") < KANON_K, F.col("sz")).otherwise(0))
+        .alias("rows_below_k"),
+    ).select(
+        "n_rows", "n_classes", "k_anonymity", "l_diversity",
+        "classes_below_k", "rows_below_k",
+        F.expr("rows_below_k * 1000000 div n_rows").alias("below_k_ppm"),
+    )
+
+
+register("privacy_kanon_audit", privacy_kanon_audit, f"""
+WITH classes AS (
+    SELECT c_nationkey, year(o_orderdate) AS yr, o_orderpriority AS prio,
+           COUNT(*) AS sz,
+           COUNT(DISTINCT o_orderstatus) AS l_div
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2, 3
+)
+SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_classes,
+       CAST(MIN(sz) AS BIGINT) AS k_anonymity,
+       CAST(MIN(l_div) AS BIGINT) AS l_diversity,
+       CAST(SUM(CASE WHEN sz < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+           AS classes_below_k,
+       CAST(SUM(CASE WHEN sz < {KANON_K} THEN sz ELSE 0 END) AS BIGINT)
+           AS rows_below_k,
+       CAST(SUM(CASE WHEN sz < {KANON_K} THEN sz ELSE 0 END) AS BIGINT)
+           * 1000000 // CAST(SUM(sz) AS BIGINT) AS below_k_ppm
+FROM classes
+""", "k-anonymity / l-diversity release audit over the QI class table")

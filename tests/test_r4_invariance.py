@@ -237,6 +237,8 @@ R6C_CASES = [
     "part_return_rate_wilson",   # per-row float on exact integers
     "nation_theilsen_trend",     # bounded pair space, lower median
     "lineitem_spearman_corr",    # decimal(38) exact accumulation
+    "privacy_kanon_audit",       # model-size QI class aggregate
+    "emb_pca_power",             # integer Gram partials + fixed iteration
 ]
 
 

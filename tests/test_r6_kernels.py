@@ -310,3 +310,51 @@ def test_bootstrap_matches_numpy(spark, sf_small):
         var = (R * int((m * m).sum()) - int(m.sum()) ** 2) / (R * (R - 1))
         assert got[name].n_replicates == R
         assert got[name].boot_se_cents == round(math.sqrt(var), 2), name
+
+
+def test_kanon_matches_pandas(spark, sf_small):
+    from impractical_impala_spark.queries.quality import (
+        KANON_K, privacy_kanon_audit)
+    got = privacy_kanon_audit(spark, sf_small).collect()[0]
+    orders = (load_table(spark, sf_small, "orders")
+              .join(F.broadcast(load_table(spark, sf_small, "customer")
+                                .select("c_custkey", "c_nationkey")),
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .select("c_nationkey", "o_orderdate", "o_orderpriority",
+                      "o_orderstatus").toPandas())
+    orders["yr"] = pd.to_datetime(orders.o_orderdate).dt.year
+    g = orders.groupby(["c_nationkey", "yr", "o_orderpriority"])
+    sizes = g.size()
+    ldivs = g.o_orderstatus.nunique()
+    assert got.n_rows == len(orders)
+    assert got.n_classes == len(sizes)
+    assert got.k_anonymity == int(sizes.min())
+    assert got.l_diversity == int(ldivs.min())
+    assert got.classes_below_k == int((sizes < KANON_K).sum())
+    assert got.rows_below_k == int(sizes[sizes < KANON_K].sum())
+
+
+def test_pca_power_matches_eigh(spark, sf_small):
+    """The fixed-point iterate must align with numpy's true dominant
+    eigenvector of the float second-moment matrix (|cos| > 0.999) and
+    the integer Rayleigh quotient must sit within the quantization
+    envelope of the true lambda_max / max|S| ratio — an independent
+    check that 12 integer iterations actually CONVERGE, not just that
+    both engines run the same loop."""
+    from impractical_impala_spark.queries.ml_more import (
+        Q_SCALE, emb_pca_power)
+    out = emb_pca_power(spark, sf_small).toPandas().sort_values("dim_idx")
+    emb = load_table(spark, sf_small, "embeddings").select("embedding") \
+        .toPandas()
+    x = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    xq = np.floor(x * Q_SCALE)
+    S = xq.T @ xq
+    vals, vecs = np.linalg.eigh(S)
+    top = vecs[:, -1]
+    v = out.loading_q.to_numpy(dtype=np.float64)
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999, cos
+    ray_true = vals[-1] / np.abs(S).max()
+    got_ray = out.rayleigh_ppm.iloc[0] / 1_000_000
+    assert abs(got_ray - ray_true) < 0.01 * max(1.0, ray_true), (
+        got_ray, ray_true)
