@@ -431,13 +431,19 @@ def embedding_neardup_frame(emb: DataFrame, cap: int = NB_QUERY_MAX) -> DataFram
             F.greatest(F.lit(1), F.expr(f"n_vec div {cap}"))) == 0)
         .select("vec_id", "v", "norm")
     )
+    # The PANEL must be the broadcast/build side — explicitly. Without
+    # the hint Spark picks the side with the smaller size ESTIMATE,
+    # and the hash-membership filter's selectivity is invisible to the
+    # estimator, so it chose the full corpus at sf0.01 (caught by the
+    # r7 mechanized BNLJ sweep): a corpus-sized broadcast at 100 TB.
+    # The cap bounds the true panel size, so the hint is always safe.
     a, b = panel.alias("a"), emb.alias("b")
     dot = F.expr(
         "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0.0 as double),"
         " (acc, x) -> acc + x)"
     )
     pairs = (
-        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        F.broadcast(a).join(b, F.col("a.vec_id") != F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_id"),
             F.col("b.vec_id").alias("neighbor_id"),

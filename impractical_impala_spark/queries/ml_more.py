@@ -469,7 +469,11 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = S_norm @ v;  v' = w * PCA_VNORM trunc-div max|w|
     — pure int64 (|w| <= d * 2^20 * 2^14 = 2^40), identical in Python,
     Spark and the machine-generated unrolled-CTE DuckDB oracle; sign is
-    pinned by the deterministic start vector. Emits the 64 loadings in
+    pinned by the deterministic start vector. Corpus-size bound: the
+    normalization S * PCA_SNORM must fit int64, i.e. max|S| < 2^43;
+    with |x|<=1, Q_SCALE=1024, d=64 that is ~8M vectors — guarded by
+    an explicit driver-side OverflowError (numpy would otherwise wrap
+    silently while the oracle raises), documented in SCALE.md. Emits the 64 loadings in
     1/1024 units plus the Rayleigh quotient of the final iterate
     (integer sufficient products, one float division at the end).
     Uncentered second moment by design: embedding corpora are
@@ -500,6 +504,16 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         S[r.i, r.j] = r.s_ij
         S[r.j, r.i] = r.s_ij
     smax = int(np.abs(S).max())
+    # Normalization overflow bound: S * PCA_SNORM must stay inside
+    # int64 (numpy would silently wrap where the DuckDB oracle raises
+    # on BIGINT overflow — divergent failure modes). smax <= n * d *
+    # (Q_SCALE*|x|_max)^2, so with |x|<=1 and Q_SCALE=1024 the bound
+    # trips at ~2^43/d ~ 8M vectors; beyond that, reduce Q_SCALE or
+    # split PCA_SNORM into a post-division scale (see SCALE.md).
+    if smax * PCA_SNORM >= 1 << 63:
+        raise OverflowError(
+            f"emb_pca_power: max|S|={smax} * PCA_SNORM={PCA_SNORM} "
+            "exceeds int64; reduce Q_SCALE for this corpus size")
     sn = _trunc_div(S * PCA_SNORM, np.int64(smax))
     v = np.full(DIM, PCA_VNORM, dtype=np.int64)
     w = sn @ v

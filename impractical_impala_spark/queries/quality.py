@@ -530,17 +530,33 @@ _POIS_CASE = ("CASE " + " ".join(
 # Per-(row, replicate) uniform WITHOUT per-row string hashing: the
 # weight expression runs rows x 64 times, and md5-of-concat there is
 # ~10x the whole query's remaining cost (13.1 s -> ~1.5 s at sf0.1).
-# Two chained Knuth multiplicative rounds mod 2^31 are pure int64-safe
-# integer arithmetic — bit-identical on both engines — and mix
-# (orderkey, r) well enough for bootstrap weights (each round is the
-# classic golden-ratio 32-bit multiplicative hash). Keys are reduced
-# mod 2^31 first so the 2654435761 product stays under 2^63 at any
-# key magnitude.
+# Three Knuth multiplicative rounds mod 2^31 with XOR-SHIFT mixes
+# between and after them — pure int64-safe integer arithmetic,
+# bit-identical on both engines. The xorshift steps matter: bare
+# multiplicative rounds compose to an AFFINE map of (key, r), so
+# per-row replicate weights would form a fixed-increment lattice and
+# the bootstrap SE (the query's deliverable) deviates 25-30% on
+# sequential key sets (collapsing ~5x when values correlate with
+# keys). Folding high bits down (h ^ h>>13 / h>>7) between multiplies
+# breaks the linearity; the measured SE-vs-true-Poisson ratio over 8
+# disjoint sequential-key blocks with key-linear values is
+# 0.99 +/- 0.13 (tests/test_r7_kernels.py pins the generator).
+# Keys are reduced mod 2^31 first, and every intermediate stays
+# < 2^31 (xorshift of a <2^31 value is <2^31), so the 2654435761
+# products stay under 2^63 at any key magnitude.
 _KNUTH, _M31 = 2654435761, 2147483648
-_SPARK_U = (f"pmod((pmod(pmod(o_orderkey, {_M31}) * {_KNUTH}, {_M31}) + r)"
-            f" * {_KNUTH}, {_M31}) % 1000000")
-_DUCK_U = (f"(((((o_orderkey % {_M31}) * {_KNUTH}) % {_M31} + r)"
-           f" * {_KNUTH}) % {_M31}) % 1000000")
+_SPARK_H1 = (f"(pmod(pmod(o_orderkey, {_M31}) * {_KNUTH}, {_M31}))")
+_SPARK_M1 = f"({_SPARK_H1} ^ shiftright({_SPARK_H1}, 13))"
+_SPARK_H2 = f"(pmod(({_SPARK_M1} + r) * {_KNUTH}, {_M31}))"
+_SPARK_M2 = f"({_SPARK_H2} ^ shiftright({_SPARK_H2}, 7))"
+_SPARK_H3 = f"(pmod({_SPARK_M2} * {_KNUTH}, {_M31}))"
+_SPARK_U = f"({_SPARK_H3} ^ shiftright({_SPARK_H3}, 13)) % 1000000"
+_DUCK_H1 = f"(((o_orderkey % {_M31}) * {_KNUTH}) % {_M31})"
+_DUCK_M1 = f"xor({_DUCK_H1}, {_DUCK_H1} >> 13)"
+_DUCK_H2 = f"((({_DUCK_M1} + r) * {_KNUTH}) % {_M31})"
+_DUCK_M2 = f"xor({_DUCK_H2}, {_DUCK_H2} >> 7)"
+_DUCK_H3 = f"(({_DUCK_M2} * {_KNUTH}) % {_M31})"
+_DUCK_U = f"xor({_DUCK_H3}, {_DUCK_H3} >> 13) % 1000000"
 
 
 def bootstrap_frame(fact: DataFrame) -> DataFrame:
@@ -585,8 +601,8 @@ def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, the way resampling actually runs at lake scale (Poisson
     bootstrap: each row independently enters replicate r with weight
     ~ Poisson(1), so no replicate ever materializes a resampled
-    table). The weight is a chained Knuth-multiplicative integer
-    uniform (see _SPARK_U) pushed through the
+    table). The weight is a xorshift-mixed Knuth-multiplicative
+    integer uniform (see _SPARK_U) pushed through the
     compile-time inverse-CDF literals above — fully deterministic and
     engine-identical. The fact explodes x64 replicates but aggregates
     map-side into (nation, r) partials, so the shuffle is nations x 64

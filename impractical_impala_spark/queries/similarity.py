@@ -448,12 +448,12 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from ..registry import _REGISTRY as _REG  # composed-oracle reuse
+from ..registry import oracle_sql_of  # composed-oracle reuse
 
 
 register("ann_recall_audit", ann_recall_audit, f"""
-WITH exact AS (SELECT * FROM ({_REG["ann_cosine_topk"].oracle}) e0),
-lsh AS (SELECT * FROM ({_REG["ann_lsh_bucketed"].oracle}) l0
+WITH exact AS (SELECT * FROM ({oracle_sql_of("ann_cosine_topk")}) e0),
+lsh AS (SELECT * FROM ({oracle_sql_of("ann_lsh_bucketed")}) l0
         WHERE vec_id < {N_QUERIES}),
 per_q AS (
     SELECT e.query_id,

@@ -33,6 +33,22 @@ def register(name: str, build: Callable[[SparkSession, str], DataFrame],
     _REGISTRY[name] = Query(name, build, oracle, doc)
 
 
+def oracle_sql_of(name: str) -> str:
+    """Public accessor for a registered query's oracle SQL, for
+    composed oracles that splice another query's SQL in as a CTE
+    (e.g. ann_recall_audit over ann_cosine_topk + ann_lsh_bucketed).
+    Deliberately does NOT trigger the full package load: it is called
+    at module-import time by the composing module, whose dependency
+    must already be registered above it in the same module (or an
+    earlier-imported one) — a clear error beats a silent import cycle."""
+    q = _REGISTRY.get(name)
+    if q is None or q.oracle is None:
+        raise KeyError(
+            f"oracle_sql_of({name!r}): not registered (yet) or has no "
+            "oracle; composed oracles must import after their parts")
+    return q.oracle
+
+
 _WINDOW_FIRST: list[str] = []
 
 

@@ -106,14 +106,6 @@ def streaming_heavy_hitters(events: DataFrame) -> DataFrame:
     )
 
 
-def batch_heavy_hitters(events: DataFrame) -> pd.DataFrame:
-    """Batch twin: the identical sharded fold in chronological order —
-    what the stream must converge to under Trigger.AvailableNow."""
-    pdf = _with_item(events).toPandas().sort_values("event_id")
-    rows = []
-    for shard, g in pdf.groupby("shard"):
-        d = _mg_fold({}, g["item"].tolist())
-        for it, c in d.items():
-            rows.append((int(shard), int(it), int(c), len(g)))
-    return pd.DataFrame(rows,
-                        columns=["shard", "item", "est_count", "n_shard"])
+# The batch twin (identical sharded fold in chronological order) lives
+# in tests/streaming_refs.py — product source carries no toPandas()
+# materializations.

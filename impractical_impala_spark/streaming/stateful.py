@@ -57,14 +57,5 @@ def user_ewma(events: DataFrame) -> DataFrame:
     )
 
 
-def batch_ewma(events: DataFrame) -> pd.DataFrame:
-    """Batch reference implementation for tests."""
-    pdf = events.select("user_id", "event_id", "value").toPandas() \
-        .sort_values(["user_id", "event_id"])
-    rows = []
-    for uid, g in pdf.groupby("user_id"):
-        ewma = None
-        for v in g["value"]:
-            ewma = v if ewma is None else EWMA_ALPHA * v + (1 - EWMA_ALPHA) * ewma
-        rows.append((uid, len(g), ewma))
-    return pd.DataFrame(rows, columns=["user_id", "n_events", "ewma_value"])
+# The batch reference implementation lives in tests/streaming_refs.py
+# (product source carries no toPandas() materializations).

@@ -1,18 +1,28 @@
 """Registry-wide physical-plan hygiene sweep: every registered query's
-plan — all of them, not a hand-picked list — must be free of the two
+plan — all of them, not a hand-picked list — must be free of the
 anti-patterns that silently kill a plan at 100 TB:
 
-- ``CartesianProduct``: an unconstrained pair blowup (1-row stat
-  attachments compile to BroadcastNestedLoopJoin, which is allowed);
+- ``CartesianProduct``: an unconstrained pair blowup;
 - ``BatchEvalPython``: a row-at-a-time Python UDF on the hot path
-  (Arrow kernels show as ArrowEvalPython / MapInPandas and are fine).
+  (Arrow kernels show as ArrowEvalPython / MapInPandas and are fine);
+- ``BroadcastNestedLoopJoin`` whose BUILD side is not provably
+  model-size: 1-row stat attachments (ungrouped aggregates) and
+  bounded limits are the only legitimate BNLJ inputs — a corpus-sized
+  broadcast there is an OOM at scale, invisible at sf0.01.
 
-The per-query plan-shape contracts live in test_plans.py; this sweep is
-the backstop that keeps a NEW query from reintroducing either class.
+The sweep also carries the source-level gate: ``collect()`` /
+``toPandas()`` in product (non-test) source are frozen to an explicit
+model-size allowlist, so a new driver-side materialization fails CI
+rather than waiting for a judge audit.
+
+The per-query plan-shape contracts live in test_plans.py; this sweep
+is the backstop that keeps a NEW query from reintroducing any class.
 """
 
 import contextlib
 import io
+import os
+import re
 
 import pytest
 
@@ -25,9 +35,22 @@ _Q = all_queries()
 # (BatchEvalPythonUDTF) shares the row-at-a-time prefix.
 ROW_PYTHON_ALLOWED = {"udtf_char_chunks"}
 
+# Build-side subtree markers that prove a BNLJ input is model-size:
+# an ungrouped aggregate (exactly 1 row), an explicit bounded limit,
+# or a literal local relation.
+_MODEL_SIZE = re.compile(
+    r"keys=\[\]|GlobalLimit|CollectLimit|LocalTableScan|OneRowRelation")
+
+
+def _walk(node):
+    yield node
+    cs = node.children()
+    for i in range(cs.size()):
+        yield from _walk(cs.apply(i))
+
 
 @pytest.mark.parametrize("name", sorted(_Q))
-def test_plan_has_no_cartesian_or_row_python(name, spark, sf_oracle):
+def test_plan_hygiene(name, spark, sf_oracle):
     df = _Q[name].build(spark, sf_oracle)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -36,3 +59,58 @@ def test_plan_has_no_cartesian_or_row_python(name, spark, sf_oracle):
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     if name not in ROW_PYTHON_ALLOWED:
         assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time UDF"
+
+    if "BroadcastNestedLoopJoin" not in plan:
+        return
+    # Model-size discipline: walk the strategy-time physical plan (no
+    # AQE wrapper yet) and prove each BNLJ's build side is bounded.
+    root = df._jdf.queryExecution().sparkPlan()
+    for node in _walk(root):
+        if node.nodeName() != "BroadcastNestedLoopJoin":
+            continue
+        simple = node.simpleString(100)
+        build_right = "BuildRight" in simple
+        build = node.children().apply(1 if build_right else 0)
+        subtree = build.toString()
+        assert _MODEL_SIZE.search(subtree), (
+            f"{name}: BNLJ build side is not provably model-size:\n"
+            f"{subtree[:2000]}")
+
+
+# --------------------------- source-level driver-materialization gate
+_PKG = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "impractical_impala_spark")
+
+# path (relative to package) -> exact allowed count of collect/toPandas
+# sites, each audited model-size at the call site:
+#   layout.py      1x one-scalar max (partition-layout seed)
+#   similarity.py  2x k-means centroid maps (<= IVF_CELLS rows)
+#   ml_more.py     1x d(d+1)/2 = 2080 Gram cells
+#   plans/wdi.py   1x golden-CSV emission of <=45-row stat tables
+#                  (the default sink path is the distributed writer)
+_MATERIALIZE_ALLOW = {
+    "queries/layout.py": 1,
+    "queries/similarity.py": 2,
+    "queries/ml_more.py": 1,
+    "plans/wdi.py": 1,
+}
+
+_CALL = re.compile(r"\.collect\(\)|\.toPandas\(\)|collectAsList")
+
+
+def test_no_unaudited_driver_materialization():
+    found: dict[str, int] = {}
+    for dirpath, _dirs, files in os.walk(_PKG):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, _PKG)
+            with open(path, encoding="utf-8") as fh:
+                n = sum(1 for line in fh
+                        if _CALL.search(line.split("#", 1)[0]))
+            if n:
+                found[rel] = n
+    assert found == _MATERIALIZE_ALLOW, (
+        "driver-side materialization sites changed; audit the new site "
+        f"for model-size and update the allowlist: {found}")

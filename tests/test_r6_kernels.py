@@ -339,8 +339,8 @@ def test_pca_power_matches_eigh(spark, sf_small):
     eigenvector of the float second-moment matrix (|cos| > 0.999) and
     the integer Rayleigh quotient must sit within the quantization
     envelope of the true lambda_max / max|S| ratio — an independent
-    check that 12 integer iterations actually CONVERGE, not just that
-    both engines run the same loop."""
+    check that the PCA_ITERS (128) integer iterations actually
+    CONVERGE, not just that both engines run the same loop."""
     from impractical_impala_spark.queries.ml_more import (
         Q_SCALE, emb_pca_power)
     out = emb_pca_power(spark, sf_small).toPandas().sort_values("dim_idx")

@@ -1,0 +1,119 @@
+"""Round-7 kernel references: independent (numpy / pure-Python)
+checks for the round-7 numerical fixes and additions — engine parity
+alone proves both engines run the same arithmetic, not that the
+arithmetic is statistically/numerically RIGHT."""
+
+import math
+import statistics
+
+import numpy as np
+import pytest
+
+KNUTH, M31 = 2654435761, 2147483648
+
+
+def _boot_u(key: int, r: int) -> int:
+    """Pure-Python twin of quality._SPARK_U / _DUCK_U (three Knuth
+    multiplicative rounds with xorshift mixes)."""
+    h1 = (key % M31) * KNUTH % M31
+    m1 = h1 ^ (h1 >> 13)
+    h2 = ((m1 + r) * KNUTH) % M31
+    m2 = h2 ^ (h2 >> 7)
+    h3 = (m2 * KNUTH) % M31
+    return (h3 ^ (h3 >> 13)) % 1_000_000
+
+
+def test_bootstrap_uniform_engine_identity(spark):
+    """The Spark expression, the DuckDB expression and the pure-Python
+    twin must agree bit-for-bit over a (key, r) grid that includes
+    huge keys (the mod-2^31 reduction path)."""
+    import duckdb
+
+    from impractical_impala_spark.queries.quality import (
+        _DUCK_U, _SPARK_U, BOOT_R)
+
+    keys = [1, 2, 977, 123_456_789, 2**31 - 1, 2**41 + 17]
+    rel = duckdb.sql(
+        f"SELECT o_orderkey, r, {_DUCK_U} AS u FROM "
+        f"(SELECT UNNEST({keys}) AS o_orderkey) "
+        f"CROSS JOIN (SELECT UNNEST(range(0, {BOOT_R})) AS r)").fetchall()
+    for k, r, u in rel:
+        assert u == _boot_u(k, r), (k, r)
+
+    sdf = spark.sql(
+        f"SELECT o_orderkey, r, {_SPARK_U} AS u FROM "
+        f"(SELECT explode(array({','.join(map(str, keys))})) AS o_orderkey) "
+        f"LATERAL VIEW explode(sequence(0, {BOOT_R - 1})) t AS r")
+    for row in sdf.collect():
+        assert row.u == _boot_u(row.o_orderkey, row.r), row
+
+
+def test_bootstrap_se_matches_true_poisson():
+    """The deliverable check the ADVICE simulation failed on the old
+    affine generator: on sequential key blocks with key-LINEAR values
+    (the adversarial case — id-ordered amounts), the deterministic
+    bootstrap SE must track a true numpy Poisson bootstrap within the
+    SE-of-SE envelope, block-averaged. The old two-round affine
+    generator measured ~0.75 here; lattice collapse reads ~0.2."""
+    acc = 0.0
+    for k in range(9):
+        acc += math.exp(-1.0) / math.factorial(k)
+    thr = np.array([round(sum(math.exp(-1.0) / math.factorial(j)
+                              for j in range(i + 1)) * 1e6)
+                    for i in range(9)])
+    n, reps, blocks = 20_000, 64, 6
+    ratios = []
+    for blk in range(blocks):
+        keys = np.arange(1 + blk * n, 1 + (blk + 1) * n)
+        vals = np.arange(1, n + 1, dtype=float)
+        means = []
+        for r in range(reps):
+            us = np.array([_boot_u(int(k), r) for k in keys])
+            w = np.searchsorted(thr, us, side="right")
+            means.append((w * vals).sum() / w.sum())
+        se = statistics.stdev(means)
+        true_ses = []
+        for seed in range(3):
+            rng = np.random.default_rng(seed + 100 * blk)
+            m2 = [((w := rng.poisson(1.0, n)) * vals).sum() / w.sum()
+                  for _ in range(reps)]
+            true_ses.append(statistics.stdev(m2))
+        ratios.append(se / np.mean(true_ses))
+    mean_ratio = float(np.mean(ratios))
+    # SE-of-SE at 64 reps is ~9% per block; over 6 blocks ~4%.
+    assert 0.85 < mean_ratio < 1.15, ratios
+
+
+def test_bootstrap_weight_marginal_is_poisson1():
+    """Marginal weight frequencies over a large (key, r) panel must
+    match Poisson(1) pmf (truncated at 9) within sampling error."""
+    counts = np.zeros(10, dtype=np.int64)
+    thr = np.array([round(sum(math.exp(-1.0) / math.factorial(j)
+                              for j in range(i + 1)) * 1e6)
+                    for i in range(9)])
+    n = 50_000
+    us = np.array([_boot_u(k, k % 64) for k in range(1, n + 1)])
+    w = np.searchsorted(thr, us, side="right")
+    for wi in w:
+        counts[wi] += 1
+    for k in range(5):
+        p = math.exp(-1.0) / math.factorial(k)
+        got = counts[k] / n
+        assert abs(got - p) < 4 * math.sqrt(p * (1 - p) / n), (k, got, p)
+
+
+def test_pca_normalization_overflow_guard():
+    """The driver-side OverflowError must fire exactly when
+    S * PCA_SNORM leaves int64 (numpy would wrap silently there)."""
+    from impractical_impala_spark.queries.ml_more import PCA_SNORM
+
+    bound = (1 << 63) // PCA_SNORM - 1  # PCA_SNORM divides 2^63 exactly
+    assert bound * PCA_SNORM < 1 << 63
+    assert (bound + 1) * PCA_SNORM >= 1 << 63
+    # the guard in emb_pca_power uses exactly this predicate
+    import inspect
+
+    from impractical_impala_spark.queries.ml_more import emb_pca_power
+    src = inspect.getsource(emb_pca_power)
+    assert "smax * PCA_SNORM >= 1 << 63" in src
+    assert "OverflowError" in src

@@ -5,7 +5,8 @@ import math
 
 from impractical_impala_spark.sources import load_table
 from impractical_impala_spark.streaming import sessions as S
-from impractical_impala_spark.streaming.stateful import batch_ewma, user_ewma
+from impractical_impala_spark.streaming.stateful import user_ewma
+from .streaming_refs import batch_ewma
 
 
 def test_streaming_ewma_matches_batch(spark, sf_small):

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from impractical_impala_spark.sources import load_table
 from impractical_impala_spark.streaming import heavyhitters as H
+from . import streaming_refs as HREF
 from impractical_impala_spark.streaming import sessions as S
 
 
@@ -25,7 +26,7 @@ def _run_stream(spark, sf_small, checkpoint):
 
 def test_availablenow_matches_batch_twin(spark, sf_small, tmp_path):
     got = _run_stream(spark, sf_small, str(tmp_path / "ckpt"))
-    want = H.batch_heavy_hitters(
+    want = HREF.batch_heavy_hitters(
         load_table(spark, sf_small, "events"))
     g = got.sort_values(["shard", "item"]).reset_index(drop=True)
     w = want.sort_values(["shard", "item"]).reset_index(drop=True)
@@ -36,7 +37,7 @@ def test_availablenow_matches_batch_twin(spark, sf_small, tmp_path):
 
 def test_mg_guarantees_vs_exact(spark, sf_small):
     ev = load_table(spark, sf_small, "events")
-    summary = H.batch_heavy_hitters(ev)
+    summary = HREF.batch_heavy_hitters(ev)
     exact = (H._with_item(ev).groupBy("shard", "item")
              .agg(F.count(F.lit(1)).alias("n"))
              .toPandas())
@@ -120,7 +121,7 @@ def test_mg_restart_from_checkpoint(spark, sf_small, tmp_path):
 
     # batch twin over the SAME chronological order (event_id order ==
     # ts order in this fixture replay)
-    want = H.batch_heavy_hitters(load_table(spark, sf_small, "events"))
+    want = HREF.batch_heavy_hitters(load_table(spark, sf_small, "events"))
     g = got.sort_values(["shard", "item"]).reset_index(drop=True)
     w = want.sort_values(["shard", "item"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
