@@ -1005,3 +1005,114 @@ SELECT event_type,
              / (2.0 * SUM(ca) * SUM(cb)), 6) + 0.0 AS auc_late_gt_early
 FROM terms GROUP BY event_type ORDER BY event_type
 """, "tie-corrected Mann-Whitney U / AUC drift over the quantized bins")
+
+
+# --------------- frozen-reference drift monitor (streaming batch twin)
+def events_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/drift.py::value_drift_monitor — the
+    frozen-reference KS drift semantics, driver-checkable: per event
+    type the FIRST calendar day's value histogram is the frozen
+    reference, and every day (micro-batch) reports the integer-ppm KS
+    distance against it. Shares the stream's operator constants
+    (DRIFT_BINS=64 fixed clip range [DRIFT_LO, DRIFT_HI]) — a stream
+    cannot know the global min/max, so the batch twin uses the same
+    CONFIGURED range, not the broadcast-range binning of
+    events_value_ks_drift; that is the documented semantic difference
+    between the two drift queries. Scale shape: one fact-size shuffle
+    into the (type x day x 64-bin) histogram — bounded by the calendar,
+    not data volume — then every window/join runs on the dense bin
+    spine (types x days x 64 rows). KS numerators are exact integer
+    ppm ECDF differences (cum * 1e6 div n, n <= 1e12 rows/day keeps
+    the product inside int64); the reference day reports ks_ppm = 0 by
+    construction, mirroring the stream's is_reference row."""
+    from ..streaming.drift import DRIFT_BINS, DRIFT_HI, DRIFT_LO
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select(
+              "event_type",
+              F.date_format("ts", "yyyy-MM-dd").alias("day"),
+              F.least(F.lit(DRIFT_BINS - 1), F.greatest(F.lit(0), F.floor(
+                  (F.col("value") - F.lit(DRIFT_LO)) * DRIFT_BINS
+                  / (DRIFT_HI - DRIFT_LO)).cast("int"))).alias("bin")))
+    hist = (ev.groupBy("event_type", "day", "bin")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    days = hist.select("event_type", "day").distinct()
+    spine = days.select(
+        "event_type", "day",
+        F.explode(F.expr(f"sequence(0, {DRIFT_BINS - 1})")).alias("bin"))
+    dense = (spine.join(hist, ["event_type", "day", "bin"], "left")
+             .withColumn("cnt", F.coalesce("cnt", F.lit(0))))
+    wc = Window.partitionBy("event_type", "day").orderBy("bin")
+    wn = Window.partitionBy("event_type", "day")
+    cum = (dense.withColumn("cum", F.sum("cnt").over(wc))
+           .withColumn("n", F.sum("cnt").over(wn)))
+    ref_day = days.groupBy("event_type").agg(F.min("day").alias("ref_day"))
+    ref = (cum.join(F.broadcast(ref_day), "event_type")
+           .filter(F.col("day") == F.col("ref_day"))
+           .select("event_type", "bin", F.col("cum").alias("cum_r"),
+                   F.col("n").alias("n_ref")))
+    gaps = (cum.join(ref, ["event_type", "bin"])
+            .withColumn("gap", F.abs(
+                F.expr("cum * 1000000 div n")
+                - F.expr("cum_r * 1000000 div n_ref"))))
+    return (gaps.groupBy("event_type", "day")
+            .agg(F.max("n_ref").alias("n_ref"),
+                 F.max("n").alias("n_batch"),
+                 F.max("gap").alias("ks_ppm"))
+            .join(F.broadcast(ref_day), "event_type")
+            .select("event_type", "day", "n_ref", "n_batch", "ks_ppm",
+                    (F.col("day") == F.col("ref_day")).cast("long")
+                    .alias("is_reference"))
+            .orderBy("event_type", "day"))
+
+
+from ..streaming.drift import (DRIFT_BINS as _DB, DRIFT_HI as _DH,
+                               DRIFT_LO as _DL)
+
+register("events_drift_monitor", events_drift_monitor, f"""
+WITH binned AS (
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           LEAST({_DB - 1}, GREATEST(0, CAST(FLOOR(
+               (value - {_DL}) * {_DB} / ({_DH} - {_DL})) AS INTEGER)))
+               AS bin
+    FROM events WHERE value IS NOT NULL
+), hist AS (
+    SELECT event_type, day, bin, COUNT(*) AS cnt
+    FROM binned GROUP BY 1, 2, 3
+), days AS (SELECT DISTINCT event_type, day FROM hist),
+spine AS (
+    SELECT d.event_type, d.day, b.bin
+    FROM days d CROSS JOIN (SELECT UNNEST(range(0, {_DB})) AS bin) b
+), dense AS (
+    SELECT s.event_type, s.day, s.bin, COALESCE(h.cnt, 0) AS cnt
+    FROM spine s LEFT JOIN hist h USING (event_type, day, bin)
+), cum AS (
+    SELECT event_type, day, bin,
+           CAST(SUM(cnt) OVER (PARTITION BY event_type, day
+                               ORDER BY bin) AS BIGINT) AS cum,
+           CAST(SUM(cnt) OVER (PARTITION BY event_type, day)
+                AS BIGINT) AS n
+    FROM dense
+), refd AS (SELECT event_type, MIN(day) AS ref_day FROM days GROUP BY 1),
+ref AS (
+    SELECT c.event_type, c.bin, c.cum AS cum_r, c.n AS n_ref
+    FROM cum c JOIN refd r
+      ON c.event_type = r.event_type AND c.day = r.ref_day
+), gaps AS (
+    SELECT c.event_type, c.day, c.n, f.n_ref,
+           ABS(c.cum * 1000000 // c.n - f.cum_r * 1000000 // f.n_ref)
+               AS gap
+    FROM cum c JOIN ref f
+      ON c.event_type = f.event_type AND c.bin = f.bin
+)
+SELECT g.event_type, g.day,
+       CAST(MAX(g.n_ref) AS BIGINT) AS n_ref,
+       CAST(MAX(g.n) AS BIGINT) AS n_batch,
+       CAST(MAX(g.gap) AS BIGINT) AS ks_ppm,
+       CAST(MAX(CASE WHEN g.day = r.ref_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS is_reference
+FROM gaps g JOIN refd r ON g.event_type = r.event_type
+GROUP BY g.event_type, g.day
+ORDER BY g.event_type, g.day
+""", "frozen-first-day-reference KS drift (streaming monitor batch twin)")

@@ -117,3 +117,42 @@ def test_pca_normalization_overflow_guard():
     src = inspect.getsource(emb_pca_power)
     assert "smax * PCA_SNORM >= 1 << 63" in src
     assert "OverflowError" in src
+
+
+def test_drift_monitor_batch_twin_equals_stream_fold(spark, sf_small):
+    """The driver-checkable events_drift_monitor (first-day frozen
+    reference) must equal the streaming monitor's reference fold
+    applied to the same day-sliced micro-batches — the registered
+    query IS the stream's semantics, not a lookalike."""
+    import pandas as pd
+
+    from impractical_impala_spark.queries.drift import events_drift_monitor
+    from impractical_impala_spark.sources import load_table
+    from impractical_impala_spark.streaming.drift import (
+        batch_drift_reference)
+
+    got = events_drift_monitor(spark, sf_small).toPandas()
+
+    ev = (load_table(spark, sf_small, "events")
+          .selectExpr("event_type", "date_format(ts, 'yyyy-MM-dd') AS day",
+                      "value")
+          .toPandas())
+    # one micro-batch per calendar day, in day order (the stream's
+    # arrival order); the fold freezes each type's first-seen batch
+    batches = [g.drop(columns="day") for _, g in
+               sorted(ev.groupby("day"), key=lambda kv: kv[0])]
+    want = batch_drift_reference(batches)
+
+    # align: the fold emits rows in arrival order without the day key;
+    # re-key by (type, seq) == (type, day rank)
+    got_s = got.sort_values(["event_type", "day"]).reset_index(drop=True)
+    want["seq"] = want.groupby("event_type").cumcount()
+    got_s["seq"] = got_s.groupby("event_type").cumcount()
+    w = want.sort_values(["event_type", "seq"]).reset_index(drop=True)
+    assert len(got_s) == len(w)
+    assert (got_s["event_type"].values == w["event_type"].values).all()
+    assert (got_s["n_ref"].values == w["n_ref"].values).all()
+    assert (got_s["n_batch"].values == w["n_batch"].values).all()
+    assert (got_s["ks_ppm"].values == w["ks_ppm"].values).all()
+    assert (got_s["is_reference"].astype(bool).values
+            == w["is_reference"].values).all()
