@@ -1,0 +1,633 @@
+"""Classical statistical tests, distribution-free and parametric, in
+scale-correct decompositions — the round-7 rigor wave extending the
+drift family (KS / Mann-Whitney / chi-square / CUSUM) with the tests a
+data-quality review actually asks for next:
+
+- Welch's t (parametric mean-shift complement to Mann-Whitney): exact
+  integer sufficient statistics (n, sum, sum-of-squares on the
+  centi-quantized value), one float evaluation at the end.
+- Kruskal-Wallis H (k-group generalization of Mann-Whitney): midranks
+  from the shared 256-bin quantized domain, doubled-integer rank sums,
+  tie-corrected.
+- Mann-Kendall trend test (the significance companion to the
+  Theil-Sen slope): pairwise sign aggregation over the CALENDAR-
+  bounded daily series, never over facts; tie-corrected variance in
+  exact integers.
+- Kendall's tau-b: concordant/discordant pair counts from 2D prefix
+  sums over the DENSE bounded joint histogram (256 price bins x the
+  discrete quantity domain) — the pair space collapses to grid cells.
+- Jensen-Shannon divergence (bounded, symmetric drift measure —
+  complements the unbounded PSI and the sup-norm KS).
+- Kaplan-Meier survival with right-censoring: the survival-curve
+  completion of user_churn_hazard (which emits the uncensored hazard
+  table and deliberately leaves the product to the consumer).
+
+Every operator reduces the fact table ONCE to a bounded-domain
+aggregate (bins x groups, calendar days, lifetime days); all pairwise
+or cumulative work happens on that bounded domain. Integer overflow
+ladders are documented per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+from .drift import N_KS_BINS, clip_bin
+
+DAY_NS = 86_400_000_000_000
+
+
+# ------------------------------------------------ Welch's t-test
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t between the early and late half of
+    each event type's value stream — the parametric mean-shift
+    companion to events_mw_rank_drift (same global midpoint split).
+    Values quantize to integer centi-units (floor(value*100)), so the
+    sufficient statistics (n, sum, sum of squares) accumulate EXACTLY
+    and order-free; t and the Welch-Satterthwaite df are one float
+    evaluation on those integers. Overflow ladder: sum(centi^2) <=
+    n * 2.5e9 holds int64 to ~3.7e9 rows per (type, half) — same
+    class as the MW u2 bound; past that, pre-shard and sum partials
+    as DECIMAL(38,0)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts_ns",
+        F.floor(F.col("value") * 100).cast("long").alias("centi"))
+    stats = ev.agg(F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("mid_ns"))
+    halves = (ev.crossJoin(F.broadcast(stats))
+              .withColumn("early", F.expr(
+                  "CASE WHEN ts_ns <= mid_ns THEN 1 ELSE 0 END")))
+    suff = halves.groupBy("event_type").agg(
+        F.sum("early").alias("na"),
+        F.sum(F.lit(1) - F.col("early")).alias("nb"),
+        F.sum(F.col("early") * F.col("centi")).alias("sa"),
+        F.sum((F.lit(1) - F.col("early")) * F.col("centi")).alias("sb"),
+        F.sum(F.col("early") * F.col("centi") * F.col("centi")).alias("qa"),
+        F.sum((F.lit(1) - F.col("early")) * F.col("centi")
+              * F.col("centi")).alias("qb"))
+    # float evaluation on exact integers, identical on both engines
+    va = "((cast(na as double)*qa - cast(sa as double)*sa)/(cast(na as double)*(na-1)))"
+    vb = "((cast(nb as double)*qb - cast(sb as double)*sb)/(cast(nb as double)*(nb-1)))"
+    se2 = f"({va}/na + {vb}/nb)"
+    t = (f"((cast(sa as double)/na - cast(sb as double)/nb)"
+         f" / sqrt({se2}))")
+    df = (f"({se2}*{se2} / (({va}/na)*({va}/na)/(na-1)"
+          f" + ({vb}/nb)*({vb}/nb)/(nb-1)))")
+    return (suff.select(
+        "event_type", F.col("na").alias("n_early"),
+        F.col("nb").alias("n_late"),
+        F.expr("sa div na").alias("mean_early_centi"),
+        F.expr("sb div nb").alias("mean_late_centi"),
+        (F.round(F.expr(t), 4) + 0.0).alias("t_stat"),
+        (F.round(F.expr(df), 2) + 0.0).alias("df_welch"))
+        .orderBy("event_type"))
+
+
+register("events_welch_ttest", events_welch_ttest, """
+WITH ev AS (
+    SELECT event_type, CAST(epoch_us(ts) AS BIGINT) * 1000 AS ts_ns,
+           CAST(FLOOR(value * 100) AS BIGINT) AS centi
+    FROM events
+), stats AS (
+    SELECT (MIN(ts_ns) + MAX(ts_ns)) // 2 AS mid_ns FROM ev
+), suff AS (
+    SELECT event_type,
+           CAST(SUM(CASE WHEN ts_ns <= mid_ns THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(SUM(CASE WHEN ts_ns <= mid_ns THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+           CAST(SUM(CASE WHEN ts_ns <= mid_ns THEN centi ELSE 0 END) AS BIGINT) AS sa,
+           CAST(SUM(CASE WHEN ts_ns <= mid_ns THEN 0 ELSE centi END) AS BIGINT) AS sb,
+           CAST(SUM(CASE WHEN ts_ns <= mid_ns THEN centi*centi ELSE 0 END) AS BIGINT) AS qa,
+           CAST(SUM(CASE WHEN ts_ns <= mid_ns THEN 0 ELSE centi*centi END) AS BIGINT) AS qb
+    FROM ev CROSS JOIN stats GROUP BY event_type
+)
+SELECT event_type, na AS n_early, nb AS n_late,
+       sa // na AS mean_early_centi,
+       sb // nb AS mean_late_centi,
+       ROUND((CAST(sa AS DOUBLE)/na - CAST(sb AS DOUBLE)/nb)
+             / SQRT(((CAST(na AS DOUBLE)*qa - CAST(sa AS DOUBLE)*sa)/(CAST(na AS DOUBLE)*(na-1)))/na
+                    + ((CAST(nb AS DOUBLE)*qb - CAST(sb AS DOUBLE)*sb)/(CAST(nb AS DOUBLE)*(nb-1)))/nb), 4)
+           + 0.0 AS t_stat,
+       ROUND((((CAST(na AS DOUBLE)*qa - CAST(sa AS DOUBLE)*sa)/(CAST(na AS DOUBLE)*(na-1)))/na
+              + ((CAST(nb AS DOUBLE)*qb - CAST(sb AS DOUBLE)*sb)/(CAST(nb AS DOUBLE)*(nb-1)))/nb)
+             * (((CAST(na AS DOUBLE)*qa - CAST(sa AS DOUBLE)*sa)/(CAST(na AS DOUBLE)*(na-1)))/na
+                + ((CAST(nb AS DOUBLE)*qb - CAST(sb AS DOUBLE)*sb)/(CAST(nb AS DOUBLE)*(nb-1)))/nb)
+             / ((((CAST(na AS DOUBLE)*qa - CAST(sa AS DOUBLE)*sa)/(CAST(na AS DOUBLE)*(na-1)))/na)
+                * (((CAST(na AS DOUBLE)*qa - CAST(sa AS DOUBLE)*sa)/(CAST(na AS DOUBLE)*(na-1)))/na)/(na-1)
+                + (((CAST(nb AS DOUBLE)*qb - CAST(sb AS DOUBLE)*sb)/(CAST(nb AS DOUBLE)*(nb-1)))/nb)
+                * (((CAST(nb AS DOUBLE)*qb - CAST(sb AS DOUBLE)*sb)/(CAST(nb AS DOUBLE)*(nb-1)))/nb)/(nb-1)), 2)
+           + 0.0 AS df_welch
+FROM suff ORDER BY event_type
+""", "Welch unequal-variance t-test, early vs late half per event type")
+
+
+# --------------------------------------- Jensen-Shannon divergence
+def events_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the early/late halves of each
+    event type's value distribution over the shared 256-bin quantized
+    domain — the BOUNDED (<= ln 2), symmetric drift measure that
+    complements the sup-norm KS (events_value_ks_drift) and the
+    unbounded PSI (doc_length_drift_psi). Histogram counts are exact
+    integers off one fact scan; the JSD sum runs over <= types x 256
+    cells with term-wise zero handling (a bin absent from one half
+    contributes only the other half's m-term), one rounded float."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts_ns", "value")
+    stats = ev.agg(F.min("value").alias("mn_v"), F.max("value").alias("mx_v"),
+                   F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("mid_ns"))
+    binned = ev.crossJoin(F.broadcast(stats)).select(
+        "event_type",
+        clip_bin(F.col("value"), F.col("mn_v"), F.col("mx_v"),
+                 N_KS_BINS).alias("bin"),
+        F.expr("CASE WHEN ts_ns <= mid_ns THEN 1 ELSE 0 END").alias("early"))
+    per_bin = binned.groupBy("event_type", "bin").agg(
+        F.sum("early").alias("ca"),
+        F.sum(F.lit(1) - F.col("early")).alias("cb"))
+    tot = per_bin.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    terms = (per_bin.join(F.broadcast(tot), "event_type")
+             .withColumn("p", F.col("ca") / F.col("na"))
+             .withColumn("q", F.col("cb") / F.col("nb"))
+             .withColumn("m", (F.col("p") + F.col("q")) / 2)
+             .withColumn("term",
+                         F.when(F.col("ca") > 0,
+                                F.col("p") * F.log(F.col("p") / F.col("m")))
+                         .otherwise(F.lit(0.0)) / 2
+                         + F.when(F.col("cb") > 0,
+                                  F.col("q") * F.log(F.col("q") / F.col("m")))
+                         .otherwise(F.lit(0.0)) / 2))
+    return (terms.groupBy("event_type")
+            .agg(F.max("na").alias("n_early"),
+                 F.max("nb").alias("n_late"),
+                 (F.round(F.sum("term"), 6) + 0.0).alias("jsd_nats"))
+            .orderBy("event_type"))
+
+
+register("events_jsd_drift", events_jsd_drift, f"""
+WITH ev AS (
+    SELECT event_type, CAST(epoch_us(ts) AS BIGINT) * 1000 AS ts_ns, value
+    FROM events
+), stats AS (
+    SELECT MIN(value) AS mn_v, MAX(value) AS mx_v,
+           (MIN(ts_ns) + MAX(ts_ns)) // 2 AS mid_ns
+    FROM ev
+), binned AS (
+    SELECT event_type,
+           CASE WHEN mx_v = mn_v THEN 0 ELSE
+                LEAST({N_KS_BINS - 1},
+                      CAST(FLOOR((value - mn_v) * {N_KS_BINS}
+                                 / (mx_v - mn_v)) AS BIGINT)) END AS bin,
+           CASE WHEN ts_ns <= mid_ns THEN 1 ELSE 0 END AS early
+    FROM ev CROSS JOIN stats
+), per_bin AS (
+    SELECT event_type, bin,
+           CAST(SUM(early) AS BIGINT) AS ca,
+           CAST(SUM(1 - early) AS BIGINT) AS cb
+    FROM binned GROUP BY 1, 2
+), tot AS (
+    SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na,
+           CAST(SUM(cb) AS BIGINT) AS nb
+    FROM per_bin GROUP BY 1
+), terms AS (
+    SELECT p.event_type, t.na, t.nb,
+           (CASE WHEN p.ca > 0 THEN (p.ca / CAST(t.na AS DOUBLE))
+                 * LN((p.ca / CAST(t.na AS DOUBLE))
+                      / ((p.ca / CAST(t.na AS DOUBLE)
+                          + p.cb / CAST(t.nb AS DOUBLE)) / 2))
+                 ELSE 0.0 END) / 2
+           + (CASE WHEN p.cb > 0 THEN (p.cb / CAST(t.nb AS DOUBLE))
+                   * LN((p.cb / CAST(t.nb AS DOUBLE))
+                        / ((p.ca / CAST(t.na AS DOUBLE)
+                            + p.cb / CAST(t.nb AS DOUBLE)) / 2))
+                   ELSE 0.0 END) / 2 AS term
+    FROM per_bin p JOIN tot t ON p.event_type = t.event_type
+)
+SELECT event_type, MAX(na) AS n_early, MAX(nb) AS n_late,
+       ROUND(SUM(term), 6) + 0.0 AS jsd_nats
+FROM terms GROUP BY event_type ORDER BY event_type
+""", "Jensen-Shannon drift, early vs late half per event type")
+
+
+# ------------------------------------------------ Kruskal-Wallis H
+def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across ALL event types at once — the k-group
+    generalization of the pairwise Mann-Whitney drift test: do the
+    type-conditional value distributions share a location? Midranks
+    come from the GLOBAL 256-bin quantized histogram (doubled-integer
+    midranks m2 = 2*cum_below + c + 1, so no fact total-order and no
+    halves); per-group doubled rank sums R2_g = sum_bins c_gb * m2_b
+    are exact integers (R2 <= n_g * (2N+1): int64 to ~2e9 rows at 2e9
+    corpus — past that accumulate DECIMAL partials). H and the
+    tie-corrected H' (divisor 1 - sum(c^3-c)/(N^3-N)) are one float
+    evaluation; epsilon^2 = (H - k + 1)/(N - k) is the effect size."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.agg(F.min("value").alias("mn_v"), F.max("value").alias("mx_v"))
+    binned = ev.crossJoin(F.broadcast(stats)).select(
+        "event_type",
+        clip_bin(F.col("value"), F.col("mn_v"), F.col("mx_v"),
+                 N_KS_BINS).alias("bin"))
+    joint = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("c_gb"))
+    glob = joint.groupBy("bin").agg(F.sum("c_gb").alias("c_b"))
+    wcum = Window.orderBy("bin")
+    mids = (glob.withColumn(
+        "m2", 2 * (F.sum("c_b").over(wcum) - F.col("c_b"))
+        + F.col("c_b") + 1))
+    grp = (joint.join(F.broadcast(mids.select("bin", "m2")), "bin")
+           .groupBy("event_type")
+           .agg(F.sum("c_gb").alias("n_g"),
+                F.sum(F.col("c_gb") * F.col("m2")).alias("r2_g")))
+    ties = glob.agg(
+        F.sum(F.col("c_b") * F.col("c_b") * F.col("c_b") - F.col("c_b"))
+        .alias("tie3"))
+    agg = (grp.agg(
+        F.sum("n_g").alias("n_total"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.expr("cast(r2_g as double) * r2_g / (4.0 * n_g)"))
+        .alias("sum_r2_over_n"))
+        .crossJoin(F.broadcast(ties)))
+    h = ("(12.0 * sum_r2_over_n / (cast(n_total as double) * (n_total + 1))"
+         " - 3.0 * (n_total + 1))")
+    corr = ("(1.0 - cast(tie3 as double) / (cast(n_total as double)"
+            " * n_total * n_total - n_total))")
+    return agg.select(
+        "n_total", "n_groups",
+        (F.round(F.expr(h), 6) + 0.0).alias("h_stat"),
+        (F.round(F.expr(f"{h} / {corr}"), 6) + 0.0).alias("h_tie_corrected"),
+        (F.round(F.expr(f"({h} - n_groups + 1)"
+                        f" / (cast(n_total as double) - n_groups)"), 6)
+         + 0.0).alias("epsilon_sq"))
+
+
+register("events_kruskal_wallis", events_kruskal_wallis, f"""
+WITH stats AS (
+    SELECT MIN(value) AS mn_v, MAX(value) AS mx_v FROM events
+), binned AS (
+    SELECT event_type,
+           CASE WHEN mx_v = mn_v THEN 0 ELSE
+                LEAST({N_KS_BINS - 1},
+                      CAST(FLOOR((value - mn_v) * {N_KS_BINS}
+                                 / (mx_v - mn_v)) AS BIGINT)) END AS bin
+    FROM events CROSS JOIN stats
+), joint AS (
+    SELECT event_type, bin, COUNT(*) AS c_gb FROM binned GROUP BY 1, 2
+), gbin AS (
+    SELECT bin, CAST(SUM(c_gb) AS BIGINT) AS c_b FROM joint GROUP BY bin
+), mids AS (
+    SELECT bin, 2 * (CAST(SUM(c_b) OVER (ORDER BY bin) AS BIGINT) - c_b)
+                + c_b + 1 AS m2
+    FROM gbin
+), grp AS (
+    SELECT event_type, CAST(SUM(c_gb) AS BIGINT) AS n_g,
+           CAST(SUM(c_gb * m2) AS BIGINT) AS r2_g
+    FROM joint JOIN mids USING (bin) GROUP BY event_type
+), ties AS (
+    SELECT CAST(SUM(c_b * c_b * c_b - c_b) AS BIGINT) AS tie3 FROM gbin
+), agg AS (
+    SELECT CAST(SUM(n_g) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           SUM(CAST(r2_g AS DOUBLE) * r2_g / (4.0 * n_g)) AS sum_r2_over_n
+    FROM grp
+)
+SELECT n_total, n_groups,
+       ROUND(12.0 * sum_r2_over_n / (CAST(n_total AS DOUBLE) * (n_total + 1))
+             - 3.0 * (n_total + 1), 6) + 0.0 AS h_stat,
+       ROUND((12.0 * sum_r2_over_n / (CAST(n_total AS DOUBLE) * (n_total + 1))
+              - 3.0 * (n_total + 1))
+             / (1.0 - CAST(tie3 AS DOUBLE)
+                / (CAST(n_total AS DOUBLE) * n_total * n_total - n_total)),
+             6) + 0.0 AS h_tie_corrected,
+       ROUND((12.0 * sum_r2_over_n / (CAST(n_total AS DOUBLE) * (n_total + 1))
+              - 3.0 * (n_total + 1) - n_groups + 1)
+             / (CAST(n_total AS DOUBLE) - n_groups), 6) + 0.0 AS epsilon_sq
+FROM agg CROSS JOIN ties
+""", "tie-corrected Kruskal-Wallis H across event types")
+
+
+# ------------------------------------------------ Mann-Kendall trend
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on each event type's DAILY revenue
+    series — the significance companion to nation_theilsen_trend's
+    slope: S = sum over day pairs of sign(c_j - c_i), with the exact
+    tie-corrected variance var18 = n(n-1)(2n+5) - sum t(t-1)(2t+5)
+    (emitted as the x18 integer numerator) and the continuity-
+    corrected z. The fact table reduces ONCE to the (type x calendar
+    day) cents aggregate; the pairwise sign sum runs over that
+    calendar-BOUNDED series (days^2 pairs per type — 13M at a 10-year
+    window, independent of corpus size), never over facts. Everything
+    but z is exact integer arithmetic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts_ns div {DAY_NS}").alias("d"),
+        F.floor(F.col("value") * 100).cast("long").alias("centi"))
+    daily = ev.groupBy("event_type", "d").agg(F.sum("centi").alias("c"))
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                & (F.col("a.d") < F.col("b.d")))
+         .groupBy(F.col("a.event_type").alias("event_type"))
+         .agg(F.sum(F.signum(F.col("b.c") - F.col("a.c")).cast("long"))
+              .alias("s_stat")))
+    n = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    ties = (daily.groupBy("event_type", "c")
+            .agg(F.count(F.lit(1)).alias("t"))
+            .groupBy("event_type")
+            .agg(F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+                 .alias("tie18")))
+    out = (n.join(s, "event_type").join(ties, "event_type")
+           .withColumn("var18",
+                       F.col("n_days") * (F.col("n_days") - 1)
+                       * (2 * F.col("n_days") + 5) - F.col("tie18")))
+    z = ("CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var18 / 18.0) "
+         "WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var18 / 18.0) "
+         "ELSE 0.0 END")
+    return (out.select("event_type", "n_days", "s_stat", "var18",
+                       (F.round(F.expr(z), 4) + 0.0).alias("z_mk"))
+            .orderBy("event_type"))
+
+
+register("events_mann_kendall", events_mann_kendall, f"""
+WITH daily AS (
+    SELECT event_type, CAST(epoch_us(ts) AS BIGINT) * 1000 // {DAY_NS} AS d,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+), s AS (
+    SELECT a.event_type,
+           CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                         WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.d < b.d
+    GROUP BY a.event_type
+), n AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM daily GROUP BY 1
+), ties AS (
+    SELECT event_type,
+           CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+    FROM (SELECT event_type, c, COUNT(*) AS t
+          FROM daily GROUP BY 1, 2) tt
+    GROUP BY event_type
+)
+SELECT n.event_type, n.n_days, s.s_stat,
+       n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - ties.tie18 AS var18,
+       ROUND(CASE WHEN s.s_stat > 0
+                  THEN (s.s_stat - 1) / SQRT((n.n_days * (n.n_days - 1)
+                       * (2 * n.n_days + 5) - ties.tie18) / 18.0)
+                  WHEN s.s_stat < 0
+                  THEN (s.s_stat + 1) / SQRT((n.n_days * (n.n_days - 1)
+                       * (2 * n.n_days + 5) - ties.tie18) / 18.0)
+                  ELSE 0.0 END, 4) + 0.0 AS z_mk
+FROM n JOIN s ON n.event_type = s.event_type
+JOIN ties ON n.event_type = ties.event_type
+ORDER BY n.event_type
+""", "tie-corrected Mann-Kendall trend test on daily revenue per type")
+
+
+# ------------------------------------------------ Kendall's tau-b
+N_KT_BINS = 256
+
+
+def lineitem_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between extended price and quantity per return
+    flag — the concordance companion to lineitem_spearman_corr. The
+    O(n^2) pair space collapses onto the DENSE bounded joint histogram
+    (256 price bins x the discrete per-flag quantity range): with 2D
+    prefix sums P over the grid, concordant pairs C = sum G(i,j) *
+    P(i-1,j-1) (each concordant pair counted once at its dominating
+    cell) and discordant D = sum G(i,j) * (CR(i-1) - P(i-1,j)) — the
+    grid is types x 256 x ~50 cells regardless of corpus size, built
+    by exploding per-flag min/max aggregates (no cross join). Ties use
+    the marginal row/col totals (tau-b denominators as doubled
+    integers). Pair counts <= N^2/2 hold int64 to ~4e9 rows; past
+    that, accumulate C/D as DECIMAL(38,0). Bin-width ties are part of
+    the quantization contract, mirrored in the oracle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("l_quantity")).cast("long").alias("qv"))
+    fstats = li.groupBy("flag").agg(
+        F.min("cents").alias("mn_c"), F.max("cents").alias("mx_c"),
+        F.min("qv").alias("mn_q"), F.max("qv").alias("mx_q"))
+    binned = li.join(F.broadcast(fstats), "flag").select(
+        "flag", "qv",
+        clip_bin(F.col("cents"), F.col("mn_c"), F.col("mx_c"),
+                 N_KT_BINS).alias("pbin"))
+    joint = binned.groupBy("flag", "pbin", "qv").agg(
+        F.count(F.lit(1)).alias("g"))
+    spine = (fstats
+             .select("flag", "mn_q", "mx_q",
+                     F.explode(F.expr(f"sequence(0, {N_KT_BINS - 1})"))
+                     .alias("pbin"))
+             .select("flag", "pbin",
+                     F.explode(F.expr("sequence(mn_q, mx_q)")).alias("qv")))
+    dense = (spine.join(joint, ["flag", "pbin", "qv"], "left")
+             .withColumn("g", F.coalesce("g", F.lit(0))))
+    w_row = Window.partitionBy("flag", "pbin").orderBy("qv")
+    w_colcum = Window.partitionBy("flag", "qv").orderBy("pbin")
+    grid = (dense
+            .withColumn("cq", F.sum("g").over(w_row))
+            .withColumn("p", F.sum("cq").over(w_colcum))
+            .withColumn("p_i1", F.lag("p", 1, 0).over(w_colcum)))
+    grid = grid.withColumn("a", F.lag("p_i1", 1, 0).over(w_row))
+    rowtot = (dense.groupBy("flag", "pbin").agg(F.sum("g").alias("r"))
+              .withColumn("cr", F.sum("r")
+                          .over(Window.partitionBy("flag").orderBy("pbin")))
+              .withColumn("cr_1", F.lag("cr", 1, 0)
+                          .over(Window.partitionBy("flag").orderBy("pbin"))))
+    grid = grid.join(rowtot.select("flag", "pbin", "cr_1"), ["flag", "pbin"])
+    cd = (grid.withColumn("b", F.col("cr_1") - F.col("p_i1"))
+          .groupBy("flag")
+          .agg(F.sum(F.col("g") * F.col("a")).alias("concordant"),
+               F.sum(F.col("g") * F.col("b")).alias("discordant"),
+               F.sum("g").alias("n")))
+    t_row = (dense.groupBy("flag", "pbin").agg(F.sum("g").alias("r"))
+             .groupBy("flag")
+             .agg(F.sum(F.col("r") * (F.col("r") - 1)).alias("n1x2")))
+    t_col = (dense.groupBy("flag", "qv").agg(F.sum("g").alias("cc"))
+             .groupBy("flag")
+             .agg(F.sum(F.col("cc") * (F.col("cc") - 1)).alias("n2x2")))
+    tau = ("(concordant - cast(discordant as double))"
+           " / sqrt(((cast(n as double) * (n - 1) - n1x2) / 2)"
+           " * ((cast(n as double) * (n - 1) - n2x2) / 2))")
+    return (cd.join(t_row, "flag").join(t_col, "flag")
+            .select(F.col("flag").alias("l_returnflag"), "n",
+                    "concordant", "discordant",
+                    (F.round(F.expr(tau), 6) + 0.0).alias("tau_b"))
+            .orderBy("l_returnflag"))
+
+
+register("lineitem_kendall_tau", lineitem_kendall_tau, f"""
+WITH li AS (
+    SELECT l_returnflag AS flag,
+           CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qv
+    FROM lineitem
+), fstats AS (
+    SELECT flag, MIN(cents) AS mn_c, MAX(cents) AS mx_c,
+           MIN(qv) AS mn_q, MAX(qv) AS mx_q
+    FROM li GROUP BY flag
+), binned AS (
+    SELECT li.flag, li.qv,
+           CASE WHEN f.mx_c = f.mn_c THEN 0 ELSE
+                LEAST({N_KT_BINS - 1},
+                      CAST(FLOOR((li.cents - f.mn_c) * {N_KT_BINS}
+                                 / CAST(f.mx_c - f.mn_c AS DOUBLE))
+                           AS BIGINT)) END AS pbin
+    FROM li JOIN fstats f ON li.flag = f.flag
+), joint AS (
+    SELECT flag, pbin, qv, CAST(COUNT(*) AS BIGINT) AS g
+    FROM binned GROUP BY 1, 2, 3
+), spine AS (
+    SELECT f.flag, pb.pbin, f.mn_q + qq.i AS qv
+    FROM fstats f
+    CROSS JOIN (SELECT UNNEST(range(0, {N_KT_BINS})) AS pbin) pb
+    CROSS JOIN (SELECT UNNEST(range(0, 101)) AS i) qq
+    WHERE f.mn_q + qq.i <= f.mx_q
+), dense AS (
+    SELECT s.flag, s.pbin, s.qv, COALESCE(j.g, 0) AS g
+    FROM spine s LEFT JOIN joint j USING (flag, pbin, qv)
+), cqg AS (
+    SELECT flag, pbin, qv, g,
+           CAST(SUM(g) OVER (PARTITION BY flag, pbin ORDER BY qv)
+                AS BIGINT) AS cq
+    FROM dense
+), grid AS (
+    SELECT flag, pbin, qv, g,
+           CAST(SUM(cq) OVER (PARTITION BY flag, qv ORDER BY pbin)
+                AS BIGINT) AS p
+    FROM cqg
+), grid2 AS (
+    SELECT flag, pbin, qv, g,
+           COALESCE(LAG(p) OVER (PARTITION BY flag, qv ORDER BY pbin), 0)
+               AS p_i1
+    FROM grid
+), grid3 AS (
+    SELECT flag, pbin, qv, g, p_i1,
+           COALESCE(LAG(p_i1) OVER (PARTITION BY flag, pbin ORDER BY qv), 0)
+               AS a
+    FROM grid2
+), rowtot AS (
+    SELECT flag, pbin, CAST(SUM(g) AS BIGINT) AS r,
+           COALESCE(CAST(SUM(SUM(g)) OVER (PARTITION BY flag ORDER BY pbin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS cr_1
+    FROM dense GROUP BY flag, pbin
+), cd AS (
+    SELECT g3.flag,
+           CAST(SUM(g3.g * g3.a) AS BIGINT) AS concordant,
+           CAST(SUM(g3.g * (rt.cr_1 - g3.p_i1)) AS BIGINT) AS discordant,
+           CAST(SUM(g3.g) AS BIGINT) AS n
+    FROM grid3 g3 JOIN rowtot rt ON g3.flag = rt.flag AND g3.pbin = rt.pbin
+    GROUP BY g3.flag
+), t_row AS (
+    SELECT flag, CAST(SUM(r * (r - 1)) AS BIGINT) AS n1x2
+    FROM (SELECT flag, pbin, SUM(g) AS r FROM dense GROUP BY 1, 2) x
+    GROUP BY flag
+), t_col AS (
+    SELECT flag, CAST(SUM(cc * (cc - 1)) AS BIGINT) AS n2x2
+    FROM (SELECT flag, qv, SUM(g) AS cc FROM dense GROUP BY 1, 2) x
+    GROUP BY flag
+)
+SELECT cd.flag AS l_returnflag, cd.n, cd.concordant, cd.discordant,
+       ROUND((cd.concordant - CAST(cd.discordant AS DOUBLE))
+             / SQRT(((CAST(cd.n AS DOUBLE) * (cd.n - 1) - t_row.n1x2) / 2)
+                    * ((CAST(cd.n AS DOUBLE) * (cd.n - 1) - t_col.n2x2) / 2)),
+             6) + 0.0 AS tau_b
+FROM cd JOIN t_row ON cd.flag = t_row.flag
+JOIN t_col ON cd.flag = t_col.flag
+ORDER BY l_returnflag
+""", "Kendall tau-b from 2D prefix sums over the bounded joint histogram")
+
+
+# ------------------------------------- Kaplan-Meier with censoring
+KM_CENSOR_DAYS = 7
+
+
+def users_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival over user lifetimes with
+    RIGHT-CENSORING — the survival-curve completion of
+    user_churn_hazard (which emits the uncensored hazard table and
+    leaves the product to the consumer): users whose last activity
+    falls within KM_CENSOR_DAYS of the corpus end are censored (still
+    alive at the observation boundary), not churned. Per lifetime day:
+    at-risk (everyone not yet churned or censored), churned, censored,
+    and S(t) = prod_{{u<=t}} (1 - d_u/n_u), evaluated as
+    exp(cum-sum of ln terms) over the BOUNDED lifetime-day spine in a
+    deterministic day order — identical double sequences on both
+    engines. The fact table reduces once to per-user (first, last)
+    day; everything after is lifetime-day cardinality."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts_ns")
+    life = ev.groupBy("user_id").agg(
+        F.expr(f"min(ts_ns) div {DAY_NS}").alias("first_d"),
+        F.expr(f"max(ts_ns) div {DAY_NS}").alias("last_d"))
+    gmax = life.agg(F.max("last_d").alias("g_max"))
+    marked = (life.crossJoin(F.broadcast(gmax))
+              .select((F.col("last_d") - F.col("first_d")).alias("t"),
+                      F.expr(f"CASE WHEN last_d > g_max - {KM_CENSOR_DAYS}"
+                             " THEN 1 ELSE 0 END").alias("censored")))
+    per_day = marked.groupBy("t").agg(
+        F.sum(F.lit(1) - F.col("censored")).alias("d"),
+        F.sum("censored").alias("c"))
+    tot = per_day.agg(F.sum(F.col("d") + F.col("c")).alias("n_users"))
+    wday = Window.orderBy("t")
+    curve = (per_day.crossJoin(F.broadcast(tot))
+             .withColumn("left_before",
+                         F.coalesce(F.sum(F.col("d") + F.col("c"))
+                                    .over(wday.rowsBetween(
+                                        Window.unboundedPreceding, -1)),
+                                    F.lit(0)))
+             .withColumn("n_risk", F.col("n_users") - F.col("left_before"))
+             .withColumn("ln_term",
+                         F.when(F.col("d") < F.col("n_risk"),
+                                F.log((F.col("n_risk") - F.col("d"))
+                                      / F.col("n_risk")))
+                         .otherwise(F.lit(None)))
+             .withColumn("dead_flag",
+                         F.max(F.when(F.col("d") >= F.col("n_risk"), 1)
+                               .otherwise(0)).over(wday))
+             .withColumn("cum_ln", F.sum("ln_term").over(wday)))
+    return (curve.select(
+        F.col("t").alias("lifetime_d"), "n_risk",
+        F.col("d").alias("n_churned"), F.col("c").alias("n_censored"),
+        F.when(F.col("dead_flag") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("cum_ln"), 6) + 0.0).alias("survival"))
+        .orderBy("lifetime_d"))
+
+
+register("users_kaplan_meier", users_kaplan_meier, f"""
+WITH life AS (
+    SELECT user_id,
+           MIN(CAST(epoch_us(ts) AS BIGINT)) * 1000 // {DAY_NS} AS first_d,
+           MAX(CAST(epoch_us(ts) AS BIGINT)) * 1000 // {DAY_NS} AS last_d
+    FROM events GROUP BY user_id
+), gmax AS (SELECT MAX(last_d) AS g_max FROM life),
+marked AS (
+    SELECT last_d - first_d AS t,
+           CASE WHEN last_d > g_max - {KM_CENSOR_DAYS} THEN 1 ELSE 0 END
+               AS censored
+    FROM life CROSS JOIN gmax
+), per_day AS (
+    SELECT t, CAST(SUM(1 - censored) AS BIGINT) AS d,
+           CAST(SUM(censored) AS BIGINT) AS c
+    FROM marked GROUP BY t
+), tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n_users FROM per_day),
+curve AS (
+    SELECT t, d, c,
+           n_users - COALESCE(CAST(SUM(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS n_risk
+    FROM per_day CROSS JOIN tot
+), lns AS (
+    SELECT t, d, c, n_risk,
+           CASE WHEN d < n_risk
+                THEN LN((n_risk - d) / CAST(n_risk AS DOUBLE)) END AS ln_term,
+           MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t) AS dead_flag
+    FROM curve
+)
+SELECT t AS lifetime_d, n_risk, d AS n_churned, c AS n_censored,
+       CASE WHEN dead_flag = 1 THEN 0.0
+            ELSE ROUND(EXP(SUM(ln_term) OVER (ORDER BY t)), 6) + 0.0 END
+           AS survival
+FROM lns ORDER BY lifetime_d
+""", "right-censored Kaplan-Meier survival over user lifetimes")
