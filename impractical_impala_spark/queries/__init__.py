@@ -220,10 +220,59 @@ NEW_R6E = [
     "privacy_kanon_audit", "emb_pca_power",
 ]
 
-WINDOW = (
+_WINDOW_R6 = (
     NEW_R6 + NEW_R6B + NEW_R6C + NEW_R6D + NEW_R6E + CHANGED_R6[:2]
     + [q for q in STALE_R1R2 if q not in _EVICTED_TO_R7]
     + _EVICTED_TO_R7 + CHANGED_R6[2:]
 )
+
+# ---------------------------------------------------------------- r7
+# r7 window (replaces the r6 ordering above, kept for history). The r6
+# window went 50/50 full hash-matches, so every slot is free.
+
+# First driver exposure — the round-7 statistical-test / corpus-audit
+# wave plus the streaming drift monitor's batch twin.
+NEW_R7 = [
+    "events_drift_monitor",
+    "events_welch_ttest", "events_jsd_drift", "events_kruskal_wallis",
+    "events_mann_kendall", "lineitem_kendall_tau", "users_kaplan_meier",
+    "dq_uniqueness_audit", "split_leakage_audit", "source_content_overlap",
+    "order_ship_lag_quantiles", "events_weekday_decompose",
+    "graph_degree_assortativity", "session_hour_allocation",
+]
+
+# Changed this round — first proof of the new plans/values:
+# orders_bootstrap_ci's weight generator gained xorshift mixing (the
+# ADVICE lattice fix — VALUES change); dedup_embedding_neardup's panel
+# got the explicit broadcast hint (plan-only, values identical, but
+# the fresh row proves the corrected build side).
+CHANGED_R7 = ["orders_bootstrap_ci", "dedup_embedding_neardup"]
+
+# VERDICT r6 item 1: the 18 queries whose latest driver row is still
+# r1/r2-era — this closes the rotation; after r7 no registered query's
+# evidence predates r3.
+STALE_R1R2_R7 = [
+    "q_profile_table", "q_set_ops",
+    "o14_having", "o17_arithmetic", "o18_lookup_join", "o19_guarded_log",
+    "o20_dlog", "o21_time_index", "o24_grouped_sd", "o25_ratio",
+    "o26_corr", "o27_acf", "o28_two_level_agg", "o29_max_by_group",
+    "w1_running_sum", "w2_rank_orders", "w3_top1_per_group",
+    "w4_moving_avg",
+]
+
+# Fill: the r6-evicted chi2 insurance slot, then the OLDEST r3-era
+# rows (dedup/embedding/multimodal/TPC-H wave 3) so the evidence
+# ledger keeps rolling forward.
+FILL_R7 = [
+    "events_chi2_daypart",
+    "ann_dedup_pipeline", "dedup_clusters", "dedup_embedding_lsh",
+    "dedup_incremental", "dedup_ngram_jaccard", "dedup_survivors",
+    "doc_chunk_tokens", "emb_label_centroid", "emb_pq_codes",
+    "emb_quantize_int8", "mix_weighted_sample", "multimodal_frame_sample",
+    "multimodal_resized_checksum", "pack_sequences", "q10_returned_items",
+]
+
+WINDOW = NEW_R7 + CHANGED_R7 + STALE_R1R2_R7 + FILL_R7
+assert len(WINDOW) == 50, len(WINDOW)
 
 set_window_order(WINDOW)

@@ -156,3 +156,220 @@ def test_drift_monitor_batch_twin_equals_stream_fold(spark, sf_small):
     assert (got_s["ks_ppm"].values == w["ks_ppm"].values).all()
     assert (got_s["is_reference"].astype(bool).values
             == w["is_reference"].values).all()
+
+
+# ---------------------------------------------------------------------
+# Independent numpy references for the round-7 statistical operators.
+# Each recomputes the statistic from the RAW fixture with a different
+# algorithm (true ranks / brute-force pairs / direct folds) and checks
+# the registered query's output against it at sf0.001.
+
+def _duck(sf):
+    import duckdb
+    con = duckdb.connect()
+    for t in ["orders", "lineitem", "events", "documents"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    return con
+
+
+def _midranks(binned):
+    """True average ranks of a 1D integer-binned sample."""
+    order = np.argsort(binned, kind="mergesort")
+    ranks = np.empty(len(binned), dtype=np.float64)
+    sorted_v = binned[order]
+    i = 0
+    while i < len(sorted_v):
+        j = i
+        while j + 1 < len(sorted_v) and sorted_v[j + 1] == sorted_v[i]:
+            j += 1
+        ranks[order[i:j + 1]] = (i + j) / 2 + 1
+        i = j + 1
+    return ranks
+
+
+def test_kruskal_wallis_matches_true_ranks(spark, sf_small):
+    from impractical_impala_spark.queries.stat_tests import (
+        events_kruskal_wallis)
+
+    got = events_kruskal_wallis(spark, sf_small).toPandas().iloc[0]
+    ev = _duck(sf_small).execute(
+        "SELECT event_type, value FROM events").fetchdf()
+    mn, mx = ev.value.min(), ev.value.max()
+    b = np.minimum(255, np.floor(
+        (ev.value.values - mn) * 256 / (mx - mn))).astype(np.int64)
+    ranks = _midranks(b)
+    n = len(b)
+    groups = ev.event_type.values
+    h = 12.0 / (n * (n + 1)) * sum(
+        ranks[groups == g].sum() ** 2 / (groups == g).sum()
+        for g in np.unique(groups)) - 3.0 * (n + 1)
+    _, counts = np.unique(b, return_counts=True)
+    corr = 1.0 - (counts.astype(float) ** 3 - counts).sum() / (n**3 - n)
+    assert abs(got.h_stat - h) < 1e-4, (got.h_stat, h)
+    assert abs(got.h_tie_corrected - h / corr) < 1e-4
+
+
+def test_kendall_tau_matches_brute_force(spark, sf_small):
+    from impractical_impala_spark.queries.stat_tests import (
+        N_KT_BINS, lineitem_kendall_tau)
+
+    got = lineitem_kendall_tau(spark, sf_small).toPandas() \
+        .set_index("l_returnflag")
+    li = _duck(sf_small).execute(
+        "SELECT l_returnflag f, CAST(FLOOR(l_extendedprice*100) AS BIGINT)"
+        " cents, CAST(FLOOR(l_quantity) AS BIGINT) qv FROM lineitem"
+    ).fetchdf()
+    for flag, g in li.groupby("f"):
+        mn, mx = g.cents.min(), g.cents.max()
+        x = np.minimum(N_KT_BINS - 1, np.floor(
+            (g.cents.values - mn) * N_KT_BINS / (mx - mn))).astype(np.int64)
+        y = g.qv.values
+        C = D = 0
+        for i in range(len(x)):
+            dx = np.sign(x[i + 1:] - x[i])
+            dy = np.sign(y[i + 1:] - y[i])
+            prod = dx * dy
+            C += int((prod > 0).sum())
+            D += int((prod < 0).sum())
+        row = got.loc[flag]
+        assert (row.concordant, row.discordant) == (C, D), flag
+        n = len(x)
+        from collections import Counter
+        n1 = sum(t * (t - 1) // 2 for t in Counter(x).values())
+        n2 = sum(t * (t - 1) // 2 for t in Counter(list(y)).values())
+        n0 = n * (n - 1) // 2
+        tau = (C - D) / math.sqrt((n0 - n1) * (n0 - n2))
+        assert abs(row.tau_b - tau) < 1e-5, (flag, row.tau_b, tau)
+
+
+def test_mann_kendall_matches_brute_force(spark, sf_small):
+    from impractical_impala_spark.queries.stat_tests import (
+        DAY_NS, events_mann_kendall)
+
+    got = events_mann_kendall(spark, sf_small).toPandas() \
+        .set_index("event_type")
+    ev = _duck(sf_small).execute(
+        f"SELECT event_type, CAST(epoch_us(ts) AS BIGINT)*1000 // {DAY_NS}"
+        " AS d, CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS c"
+        " FROM events GROUP BY 1, 2 ORDER BY 1, 2").fetchdf()
+    for t, g in ev.groupby("event_type"):
+        c = g.sort_values("d").c.values
+        s = sum(int(np.sign(c[j] - c[i]))
+                for i in range(len(c)) for j in range(i + 1, len(c)))
+        n = len(c)
+        from collections import Counter
+        tie18 = sum(t0 * (t0 - 1) * (2 * t0 + 5)
+                    for t0 in Counter(c).values())
+        var18 = n * (n - 1) * (2 * n + 5) - tie18
+        row = got.loc[t]
+        assert (row.s_stat, row.var18) == (s, var18), t
+        if s > 0:
+            z = (s - 1) / math.sqrt(var18 / 18.0)
+        elif s < 0:
+            z = (s + 1) / math.sqrt(var18 / 18.0)
+        else:
+            z = 0.0
+        assert abs(row.z_mk - z) < 1e-3, t
+
+
+def test_welch_matches_numpy(spark, sf_small):
+    from impractical_impala_spark.queries.stat_tests import (
+        events_welch_ttest)
+
+    got = events_welch_ttest(spark, sf_small).toPandas() \
+        .set_index("event_type")
+    ev = _duck(sf_small).execute(
+        "SELECT event_type, CAST(epoch_us(ts) AS BIGINT)*1000 AS ts_ns,"
+        " CAST(FLOOR(value*100) AS BIGINT) AS centi FROM events").fetchdf()
+    mid = (ev.ts_ns.min() + ev.ts_ns.max()) // 2
+    for t, g in ev.groupby("event_type"):
+        a = g[g.ts_ns <= mid].centi.values.astype(float)
+        b = g[g.ts_ns > mid].centi.values.astype(float)
+        va, vb = a.var(ddof=1), b.var(ddof=1)
+        se2 = va / len(a) + vb / len(b)
+        tt = (a.mean() - b.mean()) / math.sqrt(se2)
+        df = se2 ** 2 / ((va / len(a)) ** 2 / (len(a) - 1)
+                         + (vb / len(b)) ** 2 / (len(b) - 1))
+        row = got.loc[t]
+        assert abs(row.t_stat - tt) < 1e-3, (t, row.t_stat, tt)
+        assert abs(row.df_welch - df) < 0.05, (t, row.df_welch, df)
+
+
+def test_jsd_matches_numpy(spark, sf_small):
+    from impractical_impala_spark.queries.stat_tests import events_jsd_drift
+
+    got = events_jsd_drift(spark, sf_small).toPandas() \
+        .set_index("event_type")
+    ev = _duck(sf_small).execute(
+        "SELECT event_type, CAST(epoch_us(ts) AS BIGINT)*1000 AS ts_ns,"
+        " value FROM events").fetchdf()
+    mn, mx = ev.value.min(), ev.value.max()
+    mid = (ev.ts_ns.min() + ev.ts_ns.max()) // 2
+    bins = np.minimum(255, np.floor(
+        (ev.value.values - mn) * 256 / (mx - mn))).astype(np.int64)
+    for t in got.index:
+        sel = (ev.event_type == t).values
+        ha = np.bincount(bins[sel & (ev.ts_ns <= mid).values],
+                         minlength=256).astype(float)
+        hb = np.bincount(bins[sel & (ev.ts_ns > mid).values],
+                         minlength=256).astype(float)
+        p, q = ha / ha.sum(), hb / hb.sum()
+        m = (p + q) / 2
+        jsd = 0.0
+        for k in range(256):
+            if p[k] > 0:
+                jsd += p[k] * math.log(p[k] / m[k]) / 2
+            if q[k] > 0:
+                jsd += q[k] * math.log(q[k] / m[k]) / 2
+        assert abs(got.loc[t].jsd_nats - jsd) < 1e-5, t
+        assert -1e-12 <= jsd <= math.log(2) + 1e-12
+
+
+def test_kaplan_meier_matches_hand_fold(spark, sf_small):
+    from impractical_impala_spark.queries.stat_tests import (
+        DAY_NS, KM_CENSOR_DAYS, users_kaplan_meier)
+
+    got = users_kaplan_meier(spark, sf_small).toPandas()
+    life = _duck(sf_small).execute(
+        f"SELECT MIN(CAST(epoch_us(ts) AS BIGINT))*1000 // {DAY_NS} AS f,"
+        f" MAX(CAST(epoch_us(ts) AS BIGINT))*1000 // {DAY_NS} AS l"
+        " FROM events GROUP BY user_id").fetchdf()
+    gmax = life.l.max()
+    t = (life.l - life.f).values
+    cens = (life.l > gmax - KM_CENSOR_DAYS).values
+    surv, rows = 1.0, {}
+    n_risk = len(t)
+    for day in sorted(set(t)):
+        d = int(((t == day) & ~cens).sum())
+        c = int(((t == day) & cens).sum())
+        if d < n_risk:
+            surv *= (n_risk - d) / n_risk
+        else:
+            surv = 0.0
+        rows[day] = (n_risk, d, c, surv)
+        n_risk -= d + c
+    for _, r in got.iterrows():
+        nr, d, c, s = rows[r.lifetime_d]
+        assert (r.n_risk, r.n_churned, r.n_censored) == (nr, d, c)
+        assert abs(r.survival - s) < 1e-6, (r.lifetime_d, r.survival, s)
+    # survival is monotone non-increasing
+    sv = got.sort_values("lifetime_d").survival.values
+    assert all(sv[i] >= sv[i + 1] - 1e-12 for i in range(len(sv) - 1))
+
+
+def test_assortativity_matches_numpy(spark, sf_small):
+    from impractical_impala_spark.queries.audit_ops import (
+        graph_degree_assortativity)
+
+    got = graph_degree_assortativity(spark, sf_small).toPandas().iloc[0]
+    edges = _duck(sf_small).execute(
+        "SELECT DISTINCT o_custkey c, l_suppkey s FROM lineitem"
+        " JOIN orders ON l_orderkey = o_orderkey").fetchdf()
+    dc = edges.groupby("c").size()
+    ds = edges.groupby("s").size()
+    x = edges.c.map(dc).values.astype(float)
+    y = edges.s.map(ds).values.astype(float)
+    r = np.corrcoef(x, y)[0, 1]
+    assert got.n_edges == len(edges)
+    assert abs(got.assortativity - r) < 1e-5, (got.assortativity, r)
