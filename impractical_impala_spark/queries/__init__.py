@@ -36,7 +36,7 @@ from . import (reference_ops, stats_ops, tpch, tpch_more,  # noqa: F401
                streams_plus, tpch_final, pipelines, training_ops,
                curation, analytics, lakehouse, ml_more, warehouse_extras,
                layout, feature_ops, paths_stats, modern_sql, profiling,
-               drift, quality, stat_tests, audit_ops)
+               drift, quality, stat_tests, audit_ops, sampling_stats)
 
 # r5 window. VERDICT r4 top-next: every one of the 154 registered
 # queries should carry a green-or-sanctioned driver row after this
@@ -271,6 +271,13 @@ FILL_R7 = [
     "emb_quantize_int8", "mix_weighted_sample", "multimodal_frame_sample",
     "multimodal_resized_checksum", "pack_sequences", "q10_returned_items",
 ]
+
+# Registered later in round 7, after the 50-slot window was cut —
+# FIRST r8 rotation candidates (the LATE_R5 precedent): the sampling/
+# collocation/L-moment wave in queries/sampling_stats.py
+# (text_pmi_collocations, events_share_ztest, dq_sequence_gaps,
+# weighted_reservoir_sample, lineitem_lmoments). All pass the local
+# DuckDB gate; they wait for the r8 window.
 
 WINDOW = NEW_R7 + CHANGED_R7 + STALE_R1R2_R7 + FILL_R7
 assert len(WINDOW) == 50, len(WINDOW)

@@ -373,3 +373,105 @@ def test_assortativity_matches_numpy(spark, sf_small):
     r = np.corrcoef(x, y)[0, 1]
     assert got.n_edges == len(edges)
     assert abs(got.assortativity - r) < 1e-5, (got.assortativity, r)
+
+
+def test_sequence_gap_frame_synthetic(spark):
+    """Synthetic holes (an intra-block run, a block-boundary run, a
+    single missing id) must be counted exactly — including the gap
+    that CROSSES the 4096-block boundary, the case the blocked
+    decomposition could plausibly get wrong."""
+    from pyspark.sql import functions as F
+
+    from impractical_impala_spark.queries.sampling_stats import (
+        sequence_gap_frame)
+
+    ids = spark.range(0, 20000).filter(
+        ~F.col("id").isin(5, 6, 7, 4095, 4096, 12000)).select(
+        F.col("id").alias("event_id"))
+    out = sequence_gap_frame(ids).collect()[0]
+    assert out.n_ids == 19994
+    assert out.n_missing == 6
+    assert out.max_gap == 3          # the 5,6,7 run
+    assert out.n_gap_runs == 3       # {5,6,7}, {4095,4096}, {12000}
+
+
+def test_lmoments_match_direct_order_stats(spark, sf_small):
+    """L-CV / L-skew from the Faulhaber bin decomposition must equal
+    the direct order-statistic estimator computed on the SORTED binned
+    sample (same quantized domain, different algorithm)."""
+    from impractical_impala_spark.queries.sampling_stats import (
+        N_LM_BINS, lineitem_lmoments)
+
+    got = lineitem_lmoments(spark, sf_small).toPandas() \
+        .set_index("l_returnflag")
+    li = _duck(sf_small).execute(
+        "SELECT l_returnflag f,"
+        " CAST(FLOOR(l_extendedprice*100) AS BIGINT) cents"
+        " FROM lineitem").fetchdf()
+    for flag, g in li.groupby("f"):
+        mn, mx = g.cents.min(), g.cents.max()
+        x = np.sort(np.minimum(N_LM_BINS - 1, np.floor(
+            (g.cents.values - mn) * N_LM_BINS
+            / float(mx - mn))).astype(np.int64)).astype(float)
+        n = len(x)
+        i = np.arange(1, n + 1, dtype=float)
+        b0 = x.mean()
+        b1 = (x * (i - 1)).sum() / (n * (n - 1))
+        b2 = (x * (i - 1) * (i - 2)).sum() / (n * (n - 1) * (n - 2))
+        l1, l2, l3 = b0, 2 * b1 - b0, 6 * b2 - 6 * b1 + b0
+        row = got.loc[flag]
+        assert abs(row.l_cv - l2 / l1) < 1e-5, flag
+        assert abs(row.l_skew - l3 / l2) < 1e-4, flag
+
+
+def test_weighted_reservoir_is_true_top_k(spark, sf_small):
+    """The two-phase salted top-K must equal the single-phase global
+    top-K per language (the partial pass can never evict a true
+    winner), and inclusion must follow the Efraimidis-Spirakis keys
+    recomputed independently."""
+    from impractical_impala_spark.queries.sampling_stats import (
+        WRS_K, weighted_reservoir_sample)
+
+    got = weighted_reservoir_sample(spark, sf_small).toPandas()
+    docs = _duck(sf_small).execute(
+        "SELECT doc_id, lang, n_chars FROM documents").fetchdf()
+    M31_7 = 268435455
+    def key(doc_id, w):
+        import hashlib
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:7], 16)
+        return ((h % M31_7) + 1) / 268435456.0, w
+    docs["key"] = [
+        (( (u := key(d, w))[0]) ** (1.0 / u[1]))
+        for d, w in zip(docs.doc_id, docs.n_chars)]
+    for lang, g in docs.groupby("lang"):
+        want = g.sort_values(["key", "doc_id"],
+                             ascending=[False, True]).head(WRS_K)
+        got_l = got[got.lang == lang].sort_values("sample_rank")
+        assert list(got_l.doc_id) == list(want.doc_id), lang
+
+
+def test_pmi_top_pair_is_plausible(spark, sf_small):
+    """PMI ranking sanity on the fixture: every returned pair meets
+    the support cut, PMI values are finite and descending, and a
+    brute-force recount of the top pair's statistics matches."""
+    from impractical_impala_spark.queries.sampling_stats import (
+        PMI_MIN_SUPPORT, text_pmi_collocations)
+
+    got = text_pmi_collocations(spark, sf_small).toPandas()
+    assert (got.c_ab >= PMI_MIN_SUPPORT).all()
+    assert got.pmi.is_monotonic_decreasing or len(got) <= 1
+    docs = _duck(sf_small).execute(
+        "SELECT lower(text) t FROM documents").fetchdf()
+    from collections import Counter
+    uni, bi = Counter(), Counter()
+    for t in docs.t:
+        w = t.split(" ")
+        uni.update(w)
+        bi.update(zip(w, w[1:]))
+    top = got.iloc[0]
+    n = sum(uni.values())
+    nb = sum(c for c in bi.values() if c >= PMI_MIN_SUPPORT)
+    assert bi[(top.a, top.b)] == top.c_ab
+    assert uni[top.a] == top.c_a and uni[top.b] == top.c_b
+    pmi = math.log((top.c_ab / nb) / ((top.c_a / n) * (top.c_b / n)))
+    assert abs(top.pmi - pmi) < 1e-5
