@@ -56,7 +56,13 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), cast(0.0 as double),"
         " (acc, x) -> acc + x)"
     )
-    pairs = q.join(c, F.col("q.vec_id") != F.col("c.vec_id")).select(
+    # The predicate-bounded QUERY PANEL must be the broadcast side —
+    # explicitly. Without the hint Spark picks by size estimate and at
+    # sf0.01 chose the full corpus (caught by the r7 mechanized BNLJ
+    # sweep); at scale that is a corpus-sized broadcast. The panel is
+    # bounded by the vec_id < N_QUERIES predicate at any corpus size.
+    pairs = F.broadcast(q).join(
+        c, F.col("q.vec_id") != F.col("c.vec_id")).select(
         F.col("q.vec_id").alias("query_id"),
         F.col("c.vec_id").alias("neighbor_id"),
         (dot / (F.col("q.norm") * F.col("c.norm"))).alias("cos"),

@@ -631,3 +631,97 @@ SELECT t AS lifetime_d, n_risk, d AS n_churned, c AS n_censored,
            AS survival
 FROM lns ORDER BY lifetime_d
 """, "right-censored Kaplan-Meier survival over user lifetimes")
+
+
+# --------------------------------- multivariate OLS (normal equations)
+def lineitem_price_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS with intercept per return flag — price_cents ~
+    quantity + discount_bp — solved EXACTLY from the integer normal
+    equations: one fact scan accumulates the 9 sufficient sums (X'X,
+    X'y and sum y^2) as DECIMAL(38,0) on Spark / HUGEINT on DuckDB,
+    the 3x3 system solves by Cramer's rule on those exact integers
+    (determinant terms stay < 1e38 to ~1e9 rows per flag), and only
+    the final beta ratios and R^2 are floats. The multivariate
+    extension of o23's quadratic-detrend Cramer oracle, applied to a
+    fact table instead of a 60-point series: the model is model-size
+    no matter the corpus, the distributed work is ONE aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("x2"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("y"))
+    d = lambda e: F.expr(e).cast("decimal(38,0)")  # noqa: E731
+    suff = li.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d("x1")).alias("s1"), F.sum(d("x2")).alias("s2"),
+        F.sum(d("x1") * d("x1")).alias("s11"),
+        F.sum(d("x1") * d("x2")).alias("s12"),
+        F.sum(d("x2") * d("x2")).alias("s22"),
+        F.sum(d("y")).alias("sy"),
+        F.sum(d("x1") * d("y")).alias("s1y"),
+        F.sum(d("x2") * d("y")).alias("s2y"),
+        F.sum(d("y") * d("y")).alias("syy"))
+    det = ("(n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)"
+           " + s2*(s1*s12 - s11*s2))")
+    d0 = ("(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)"
+          " + s2*(s1y*s12 - s11*s2y))")
+    d1 = ("(n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)"
+          " + s2*(s1*s2y - s1y*s2))")
+    d2 = ("(n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)"
+          " + sy*(s1*s12 - s11*s2))")
+    b0 = f"(cast({d0} as double) / cast({det} as double))"
+    b1 = f"(cast({d1} as double) / cast({det} as double))"
+    b2 = f"(cast({d2} as double) / cast({det} as double))"
+    sst = "(cast(syy as double) - cast(sy as double)*cast(sy as double)/cast(n as double))"
+    ssr = (f"({b0}*cast(sy as double) + {b1}*cast(s1y as double)"
+           f" + {b2}*cast(s2y as double)"
+           f" - cast(sy as double)*cast(sy as double)/cast(n as double))")
+    return (suff.select(
+        F.col("flag").alias("l_returnflag"),
+        F.col("n").cast("long").alias("n"),
+        (F.round(F.expr(b0), 2) + 0.0).alias("beta_intercept_cents"),
+        (F.round(F.expr(b1), 4) + 0.0).alias("beta_per_qty_cents"),
+        (F.round(F.expr(b2), 4) + 0.0).alias("beta_per_disc_bp_cents"),
+        (F.round(F.expr(f"{ssr} / {sst}"), 6) + 0.0).alias("r2"))
+        .orderBy("l_returnflag"))
+
+
+_OLS_DET = ("(n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)"
+            " + s2*(s1*s12 - s11*s2))")
+_OLS_D0 = ("(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)"
+           " + s2*(s1y*s12 - s11*s2y))")
+_OLS_D1 = ("(n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)"
+           " + s2*(s1*s2y - s1y*s2))")
+_OLS_D2 = ("(n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)"
+           " + sy*(s1*s12 - s11*s2))")
+_OLS_B0 = f"(CAST({_OLS_D0} AS DOUBLE) / CAST({_OLS_DET} AS DOUBLE))"
+_OLS_B1 = f"(CAST({_OLS_D1} AS DOUBLE) / CAST({_OLS_DET} AS DOUBLE))"
+_OLS_B2 = f"(CAST({_OLS_D2} AS DOUBLE) / CAST({_OLS_DET} AS DOUBLE))"
+_OLS_SST = ("(CAST(syy AS DOUBLE)"
+            " - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))")
+_OLS_SSR = (f"({_OLS_B0}*CAST(sy AS DOUBLE) + {_OLS_B1}*CAST(s1y AS DOUBLE)"
+            f" + {_OLS_B2}*CAST(s2y AS DOUBLE)"
+            " - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))")
+
+register("lineitem_price_ols", lineitem_price_ols, f"""
+WITH li AS (
+    SELECT l_returnflag AS flag,
+           CAST(l_quantity AS HUGEINT) AS x1,
+           CAST(ROUND(l_discount * 10000) AS HUGEINT) AS x2,
+           CAST(FLOOR(l_extendedprice * 100) AS HUGEINT) AS y
+    FROM lineitem
+), suff AS (
+    SELECT flag, CAST(COUNT(*) AS HUGEINT) AS n,
+           SUM(x1) AS s1, SUM(x2) AS s2,
+           SUM(x1*x1) AS s11, SUM(x1*x2) AS s12, SUM(x2*x2) AS s22,
+           SUM(y) AS sy, SUM(x1*y) AS s1y, SUM(x2*y) AS s2y,
+           SUM(y*y) AS syy
+    FROM li GROUP BY flag
+)
+SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n,
+       ROUND({_OLS_B0}, 2) + 0.0 AS beta_intercept_cents,
+       ROUND({_OLS_B1}, 4) + 0.0 AS beta_per_qty_cents,
+       ROUND({_OLS_B2}, 4) + 0.0 AS beta_per_disc_bp_cents,
+       ROUND({_OLS_SSR} / {_OLS_SST}, 6) + 0.0 AS r2
+FROM suff ORDER BY l_returnflag
+""", "two-feature OLS per flag via exact integer normal equations")

@@ -298,9 +298,14 @@ def test_bootstrap_matches_numpy(spark, sf_small):
         keys = grp.o_orderkey.to_numpy(dtype=np.int64)
         cents = grp.cents.to_numpy(dtype=np.int64)
         means = []
+        # numpy twin of the r7 xorshift-mixed generator (quality._SPARK_U)
         h1 = (keys % _M31) * _KNUTH % _M31
+        m1 = h1 ^ (h1 >> 13)
         for r in range(BOOT_R):
-            u = ((h1 + r) * _KNUTH) % _M31 % 1_000_000
+            h2 = ((m1 + r) * _KNUTH) % _M31
+            m2 = h2 ^ (h2 >> 7)
+            h3 = (m2 * _KNUTH) % _M31
+            u = (h3 ^ (h3 >> 13)) % 1_000_000
             w = np.searchsorted(cuts, u, side="right")
             sw = int(w.sum())
             if sw > 0:
