@@ -170,6 +170,13 @@ HEADLINE = [
     "events_weekday_decompose",
     "graph_degree_assortativity",
     "session_hour_allocation",
+    # round 7 wave 2 (append-only): sampling / collocations / OLS
+    "text_pmi_collocations",
+    "events_share_ztest",
+    "dq_sequence_gaps",
+    "weighted_reservoir_sample",
+    "lineitem_lmoments",
+    "lineitem_price_ols",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

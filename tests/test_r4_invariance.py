@@ -258,3 +258,75 @@ def test_r6c_partition_invariance(spark, sf_small, name):
         for k, v in old.items():
             spark.conf.set(k, v)
     assert base == skewed
+
+
+R7_CASES = [
+    # wave 1: statistical tests + audits
+    "events_drift_monitor",        # frozen-first-day KS, integer ppm
+    "events_welch_ttest",          # exact integer sufficient stats
+    "events_jsd_drift",            # bounded-histogram divergence
+    "events_kruskal_wallis",       # doubled-integer midrank sums
+    "events_mann_kendall",         # calendar-bounded pair signs
+    "lineitem_kendall_tau",        # dense-grid 2D prefix sums
+    "users_kaplan_meier",          # deterministic ln-sum product
+    "dq_uniqueness_audit",         # per-table key aggregates
+    "split_leakage_audit",         # fingerprint-grouped flags
+    "source_content_overlap",      # sorted-pair explode over sources
+    "order_ship_lag_quantiles",    # bounded lag-day first crossings
+    "events_weekday_decompose",    # dense-spine integer MA detrend
+    "graph_degree_assortativity",  # integer sufficient sums on edges
+    "session_hour_allocation",     # interval->hour integer overlap
+    # wave 2: sampling / collocations / robust stats
+    "text_pmi_collocations",       # vocabulary-keyed counts + top-K
+    "events_share_ztest",          # pooled-proportion z on integers
+    "dq_sequence_gaps",            # blocked lags + summary lags
+    "weighted_reservoir_sample",   # two-phase deterministic top-K
+    "lineitem_lmoments",           # Faulhaber range-sums, DECIMAL
+    "lineitem_price_ols",          # integer normal equations + Cramer
+]
+
+
+@pytest.mark.parametrize("name", R7_CASES)
+def test_r7_partition_invariance(spark, sf_small, name):
+    """Round-7 determinism under hostile splits, same contract as
+    r5/r6: narrow scan partitions, prime shuffle width, small Arrow
+    batches must not change a single output value."""
+    base = sorted(map(tuple, _Q[name].build(spark, sf_small).collect()))
+    conf = [("spark.sql.files.maxPartitionBytes", "65536"),
+            ("spark.sql.shuffle.partitions", "7"),
+            ("spark.sql.execution.arrow.maxRecordsPerBatch", "37")]
+    old = {k: spark.conf.get(k) for k, _ in conf}
+    try:
+        for k, v in conf:
+            spark.conf.set(k, v)
+        skewed = sorted(map(tuple, _Q[name].build(spark, sf_small).collect()))
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert base == skewed
+
+
+R7_TS_CASES = [
+    # every round-7 query that derives calendar/day/hour keys from ts
+    "events_drift_monitor", "events_welch_ttest", "events_jsd_drift",
+    "events_mann_kendall", "users_kaplan_meier",
+    "events_weekday_decompose", "session_hour_allocation",
+    "events_share_ztest", "order_ship_lag_quantiles",
+]
+
+
+@pytest.mark.parametrize("name", R7_TS_CASES)
+def test_r7_timezone_invariance(spark, sf_small, name):
+    """Hostile-session-TZ sweep for the round-7 timestamp-bearing
+    queries: a UTC+14 session must not move any day/hour bucket (the
+    engine pins timestamp arithmetic to the lossless ts_ns epoch and a
+    UTC session zone at load time)."""
+    base = sorted(map(tuple, _Q[name].build(spark, sf_small).collect()))
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+        hostile = sorted(map(tuple,
+                             _Q[name].build(spark, sf_small).collect()))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    assert base == hostile

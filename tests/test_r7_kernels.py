@@ -475,3 +475,31 @@ def test_pmi_top_pair_is_plausible(spark, sf_small):
     assert uni[top.a] == top.c_a and uni[top.b] == top.c_b
     pmi = math.log((top.c_ab / nb) / ((top.c_a / n) * (top.c_b / n)))
     assert abs(top.pmi - pmi) < 1e-5
+
+
+def test_price_ols_matches_numpy_lstsq(spark, sf_small):
+    """The Cramer-rule integer normal equations must match numpy's
+    QR-based lstsq (a completely different solve path) on betas and
+    R^2 for every return flag."""
+    from impractical_impala_spark.queries.stat_tests import (
+        lineitem_price_ols)
+
+    got = lineitem_price_ols(spark, sf_small).toPandas() \
+        .set_index("l_returnflag")
+    li = _duck(sf_small).execute(
+        "SELECT l_returnflag f, CAST(l_quantity AS BIGINT) x1,"
+        " CAST(ROUND(l_discount*10000) AS BIGINT) x2,"
+        " CAST(FLOOR(l_extendedprice*100) AS BIGINT) y"
+        " FROM lineitem").fetchdf()
+    for flag, g in li.groupby("f"):
+        X = np.column_stack(
+            [np.ones(len(g)), g.x1, g.x2]).astype(float)
+        y = g.y.values.astype(float)
+        b, *_ = np.linalg.lstsq(X, y, rcond=None)
+        yhat = X @ b
+        r2 = 1 - ((y - yhat) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+        row = got.loc[flag]
+        assert abs(row.beta_intercept_cents - b[0]) < max(1.0, 1e-6 * abs(b[0]))
+        assert abs(row.beta_per_qty_cents - b[1]) < max(0.01, 1e-5 * abs(b[1]))
+        assert abs(row.beta_per_disc_bp_cents - b[2]) < max(0.01, 1e-5 * abs(b[2]))
+        assert abs(row.r2 - r2) < 1e-5, flag
