@@ -18,21 +18,17 @@ def test_queries_and_oracles_consistent():
         assert isinstance(sql, str) and "SELECT" in sql.upper()
 
 
-def test_driver_window_holds_round6_targets():
+def test_driver_window_holds_round7_targets():
     """The correctness driver checks the FIRST 50 entries of queries().
-    Round 6's window must lead with the new first-exposure queries,
-    then the two semantically-changed plans, then the 42 queries whose
-    latest driver row was r1/r2-era — the rotation contract from
-    queries/__init__.py."""
+    Round 7's window must lead with the first-exposure queries, then
+    the two changed plans (bootstrap PRNG values, neardup broadcast),
+    then the 18 queries that close the r1/r2 rotation — the contract
+    from queries/__init__.py."""
     from impractical_impala_spark.queries import (
-        _EVICTED_TO_R7, CHANGED_R6, NEW_R6, NEW_R6B, STALE_R1R2, WINDOW)
+        CHANGED_R7, FILL_R7, NEW_R7, STALE_R1R2_R7, WINDOW)
 
     first50 = list(e.queries())[:50]
     assert first50 == WINDOW[:50]
-    assert first50[:len(NEW_R6)] == NEW_R6
-    for name in NEW_R6 + NEW_R6B + CHANGED_R6[:2]:
+    assert first50[:len(NEW_R7)] == NEW_R7
+    for name in NEW_R7 + CHANGED_R7 + STALE_R1R2_R7 + FILL_R7:
         assert name in first50, f"{name} fell out of the driver window"
-    # every stale row not explicitly deferred to r7 gets its re-proof
-    for name in STALE_R1R2:
-        if name not in _EVICTED_TO_R7:
-            assert name in first50, f"{name} fell out of the driver window"
