@@ -177,6 +177,7 @@ HEADLINE = [
     "weighted_reservoir_sample",
     "lineitem_lmoments",
     "lineitem_price_ols",
+    "ann_ivf_nprobe_sweep",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

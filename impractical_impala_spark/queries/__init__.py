@@ -277,8 +277,8 @@ FILL_R7 = [
 # collocation/L-moment wave in queries/sampling_stats.py
 # (text_pmi_collocations, events_share_ztest, dq_sequence_gaps,
 # weighted_reservoir_sample, lineitem_lmoments) plus
-# stat_tests.lineitem_price_ols. All pass the local DuckDB gate; they
-# wait for the r8 window.
+# stat_tests.lineitem_price_ols and similarity.ann_ivf_nprobe_sweep.
+# All pass the local DuckDB gate; they wait for the r8 window.
 
 WINDOW = NEW_R7 + CHANGED_R7 + STALE_R1R2_R7 + FILL_R7
 assert len(WINDOW) == 50, len(WINDOW)

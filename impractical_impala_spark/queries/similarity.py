@@ -265,7 +265,11 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(emb, cent)
 
 
-register("ann_ivf_probe", ann_ivf_probe, f"""
+def _ivf_oracle(n_probe: int) -> str:
+    """Parameterized DuckDB twin of _ivf_search over the seed coarse
+    quantizer — shared by ann_ivf_probe (N_PROBE) and the nprobe
+    sweep."""
+    return f"""
 WITH emb AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings
@@ -286,7 +290,7 @@ WITH emb AS (
     FROM ranked WHERE crn = 1
 ), probes AS (
     SELECT vec_id AS query_id, v AS qv, cell_id AS cell
-    FROM ranked WHERE vec_id < {N_QUERIES} AND crn <= {N_PROBE}
+    FROM ranked WHERE vec_id < {N_QUERIES} AND crn <= {n_probe}
 ), cand AS (
     SELECT DISTINCT p.query_id, a.c_vec_id AS neighbor_id,
            list_dot_product(p.qv, a.cv_full)
@@ -301,7 +305,11 @@ WITH emb AS (
 )
 SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos
 FROM final WHERE rn = 1
-""", "IVF coarse-quantizer probe-2 nearest neighbor")
+"""
+
+
+register("ann_ivf_probe", ann_ivf_probe, _ivf_oracle(N_PROBE),
+         "IVF coarse-quantizer probe-2 nearest neighbor")
 
 
 # ------------------------------------------------- trained quantizer
@@ -486,3 +494,82 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
                 ELSE 0 END) AS BIGINT) AS cos_gap_micro
 FROM per_q
 """, "LSH-vs-exact ANN recall@1/@5 audit with micro-quantized regret")
+
+
+# --------------------------------------- IVF nprobe recall sweep
+PROBE_SWEEP = (1, 2, 4)
+
+
+def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-nprobe curve for the IVF path: the tuning table an
+    index operator reads before picking a probe count — one row per
+    nprobe in {1, 2, 4} with recall@1 against the exact panel and the
+    summed micro-quantized cosine regret. Each sweep point reuses
+    _ivf_search unchanged (assignment computed per point; the cell
+    scoring is centroid-bounded so the sweep is ~3x one IVF search,
+    all panel-sized joins). Together with ann_recall_audit (LSH) this
+    closes the loop: every ANN family ships with its measured
+    accuracy/cost curve, not a vibes-based default."""
+    emb = _emb(spark, sf_dir).cache()
+    cent = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"))
+    exact1 = (ann_cosine_topk(spark, sf_dir)
+              .filter(F.col("rn") == 1)
+              .select("query_id",
+                      F.col("neighbor_id").alias("exact_nn"),
+                      F.col("cos").alias("exact_cos")))
+    out = None
+    for p in PROBE_SWEEP:
+        ivf = _ivf_search(emb, cent, n_probe=p).select(
+            "query_id", F.col("neighbor_id").alias("ivf_nn"),
+            F.col("cos").alias("ivf_cos"))
+        s = (exact1.join(ivf, "query_id", "left")
+             .agg(F.count(F.lit(1)).alias("n_queries"),
+                  F.sum(F.when(F.col("ivf_nn").isNotNull(), 1)
+                        .otherwise(0)).alias("n_answered"),
+                  F.sum(F.when(F.col("ivf_nn") == F.col("exact_nn"), 1)
+                        .otherwise(0)).alias("n_hit1"),
+                  F.sum(F.when(F.col("ivf_nn").isNotNull(),
+                               F.round((F.col("exact_cos")
+                                        - F.col("ivf_cos"))
+                                       * 1_000_000).cast("long"))
+                        .otherwise(0)).alias("cos_gap_micro"))
+             .select(F.lit(p).alias("n_probe"), "n_queries", "n_answered",
+                     "n_hit1",
+                     F.expr("n_hit1 * 1000000 div n_queries")
+                     .alias("recall1_ppm"),
+                     "cos_gap_micro"))
+        out = s if out is None else out.unionByName(s)
+    return out.orderBy("n_probe")
+
+
+def _sweep_oracle() -> str:
+    from ..registry import oracle_sql_of
+
+    blocks, selects = [], []
+    blocks.append(f"exact AS (SELECT query_id, neighbor_id AS exact_nn,"
+                  f" cos AS exact_cos FROM"
+                  f" ({oracle_sql_of('ann_cosine_topk')}) e WHERE rn = 1)")
+    for p in PROBE_SWEEP:
+        blocks.append(f"ivf{p} AS ({_ivf_oracle(p)})")
+        selects.append(f"""
+SELECT {p} AS n_probe,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_answered,
+       CAST(SUM(CASE WHEN i.neighbor_id = e.exact_nn THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit1,
+       CAST(SUM(CASE WHEN i.neighbor_id = e.exact_nn THEN 1 ELSE 0 END)
+            AS BIGINT) * 1000000 // COUNT(*) AS recall1_ppm,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL
+                THEN CAST(ROUND((e.exact_cos - i.cos) * 1000000) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS cos_gap_micro
+FROM exact e LEFT JOIN ivf{p} i USING (query_id)""")
+    u = "\nUNION ALL\n".join(selects)
+    return ("WITH " + ",\n".join(blocks)
+            + f"\nSELECT * FROM (\n{u}\n) ORDER BY n_probe")
+
+
+register("ann_ivf_nprobe_sweep", ann_ivf_nprobe_sweep, _sweep_oracle(),
+         "IVF recall@1 / cosine-regret curve across nprobe in {1,2,4}")

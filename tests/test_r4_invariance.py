@@ -283,6 +283,7 @@ R7_CASES = [
     "weighted_reservoir_sample",   # two-phase deterministic top-K
     "lineitem_lmoments",           # Faulhaber range-sums, DECIMAL
     "lineitem_price_ols",          # integer normal equations + Cramer
+    "ann_ivf_nprobe_sweep",        # panel-sized recall sweep
 ]
 
 

@@ -4,6 +4,7 @@ alone proves both engines run the same arithmetic, not that the
 arithmetic is statistically/numerically RIGHT."""
 
 import math
+from pyspark.sql import functions as F
 import statistics
 
 import numpy as np
@@ -503,3 +504,44 @@ def test_price_ols_matches_numpy_lstsq(spark, sf_small):
         assert abs(row.beta_per_qty_cents - b[1]) < max(0.01, 1e-5 * abs(b[1]))
         assert abs(row.beta_per_disc_bp_cents - b[2]) < max(0.01, 1e-5 * abs(b[2]))
         assert abs(row.r2 - r2) < 1e-5, flag
+
+
+def test_ivf_nprobe_discriminates_on_boundary_query(spark):
+    """On a constructed corpus where the true nearest neighbor lives in
+    the query's SECOND-closest cell, probe-1 must miss it and probe-2
+    must find it — proving the sweep's recall axis actually moves (the
+    fixture corpus saturates at recall 1.0 for every nprobe)."""
+    import math as m
+
+    from impractical_impala_spark.queries.similarity import (
+        DIM, _ivf_search)
+
+    def vec(a, b):
+        v = [0.0] * DIM
+        v[0], v[1] = a, b
+        n = m.sqrt(a * a + b * b)
+        return [x / n for x in v]
+
+    # cells: c0 along e1, c1 along e2. query (vec_id 0 < N_QUERIES)
+    # leans to c0 (cos .8 vs .6); its true NN x leans to c1; the only
+    # cell-0 candidate y is a worse neighbor.
+    rows = [
+        (0, vec(0.8, 0.6)),       # query -> assigned cell 0
+        (10, vec(0.55, 0.835)),   # true NN, assigned cell 1
+        (11, vec(1.0, 0.05)),     # distractor in cell 0
+    ]
+    emb = (spark.createDataFrame(rows, ["vec_id", "v"])
+           .withColumn("norm", F.expr(
+               "sqrt(aggregate(v, cast(0.0 as double),"
+               " (acc, x) -> acc + x * x))")))
+    cent = spark.createDataFrame(
+        [(0, vec(1.0, 0.0)), (1, vec(0.0, 1.0))], ["cell_id", "cv"]) \
+        .withColumn("cnorm", F.expr(
+            "sqrt(aggregate(cv, cast(0.0 as double),"
+            " (acc, x) -> acc + x * x))"))
+    one = {r.query_id: r.neighbor_id
+           for r in _ivf_search(emb, cent, n_probe=1).collect()}
+    two = {r.query_id: r.neighbor_id
+           for r in _ivf_search(emb, cent, n_probe=2).collect()}
+    assert one[0] == 11   # probe-1 sees only cell 0 -> the distractor
+    assert two[0] == 10   # probe-2 reaches cell 1 -> the true NN
