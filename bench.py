@@ -178,6 +178,7 @@ HEADLINE = [
     "lineitem_lmoments",
     "lineitem_price_ols",
     "ann_ivf_nprobe_sweep",
+    "events_holt_winters",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

@@ -36,7 +36,8 @@ from . import (reference_ops, stats_ops, tpch, tpch_more,  # noqa: F401
                streams_plus, tpch_final, pipelines, training_ops,
                curation, analytics, lakehouse, ml_more, warehouse_extras,
                layout, feature_ops, paths_stats, modern_sql, profiling,
-               drift, quality, stat_tests, audit_ops, sampling_stats)
+               drift, quality, stat_tests, audit_ops, sampling_stats,
+               forecast)
 
 # r5 window. VERDICT r4 top-next: every one of the 154 registered
 # queries should carry a green-or-sanctioned driver row after this
@@ -277,7 +278,8 @@ FILL_R7 = [
 # collocation/L-moment wave in queries/sampling_stats.py
 # (text_pmi_collocations, events_share_ztest, dq_sequence_gaps,
 # weighted_reservoir_sample, lineitem_lmoments) plus
-# stat_tests.lineitem_price_ols and similarity.ann_ivf_nprobe_sweep.
+# stat_tests.lineitem_price_ols, similarity.ann_ivf_nprobe_sweep
+# and forecast.events_holt_winters.
 # All pass the local DuckDB gate; they wait for the r8 window.
 
 WINDOW = NEW_R7 + CHANGED_R7 + STALE_R1R2_R7 + FILL_R7

@@ -1,0 +1,167 @@
+"""Exact integer fixed-point forecasting kernels.
+
+Holt-Winters (additive level + trend + weekly seasonality) is the
+classic iterative smoother an analytics engine is asked for right
+after EWMA — and the reason engines usually punt on it is the
+recursion: floating-point state makes the result depend on evaluation
+order. Here the recursion runs in EXACT truncating integer arithmetic
+with power-of-two smoothing constants (alpha=1/2, beta=gamma=1/4), so
+every step is a deterministic integer expression both engines compute
+bit-identically:
+
+    l_t = (y_t - s_{t-7}  +  l_{t-1} + b_{t-1})        div 2
+    b_t = (l_t - l_{t-1}  +  3 * b_{t-1})              div 4
+    s_t = (y_t - l_t      +  3 * s_{t-7})              div 4
+
+(div = truncation toward zero — Spark ``div`` / DuckDB ``//``; the
+Python kernel uses an explicit trunc helper because Python ``//``
+floors). Initialization contract: the first 7 days seed the seasonal
+state (s_i = y_i - m, m = 7-day mean, trunc), l_6 = m, b_6 = 0; rows
+emit from t = 7 on.
+
+Scale shape: the corpus reduces ONCE to the per-type DENSE daily
+spine (missing day = real zero — the EWMA spine discipline); the
+recursion runs inside an Arrow ``applyInPandas`` kernel whose group is
+one type's CALENDAR-BOUNDED series (<= years x 365 points regardless
+of corpus size — the HP-filter kernel contract, reference
+dtrendandstat_HP100.R:5-291 for the per-group-kernel pattern). The
+DuckDB oracle is a RECURSIVE CTE carrying (l, b, s-list-of-7) state —
+linear recursion, one successor per row, terminating in day-span
+depth (the q_recursive_streaks precedent).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+DAY_NS = 86_400_000_000_000
+HW_SEASON = 7
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncation-toward-zero integer division (Spark div, DuckDB //).
+    Python's // floors, which differs on negative numerators."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def hw_fit(ys: list[int]) -> list[tuple[int, int, int, int, int]]:
+    """Pure-Python Holt-Winters fold over one integer series. Returns
+    (t, level, trend, season, fitted) for t >= HW_SEASON. Exposed for
+    the independent kernel test."""
+    m = HW_SEASON
+    if len(ys) <= m:
+        return []
+    mean7 = _trunc_div(sum(ys[:m]), m)
+    s = [ys[i] - mean7 for i in range(m)]  # s[t % m] = s_{t'}, latest
+    lvl, b = mean7, 0
+    out = []
+    for t in range(m, len(ys)):
+        s_lag = s[t % m]
+        fitted = lvl + b + s_lag
+        new_l = _trunc_div(ys[t] - s_lag + lvl + b, 2)
+        new_b = _trunc_div(new_l - lvl + 3 * b, 4)
+        new_s = _trunc_div(ys[t] - new_l + 3 * s_lag, 4)
+        lvl, b = new_l, new_b
+        s[t % m] = new_s
+        out.append((t, lvl, b, new_s, fitted))
+    return out
+
+
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters over each event type's daily revenue (see
+    module docstring for the exact integer recursion and its scale
+    shape). Emits one row per (type, day index >= 7): the observed
+    cents, the smoothed level/trend/seasonal state and the one-step-
+    ahead fitted value — the residual y - fitted is the anomaly signal
+    a monitoring pipeline thresholds."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts_ns div {DAY_NS}").alias("d"),
+        F.floor(F.col("value") * 100).cast("long").alias("centi"))
+    daily = ev.groupBy("event_type", "d").agg(F.sum("centi").alias("c"))
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = bounds.select(
+        "event_type", "d0", F.explode(F.expr("sequence(d0, d1)")).alias("d"))
+    dense = (spine.join(daily, ["event_type", "d"], "left")
+             .select("event_type", (F.col("d") - F.col("d0")).alias("t"),
+                     F.coalesce("c", F.lit(0)).alias("y")))
+
+    def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.sort_values("t")
+        et = g["event_type"].iloc[0]
+        ys = [int(v) for v in g["y"]]
+        rows = hw_fit(ys)
+        return pd.DataFrame({
+            "event_type": et,
+            "t": [r[0] for r in rows],
+            "y_centi": [ys[r[0]] for r in rows],
+            "level_centi": [r[1] for r in rows],
+            "trend_centi": [r[2] for r in rows],
+            "season_centi": [r[3] for r in rows],
+            "fitted_centi": [r[4] for r in rows],
+        })
+
+    schema = ("event_type string, t long, y_centi long, level_centi long,"
+              " trend_centi long, season_centi long, fitted_centi long")
+    # applyInPandas (NOT mapInPandas): the recursion needs the WHOLE
+    # calendar-bounded series in one call — grouped-map guarantees it,
+    # while mapInPandas would split the series across Arrow batches
+    return (dense.groupBy("event_type").applyInPandas(fit_group, schema)
+            .orderBy("event_type", "t"))
+
+
+register("events_holt_winters", events_holt_winters, f"""
+WITH RECURSIVE ev AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) AS BIGINT) * 1000 // {DAY_NS} AS d,
+           CAST(FLOOR(value * 100) AS BIGINT) AS centi
+    FROM events
+), daily AS (
+    SELECT event_type, d, CAST(SUM(centi) AS BIGINT) AS c
+    FROM ev GROUP BY 1, 2
+), bounds AS (
+    SELECT event_type, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1
+), spine AS (
+    SELECT b.event_type, b.d0, UNNEST(range(b.d0, b.d1 + 1)) AS d
+    FROM bounds b
+), dense AS (
+    SELECT s.event_type, s.d - s.d0 AS t, COALESCE(dd.c, 0) AS y
+    FROM spine s LEFT JOIN daily dd
+      ON s.event_type = dd.event_type AND s.d = dd.d
+), seed AS (
+    SELECT event_type,
+           CAST(SUM(y) AS BIGINT) // {HW_SEASON} AS mean7,
+           list_transform(list(y ORDER BY t),
+                          x -> x - CAST(SUM(y) AS BIGINT) // {HW_SEASON})
+               AS sw
+    FROM dense WHERE t < {HW_SEASON} GROUP BY event_type
+), rec AS (
+    SELECT event_type, CAST({HW_SEASON} - 1 AS BIGINT) AS t,
+           CAST(0 AS BIGINT) AS y, mean7 AS l, CAST(0 AS BIGINT) AS b,
+           sw, CAST(0 AS BIGINT) AS fitted, CAST(0 AS BIGINT) AS s_t
+    FROM seed
+    UNION ALL
+    SELECT d.event_type, d.t, d.y,
+           (d.y - r.sw[1] + r.l + r.b) // 2 AS l,
+           (((d.y - r.sw[1] + r.l + r.b) // 2) - r.l + 3 * r.b) // 4 AS b,
+           list_concat(
+               r.sw[2:{HW_SEASON}],
+               [(d.y - ((d.y - r.sw[1] + r.l + r.b) // 2)
+                 + 3 * r.sw[1]) // 4]) AS sw,
+           r.l + r.b + r.sw[1] AS fitted,
+           (d.y - ((d.y - r.sw[1] + r.l + r.b) // 2) + 3 * r.sw[1]) // 4
+               AS s_t
+    FROM rec r JOIN dense d
+      ON d.event_type = r.event_type AND d.t = r.t + 1
+)
+SELECT event_type, t, y AS y_centi, l AS level_centi, b AS trend_centi,
+       s_t AS season_centi, fitted AS fitted_centi
+FROM rec WHERE t >= {HW_SEASON}
+ORDER BY event_type, t
+""", "exact fixed-point additive Holt-Winters over daily revenue")

@@ -284,6 +284,7 @@ R7_CASES = [
     "lineitem_lmoments",           # Faulhaber range-sums, DECIMAL
     "lineitem_price_ols",          # integer normal equations + Cramer
     "ann_ivf_nprobe_sweep",        # panel-sized recall sweep
+    "events_holt_winters",         # exact integer HW recursion
 ]
 
 
@@ -313,6 +314,7 @@ R7_TS_CASES = [
     "events_mann_kendall", "users_kaplan_meier",
     "events_weekday_decompose", "session_hour_allocation",
     "events_share_ztest", "order_ship_lag_quantiles",
+    "events_holt_winters",
 ]
 
 

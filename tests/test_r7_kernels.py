@@ -545,3 +545,47 @@ def test_ivf_nprobe_discriminates_on_boundary_query(spark):
            for r in _ivf_search(emb, cent, n_probe=2).collect()}
     assert one[0] == 11   # probe-1 sees only cell 0 -> the distractor
     assert two[0] == 10   # probe-2 reaches cell 1 -> the true NN
+
+
+def test_holt_winters_tracks_float_reference(spark, sf_small):
+    """The integer fixed-point Holt-Winters must track a FLOAT
+    Holt-Winters (same alpha/beta/gamma, same init) within the
+    truncation envelope (a few units per step, not drifting), and the
+    registered query must equal the pure-Python fold exactly."""
+    import duckdb
+
+    from impractical_impala_spark.queries.forecast import (
+        DAY_NS, HW_SEASON, events_holt_winters, hw_fit)
+
+    got = events_holt_winters(spark, sf_small).toPandas()
+    con = _duck(sf_small)
+    daily = con.execute(
+        f"SELECT event_type, CAST(epoch_us(ts) AS BIGINT)*1000 // {DAY_NS}"
+        " AS d, CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS c"
+        " FROM events GROUP BY 1, 2 ORDER BY 1, 2").fetchdf()
+    for et, g in daily.groupby("event_type"):
+        d0, d1 = g.d.min(), g.d.max()
+        by_d = dict(zip(g.d, g.c))
+        ys = [int(by_d.get(d, 0)) for d in range(d0, d1 + 1)]
+        rows = hw_fit(ys)
+        sub = got[got.event_type == et].sort_values("t")
+        assert [tuple(r) for r in rows] == list(
+            zip(sub.t, sub.level_centi, sub.trend_centi,
+                sub.season_centi, sub.fitted_centi))
+        # float reference with the same init
+        m = HW_SEASON
+        mean7 = sum(ys[:m]) / m
+        s = [ys[i] - mean7 for i in range(m)]
+        lvl, b = mean7, 0.0
+        for (t, il, ib, is_, _fit) in rows:
+            s_lag = s[t % m]
+            new_l = (ys[t] - s_lag + lvl + b) / 2
+            new_b = (new_l - lvl + 3 * b) / 4
+            new_s = (ys[t] - new_l + 3 * s_lag) / 4
+            lvl, b = new_l, new_b
+            s[t % m] = new_s
+            # truncation error accumulates sub-linearly; a loose but
+            # meaningful envelope: within 50 centi-units of float state
+            assert abs(il - lvl) < 50, (et, t, il, lvl)
+            assert abs(ib - b) < 50
+            assert abs(is_ - new_s) < 50
