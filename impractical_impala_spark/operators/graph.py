@@ -82,3 +82,88 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(component diameter exceeds max_iter)")
+
+
+def _peel(e0: DataFrame, k: int, max_iter: int) -> tuple:
+    """Peel to the k-core fixpoint of the cached edge frame ``e0``.
+    Returns (n_nodes, n_edges) of the surviving subgraph."""
+    cur = e0.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        deg = (cur.select(F.col("a").alias("u"))
+               .unionByName(cur.select(F.col("b").alias("u")))
+               .groupBy("u").agg(F.count(F.lit(1)).alias("d")))
+        keep = deg.filter(F.col("d") >= k).select("u")
+        nxt = (cur.join(keep.withColumnRenamed("u", "a"), "a", "left_semi")
+               .join(keep.withColumnRenamed("u", "b"), "b", "left_semi")
+               .select("a", "b").localCheckpoint(eager=True))
+        n_cur, n_nxt = cur.count(), nxt.count()
+        _drop_checkpoint(cur)
+        cur = nxt
+        if n_nxt == n_cur:
+            n_nodes = (cur.select(F.col("a").alias("u"))
+                       .unionByName(cur.select(F.col("b").alias("u")))
+                       .distinct().count())
+            _drop_checkpoint(cur)
+            return n_nodes, n_nxt
+    raise RuntimeError(
+        f"k-core peel: k={k} did not stabilize in {max_iter} rounds")
+
+
+def k_core_summary(edges: DataFrame, ks: tuple[int, ...],
+                   max_iter: int = 30) -> DataFrame:
+    """k-core sizes of the undirected graph ``edges(a, b)``: for each
+    k, iteratively peel nodes of degree < k until the fixpoint, then
+    report the surviving subgraph's node and edge counts. One row per
+    k: (k, n_nodes, n_edges).
+
+    Scale shape: every round is degrees = groupBy(node).count over the
+    CURRENT edge set followed by a semi-join filter — all
+    hash-partitioned on node id, no driver-side data; rounds needed is
+    the peel depth. Lineage truncates per round (localCheckpoint — the
+    connected_components discipline). The peel is inherently
+    iterative, so this operator is rows-only for the oracle harness;
+    the Python reference peel in the tests pins its semantics."""
+    e0 = edges.select(F.col("a"), F.col("b")).distinct().cache()
+    spark = e0.sparkSession
+    try:
+        rows = [(k, *_peel(e0, k, max_iter)) for k in ks]
+    finally:
+        e0.unpersist()
+    return spark.createDataFrame(rows, ["k", "n_nodes", "n_edges"])
+
+
+def degeneracy_core(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """The graph's DEGENERACY (the largest k with a non-empty k-core)
+    and that innermost core's size, found by binary search over k —
+    log2(max_degree) peel runs, each the k_core_summary shape. Also
+    reports the 2-core (the standard "remove the dangling fringe"
+    level) so the output is informative at ANY density: a uniformly
+    dense backbone has an empty core at median degree but a deep
+    degeneracy; a sparse graph the reverse. Returns two rows:
+    (level='2core', k=2, sizes) and (level='degeneracy', k=k*, sizes).
+    The one collect is the 1-row max-degree aggregate (model-size)."""
+    e0 = edges.select(F.col("a"), F.col("b")).distinct().cache()
+    spark = e0.sparkSession
+    try:
+        two = _peel(e0, 2, max_iter)
+        maxdeg = (e0.select(F.col("a").alias("u"))
+                  .unionByName(e0.select(F.col("b").alias("u")))
+                  .groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+                  .agg(F.max("d").alias("m"))
+                  .collect()[0].m or 0)  # 1-row model-size scalar
+        lo, lo_sizes = 1, None
+        hi = maxdeg + 1
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            sizes = _peel(e0, mid, max_iter)
+            if sizes[1] > 0:
+                lo, lo_sizes = mid, sizes
+            else:
+                hi = mid
+        if lo_sizes is None:  # degeneracy 1: the graph itself
+            lo_sizes = _peel(e0, 1, max_iter)
+    finally:
+        e0.unpersist()
+    return spark.createDataFrame(
+        [("2core", 2, *two), ("degeneracy", lo, *lo_sizes)],
+        ["level", "k", "n_nodes", "n_edges"])

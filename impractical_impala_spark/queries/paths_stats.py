@@ -292,3 +292,26 @@ SELECT (SELECT COUNT(DISTINCT u) FROM (
         JOIN edges e2 ON e1.b = e2.a
         JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b) AS n_triangles
 """, "capped-roster, degree-oriented wedge-join triangle count")
+
+
+# ------------------------------------------------------- k-core sizes
+def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core-structure profile of the co-activity backbone: the 2-core
+    (fringe removed) and the DEGENERACY core — the innermost non-empty
+    k-core and its depth k*, binary-searched over k (log2(max_degree)
+    peels) — the cohesion companion to graph_triangles' clustering
+    signal, informative at any density where fixed k levels are not.
+    Runs operators/graph.py::degeneracy_core over the SAME
+    support-capped edge set as graph_triangles, so every scale bound
+    of cohort_edges applies unchanged. Iterative fixpoint -> rows-only
+    for the oracle harness; semantics pinned against a Python
+    reference peel in tests/test_r7_kernels.py."""
+    from ..operators.graph import degeneracy_core
+
+    return (degeneracy_core(cohort_edges(load_table(spark, sf_dir,
+                                                    "events")))
+            .orderBy("level"))
+
+
+register("graph_kcore_summary", graph_kcore_summary, None,
+         "2-core and binary-searched degeneracy core of the backbone")

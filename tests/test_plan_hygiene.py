@@ -110,11 +110,14 @@ _PKG = os.path.join(os.path.dirname(os.path.dirname(
 #   ml_more.py     1x d(d+1)/2 = 2080 Gram cells
 #   plans/wdi.py   1x golden-CSV emission of <=45-row stat tables
 #                  (the default sink path is the distributed writer)
+#   operators/graph.py 1x 1-row degree-quantile aggregate (adaptive
+#                  k-core levels)
 _MATERIALIZE_ALLOW = {
     "queries/layout.py": 1,
     "queries/similarity.py": 2,
     "queries/ml_more.py": 1,
     "plans/wdi.py": 1,
+    "operators/graph.py": 1,
 }
 
 _CALL = re.compile(r"\.collect\(\)|\.toPandas\(\)|collectAsList")

@@ -285,6 +285,7 @@ R7_CASES = [
     "lineitem_price_ols",          # integer normal equations + Cramer
     "ann_ivf_nprobe_sweep",        # panel-sized recall sweep
     "events_holt_winters",         # exact integer HW recursion
+    "graph_kcore_summary",         # deterministic iterative peel
 ]
 
 

@@ -589,3 +589,64 @@ def test_holt_winters_tracks_float_reference(spark, sf_small):
             assert abs(il - lvl) < 50, (et, t, il, lvl)
             assert abs(ib - b) < 50
             assert abs(is_ - new_s) < 50
+
+
+def test_kcore_matches_python_peel(spark):
+    """The distributed peel must equal a hand peel on a constructed
+    graph whose cores genuinely differ: a 4-clique (core 3) attached
+    to a path (core 1) and a 3-cycle (core 2)."""
+    from impractical_impala_spark.operators.graph import k_core_summary
+
+    # 4-clique {0,1,2,3}; cycle {10,11,12}; path 3-20-21
+    edges = ([(a, b) for a in range(4) for b in range(a + 1, 4)]
+             + [(10, 11), (11, 12), (10, 12), (3, 20), (20, 21)])
+    e = spark.createDataFrame(edges, ["a", "b"])
+    got = {r.k: (r.n_nodes, r.n_edges)
+           for r in k_core_summary(e, ks=(2, 3, 4)).collect()}
+
+    def peel(es, k):
+        es = set(es)
+        while True:
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {u for u, d in deg.items() if d >= k}
+            nxt = {(a, b) for a, b in es if a in keep and b in keep}
+            if nxt == es:
+                nodes = {u for ab in es for u in ab}
+                return (len(nodes) if es else 0, len(es))
+            es = nxt
+
+    for k in (2, 3, 4):
+        assert got[k] == peel(edges, k), k
+    # structure sanity: 2-core keeps clique+cycle, 3-core the clique only
+    assert got[2] == (7, 9)
+    assert got[3] == (4, 6)
+    assert got[4] == (0, 0)
+
+
+def test_kcore_degeneracy_on_constructed_graph(spark):
+    """Binary-searched degeneracy must equal the known value (3 for a
+    graph whose densest part is a 4-clique) with the right core."""
+    from impractical_impala_spark.operators.graph import degeneracy_core
+
+    edges = ([(a, b) for a in range(4) for b in range(a + 1, 4)]
+             + [(10, 11), (11, 12), (10, 12), (3, 20), (20, 21)])
+    e = spark.createDataFrame(edges, ["a", "b"])
+    got = {r.level: r for r in degeneracy_core(e).collect()}
+    assert got["degeneracy"].k == 3
+    assert (got["degeneracy"].n_nodes, got["degeneracy"].n_edges) == (4, 6)
+    assert (got["2core"].n_nodes, got["2core"].n_edges) == (7, 9)
+
+
+def test_kcore_backbone_profile(spark, sf_small):
+    """On the fixture backbone the profile must be valid: the
+    degeneracy core is contained in the 2-core and non-empty."""
+    from impractical_impala_spark.registry import all_queries
+    rows = {r.level: r for r in (all_queries()["graph_kcore_summary"]
+                                 .build(spark, sf_small).collect())}
+    assert set(rows) == {"2core", "degeneracy"}
+    d, two = rows["degeneracy"], rows["2core"]
+    assert d.k >= 2 and d.n_edges > 0
+    assert d.n_nodes <= two.n_nodes and d.n_edges <= two.n_edges
