@@ -81,3 +81,70 @@ def test_streaming_hw_state_crosses_microbatches(spark, sf_small,
            .reset_index(drop=True))
     want = _batch_prefix(spark, sf_small)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_streaming_hw_restart_from_checkpoint(spark, sf_small, tmp_path):
+    """Kill/restart recovery: the (level, trend, seasonal-window,
+    pending-day) state recovered from the checkpoint must keep folding
+    later micro-batches, and the union of emissions must equal the
+    batch prefix. Emissions are exactly-once per (type, t) in effect:
+    each day folds once, so dedup on (event_type, t) keeping any row is
+    retry-idempotent."""
+    import time as _time
+
+    import os
+
+    data_dir = str(tmp_path / "hw_events")
+    pdf = (load_table(spark, sf_small, "events")
+           .select("event_id", "ts", "user_id", "event_type", "value",
+                   "props")
+           .toPandas().sort_values("ts"))
+    n = len(pdf)
+    os.makedirs(data_dir, exist_ok=True)
+    for i in range(4):
+        part = pdf.iloc[i * n // 4:(i + 1) * n // 4]
+        part.to_parquet(os.path.join(data_dir, f"chunk_{i:02d}.parquet"),
+                        index=False)
+
+    schema = spark.read.parquet(os.path.join(
+        data_dir, "chunk_00.parquet")).schema
+
+    def stream():
+        raw = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(data_dir))
+        from pyspark.sql import types as T
+        if isinstance(schema["ts"].dataType, T.LongType):
+            raw = raw.withColumn("ts_ns", F.col("ts"))
+        else:
+            from impractical_impala_spark.sources.readers import (
+                epoch_us_from_ntz)
+            raw = raw.withColumn(
+                "ts_ns", epoch_us_from_ntz(F.col("ts")) * F.lit(1000))
+        return streaming_holt_winters(raw)
+
+    ckpt = str(tmp_path / "hw_ckpt")
+    sink_dir = str(tmp_path / "hw_out")
+
+    def write_batch(df, _bid):
+        df.write.mode("append").parquet(sink_dir)
+
+    q1 = (stream().writeStream.foreachBatch(write_batch)
+          .outputMode("update").option("checkpointLocation", ckpt).start())
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        lp = q1.lastProgress
+        if lp and lp.get("numInputRows", 0) > 0:
+            break
+        _time.sleep(0.2)
+    q1.stop()  # crash mid-stream: state holds the HW fold
+
+    q2 = (stream().writeStream.foreachBatch(write_batch)
+          .outputMode("update").option("checkpointLocation", ckpt).start())
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = (spark.read.parquet(sink_dir).toPandas()
+           .drop_duplicates(subset=["event_type", "t"])
+           [COLS].sort_values(["event_type", "t"]).reset_index(drop=True))
+    want = _batch_prefix(spark, sf_small)
+    pd.testing.assert_frame_equal(got, want)
