@@ -179,6 +179,7 @@ HEADLINE = [
     "lineitem_price_ols",
     "ann_ivf_nprobe_sweep",
     "events_holt_winters",
+    "events_cusum_binseg",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

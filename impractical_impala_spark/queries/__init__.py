@@ -279,8 +279,8 @@ FILL_R7 = [
 # (text_pmi_collocations, events_share_ztest, dq_sequence_gaps,
 # weighted_reservoir_sample, lineitem_lmoments) plus
 # stat_tests.lineitem_price_ols, similarity.ann_ivf_nprobe_sweep
-# forecast.events_holt_winters and paths_stats.graph_kcore_summary
-# (rows-only).
+# forecast.events_holt_winters, paths_stats.graph_kcore_summary
+# (rows-only) and drift.events_cusum_binseg.
 # All pass the local DuckDB gate; they wait for the r8 window.
 
 WINDOW = NEW_R7 + CHANGED_R7 + STALE_R1R2_R7 + FILL_R7

@@ -1116,3 +1116,155 @@ FROM gaps g JOIN refd r ON g.event_type = r.event_type
 GROUP BY g.event_type, g.day
 ORDER BY g.event_type, g.day
 """, "frozen-first-day-reference KS drift (streaming monitor batch twin)")
+
+
+# --------------------- binary-segmentation change points (2 levels)
+def events_cusum_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-level binary segmentation over hourly event counts per
+    type: the level-1 CUSUM change point (events_cusum_changepoint's
+    statistic) splits each type's dense hourly spine, then the SAME
+    n-scaled integer CUSUM runs inside each half to localize the
+    secondary shifts — the standard multiple-change-point recursion,
+    unrolled two levels so the whole thing stays one declarative plan
+    (no driver-side loop). Emits 3 rows per type: (level 1, the full
+    spine) and (level 2, each segment), each with the segment bounds,
+    totals, the exact integer peak statistic and the earliest-tie
+    argmax hour. All arithmetic is the n-scaled integer form
+    (|n*S| <= seg_hours * seg_total — the events_cusum_changepoint
+    ladder); windows run over the calendar-bounded spine partitioned
+    by (type, segment)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts_ns div {HOUR_NS}").alias("hr"))
+    hourly = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    spine = bounds.select(
+        "event_type", F.explode(F.expr("sequence(h0, h1)")).alias("hr"))
+    dense = (spine.join(hourly, ["event_type", "hr"], "left")
+             .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+             .cache())
+
+    def scan(df, part_cols):
+        w = Window.partitionBy(*part_cols).orderBy("hr")
+        tot = df.groupBy(*part_cols).agg(
+            F.count(F.lit(1)).alias("n_seg"), F.sum("cnt").alias("tot_seg"),
+            F.min("hr").alias("seg_start_hr"))
+        scanned = (df.withColumn("cum", F.sum("cnt").over(w))
+                   .withColumn("t", F.row_number().over(w))
+                   .join(F.broadcast(tot), list(part_cols))
+                   .withColumn("s_abs", F.abs(
+                       F.col("n_seg") * F.col("cum")
+                       - F.col("t") * F.col("tot_seg"))))
+        peak = scanned.groupBy(*part_cols).agg(
+            F.max("s_abs").alias("cusum_scaled"))
+        return (scanned.join(F.broadcast(peak), list(part_cols))
+                .filter(F.col("s_abs") == F.col("cusum_scaled"))
+                .groupBy(*part_cols)
+                .agg(F.first("seg_start_hr").alias("seg_start_hr"),
+                     F.first("n_seg").alias("seg_n_hours"),
+                     F.first("tot_seg").alias("seg_total"),
+                     F.first("cusum_scaled").alias("cusum_scaled"),
+                     F.min("hr").alias("cp_hr")))
+
+    lvl1 = scan(dense, ("event_type",))
+    seg = (dense.join(F.broadcast(lvl1.select(
+        "event_type", F.col("cp_hr").alias("cp1"))), "event_type")
+        .withColumn("seg_id", F.expr(
+            "CASE WHEN hr <= cp1 THEN 0 ELSE 1 END")))
+    lvl2 = scan(seg.select("event_type", "seg_id", "hr", "cnt"),
+                ("event_type", "seg_id"))
+    out1 = lvl1.select(
+        "event_type", F.lit(1).alias("level"), F.lit(0).alias("seg_id"),
+        "seg_start_hr", "seg_n_hours", "seg_total", "cusum_scaled",
+        "cp_hr")
+    out2 = lvl2.select(
+        "event_type", F.lit(2).alias("level"), "seg_id",
+        "seg_start_hr", "seg_n_hours", "seg_total", "cusum_scaled",
+        "cp_hr")
+    return (out1.unionByName(out2)
+            .orderBy("event_type", "level", "seg_id"))
+
+
+register("events_cusum_binseg", events_cusum_binseg, f"""
+WITH ev AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) AS BIGINT) * 1000 // {HOUR_NS} AS hr
+    FROM events
+), hourly AS (
+    SELECT event_type, hr, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM ev GROUP BY 1, 2
+), bounds AS (
+    SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1 FROM hourly GROUP BY 1
+), spine AS (
+    SELECT event_type, UNNEST(range(h0, h1 + 1)) AS hr FROM bounds
+), dense AS (
+    SELECT s.event_type, s.hr, COALESCE(h.cnt, 0) AS cnt
+    FROM spine s LEFT JOIN hourly h
+      ON s.event_type = h.event_type AND s.hr = h.hr
+), scan1 AS (
+    SELECT event_type, hr,
+           ABS(CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+               * CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY hr)
+                      AS BIGINT)
+               - CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY hr) AS BIGINT)
+               * CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT))
+               AS s_abs,
+           CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_seg,
+           CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+               AS tot_seg,
+           MIN(hr) OVER (PARTITION BY event_type) AS seg_start_hr
+    FROM dense
+), lvl1 AS (
+    SELECT event_type,
+           ANY_VALUE(seg_start_hr) AS seg_start_hr,
+           ANY_VALUE(n_seg) AS seg_n_hours,
+           ANY_VALUE(tot_seg) AS seg_total,
+           MAX(s_abs) AS cusum_scaled,
+           MIN(CASE WHEN s_abs = m THEN hr END) AS cp_hr
+    FROM (SELECT *, MAX(s_abs) OVER (PARTITION BY event_type) AS m
+          FROM scan1) x
+    GROUP BY event_type
+), seg AS (
+    SELECT d.event_type, d.hr, d.cnt,
+           CASE WHEN d.hr <= l.cp_hr THEN 0 ELSE 1 END AS seg_id
+    FROM dense d JOIN lvl1 l ON d.event_type = l.event_type
+), scan2 AS (
+    SELECT event_type, seg_id, hr,
+           ABS(CAST(COUNT(*) OVER (PARTITION BY event_type, seg_id)
+                    AS BIGINT)
+               * CAST(SUM(cnt) OVER (PARTITION BY event_type, seg_id
+                                     ORDER BY hr) AS BIGINT)
+               - CAST(ROW_NUMBER() OVER (PARTITION BY event_type, seg_id
+                                         ORDER BY hr) AS BIGINT)
+               * CAST(SUM(cnt) OVER (PARTITION BY event_type, seg_id)
+                      AS BIGINT)) AS s_abs,
+           CAST(COUNT(*) OVER (PARTITION BY event_type, seg_id)
+                AS BIGINT) AS n_seg,
+           CAST(SUM(cnt) OVER (PARTITION BY event_type, seg_id)
+                AS BIGINT) AS tot_seg,
+           MIN(hr) OVER (PARTITION BY event_type, seg_id) AS seg_start_hr
+    FROM seg
+), lvl2 AS (
+    SELECT event_type, seg_id,
+           ANY_VALUE(seg_start_hr) AS seg_start_hr,
+           ANY_VALUE(n_seg) AS seg_n_hours,
+           ANY_VALUE(tot_seg) AS seg_total,
+           MAX(s_abs) AS cusum_scaled,
+           MIN(CASE WHEN s_abs = m THEN hr END) AS cp_hr
+    FROM (SELECT *, MAX(s_abs) OVER (PARTITION BY event_type, seg_id)
+                        AS m
+          FROM scan2) x
+    GROUP BY event_type, seg_id
+)
+SELECT event_type, 1 AS level, 0 AS seg_id, seg_start_hr, seg_n_hours,
+       seg_total, cusum_scaled, cp_hr
+FROM lvl1
+UNION ALL
+SELECT event_type, 2 AS level, seg_id, seg_start_hr, seg_n_hours,
+       seg_total, cusum_scaled, cp_hr
+FROM lvl2
+ORDER BY event_type, level, seg_id
+""", "two-level binary-segmentation CUSUM change points per type")

@@ -286,6 +286,7 @@ R7_CASES = [
     "ann_ivf_nprobe_sweep",        # panel-sized recall sweep
     "events_holt_winters",         # exact integer HW recursion
     "graph_kcore_summary",         # deterministic iterative peel
+    "events_cusum_binseg",         # integer binseg over the spine
 ]
 
 
@@ -315,7 +316,7 @@ R7_TS_CASES = [
     "events_mann_kendall", "users_kaplan_meier",
     "events_weekday_decompose", "session_hour_allocation",
     "events_share_ztest", "order_ship_lag_quantiles",
-    "events_holt_winters",
+    "events_holt_winters", "events_cusum_binseg",
 ]
 
 

@@ -650,3 +650,47 @@ def test_kcore_backbone_profile(spark, sf_small):
     d, two = rows["degeneracy"], rows["2core"]
     assert d.k >= 2 and d.n_edges > 0
     assert d.n_nodes <= two.n_nodes and d.n_edges <= two.n_edges
+
+
+def test_cusum_binseg_matches_brute_force(spark, sf_small):
+    """Both levels must match a brute-force binseg: argmax over
+    |n*cum_t - t*total| computed directly per segment, earliest tie."""
+    from impractical_impala_spark.queries.drift import HOUR_NS
+    from impractical_impala_spark.registry import all_queries
+
+    got = (all_queries()["events_cusum_binseg"]
+           .build(spark, sf_small).toPandas())
+    hourly = _duck(sf_small).execute(
+        f"SELECT event_type, CAST(epoch_us(ts) AS BIGINT)*1000 // {HOUR_NS}"
+        " AS hr, COUNT(*) c FROM events GROUP BY 1, 2").fetchdf()
+
+    def brute(cnts, hrs):
+        n, tot = len(cnts), sum(cnts)
+        cum, best, arg = 0, -1, None
+        for t, (h, c) in enumerate(zip(hrs, cnts), start=1):
+            cum += c
+            s = abs(n * cum - t * tot)
+            if s > best:
+                best, arg = s, h
+        return best, arg, n, tot
+
+    for et, g in hourly.groupby("event_type"):
+        h0, h1 = g.hr.min(), g.hr.max()
+        by = dict(zip(g.hr, g.c))
+        hrs = list(range(h0, h1 + 1))
+        cnts = [int(by.get(h, 0)) for h in hrs]
+        b1, cp1, n1, t1 = brute(cnts, hrs)
+        r1 = got[(got.event_type == et) & (got.level == 1)].iloc[0]
+        assert (r1.cusum_scaled, r1.cp_hr, r1.seg_n_hours,
+                r1.seg_total) == (b1, cp1, n1, t1), et
+        split = hrs.index(cp1)
+        for sid, (hh, cc) in enumerate(
+                [(hrs[:split + 1], cnts[:split + 1]),
+                 (hrs[split + 1:], cnts[split + 1:])]):
+            if not hh:
+                continue
+            b2, cp2, n2, t2 = brute(cc, hh)
+            r2 = got[(got.event_type == et) & (got.level == 2)
+                     & (got.seg_id == sid)].iloc[0]
+            assert (r2.cusum_scaled, r2.cp_hr, r2.seg_n_hours,
+                    r2.seg_total) == (b2, cp2, n2, t2), (et, sid)
