@@ -106,6 +106,87 @@ def hp_cycle(x: np.ndarray, lam: float, min_t: int = 30) -> np.ndarray:
     return out
 
 
+HP_FX_SCALE = 10 ** 6  # fixed-point scale of the exact-integer HP twin
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncation-toward-zero integer division (Spark ``div``, DuckDB
+    ``//``). Python's ``//`` floors, which differs on negative
+    numerators — every division in the fixed-point recursion goes
+    through this helper so both engines compute bit-identical state."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def hp_cycle_fixedpoint(centi: list[int], lam: int = 100) -> list[int]:
+    """EXACT-integer twin of ``hp_filter_cycle``: the same pentadiagonal
+    LDL' forward/backsolve of (I + lam*K'K) tau = y, run entirely in
+    truncating fixed point at scale ``HP_FX_SCALE`` on an integer
+    (centi-quantized) series, so a DuckDB recursive-CTE oracle can
+    replay every step bit-identically (the events_holt_winters proof
+    pattern applied to O22, dtrendandstat_HP100.R:136-145 semantics).
+
+    Returns the centi-unit cycle ``trunc((y - tau) / S)`` per position.
+    Quantization contract (documented, deterministic): input floor'd to
+    centi, state at S=1e6, every division truncates toward zero.
+    Overflow ladder (SCALE.md): with |centi| <= 1e9 and T <= 1e5 the
+    largest intermediate (l1*z products) stays < 1e2 * 1e9*S * S ~ 1e26
+    — inside both Python ints and DuckDB HUGEINT (1.7e38)."""
+    s = HP_FX_SCALE
+    s2 = s * s
+    t = len(centi)
+    y = [int(c) * s for c in centi]
+    if t < 3:
+        return [0] * t
+    # band coefficients of A = I + lam*K'K, scaled by S. The diagonal
+    # is the column-wise sum of squares of K's [1, -2, 1] stencil —
+    # the indicator form is exact for ALL t (at t=3 the middle entry
+    # is 4, which the usual [1, 5, 6, ..., 6, 5, 1] shorthand misses)
+    a0 = [0] * t
+    for i in range(t):
+        c = ((1 if 2 <= i <= t - 1 else 0)
+             + (4 if 1 <= i <= t - 2 else 0)
+             + (1 if i <= t - 3 else 0))
+        a0[i] = (1 + lam * c) * s
+    a1 = [(-2 if i in (0, t - 2) else -4) * lam * s for i in range(t - 1)]
+    a2v = lam * s
+    # LDL' factorization
+    d = [0] * t
+    l1 = [0] * (t - 1)
+    l2 = [0] * (t - 2)
+    for i in range(t):
+        di = a0[i]
+        if i >= 1:
+            di -= _trunc_div(l1[i - 1] * l1[i - 1] * d[i - 1], s2)
+        if i >= 2:
+            di -= _trunc_div(l2[i - 2] * l2[i - 2] * d[i - 2], s2)
+        d[i] = di
+        if i < t - 1:
+            num = a1[i]
+            if i >= 1:
+                num -= _trunc_div(l2[i - 1] * l1[i - 1] * d[i - 1], s2)
+            l1[i] = _trunc_div(num * s, di)
+        if i < t - 2:
+            l2[i] = _trunc_div(a2v * s, di)
+    # forward: L z = y
+    z = [0] * t
+    z[0] = y[0]
+    z[1] = y[1] - _trunc_div(l1[0] * z[0], s)
+    for i in range(2, t):
+        z[i] = (y[i] - _trunc_div(l1[i - 1] * z[i - 1], s)
+                - _trunc_div(l2[i - 2] * z[i - 2], s))
+    # diagonal: w = z / d (kept at scale S)
+    w = [_trunc_div(z[i] * s, d[i]) for i in range(t)]
+    # backward: L' tau = w
+    tau = [0] * t
+    tau[t - 1] = w[t - 1]
+    tau[t - 2] = w[t - 2] - _trunc_div(l1[t - 2] * tau[t - 1], s)
+    for i in range(t - 3, -1, -1):
+        tau[i] = (w[i] - _trunc_div(l1[i] * tau[i + 1], s)
+                  - _trunc_div(l2[i] * tau[i + 2], s))
+    return [_trunc_div(y[i] - tau[i], s) for i in range(t)]
+
+
 def quad_detrend(y: np.ndarray, t: np.ndarray, min_t: int = 30) -> np.ndarray:
     """O23 (detrendandstat_quad.R:132-140): residuals of OLS
     ``y ~ 1 + t + t^2`` over the finite observations, scattered back;

@@ -88,23 +88,28 @@ def _peel(e0: DataFrame, k: int, max_iter: int) -> tuple:
     """Peel to the k-core fixpoint of the cached edge frame ``e0``.
     Returns (n_nodes, n_edges) of the surviving subgraph."""
     cur = e0.localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        deg = (cur.select(F.col("a").alias("u"))
-               .unionByName(cur.select(F.col("b").alias("u")))
-               .groupBy("u").agg(F.count(F.lit(1)).alias("d")))
-        keep = deg.filter(F.col("d") >= k).select("u")
-        nxt = (cur.join(keep.withColumnRenamed("u", "a"), "a", "left_semi")
-               .join(keep.withColumnRenamed("u", "b"), "b", "left_semi")
-               .select("a", "b").localCheckpoint(eager=True))
-        n_cur, n_nxt = cur.count(), nxt.count()
-        _drop_checkpoint(cur)
-        cur = nxt
-        if n_nxt == n_cur:
-            n_nodes = (cur.select(F.col("a").alias("u"))
-                       .unionByName(cur.select(F.col("b").alias("u")))
-                       .distinct().count())
+    # try/finally: the CURRENT round's checkpoint blocks are released on
+    # every exit path — converged return AND the max_iter raise (which
+    # previously leaked cur's blocks until RDD GC).
+    try:
+        for _ in range(max_iter):
+            deg = (cur.select(F.col("a").alias("u"))
+                   .unionByName(cur.select(F.col("b").alias("u")))
+                   .groupBy("u").agg(F.count(F.lit(1)).alias("d")))
+            keep = deg.filter(F.col("d") >= k).select("u")
+            nxt = (cur.join(keep.withColumnRenamed("u", "a"), "a", "left_semi")
+                   .join(keep.withColumnRenamed("u", "b"), "b", "left_semi")
+                   .select("a", "b").localCheckpoint(eager=True))
+            n_cur, n_nxt = cur.count(), nxt.count()
             _drop_checkpoint(cur)
-            return n_nodes, n_nxt
+            cur = nxt
+            if n_nxt == n_cur:
+                n_nodes = (cur.select(F.col("a").alias("u"))
+                           .unionByName(cur.select(F.col("b").alias("u")))
+                           .distinct().count())
+                return n_nodes, n_nxt
+    finally:
+        _drop_checkpoint(cur)
     raise RuntimeError(
         f"k-core peel: k={k} did not stabilize in {max_iter} rounds")
 
@@ -151,6 +156,10 @@ def degeneracy_core(edges: DataFrame, max_iter: int = 30) -> DataFrame:
                   .groupBy("u").agg(F.count(F.lit(1)).alias("d"))
                   .agg(F.max("d").alias("m"))
                   .collect()[0].m or 0)  # 1-row model-size scalar
+        if maxdeg == 0:  # edgeless graph: degeneracy is 0, not k=1
+            return spark.createDataFrame(
+                [("2core", 2, *two), ("degeneracy", 0, 0, 0)],
+                ["level", "k", "n_nodes", "n_edges"])
         lo, lo_sizes = 1, None
         hi = maxdeg + 1
         while hi - lo > 1:

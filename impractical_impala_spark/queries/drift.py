@@ -1034,7 +1034,7 @@ def events_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.date_format("ts", "yyyy-MM-dd").alias("day"),
               F.least(F.lit(DRIFT_BINS - 1), F.greatest(F.lit(0), F.floor(
                   (F.col("value") - F.lit(DRIFT_LO)) * DRIFT_BINS
-                  / (DRIFT_HI - DRIFT_LO)).cast("int"))).alias("bin")))
+                  / (DRIFT_HI - DRIFT_LO)))).alias("bin")))
     hist = (ev.groupBy("event_type", "day", "bin")
             .agg(F.count(F.lit(1)).alias("cnt")))
     days = hist.select("event_type", "day").distinct()
@@ -1074,7 +1074,7 @@ register("events_drift_monitor", events_drift_monitor, f"""
 WITH binned AS (
     SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
            LEAST({_DB - 1}, GREATEST(0, CAST(FLOOR(
-               (value - {_DL}) * {_DB} / ({_DH} - {_DL})) AS INTEGER)))
+               (value - {_DL}) * {_DB} / ({_DH} - {_DL})) AS BIGINT)))
                AS bin
     FROM events WHERE value IS NOT NULL
 ), hist AS (

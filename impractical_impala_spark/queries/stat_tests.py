@@ -478,11 +478,11 @@ WITH li AS (
     SELECT flag, pbin, qv, CAST(COUNT(*) AS BIGINT) AS g
     FROM binned GROUP BY 1, 2, 3
 ), spine AS (
-    SELECT f.flag, pb.pbin, f.mn_q + qq.i AS qv
+    -- span generated per flag directly (no fixed cap: a quantity span
+    -- wider than any hardcoded bound still yields the full grid)
+    SELECT f.flag, pb.pbin, UNNEST(range(f.mn_q, f.mx_q + 1)) AS qv
     FROM fstats f
     CROSS JOIN (SELECT UNNEST(range(0, {N_KT_BINS})) AS pbin) pb
-    CROSS JOIN (SELECT UNNEST(range(0, 101)) AS i) qq
-    WHERE f.mn_q + qq.i <= f.mx_q
 ), dense AS (
     SELECT s.flag, s.pbin, s.qv, COALESCE(j.g, 0) AS g
     FROM spine s LEFT JOIN joint j USING (flag, pbin, qv)

@@ -1,9 +1,12 @@
 """SURVEY.md §2 statistical operators (O22-O30) over the testdata.
 
-O22 (HP filter) is genuinely non-SQL — registered without an oracle
-(driver records a rows-only check). O23 (quadratic detrend) HAS a SQL
-closed form: per-group Gram-matrix aggregates + Cramer's rule — the
-oracle uses a CENTERED time basis for numerical stability; residuals are
+The FLOAT O22 (HP filter) is genuinely non-SQL — registered without an
+oracle (driver records a rows-only check) — but its exact-fixed-point
+twin ``o22_hp_detrend_centi`` replays the same LDL' solve in truncating
+integer arithmetic against a recursive-CTE DuckDB oracle, giving the
+operator full hash evidence. O23 (quadratic detrend) HAS a SQL closed
+form: per-group Gram-matrix aggregates + Cramer's rule — the oracle
+uses a CENTERED time basis for numerical stability; residuals are
 basis-invariant so they match the kernel's lstsq to ~1e-12.
 """
 
@@ -44,6 +47,161 @@ def o22_hp_detrend_sd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("o22_hp_detrend_sd", o22_hp_detrend_sd, None,
          "O22 HP-filter detrend + volatility (rows-only)")
+
+
+# --- O22 fixed-point twin: full hash evidence for the HP solve ----------
+def o22_hp_detrend_centi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O22 with HASH evidence (VERDICT r7 ask #3): the same pentadiagonal
+    LDL' HP(lambda=100) solve as o22_hp_detrend_sd, run in EXACT
+    truncating integer fixed point (functions/detrend.py::
+    hp_cycle_fixedpoint, scale 1e6, input centi-quantized) so the DuckDB
+    oracle — three recursive CTEs replaying factorization, forward solve
+    and backsolve step for step — matches bit-identically (the
+    events_holt_winters proof pattern). Emits per user the cycle's
+    integer moment sums (n, sum, sum-of-squares, n*ssq - sum^2 = the
+    exact sample-variance numerator), i.e. the reference's detrend->sd
+    pipeline shape (dtrendandstat_HP100.R:136-164) in hashable integers.
+    Scale shape: identical to o22_hp_detrend_sd — one shuffle into
+    per-user groups, O(T) kernel per bounded series, no driver data."""
+    import math
+
+    import pandas as pd
+
+    from ..functions.detrend import hp_cycle_fixedpoint
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_id", "user_id", "value"))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id")
+        centi = [int(math.floor(v * 100)) for v in pdf["value"]]
+        n = len(centi)
+        if n < MIN_T_EVENTS:
+            return pd.DataFrame(columns=["user_id", "n", "cyc_sum_centi",
+                                         "cyc_ssq_centi", "cyc_varnum"])
+        cyc = hp_cycle_fixedpoint(centi, lam=100)
+        sm = sum(cyc)
+        ssq = sum(c * c for c in cyc)
+        return pd.DataFrame({
+            "user_id": [int(pdf["user_id"].iloc[0])], "n": [n],
+            "cyc_sum_centi": [sm], "cyc_ssq_centi": [ssq],
+            "cyc_varnum": [n * ssq - sm * sm]})
+
+    schema = ("user_id long, n long, cyc_sum_centi long, "
+              "cyc_ssq_centi long, cyc_varnum long")
+    npar = spark.sparkContext.defaultParallelism
+    return (ev.repartition(npar, "user_id")
+            .groupBy("user_id").applyInPandas(kernel, schema)
+            .orderBy("user_id"))
+
+
+_S = 10 ** 6  # fixed-point scale (functions/detrend.py::HP_FX_SCALE)
+_S2 = _S * _S
+
+O22_CENTI_ORACLE = f"""
+WITH RECURSIVE seq AS MATERIALIZED (
+    SELECT user_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+               AS i,
+           COUNT(*) OVER (PARTITION BY user_id) AS t,
+           CAST(CAST(FLOOR(value * 100) AS BIGINT) AS HUGEINT) * {_S} AS y
+    FROM events WHERE value IS NOT NULL
+    QUALIFY t >= {MIN_T_EVENTS}
+), fac AS (
+    -- LDL' factorization of I + 100*K'K, scale S: one row per (user, i)
+    -- carrying the previous row's (d, l1, l2) for the band recurrences.
+    -- The [101, 501, 601..601, 501, 101] diagonal CASE assumes t >= 4
+    -- (at t = 3 the middle entry would be 401) — guaranteed by the
+    -- t >= {MIN_T_EVENTS} gate above; the Python kernel uses the exact
+    -- indicator form valid for all t
+    SELECT user_id, t, 0 AS i,
+           CAST(101 AS HUGEINT) * {_S} AS d,
+           (CAST(-200 AS HUGEINT) * {_S} * {_S})
+               // (CAST(101 AS HUGEINT) * {_S}) AS l1,
+           (CAST(100 AS HUGEINT) * {_S} * {_S})
+               // (CAST(101 AS HUGEINT) * {_S}) AS l2,
+           CAST(0 AS HUGEINT) AS dp, CAST(0 AS HUGEINT) AS l1p,
+           CAST(0 AS HUGEINT) AS l2p
+    FROM (SELECT DISTINCT user_id, t FROM seq)
+    UNION ALL
+    SELECT user_id, t, i, dn,
+           CASE WHEN i < t - 1
+                THEN ((a1v - (l2c * l1c * dc) // {_S2}) * {_S}) // dn
+                ELSE CAST(0 AS HUGEINT) END AS l1,
+           CASE WHEN i < t - 2
+                THEN (CAST(100 AS HUGEINT) * {_S} * {_S}) // dn
+                ELSE CAST(0 AS HUGEINT) END AS l2,
+           dc, l1c, l2c
+    FROM (
+        SELECT user_id, t, i, a1v,
+               a0v - (l1c * l1c * dc) // {_S2}
+                   - CASE WHEN i >= 2 THEN (l2pp * l2pp * dpp) // {_S2}
+                          ELSE CAST(0 AS HUGEINT) END AS dn,
+               dc, l1c, l2c
+        FROM (
+            SELECT f.user_id, f.t, f.i + 1 AS i,
+                   CAST(CASE WHEN f.i + 1 = 0 OR f.i + 1 = f.t - 1 THEN 101
+                             WHEN f.i + 1 = 1 OR f.i + 1 = f.t - 2 THEN 501
+                             ELSE 601 END AS HUGEINT) * {_S} AS a0v,
+                   CAST(CASE WHEN f.i + 1 = 0 OR f.i + 1 = f.t - 2 THEN -200
+                             ELSE -400 END AS HUGEINT) * {_S} AS a1v,
+                   f.d AS dc, f.l1 AS l1c, f.l2 AS l2c,
+                   f.dp AS dpp, f.l2p AS l2pp
+            FROM fac f WHERE f.i + 1 <= f.t - 1
+        )
+    )
+), fac_m AS MATERIALIZED (
+    -- materialization barriers: without them DuckDB re-inlines each
+    -- upstream recursion into every downstream recursive iteration
+    -- (O(T^3) re-evaluation); the wrappers pin one evaluation each
+    SELECT * FROM fac
+), fz AS (
+    -- forward solve L z = y; l2[i-2] rides along as fac[i-1].l2p
+    SELECT s.user_id, s.t, s.i, s.y AS z, CAST(0 AS HUGEINT) AS zp
+    FROM seq s WHERE s.i = 0
+    UNION ALL
+    SELECT s.user_id, s.t, s.i + 1,
+           y.y - (fc.l1 * s.z) // {_S}
+               - CASE WHEN s.i >= 1 THEN (fc.l2p * s.zp) // {_S}
+                      ELSE CAST(0 AS HUGEINT) END AS z,
+           s.z AS zp
+    FROM fz s
+    JOIN fac_m fc ON fc.user_id = s.user_id AND fc.i = s.i
+    JOIN seq y ON y.user_id = s.user_id AND y.i = s.i + 1
+    WHERE s.i + 1 <= s.t - 1
+), fz_m AS MATERIALIZED (SELECT * FROM fz
+), wv AS MATERIALIZED (
+    SELECT z.user_id, z.t, z.i, (z.z * {_S}) // fc.d AS w
+    FROM fz_m z JOIN fac_m fc ON fc.user_id = z.user_id AND fc.i = z.i
+), bw AS (
+    -- backward solve L' tau = w, descending from i = t-1
+    SELECT user_id, t, i, w AS tau, CAST(0 AS HUGEINT) AS taun
+    FROM wv WHERE i = t - 1
+    UNION ALL
+    SELECT s.user_id, s.t, s.i - 1,
+           w.w - (fc.l1 * s.tau) // {_S} - (fc.l2 * s.taun) // {_S} AS tau,
+           s.tau AS taun
+    FROM bw s
+    JOIN wv w ON w.user_id = s.user_id AND w.i = s.i - 1
+    JOIN fac_m fc ON fc.user_id = s.user_id AND fc.i = s.i - 1
+    WHERE s.i - 1 >= 0
+), bw_m AS MATERIALIZED (SELECT * FROM bw
+), cyc AS (
+    SELECT s.user_id, s.t,
+           CAST((s.y - b.tau) // {_S} AS BIGINT) AS c
+    FROM seq s JOIN bw_m b ON b.user_id = s.user_id AND b.i = s.i
+)
+SELECT user_id, CAST(t AS BIGINT) AS n,
+       CAST(SUM(c) AS BIGINT) AS cyc_sum_centi,
+       CAST(SUM(c * c) AS BIGINT) AS cyc_ssq_centi,
+       CAST(CAST(t AS BIGINT) * SUM(c * c) - SUM(c) * SUM(c) AS BIGINT)
+           AS cyc_varnum
+FROM cyc GROUP BY user_id, t ORDER BY user_id
+"""
+
+register("o22_hp_detrend_centi", o22_hp_detrend_centi, O22_CENTI_ORACLE,
+         "O22 HP filter in exact fixed point (recursive-CTE LDL' oracle)")
 
 
 # --- O23: quadratic detrend (oracle via Gram matrix + Cramer) -------------

@@ -83,6 +83,10 @@ def _update(key: tuple, pdfs: Iterator[pd.DataFrame],
                           st["l"], st["b"], st["sw"]))
         return
     batch = pd.concat(rows).sort_values("ts_ns")
+    # Match the batch kernel's SUM(floor(value*100)) null handling:
+    # SQL SUM skips NULLs, so NULL/NaN rows drop out of the day sum
+    # here too (instead of int(NaN) raising and killing the query).
+    batch = batch[batch["value"].notna()]
     out: list = []
     for ts_ns, value in zip(batch["ts_ns"], batch["value"]):
         d = int(ts_ns) // DAY_NS
