@@ -180,13 +180,37 @@ HEADLINE = [
     "ann_ivf_nprobe_sweep",
     "events_holt_winters",
     "events_cusum_binseg",
+    # added round 8 (append-only): O22 hash-evidence twin, deflated
+    # top-k PCA, and the histogram-decile pareto rewrite
+    "o22_hp_detrend_centi",
+    "emb_pca_topk",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a
 # verdict: measure as BEST OF 3 so the recorded value reflects the
 # plan, not a GC/position artifact (the r5->r6 dedup_minhash_lsh
-# discipline; emb_intra_label_cohesion is the r6 watch item).
-BEST_OF_3 = {"emb_intra_label_cohesion"}
+# discipline; emb_intra_label_cohesion is the r6 watch item; the
+# iterative dedup/CC family is the r7 watch item — many short jobs,
+# bench-position GC debt dominates single runs).
+BEST_OF_3 = {"emb_intra_label_cohesion", "dedup_incremental",
+             "dedup_survivors", "dedup_clusters", "ann_dedup_pipeline",
+             "graph_triangles"}
+
+
+def _load_anchor() -> dict | None:
+    """BENCH_ANCHOR.json (repo root, committed): a same-code re-bench
+    of a prior round's commit under current host conditions, recorded
+    so the driver can separate host Spark-path drift from plan
+    regressions without re-deriving it from commit messages. Written
+    by scripts/bench_anchor.py; embedded verbatim in BENCH_DETAIL.json
+    and summarized (commit + drift ratio) on the stdout line."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_ANCHOR.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
 
 
 def _hash_loop(n: int = 2_000_000) -> int:
@@ -281,20 +305,24 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     ref_sec, ref_par_sec = cpu_ref_sec(), cpu_ref_par_sec()
+    anchor = _load_anchor()
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
+    detail = {
+        "metric": "headline_query_wall_sec",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpu_ref_sec": ref_sec,
+        "cpu_ref_par_sec": ref_par_sec,
+    }
+    if anchor:
+        detail["anchor"] = anchor
     with open(detail_path, "w") as f:
-        json.dump({
-            "metric": "headline_query_wall_sec",
-            "value": round(total, 4),
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-            "cpu_ref_sec": ref_sec,
-            "cpu_ref_par_sec": ref_par_sec,
-        }, f, indent=1, sort_keys=True)
+        json.dump(detail, f, indent=1, sort_keys=True)
         f.write("\n")
-    print(json.dumps({
+    line = {
         "metric": "headline_query_wall_sec",
         "value": round(total, 4),
         "unit": "sec",
@@ -303,7 +331,11 @@ def main() -> None:
         "cpu_ref_sec": ref_sec,
         "cpu_ref_par_sec": ref_par_sec,
         "detail": "BENCH_DETAIL.json",
-    }))
+    }
+    if anchor:
+        line["anchor_commit"] = anchor.get("anchor_commit")
+        line["anchor_drift"] = anchor.get("drift_ratio")
+    print(json.dumps(line))
     spark.stop()
 
 

@@ -30,6 +30,9 @@ from ..operators.runlength import clean_runs
 from ..sources import read_wdi_csv
 from ..sources.readers import YEARS
 
+# hard cap on the driver-side golden CSV path (model-size stat tables)
+GOLDEN_MAX_ROWS = 10_000
+
 MIN_T = 30  # dtrendandstat_dlog.R:7
 
 # O2 recode map (dtrendandstat_dlog.R:14-21)
@@ -321,6 +324,16 @@ def write_csv_outputs(outputs: dict[str, DataFrame], out_dir: str,
     for name, df in outputs.items():
         dest = os.path.join(out_dir, f"{name}.csv")
         if golden:
+            # explicit model-size guard: this driver-side path exists
+            # only for byte-exact golden emission of the small stat
+            # tables; pointing it at a large frame is a bug, not a
+            # slow path — fail fast instead of OOMing the driver
+            n = df.count()
+            if n > GOLDEN_MAX_ROWS:
+                raise ValueError(
+                    f"golden CSV path is driver-side and capped at "
+                    f"{GOLDEN_MAX_ROWS} rows; {name!r} has {n} — use the "
+                    "distributed writer (golden=False)")
             df.toPandas().to_csv(dest, index=False, na_rep="")
             continue
         tmp = os.path.join(out_dir, f"_{name}.csv.spark")

@@ -455,6 +455,32 @@ def _trunc_div(a, b):
     return np.where((a < 0) != (b < 0), -q, q)
 
 
+def _collect_gram(spark: SparkSession, sf_dir: str) -> list:
+    """Shared Gram-collection plan of the PCA queries: corpus ->
+    Arrow-batched integer partials -> d(d+1)/2 bigint cells -> the ONE
+    audited model-size collect of this module."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram_partials(batches):
+        iu = np.triu_indices(DIM)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            xq = np.floor(x * Q_SCALE).astype(np.int64)
+            g = xq.T @ xq
+            yield pd.DataFrame({
+                "i": iu[0].astype("int32"), "j": iu[1].astype("int32"),
+                "s": g[iu]})
+
+    gram = (emb.mapInPandas(gram_partials, "i int, j int, s long")
+            .groupBy("i", "j").agg(F.sum("s").alias("s_ij")))
+    return gram.collect()  # model-size: d(d+1)/2 = 2080 bigint cells
+
+
 def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant principal direction of the embedding corpus via power
     iteration in EXACT fixed-point integer arithmetic end to end — the
@@ -482,23 +508,7 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
-
-    def gram_partials(batches):
-        iu = np.triu_indices(DIM)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            xq = np.floor(x * Q_SCALE).astype(np.int64)
-            g = xq.T @ xq
-            yield pd.DataFrame({
-                "i": iu[0].astype("int32"), "j": iu[1].astype("int32"),
-                "s": g[iu]})
-
-    gram = (emb.mapInPandas(gram_partials, "i int, j int, s long")
-            .groupBy("i", "j").agg(F.sum("s").alias("s_ij")))
-    rows = gram.collect()  # model-size: d(d+1)/2 = 2080 bigint cells
+    rows = _collect_gram(spark, sf_dir)
     S = np.zeros((DIM, DIM), dtype=np.int64)
     for r in rows:
         S[r.i, r.j] = r.s_ij
@@ -583,3 +593,165 @@ ORDER BY dim_idx
 
 register("emb_pca_power", emb_pca_power, _pca_oracle(),
          "dominant principal direction via exact fixed-point power iteration")
+
+
+# ------------------- top-k principal directions (deflated power loops)
+PCA_TOPK = 3
+PCA_TOPK_ITERS = 128  # flat fixture spectrum (gap ~0.985): at 64 the
+#                       Rayleigh quotients of components 2/3 still come
+#                       out INVERTED (simulated); 128 restores the
+#                       monotone spectrum to ~3e-3 of numpy eigh.
+#                       Vectors are tested by subspace mass, not
+#                       per-direction angle (near-degenerate pairs)
+
+
+def _tdiv_int(a: int, b: int) -> int:
+    """Truncating division on plain Python ints (DuckDB // semantics)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def emb_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PCA_TOPK} principal directions (ROADMAP gap #6 /
+    VERDICT r7 ask #6): chained power loops with SEQUENTIAL Gram-Schmidt
+    projection against the already-found components inside every
+    iteration — the numerically safe deflation (matrix deflation lets
+    truncation residue along v1 regrow at (l1/l2)^iters). Same exact
+    fixed-point discipline as emb_pca_power, but driver-side arithmetic
+    is PURE PYTHON ints: the w*u1 dot times u1 projection products reach
+    ~2^74, past int64, and numpy would wrap silently where the DuckDB
+    HUGEINT oracle stays exact. The corpus work is identical (shared
+    _collect_gram plan: one Arrow pass, d^2 bigint partials); everything
+    after runs on the 64x64 model-size matrix. Emits per component the
+    64 loadings (1/{PCA_VNORM} units) and the Rayleigh quotient of the
+    final iterate on the UNdeflated normalized matrix (~eigenvalue k,
+    ppm of PCA_SNORM)."""
+    import pandas as pd
+
+    rows = _collect_gram(spark, sf_dir)
+    S = [[0] * DIM for _ in range(DIM)]
+    for r in rows:
+        S[r.i][r.j] = int(r.s_ij)
+        S[r.j][r.i] = int(r.s_ij)
+    smax = max(abs(S[i][j]) for i in range(DIM) for j in range(DIM))
+    # same guard contract as emb_pca_power: the oracle's BIGINT sn
+    # stage raises past this bound, so the engine must too
+    if smax * PCA_SNORM >= 1 << 63:
+        raise OverflowError(
+            f"emb_pca_topk: max|S|={smax} * PCA_SNORM={PCA_SNORM} "
+            "exceeds int64; reduce Q_SCALE for this corpus size")
+    sn = [[_tdiv_int(S[i][j] * PCA_SNORM, smax) for j in range(DIM)]
+          for i in range(DIM)]
+
+    def matvec(v):
+        return [sum(sn[i][j] * v[j] for j in range(DIM))
+                for i in range(DIM)]
+
+    comps = []          # (component, v, ray_ppm)
+    prev = []           # (u, dot(u, u)) of found components
+    for c in range(1, PCA_TOPK + 1):
+        v = [PCA_VNORM] * DIM
+        for _ in range(PCA_TOPK_ITERS):
+            w = matvec(v)
+            for u, du in prev:   # sequential projection, order fixed
+                cc = sum(w[i] * u[i] for i in range(DIM))
+                w = [w[i] - _tdiv_int(cc * u[i], du) for i in range(DIM)]
+            m = max(abs(x) for x in w)
+            v = [_tdiv_int(w[i] * PCA_VNORM, m) for i in range(DIM)]
+        wr = matvec(v)           # Rayleigh on the undeflated matrix
+        num = sum(v[i] * wr[i] for i in range(DIM))
+        den = sum(v[i] * v[i] for i in range(DIM))
+        comps.append((c, v, int(round(num / den / PCA_SNORM * 1_000_000))))
+        prev.append((v, den))
+    out = pd.DataFrame(
+        [(c, i, v[i], ray) for c, v, ray in comps for i in range(DIM)],
+        columns=["component", "dim_idx", "loading_q", "rayleigh_ppm"])
+    return (spark.createDataFrame(out.astype("int64"))
+            .orderBy("component", "dim_idx"))
+
+
+def _pca_topk_oracle() -> str:
+    """Recursive-CTE top-k deflated power iteration: ONE recursive CTE
+    per component (it1..it3) carrying the 64-row iterate keyed by
+    iteration index — matvec is an aggregation over the recursive
+    reference (DuckDB allows it), the sequential Gram-Schmidt
+    projections and the max-abs normalization are window aggregates
+    over the step's derived rows. Replaces a ~1900-stage unrolled CTE
+    chain that exceeded DuckDB's expression-depth limit. HUGEINT
+    throughout (projection products pass int64)."""
+    comps_sql = []
+    finals = []
+    for c in range(1, PCA_TOPK + 1):
+        joins = "".join(
+            f" JOIN vf{q} u{q}t ON w0.i = u{q}t.i CROSS JOIN df{q}"
+            for q in range(1, c))
+        ucols = "".join(f", u{q}t.v AS u{q}, df{q}.dd AS dd{q}"
+                        for q in range(1, c))
+        cur = (f"SELECT w0.k, w0.i, w0.w AS x0{ucols}\n"
+               f"  FROM (SELECT v.k + 1 AS k, s.i,"
+               f" CAST(SUM(s.sn * v.v) AS HUGEINT) AS w\n"
+               f"        FROM sn s JOIN it{c} v ON s.j = v.i\n"
+               f"        WHERE v.k < {PCA_TOPK_ITERS}"
+               f" GROUP BY v.k, s.i) w0{joins}")
+        for q in range(1, c):  # sequential projections, order fixed
+            keep = "".join(f", u{r}, dd{r}" for r in range(q + 1, c))
+            cur = (f"SELECT k, i, x{q - 1} - ((SUM(x{q - 1} * u{q})"
+                   f" OVER (PARTITION BY k)) * u{q}) // dd{q}"
+                   f" AS x{q}{keep}\n  FROM ({cur})")
+        cur = (f"SELECT k, i, (x * {PCA_VNORM}) // mx AS v\n"
+               f"    FROM (SELECT k, i, x{c - 1} AS x,"
+               f" MAX(ABS(x{c - 1})) OVER (PARTITION BY k) AS mx"
+               f"\n          FROM ({cur}))")
+        comps_sql.append(
+            f"it{c} AS (\n"
+            f"    SELECT 0 AS k, i, CAST({PCA_VNORM} AS HUGEINT) AS v"
+            f" FROM dims0\n"
+            f"    UNION ALL\n"
+            f"    {cur}\n"
+            f"), vf{c} AS MATERIALIZED (\n"
+            f"    SELECT i, v FROM it{c} WHERE k = {PCA_TOPK_ITERS}\n"
+            f"), df{c} AS MATERIALIZED (\n"
+            f"    SELECT CAST(SUM(v * v) AS HUGEINT) AS dd FROM vf{c}\n"
+            f"), wr{c} AS MATERIALIZED (\n"
+            f"    SELECT s.i, CAST(SUM(s.sn * v.v) AS HUGEINT) AS w\n"
+            f"    FROM sn s JOIN vf{c} v ON s.j = v.i GROUP BY s.i\n"
+            f"), ray{c} AS MATERIALIZED (\n"
+            f"    SELECT CAST(SUM(v.v * w.w) AS HUGEINT) AS num\n"
+            f"    FROM vf{c} v JOIN wr{c} w ON v.i = w.i)")
+        finals.append(
+            f"SELECT CAST({c} AS BIGINT) AS component,"
+            f" CAST(v.i AS BIGINT) AS dim_idx,"
+            f" CAST(v.v AS BIGINT) AS loading_q,\n"
+            f"       CAST(ROUND(CAST(num AS DOUBLE) / CAST(dd AS DOUBLE)"
+            f" / {PCA_SNORM} * 1000000) AS BIGINT) AS rayleigh_ppm\n"
+            f"FROM vf{c} v CROSS JOIN ray{c} CROSS JOIN df{c}")
+    chained = ",\n".join(comps_sql)
+    body = "\nUNION ALL\n".join(finals)
+    return f"""
+WITH RECURSIVE dims AS (
+    SELECT UNNEST(range(1, {DIM} + 1)) AS k
+), dims0 AS (
+    SELECT UNNEST(range(0, {DIM})) AS i
+), q AS MATERIALIZED (
+    SELECT e.vec_id, d.k - 1 AS i,
+           CAST(FLOOR(CAST(e.embedding[d.k] AS DOUBLE) * {Q_SCALE})
+                AS BIGINT) AS qv
+    FROM embeddings e CROSS JOIN dims d
+), s AS MATERIALIZED (
+    SELECT a.i AS i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS s_ij
+    FROM q a JOIN q b ON a.vec_id = b.vec_id
+    GROUP BY a.i, b.i
+), smax AS (SELECT MAX(ABS(s_ij)) AS m FROM s),
+sn AS MATERIALIZED (
+    SELECT i, j, CAST(s_ij * {PCA_SNORM} // m AS HUGEINT) AS sn
+    FROM s CROSS JOIN smax
+),
+{chained}
+SELECT * FROM (
+{body}
+) ORDER BY component, dim_idx
+"""
+
+
+register("emb_pca_topk", emb_pca_topk, _pca_topk_oracle(),
+         "top-3 principal directions via Gram-Schmidt-deflated power loops")

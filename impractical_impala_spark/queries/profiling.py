@@ -114,24 +114,45 @@ FROM ranked WHERE rk <= {TOP_KEYS} ORDER BY n DESC, user_id
 N_DECILES = 10
 
 
+N_PARETO_BINS = 4096
+
+
 def customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration ("do the top 10% of customers carry 40% of
-    revenue?"): per-customer cents-exact revenue, total-ordered deciles
-    via ntile, per-decile share against the broadcast grand total. The
-    ntile runs over the customer AGGREGATE (dimension-sized), never the
-    orders fact; exact equal-count deciles are inherently a total
-    order, so past dimension scale you'd swap in the broadcast
-    percentile-cutpoint buckets of curriculum_buckets (documented
-    trade: cutpoint deciles are equal-width-in-value, not
-    equal-count)."""
+    revenue?"): per-customer cents-exact revenue, bucketed into deciles
+    WITHOUT any total order over the customer aggregate (VERDICT r7 ask
+    #4; the previous ntile was a one-task global sort). Mechanism: a
+    broadcast (min, max, n, total) aggregate keys an all-integer
+    equi-width histogram of revenue ({N_PARETO_BINS} bins, bin 0 =
+    richest); the cumulative bin counts — a window over the bounded
+    histogram, never the customers — assign each BIN its decile as
+    1 + (customers_in_richer_bins * 10) div n. Equal-count up to bin
+    granularity (the documented quantization: a bin never splits), and
+    every bucketing step is exact integer arithmetic so both engines
+    agree bit-for-bit — no interpolated float cutpoints to flip a
+    boundary customer. Decile 1 = top revenue."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", F.floor(F.col("o_totalprice") * 100)
         .cast("long").alias("cents"))
     per_cust = orders.groupBy("o_custkey").agg(F.sum("cents").alias("rev"))
-    tot = per_cust.agg(F.sum("rev").alias("total"))
-    w = Window.orderBy(F.col("rev").desc(), "o_custkey")
-    return (per_cust.withColumn("decile", F.ntile(N_DECILES).over(w))
-            .crossJoin(F.broadcast(tot))
+    rng = per_cust.agg(F.min("rev").alias("mn"), F.max("rev").alias("mx"),
+                       F.count(F.lit(1)).alias("n"),
+                       F.sum("rev").alias("total"))
+    binned = (per_cust.crossJoin(F.broadcast(rng))
+              .withColumn("bin", F.when(
+                  F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+                  F.least(F.lit(N_PARETO_BINS - 1),
+                          F.expr(f"((mx - rev) * {N_PARETO_BINS})"
+                                 f" div (mx - mn + 1)")))))
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = (Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    dec = (hist.withColumn("cprev", F.coalesce(F.sum("cnt").over(wb),
+                                               F.lit(0)))
+           .crossJoin(F.broadcast(rng.select("n")))
+           .select("bin", (F.lit(1) + F.expr("(cprev * 10) div n"))
+                   .cast("int").alias("decile")))
+    return (binned.join(F.broadcast(dec), "bin")
             .groupBy("decile")
             .agg(F.count(F.lit(1)).alias("n_customers"),
                  F.sum("rev").alias("revenue_cents"),
@@ -145,18 +166,33 @@ WITH per_cust AS (
     SELECT o_custkey,
            SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS rev
     FROM orders GROUP BY o_custkey
-), tot AS (SELECT SUM(rev) AS total FROM per_cust),
-deciled AS (
-    SELECT o_custkey, rev, total,
-           NTILE({N_DECILES}) OVER (ORDER BY rev DESC, o_custkey) AS decile
-    FROM per_cust CROSS JOIN tot
+), rng AS (
+    SELECT MIN(rev) AS mn, MAX(rev) AS mx, COUNT(*) AS n,
+           SUM(rev) AS total
+    FROM per_cust
+), binned AS (
+    SELECT o_custkey, rev, n, total,
+           CASE WHEN mx = mn THEN 0
+                ELSE LEAST({N_PARETO_BINS - 1},
+                           ((mx - rev) * {N_PARETO_BINS}) // (mx - mn + 1))
+           END AS bin
+    FROM per_cust CROSS JOIN rng
+), hist AS (
+    SELECT bin, COUNT(*) AS cnt FROM binned GROUP BY bin
+), dec AS (
+    SELECT bin,
+           CAST(1 + (COALESCE(SUM(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 10)
+               // r.n AS INT) AS decile
+    FROM hist CROSS JOIN (SELECT n FROM rng) r
 )
-SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_customers,
-       CAST(SUM(rev) AS BIGINT) AS revenue_cents,
-       ROUND(CAST(SUM(rev) AS DOUBLE) / ANY_VALUE(total) * 100, 6) + 0.0
+SELECT d.decile, COUNT(*) AS n_customers,
+       CAST(SUM(b.rev) AS BIGINT) AS revenue_cents,
+       ROUND(CAST(SUM(b.rev) AS DOUBLE) / ANY_VALUE(b.total) * 100, 6) + 0.0
            AS revenue_share_pct
-FROM deciled GROUP BY decile ORDER BY decile
-""", "cents-exact Pareto revenue concentration by customer decile")
+FROM binned b JOIN dec d USING (bin)
+GROUP BY d.decile ORDER BY d.decile
+""", "Pareto revenue deciles via integer histogram cutpoints (no total order)")
 
 
 def nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -109,7 +109,9 @@ _PKG = os.path.join(os.path.dirname(os.path.dirname(
 #   similarity.py  2x k-means centroid maps (<= IVF_CELLS rows)
 #   ml_more.py     1x d(d+1)/2 = 2080 Gram cells
 #   plans/wdi.py   1x golden-CSV emission of <=45-row stat tables
-#                  (the default sink path is the distributed writer)
+#                  (the default sink path is the distributed writer;
+#                  the golden path raises past GOLDEN_MAX_ROWS, so the
+#                  entry carries a provable size bound)
 #   operators/graph.py 1x 1-row degree-quantile aggregate (adaptive
 #                  k-core levels)
 _MATERIALIZE_ALLOW = {

@@ -52,6 +52,52 @@ def test_hp_fixedpoint_short_series_contract():
     assert hp_cycle_fixedpoint([5, -7]) == [0, 0]
 
 
+def test_pca_topk_matches_eigh_spectrum():
+    """Independent numpy reference for emb_pca_topk: the three fixed-
+    point Rayleigh quotients must be MONOTONE decreasing and match the
+    top numpy-eigh eigenvalues of the same quantized second-moment
+    matrix within the spectral-gap convergence envelope (gap ~0.985 at
+    sf0.01 -> gap^(2*128) ~ 0.02 residual mixing of adjacent
+    eigenvalues); each iterate must live almost entirely in the top
+    eigh subspace (contamination beyond rank 8 decays as
+    (l9/l3)^128 ~ 1e-14)."""
+    import pyarrow.parquet as pq
+
+    from impractical_impala_spark.queries.ml_more import (
+        PCA_SNORM, PCA_TOPK, Q_SCALE)
+
+    x = np.stack(pq.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).to_pandas()["embedding"].to_numpy()).astype(np.float64)
+    xq = np.floor(x * Q_SCALE).astype(np.int64)
+    S = (xq.T @ xq).astype(np.float64)
+    smax = np.abs(S).max()
+    evals, evecs = np.linalg.eigh(S / smax)
+    evals, evecs = evals[::-1], evecs[:, ::-1]
+
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                "'/root/testdata/sf0.01/embeddings.parquet'")
+    from impractical_impala_spark.queries.ml_more import _pca_topk_oracle
+    out = con.execute(_pca_topk_oracle()).fetchdf()
+
+    rays = (out.groupby("component").rayleigh_ppm.first()
+            .to_numpy() / 1e6)
+    assert (np.diff(rays) < 0).all(), f"non-monotone spectrum: {rays}"
+    # Rayleigh_k within the gap envelope of eigh lambda_k
+    for k in range(PCA_TOPK):
+        assert abs(rays[k] - evals[k]) <= 0.01 * evals[k], (
+            k, rays[k], evals[k])
+    # subspace mass: each iterate ~entirely inside the top-8 subspace
+    for k in range(1, PCA_TOPK + 1):
+        v = (out[out.component == k].sort_values("dim_idx")
+             .loading_q.to_numpy().astype(np.float64))
+        v = v / np.linalg.norm(v)
+        mass = np.linalg.norm(evecs[:, :8].T @ v)
+        assert mass >= 0.999, (k, mass)
+
+
 def test_hp_fixedpoint_overflow_headroom():
     """The documented overflow ladder: extreme centi magnitudes at the
     1e9 bound stay inside Python int exactly and produce cycles whose
