@@ -283,7 +283,65 @@ FILL_R7 = [
 # (rows-only) and drift.events_cusum_binseg.
 # All pass the local DuckDB gate; they wait for the r8 window.
 
-WINDOW = NEW_R7 + CHANGED_R7 + STALE_R1R2_R7 + FILL_R7
+_WINDOW_R7 = NEW_R7 + CHANGED_R7 + STALE_R1R2_R7 + FILL_R7
+assert len(_WINDOW_R7) == 50, len(_WINDOW_R7)
+
+# ---------------------------------------------------------------- r8
+# r8 window (replaces the r7 ordering above, kept for history). The r7
+# window went 50/50 full hash-matches, so every slot is free for
+# VERDICT r7 ask #1.
+
+# Priority 1 — never driver-checked: the ten late-r7 registrations the
+# verdict names (graph_kcore_summary is rows-only by contract: iterative
+# k-core fixpoint) plus the two new round-8 queries from the HP-filter /
+# PCA commits (o22_hp_detrend_centi is the O22 hash-evidence twin —
+# VERDICT ask #3; emb_pca_topk is ask #6).
+NEVER_CHECKED_R8 = [
+    "o22_hp_detrend_centi", "emb_pca_topk",
+    "events_holt_winters", "events_cusum_binseg", "ann_ivf_nprobe_sweep",
+    "text_pmi_collocations", "events_share_ztest", "dq_sequence_gaps",
+    "weighted_reservoir_sample", "lineitem_lmoments", "lineitem_price_ols",
+    "graph_kcore_summary",
+]
+
+# Priority 2 — changed this round, fresh rows prove the new plans:
+# customer_pareto swapped exact ntile deciles for broadcast-histogram
+# deciles (VERDICT ask #4 — VALUES change); events_drift_monitor's
+# binning now clamps on the long floor (ADVICE #2); lineitem_kendall_tau's
+# oracle spine is generated per flag instead of a 101-value cap
+# (ADVICE #1). ann_cosine_topk got the explicit panel-broadcast pin in
+# r7 alongside dedup_embedding_neardup but, unlike it, never re-proved
+# under the corrected build side.
+CHANGED_R8 = [
+    "customer_pareto", "events_drift_monitor", "lineitem_kendall_tau",
+    "ann_cosine_topk",
+]
+
+# Priority 3 — the ENTIRE oldest evidence cohort: all 25 queries whose
+# latest driver row is r3-era (VERDICT ask #1's fill instruction,
+# "starting at q11_important_stock" — the whole cohort fits).
+STALE_R3 = [
+    "q11_important_stock", "q_grouping_sets", "q_global_rank",
+    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+    "q12_ship_delay", "q14_promo_effect", "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates", "q22_dormant_customers",
+    "text_length_histogram", "text_redact_pii", "w6_distribution_ranks",
+    "q15_top_supplier", "q16_supplier_count", "q20_small_part_suppliers",
+    "q21_latest_shipper", "q9_product_profit", "q2_min_cost_supplier",
+    "sink_roundtrip_partitioned", "text_repetition_ratio",
+    "text_ngram_contamination", "quality_gate_survivors",
+    "split_cluster_safe",
+]
+
+# Fill — the head of the r4-era cohort (next-oldest evidence), dedup
+# and ANN shapes first since that family carries the bench watch item.
+FILL_R8 = [
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "ann_lsh_bucketed", "ann_ivf_probe", "q_asof_attribution",
+    "q_range_band_join", "json_extract_props", "q_percentiles",
+]
+
+WINDOW = NEVER_CHECKED_R8 + CHANGED_R8 + STALE_R3 + FILL_R8
 assert len(WINDOW) == 50, len(WINDOW)
 
 set_window_order(WINDOW)
