@@ -184,6 +184,20 @@ HEADLINE = [
     # top-k PCA, and the histogram-decile pareto rewrite
     "o22_hp_detrend_centi",
     "emb_pca_topk",
+    # round 8 wave 2 (append-only): spectral/effect-size/MI monitoring,
+    # IR + tokenizer-training text ops, embedding evaluation
+    "events_periodogram",
+    "events_cvm_drift",
+    "events_effect_sizes",
+    "events_mutual_information",
+    "fold_balance_audit",
+    "text_bm25_topk",
+    "bpe_merge_candidates",
+    "unigram_crossentropy_split",
+    "heaps_law_fit",
+    "emb_centroid_outliers",
+    "emb_knn_label_purity",
+    "emb_pca_project",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

@@ -1,0 +1,231 @@
+"""Round-8 wave 3: embedding-space evaluation operators — the
+diagnostics a training pipeline runs over its embedding table to find
+mislabeled/outlier vectors, measure label separability, and compress
+vectors for downstream indexing.
+
+- Centroid outliers: distance of each vector to its OWN label centroid,
+  normalized by the label's mean squared distance — the classic
+  label-noise detector. Centroids come from micro-quantized integer
+  sums (model-size: labels x dim), so distances are exact integer
+  arithmetic up to one final sqrt; the DECIMAL(38)/HUGEINT square-sum
+  accumulator is sized for the nano-scale products (1e20 per term —
+  int64 would wrap on the FIRST row).
+- kNN label purity: for the bounded query panel, the fraction of each
+  query's 10 nearest cosine neighbors sharing its label — the
+  leave-one-out sanity check behind "are these labels learnable". The
+  panel is predicate-bounded (vec_id < N_QUERIES) and explicitly
+  broadcast, the ann_cosine_topk discipline.
+- PCA projection: every vector's coordinates along the top-3 principal
+  directions from emb_pca_topk — the whitening/compression step that
+  turns the spectrum into features. Loadings are a broadcast model-size
+  table; scores are exact integer dot products in (Q_SCALE x PCA_VNORM)
+  fixed point. The oracle splices emb_pca_topk's recursive-CTE oracle
+  as a subquery, so both engines derive the loadings independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register, oracle_sql_of
+from ..sources import load_table
+from .ml_more import DIM, Q_SCALE, PCA_VNORM, emb_pca_topk
+from .similarity import N_QUERIES
+
+# ------------------------------------------------- centroid outliers
+OUTLIER_TOP_K = 20
+EMB_MICRO = 1_000_000
+
+
+def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 label-noise suspects: squared distance to own label
+    centroid over the label's mean squared distance. Components
+    micro-quantize (floor(v*1e6)) so the per-(label,pos) centroid
+    numerators are exact integer sums; the per-vector residual
+    dv = v_micro*n - sum_micro stays integer (the n-scaled centroid
+    avoids a division), and dv^2 accumulates as DECIMAL(38,0)/HUGEINT.
+    Everything after the one fact explode is keyed on (label, pos) —
+    model-size — or (vec_id) — one combine-friendly shuffle. Overflow
+    ladder: |dv| <= 2e6 * n, so dv^2 <= 4e12 * n^2 needs the wide
+    accumulator past n ~ 1e3 — DECIMAL(38) holds to n ~ 5e12 rows per
+    label."""
+    ex = (load_table(spark, sf_dir, "embeddings")
+          .select("vec_id", "label",
+                  F.posexplode("embedding").alias("pos", "v"))
+          .select("vec_id", "label", "pos",
+                  F.floor(F.col("v").cast("double") * EMB_MICRO)
+                  .cast("long").alias("vm")))
+    cent = ex.groupBy("label", "pos").agg(
+        F.sum("vm").alias("sm"), F.count(F.lit(1)).alias("n"))
+    d2 = (ex.join(F.broadcast(cent), ["label", "pos"])
+          .withColumn("dv", F.col("vm") * F.col("n") - F.col("sm"))
+          .groupBy("vec_id", "label")
+          .agg(F.sum((F.col("dv").cast("decimal(38,0)")
+                      * F.col("dv").cast("decimal(38,0)"))
+                     .cast("decimal(38,0)")).alias("d2"),
+               F.max("n").alias("n")))
+    lbl = d2.groupBy("label").agg(
+        F.sum("d2").cast("decimal(38,0)").alias("d2_tot"),
+        F.count(F.lit(1)).alias("n_vecs"))
+    ratio = ("cast(d2 as double) * n_vecs / cast(d2_tot as double)")
+    dist = (f"sqrt(cast(d2 as double)) / ({EMB_MICRO}d * n)")
+    return (d2.join(F.broadcast(lbl), "label")
+            .select("vec_id", "label",
+                    (F.round(F.expr(dist), 6) + 0.0).alias("dist"),
+                    (F.round(F.expr(ratio), 6) + 0.0).alias("ratio"))
+            .orderBy(F.col("ratio").desc(), "vec_id")
+            .limit(OUTLIER_TOP_K))
+
+
+register("emb_centroid_outliers", emb_centroid_outliers, f"""
+WITH ex AS (
+    SELECT vec_id, label,
+           CAST(UNNEST(range(len(embedding))) AS BIGINT) AS pos,
+           CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * {EMB_MICRO})
+                AS BIGINT) AS vm
+    FROM embeddings
+), cent AS (
+    SELECT label, pos, CAST(SUM(vm) AS BIGINT) AS sm,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ex GROUP BY label, pos
+), d2 AS (
+    SELECT vec_id, ex.label,
+           SUM(CAST(ex.vm * c.n - c.sm AS HUGEINT)
+               * (ex.vm * c.n - c.sm)) AS d2,
+           MAX(c.n) AS n
+    FROM ex JOIN cent c ON ex.label = c.label AND ex.pos = c.pos
+    GROUP BY vec_id, ex.label
+), lbl AS (
+    SELECT label, SUM(d2) AS d2_tot, CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM d2 GROUP BY label
+)
+SELECT vec_id, d2.label,
+       ROUND(SQRT(CAST(d2 AS DOUBLE)) / ({EMB_MICRO} * CAST(n AS DOUBLE)),
+             6) + 0.0 AS dist,
+       ROUND(CAST(d2 AS DOUBLE) * n_vecs / CAST(d2_tot AS DOUBLE), 6)
+           + 0.0 AS ratio
+FROM d2 JOIN lbl USING (label)
+ORDER BY ratio DESC, vec_id LIMIT {OUTLIER_TOP_K}
+""", "label-noise suspects: distance-to-centroid ratio top-K")
+
+
+# ------------------------------------------------- kNN label purity
+KNN_K = 10
+
+
+def emb_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label agreement of each panel vector's 10 nearest cosine
+    neighbors — the leave-one-out "are these labels learnable" check.
+    Same bounded-panel discipline as ann_cosine_topk: the vec_id <
+    N_QUERIES panel is predicate-bounded at any corpus size and
+    explicitly broadcast (the estimator cannot see the predicate's
+    selectivity and would pick the corpus side)."""
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", "label",
+                   F.expr("transform(embedding, x -> cast(x as double))")
+                   .alias("v"))
+           .withColumn("norm", F.expr(
+               "sqrt(aggregate(v, cast(0.0 as double),"
+               " (acc, x) -> acc + x * x))")))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).alias("q")
+    c = emb.alias("c")
+    dot = F.expr(
+        "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), cast(0.0 as double),"
+        " (acc, x) -> acc + x)")
+    pairs = F.broadcast(q).join(
+        c, F.col("q.vec_id") != F.col("c.vec_id")).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("q.label").alias("label"),
+        F.col("c.label").alias("n_label"),
+        (dot / (F.col("q.norm") * F.col("c.norm"))).alias("cos"),
+        F.col("c.vec_id").alias("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), "neighbor_id")
+    top = (pairs.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= KNN_K))
+    return (top.groupBy("query_id", "label")
+            .agg(F.sum(F.expr("CASE WHEN n_label = label THEN 1 ELSE 0 END"))
+                 .alias("n_match"))
+            .select("query_id", "label", "n_match",
+                    (F.round(F.col("n_match") / F.lit(float(KNN_K)), 4)
+                     + 0.0).alias("purity"))
+            .orderBy("query_id"))
+
+
+register("emb_knn_label_purity", emb_knn_label_purity, f"""
+WITH emb AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), pairs AS (
+    SELECT q.vec_id AS query_id, q.label AS label,
+           c.label AS n_label, c.vec_id AS neighbor_id,
+           list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v))
+              * sqrt(list_dot_product(c.v, c.v))) AS cos
+    FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rn
+    FROM pairs
+)
+SELECT query_id, label,
+       CAST(SUM(CASE WHEN n_label = label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match,
+       ROUND(SUM(CASE WHEN n_label = label THEN 1 ELSE 0 END)
+             / {float(KNN_K)}, 4) + 0.0 AS purity
+FROM ranked WHERE rn <= {KNN_K}
+GROUP BY query_id, label ORDER BY query_id
+""", "kNN label purity of the bounded query panel (k=10)")
+
+
+# --------------------------------------------------- PCA projection
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector's coordinates along the top-3 principal directions
+    (emb_pca_topk's loadings): the compression/whitening features for
+    downstream indexing. The loadings are a 192-row broadcast table;
+    each score is an exact integer dot product of the Q_SCALE-quantized
+    vector with the PCA_VNORM-scale loading (|term| <= Q_SCALE *
+    PCA_VNORM ~ 2^24, x64 dims — int64 with 2^35 headroom), plus one
+    rounded float in natural units. One fact explode, one combine-
+    friendly (vec_id, component) aggregate — no extra corpus pass
+    beyond the Gram collection emb_pca_topk already does."""
+    comps = emb_pca_topk(spark, sf_dir).select(
+        "component", F.col("dim_idx").alias("pos"), "loading_q")
+    ex = (load_table(spark, sf_dir, "embeddings")
+          .select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+          .select("vec_id", "pos",
+                  F.floor(F.col("v").cast("double") * Q_SCALE)
+                  .cast("long").alias("xq")))
+    scores = (ex.join(F.broadcast(comps), "pos")
+              .groupBy("vec_id", "component")
+              .agg(F.sum(F.col("xq") * F.col("loading_q"))
+                   .alias("score_raw")))
+    return (scores.select(
+        "vec_id", "component", "score_raw",
+        (F.round(F.col("score_raw")
+                 / F.lit(float(Q_SCALE * PCA_VNORM)), 6) + 0.0)
+        .alias("score"))
+        .orderBy("vec_id", "component"))
+
+
+register("emb_pca_project", emb_pca_project, f"""
+WITH comp AS (
+    {oracle_sql_of("emb_pca_topk")}
+), ex AS (
+    SELECT vec_id,
+           CAST(UNNEST(range(len(embedding))) AS BIGINT) AS pos,
+           CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * {Q_SCALE})
+                AS BIGINT) AS xq
+    FROM embeddings
+)
+SELECT vec_id, comp.component,
+       CAST(SUM(xq * comp.loading_q) AS BIGINT) AS score_raw,
+       ROUND(SUM(xq * comp.loading_q)
+             / CAST({Q_SCALE * PCA_VNORM} AS DOUBLE), 6) + 0.0 AS score
+FROM ex JOIN comp ON ex.pos = comp.dim_idx
+GROUP BY vec_id, comp.component
+ORDER BY vec_id, comp.component
+""", "top-3 PCA coordinates per vector (exact fixed-point dot products)")

@@ -1,0 +1,494 @@
+"""Round-8 wave 1: spectral periodicity, distributional drift rigor,
+effect sizes, and information-theoretic dependence — the monitoring
+layer a training-data pipeline runs continuously over its event
+telemetry and corpus manifests.
+
+- Goertzel-style periodogram: spectral line amplitude of the hourly
+  event-count sequence at candidate periods (12 h / 24 h / 7 d). The
+  trig tables are fixed-point integer literals embedded IDENTICALLY in
+  both engines, so the correlation sums are exact integers; hours with
+  zero events contribute zero to every sum, which means no calendar
+  spine materializes at all — the aggregate domain is (period, residue),
+  at most 12+24+168 = 204 cells regardless of corpus size.
+- Cramér-von Mises drift: the integrated-squared-ECDF-gap companion to
+  the sup-norm KS test, over the same shared 256-bin quantized domain;
+  the ppm ECDF gaps are exact integers and the weighted square-sum
+  accumulates in DECIMAL(38,0)/HUGEINT before ONE rounded float.
+- Effect sizes: Cohen's d (from exact centi-unit sufficient statistics,
+  the Welch-t pattern) and Cliff's delta (from the 256-bin histogram
+  pair counts, the Mann-Whitney pattern) — the "is the shift LARGE"
+  companions to the significance tests.
+- Mutual information: exact-count MI of event_type x daypart with
+  per-cell nano-int quantization so the <= types x 4 term sum is
+  order-free exact integer arithmetic.
+- Fold balance audit: deterministic multiplicative-hash 5-fold split
+  of the documents corpus with a per-fold chi-square balance check
+  against the source marginals — the split-infrastructure audit that
+  catches a fold capturing a source's documents wholesale.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ..sources import load_table
+from .drift import HOUR_NS, clip_bin
+
+# --------------------------------------------- Goertzel periodogram
+PERIODS = (12, 24, 168)  # hours: half-day, diurnal, weekly
+TRIG_SCALE = 1_000_000
+
+
+def _trig_rows() -> list[tuple[int, int, int, int]]:
+    """(period, residue, cos_micro, sin_micro) fixed-point table —
+    generated ONCE here and embedded as literals in both engines, so
+    there is no trig evaluation anywhere in the query plans."""
+    rows = []
+    for p in PERIODS:
+        for r in range(p):
+            ang = 2.0 * math.pi * r / p
+            rows.append((p, r, int(round(math.cos(ang) * TRIG_SCALE)),
+                         int(round(math.sin(ang) * TRIG_SCALE))))
+    return rows
+
+
+_TRIG_SCHEMA = T.StructType([
+    T.StructField("period", T.LongType()),
+    T.StructField("r", T.LongType()),
+    T.StructField("cosm", T.LongType()),
+    T.StructField("sinm", T.LongType()),
+])
+
+
+def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral line amplitude of the hourly event-count sequence at
+    each candidate period: sc = sum_t x_t cos(2 pi t/P), ss likewise
+    with sin, amplitude ratio = sqrt(sc^2+ss^2) / (N * scale). Hours
+    bin by integer division, residues by t mod P, so the count
+    aggregate is keyed on at most sum(PERIODS)=204 (period, residue)
+    cells — one fact scan, one bounded shuffle, broadcast trig join.
+    sc/ss stay exact int64 while N * TRIG_SCALE < 9.2e18 (N ~ 9e12
+    events); past that the sums move to DECIMAL(38,0) like the CvM
+    accumulator below. sqrt/divide run on exact integers <= 2^53, so
+    the one float expression is engine-identical."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"ts_ns div {HOUR_NS}").alias("t"))
+    per_res = (ev
+               .select("t", F.explode(F.array(
+                   *[F.lit(p) for p in PERIODS])).alias("period"))
+               .select("period", F.expr("t % period").alias("r"))
+               .groupBy("period", "r").agg(F.count(F.lit(1)).alias("cnt")))
+    trig = spark.createDataFrame(_trig_rows(), _TRIG_SCHEMA)
+    sums = (per_res.join(F.broadcast(trig), ["period", "r"])
+            .groupBy("period")
+            .agg(F.sum("cnt").alias("n"),
+                 F.sum(F.col("cnt") * F.col("cosm")).alias("sc"),
+                 F.sum(F.col("cnt") * F.col("sinm")).alias("ss")))
+    amp = F.sqrt(F.col("sc") * F.col("sc").cast("double")
+                 + F.col("ss") * F.col("ss").cast("double")) \
+        / (F.col("n").cast("double") * TRIG_SCALE)
+    return (sums.select("period", "n", "sc", "ss",
+                        (F.round(amp, 6) + 0.0).alias("amp_ratio"))
+            .orderBy("period"))
+
+
+_TRIG_VALUES = ",\n".join(
+    f"({p}, {r}, {c}, {s})" for p, r, c, s in _trig_rows())
+
+register("events_periodogram", events_periodogram, f"""
+WITH ev AS (
+    SELECT CAST(epoch_us(ts) AS BIGINT) * 1000 // {HOUR_NS} AS t
+    FROM events
+), trig(period, r, cosm, sinm) AS (
+    VALUES {_TRIG_VALUES}
+), per_res AS (
+    SELECT p.period, ev.t % p.period AS r, COUNT(*) AS cnt
+    FROM ev CROSS JOIN (SELECT DISTINCT period FROM trig) p
+    GROUP BY 1, 2
+), sums AS (
+    SELECT pr.period,
+           CAST(SUM(pr.cnt) AS BIGINT) AS n,
+           CAST(SUM(pr.cnt * tg.cosm) AS BIGINT) AS sc,
+           CAST(SUM(pr.cnt * tg.sinm) AS BIGINT) AS ss
+    FROM per_res pr JOIN trig tg
+      ON pr.period = tg.period AND pr.r = tg.r
+    GROUP BY pr.period
+)
+SELECT period, n, sc, ss,
+       ROUND(SQRT(CAST(sc AS DOUBLE) * sc + CAST(ss AS DOUBLE) * ss)
+             / (CAST(n AS DOUBLE) * {TRIG_SCALE}), 6) + 0.0 AS amp_ratio
+FROM sums ORDER BY period
+""", "fixed-point periodogram of hourly event counts at 12h/24h/7d")
+
+
+# ------------------------------------------ Cramér-von Mises drift
+N_CVM_BINS = 256
+
+
+def events_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises statistic between the early and
+    late half of each event type's value stream, over the shared
+    256-bin quantized domain (events_value_ks_drift's contract): where
+    KS reads the single worst ECDF gap, CvM integrates the SQUARED gap
+    over the whole distribution, weighting each bin by its pooled
+    mass — sensitive to broad mid-distribution shifts KS under-reads.
+    cvm = sum_b (ca_b + cb_b) * d_ppm(b)^2 / (1e12 * N), with
+    d_ppm the exact integer ppm ECDF gap. The square-sum accumulates
+    as DECIMAL(38,0) (HUGEINT in the oracle): |term| <= N * 1e12, so
+    int64 would wrap past ~9e6 rows per type — the accumulator is
+    chosen for the 100 TB case, not patched later."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts_ns", "value")
+    stats = ev.agg(F.min("value").alias("mn_v"), F.max("value").alias("mx_v"),
+                   F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("mid_ns"))
+    binned = ev.crossJoin(F.broadcast(stats)).select(
+        "event_type",
+        clip_bin(F.col("value"), F.col("mn_v"), F.col("mx_v"),
+                 N_CVM_BINS).alias("bin"),
+        F.expr("CASE WHEN ts_ns <= mid_ns THEN 1 ELSE 0 END").alias("early"))
+    per_bin = binned.groupBy("event_type", "bin").agg(
+        F.sum("early").alias("ca"),
+        F.sum(F.lit(1) - F.col("early")).alias("cb"))
+    tot = per_bin.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = (Window.partitionBy("event_type").orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    gaps = (per_bin.join(F.broadcast(tot), "event_type")
+            .withColumn("d_ppm",
+                        F.expr("sum(ca) over (partition by event_type"
+                               " order by bin) * 1000000 div na")
+                        - F.expr("sum(cb) over (partition by event_type"
+                                 " order by bin) * 1000000 div nb")))
+    return (gaps.groupBy("event_type")
+            .agg(F.max("na").alias("n_early"), F.max("nb").alias("n_late"),
+                 F.sum(((F.col("ca") + F.col("cb")) * F.col("d_ppm")
+                        * F.col("d_ppm")).cast("decimal(38,0)"))
+                 .alias("ssum"))
+            .select("event_type", "n_early", "n_late",
+                    (F.round(F.col("ssum").cast("double")
+                             / (F.lit(1e12) * (F.col("n_early")
+                                               + F.col("n_late"))), 6)
+                     + 0.0).alias("cvm"))
+            .orderBy("event_type"))
+
+
+register("events_cvm_drift", events_cvm_drift, f"""
+WITH ev AS (
+    SELECT event_type, CAST(epoch_us(ts) AS BIGINT) * 1000 AS ts_ns, value
+    FROM events
+), stats AS (
+    SELECT MIN(value) AS mn_v, MAX(value) AS mx_v,
+           (MIN(ts_ns) + MAX(ts_ns)) // 2 AS mid_ns
+    FROM ev
+), binned AS (
+    SELECT event_type,
+           CASE WHEN mx_v = mn_v THEN 0 ELSE
+                LEAST({N_CVM_BINS - 1},
+                      CAST(FLOOR((value - mn_v) * {N_CVM_BINS}
+                                 / (mx_v - mn_v)) AS BIGINT)) END AS bin,
+           CASE WHEN ts_ns <= mid_ns THEN 1 ELSE 0 END AS early
+    FROM ev CROSS JOIN stats
+), per_bin AS (
+    SELECT event_type, bin,
+           CAST(SUM(early) AS BIGINT) AS ca,
+           CAST(SUM(1 - early) AS BIGINT) AS cb
+    FROM binned GROUP BY 1, 2
+), tot AS (
+    SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na,
+           CAST(SUM(cb) AS BIGINT) AS nb
+    FROM per_bin GROUP BY event_type
+), gaps AS (
+    SELECT p.event_type, t.na, t.nb, p.ca, p.cb,
+           SUM(p.ca) OVER (PARTITION BY p.event_type ORDER BY p.bin)
+               * 1000000 // t.na
+           - SUM(p.cb) OVER (PARTITION BY p.event_type ORDER BY p.bin)
+               * 1000000 // t.nb AS d_ppm
+    FROM per_bin p JOIN tot t USING (event_type)
+)
+SELECT event_type, MAX(na) AS n_early, MAX(nb) AS n_late,
+       ROUND(CAST(SUM(CAST((ca + cb) AS HUGEINT) * d_ppm * d_ppm)
+                  AS DOUBLE)
+             / (1e12 * (MAX(na) + MAX(nb))), 6) + 0.0 AS cvm
+FROM gaps GROUP BY event_type ORDER BY event_type
+""", "two-sample Cramér-von Mises drift over the 256-bin domain")
+
+
+# --------------------------------- effect sizes (Cohen d, Cliff delta)
+def events_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d and Cliff's delta for each event type's early-vs-late
+    value shift — the EFFECT-SIZE companions to the Welch-t and
+    Mann-Whitney significance tests (a 100 TB stream makes everything
+    'significant'; these say whether the shift is big). d comes from
+    exact centi-unit sufficient statistics (the Welch pattern);
+    delta = (#greater - #less) / (na*nb) comes from the 256-bin
+    histogram via cumulative opposite-half counts (the MW pattern —
+    same-bin pairs count as ties, the documented quantization).
+    Overflow ladder: greater/less sums are bounded by na*nb, int64 to
+    ~3e9 rows per half; the centi^2 sum matches the Welch bound."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts_ns", "value",
+        F.floor(F.col("value") * 100).cast("long").alias("centi"))
+    stats = ev.agg(F.min("value").alias("mn_v"), F.max("value").alias("mx_v"),
+                   F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("mid_ns"))
+    base = (ev.crossJoin(F.broadcast(stats))
+            .withColumn("early", F.expr(
+                "CASE WHEN ts_ns <= mid_ns THEN 1 ELSE 0 END"))
+            .withColumn("bin", clip_bin(F.col("value"), F.col("mn_v"),
+                                        F.col("mx_v"), N_CVM_BINS)))
+    suff = base.groupBy("event_type").agg(
+        F.sum("early").alias("na"),
+        F.sum(F.lit(1) - F.col("early")).alias("nb"),
+        F.sum(F.col("early") * F.col("centi")).alias("sa"),
+        F.sum((F.lit(1) - F.col("early")) * F.col("centi")).alias("sb"),
+        F.sum(F.col("early") * F.col("centi") * F.col("centi")).alias("qa"),
+        F.sum((F.lit(1) - F.col("early")) * F.col("centi")
+              * F.col("centi")).alias("qb"))
+    per_bin = base.groupBy("event_type", "bin").agg(
+        F.sum("early").alias("ca"),
+        F.sum(F.lit(1) - F.col("early")).alias("cb"))
+    cum = (per_bin
+           .withColumn("cb_below",
+                       F.coalesce(F.expr(
+                           "sum(cb) over (partition by event_type"
+                           " order by bin rows between unbounded preceding"
+                           " and 1 preceding)"), F.lit(0)))
+           .withColumn("cb_tot", F.expr(
+               "sum(cb) over (partition by event_type)")))
+    pairs = cum.groupBy("event_type").agg(
+        F.sum(F.col("ca") * F.col("cb_below")).alias("greater"),
+        F.sum(F.col("ca") * (F.col("cb_tot") - F.col("cb_below")
+                             - F.col("cb"))).alias("less"))
+    va = ("((cast(na as double)*qa - cast(sa as double)*sa)"
+          "/(cast(na as double)*(na-1)))")
+    vb = ("((cast(nb as double)*qb - cast(sb as double)*sb)"
+          "/(cast(nb as double)*(nb-1)))")
+    pooled = (f"sqrt(((na-1)*{va} + (nb-1)*{vb})"
+              f"/(cast(na as double) + nb - 2))")
+    d = (f"((cast(sa as double)/na - cast(sb as double)/nb)"
+         f" / {pooled})")
+    return (suff.join(pairs, "event_type")
+            .select("event_type", F.col("na").alias("n_early"),
+                    F.col("nb").alias("n_late"),
+                    (F.round(F.expr(d), 4) + 0.0).alias("cohens_d"),
+                    (F.round((F.col("greater") - F.col("less"))
+                             / (F.col("na").cast("double") * F.col("nb")),
+                             4) + 0.0).alias("cliffs_delta"))
+            .orderBy("event_type"))
+
+
+register("events_effect_sizes", events_effect_sizes, f"""
+WITH ev AS (
+    SELECT event_type, CAST(epoch_us(ts) AS BIGINT) * 1000 AS ts_ns,
+           value, CAST(FLOOR(value * 100) AS BIGINT) AS centi
+    FROM events
+), stats AS (
+    SELECT MIN(value) AS mn_v, MAX(value) AS mx_v,
+           (MIN(ts_ns) + MAX(ts_ns)) // 2 AS mid_ns
+    FROM ev
+), base AS (
+    SELECT event_type, centi,
+           CASE WHEN ts_ns <= mid_ns THEN 1 ELSE 0 END AS early,
+           CASE WHEN mx_v = mn_v THEN 0 ELSE
+                LEAST({N_CVM_BINS - 1},
+                      CAST(FLOOR((value - mn_v) * {N_CVM_BINS}
+                                 / (mx_v - mn_v)) AS BIGINT)) END AS bin
+    FROM ev CROSS JOIN stats
+), suff AS (
+    SELECT event_type,
+           CAST(SUM(early) AS BIGINT) AS na,
+           CAST(SUM(1 - early) AS BIGINT) AS nb,
+           CAST(SUM(early * centi) AS BIGINT) AS sa,
+           CAST(SUM((1 - early) * centi) AS BIGINT) AS sb,
+           CAST(SUM(early * centi * centi) AS BIGINT) AS qa,
+           CAST(SUM((1 - early) * centi * centi) AS BIGINT) AS qb
+    FROM base GROUP BY event_type
+), per_bin AS (
+    SELECT event_type, bin,
+           CAST(SUM(early) AS BIGINT) AS ca,
+           CAST(SUM(1 - early) AS BIGINT) AS cb
+    FROM base GROUP BY 1, 2
+), cum AS (
+    SELECT event_type, ca, cb,
+           COALESCE(SUM(cb) OVER (PARTITION BY event_type ORDER BY bin
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS cb_below,
+           SUM(cb) OVER (PARTITION BY event_type) AS cb_tot
+    FROM per_bin
+), pairs AS (
+    SELECT event_type,
+           CAST(SUM(ca * cb_below) AS BIGINT) AS greater,
+           CAST(SUM(ca * (cb_tot - cb_below - cb)) AS BIGINT) AS less
+    FROM cum GROUP BY event_type
+)
+SELECT s.event_type, s.na AS n_early, s.nb AS n_late,
+       ROUND((CAST(sa AS DOUBLE)/na - CAST(sb AS DOUBLE)/nb)
+             / SQRT(((na-1)*((CAST(na AS DOUBLE)*qa - CAST(sa AS DOUBLE)*sa)
+                             /(CAST(na AS DOUBLE)*(na-1)))
+                     + (nb-1)*((CAST(nb AS DOUBLE)*qb
+                                - CAST(sb AS DOUBLE)*sb)
+                               /(CAST(nb AS DOUBLE)*(nb-1))))
+                    /(CAST(na AS DOUBLE) + nb - 2)), 4) + 0.0 AS cohens_d,
+       ROUND((p.greater - p.less)
+             / (CAST(s.na AS DOUBLE) * s.nb), 4) + 0.0 AS cliffs_delta
+FROM suff s JOIN pairs p USING (event_type)
+ORDER BY s.event_type
+""", "Cohen's d + Cliff's delta per event type, early vs late half")
+
+
+# ------------------------------------------------ mutual information
+def events_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count mutual information (and normalized MI) between
+    event_type and daypart: MI = sum_xy (n_xy/N) ln(n_xy*N/(n_x*n_y)).
+    The contingency table is model-sized (types x 4), marginals attach
+    by broadcast, and each cell's float term quantizes to nano-units
+    before an exact integer sum, so the result is identical under any
+    partitioning (a <=20-term double SUM would already round stably at
+    6 dp, but the integer path removes the question). One output row:
+    the dependence audit a feature-store runs before declaring two
+    categorical columns redundant."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"((ts_ns div {HOUR_NS}) % 24) div 6").alias("daypart"))
+    obs = ev.groupBy("event_type", "daypart").agg(
+        F.count(F.lit(1)).alias("nxy"))
+    row_t = obs.groupBy("event_type").agg(F.sum("nxy").alias("nx"))
+    col_t = obs.groupBy("daypart").agg(F.sum("nxy").alias("ny"))
+    n_tot = obs.agg(F.sum("nxy").alias("n"))
+    cells = (obs.join(F.broadcast(row_t), "event_type")
+             .join(F.broadcast(col_t), "daypart")
+             .crossJoin(F.broadcast(n_tot)))
+    mi_term = ("cast(round((nxy / cast(n as double))"
+               " * ln(nxy * cast(n as double) / (cast(nx as double) * ny))"
+               " * 1e9) as bigint)")
+    hx_term = ("cast(round(-(nx / cast(n as double))"
+               " * ln(nx / cast(n as double)) * 1e9) as bigint)")
+    hy_term = ("cast(round(-(ny / cast(n as double))"
+               " * ln(ny / cast(n as double)) * 1e9) as bigint)")
+    mi = cells.agg(F.sum(F.expr(mi_term)).alias("mi_nano"),
+                   F.max("n").alias("n"))
+    hx = (row_t.crossJoin(F.broadcast(n_tot))
+          .agg(F.sum(F.expr(hx_term)).alias("hx_nano")))
+    hy = (col_t.crossJoin(F.broadcast(n_tot))
+          .agg(F.sum(F.expr(hy_term)).alias("hy_nano")))
+    return (mi.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+            .select(F.col("n").alias("n_events"),
+                    (F.round(F.col("mi_nano") / 1e9, 6) + 0.0)
+                    .alias("mi_nats"),
+                    (F.round(F.col("hx_nano") / 1e9, 6) + 0.0)
+                    .alias("h_type_nats"),
+                    (F.round(F.col("hy_nano") / 1e9, 6) + 0.0)
+                    .alias("h_daypart_nats"),
+                    (F.round(F.col("mi_nano")
+                             / F.least(F.col("hx_nano"),
+                                       F.col("hy_nano")).cast("double"),
+                             6) + 0.0).alias("nmi")))
+
+
+register("events_mutual_information", events_mutual_information, f"""
+WITH ev AS (
+    SELECT event_type,
+           ((CAST(epoch_us(ts) AS BIGINT) * 1000 // {HOUR_NS}) % 24) // 6
+               AS daypart
+    FROM events
+), obs AS (
+    SELECT event_type, daypart, CAST(COUNT(*) AS BIGINT) AS nxy
+    FROM ev GROUP BY 1, 2
+), row_t AS (
+    SELECT event_type, CAST(SUM(nxy) AS BIGINT) AS nx FROM obs GROUP BY 1
+), col_t AS (
+    SELECT daypart, CAST(SUM(nxy) AS BIGINT) AS ny FROM obs GROUP BY 1
+), n_tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM obs),
+mi AS (
+    SELECT CAST(SUM(CAST(ROUND((nxy / CAST(n AS DOUBLE))
+               * LN(nxy * CAST(n AS DOUBLE)
+                    / (CAST(nx AS DOUBLE) * ny)) * 1e9) AS BIGINT))
+           AS BIGINT) AS mi_nano,
+           MAX(n) AS n
+    FROM obs JOIN row_t USING (event_type) JOIN col_t USING (daypart)
+    CROSS JOIN n_tot
+), hx AS (
+    SELECT CAST(SUM(CAST(ROUND(-(nx / CAST(n AS DOUBLE))
+               * LN(nx / CAST(n AS DOUBLE)) * 1e9) AS BIGINT))
+           AS BIGINT) AS hx_nano
+    FROM row_t CROSS JOIN n_tot
+), hy AS (
+    SELECT CAST(SUM(CAST(ROUND(-(ny / CAST(n AS DOUBLE))
+               * LN(ny / CAST(n AS DOUBLE)) * 1e9) AS BIGINT))
+           AS BIGINT) AS hy_nano
+    FROM col_t CROSS JOIN n_tot
+)
+SELECT n AS n_events,
+       ROUND(mi_nano / 1e9, 6) + 0.0 AS mi_nats,
+       ROUND(hx_nano / 1e9, 6) + 0.0 AS h_type_nats,
+       ROUND(hy_nano / 1e9, 6) + 0.0 AS h_daypart_nats,
+       ROUND(mi_nano / CAST(LEAST(hx_nano, hy_nano) AS DOUBLE), 6) + 0.0
+           AS nmi
+FROM mi CROSS JOIN hx CROSS JOIN hy
+""", "exact-count MI / normalized MI of event_type x daypart")
+
+
+# ------------------------------------------------ fold balance audit
+N_FOLDS = 5
+FOLD_MULT = 2_654_435_761  # Knuth multiplicative hash constant
+FOLD_MOD = 4_294_967_296
+
+
+def fold_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold split of the documents corpus by
+    multiplicative id-hash, with a per-fold chi-square balance check
+    against the source marginals — catches the classic split bug where
+    an id-correlated source lands wholesale in one fold (leaking it
+    out of training). Cells are folds x sources (model-sized), cell
+    chi-square terms quantize to micro-units for an order-free exact
+    sum. The hash is plain int64 arithmetic, identical in both
+    engines; document ids up to ~3.4e9 keep the product in int64."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(f"(doc_id * {FOLD_MULT}) % {FOLD_MOD} % {N_FOLDS}")
+        .alias("fold"))
+    obs = docs.groupBy("fold", "source").agg(F.count(F.lit(1)).alias("o"))
+    fold_t = obs.groupBy("fold").agg(F.sum("o").alias("nf"))
+    src_t = obs.groupBy("source").agg(F.sum("o").alias("ns"))
+    n_tot = obs.agg(F.sum("o").alias("n"))
+    term = ("cast(round(pow(o - cast(nf as double) * ns / n, 2)"
+            " / (cast(nf as double) * ns / n) * 1e6) as bigint)")
+    return (obs.join(F.broadcast(fold_t), "fold")
+            .join(F.broadcast(src_t), "source")
+            .crossJoin(F.broadcast(n_tot))
+            .groupBy("fold")
+            .agg(F.max("nf").alias("n_docs"),
+                 F.min("o").alias("min_cell"),
+                 F.max("o").alias("max_cell"),
+                 F.sum(F.expr(term)).alias("chi2_micro"))
+            .select("fold", "n_docs", "min_cell", "max_cell",
+                    (F.round(F.col("chi2_micro") / 1e6, 4) + 0.0)
+                    .alias("chi2_fold"))
+            .orderBy("fold"))
+
+
+register("fold_balance_audit", fold_balance_audit, f"""
+WITH docs AS (
+    SELECT source,
+           (doc_id * {FOLD_MULT}) % {FOLD_MOD} % {N_FOLDS} AS fold
+    FROM documents
+), obs AS (
+    SELECT fold, source, CAST(COUNT(*) AS BIGINT) AS o
+    FROM docs GROUP BY 1, 2
+), fold_t AS (SELECT fold, CAST(SUM(o) AS BIGINT) AS nf FROM obs GROUP BY 1),
+src_t AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ns FROM obs GROUP BY 1),
+n_tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs)
+SELECT fold, MAX(nf) AS n_docs,
+       CAST(MIN(o) AS BIGINT) AS min_cell,
+       CAST(MAX(o) AS BIGINT) AS max_cell,
+       ROUND(CAST(SUM(CAST(ROUND(POW(o - CAST(nf AS DOUBLE) * ns / n, 2)
+                / (CAST(nf AS DOUBLE) * ns / n) * 1e6) AS BIGINT))
+             AS BIGINT) / 1e6, 4) + 0.0 AS chi2_fold
+FROM obs JOIN fold_t USING (fold) JOIN src_t USING (source)
+CROSS JOIN n_tot
+GROUP BY fold ORDER BY fold
+""", "hash 5-fold split balance audit (chi-square vs source marginals)")

@@ -1,0 +1,341 @@
+"""Round-8 wave 2: IR scoring and corpus-linguistics operators over
+the documents table — the retrieval / tokenizer-training / split-audit
+layer of an LLM data pipeline.
+
+- BM25 top-k: Okapi BM25 relevance for a fixed query-term set. The
+  per-term postings join is keyed on the (3-term) query vocabulary and
+  corpus statistics attach as broadcast 1-row aggregates; per-doc term
+  scores quantize to nano-units so the <=3-term per-doc sum is exact.
+- BPE merge candidates: the inner loop of byte-pair-encoding tokenizer
+  training — corpus-weighted adjacent character-pair counts. Pair
+  explosion runs over the DISTINCT word vocabulary (weighted by word
+  frequency), so the fan-out is vocabulary-sized, not corpus-sized —
+  exactly how you'd run one BPE merge round at 100 TB.
+- Unigram cross-entropy: train/validation split by doc id residue,
+  add-one-smoothed unigram LM fit on train, exact nano-quantized
+  cross-entropy + OOV ppm per validation source — the cheap perplexity
+  proxy for corpus-quality comparisons between sources.
+- Heaps' law fit: vocabulary-growth exponent via first-occurrence
+  counting. Each token's first document comes from a vocabulary-keyed
+  MIN; documents fold into 64 id-range buckets so the cumulative
+  (tokens, types) curve and its log-log OLS run on a 64-row bounded
+  domain — no per-document total order anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+# ------------------------------------------------------- BM25 top-k
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("join", "hash", "vector")
+BM25_TOP_K = 20
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 documents for the fixed query {join, hash,
+    vector}: idf_t = ln(1 + (N - df_t + 0.5)/(df_t + 0.5)), per-doc
+    term score idf * tf(k1+1)/(tf + k1(1-b+b*dl/avgdl)). tf/dl/df/N
+    are exact integers off one token explode (the tf aggregate is
+    pre-filtered to the query vocabulary, so its domain is docs-with-
+    hits x 3); avgdl and the score are float evaluations on those
+    integers, nano-quantized per term so the per-doc sum is order-free.
+    Ranking is top-K on the rounded score — TakeOrdered, no global
+    sort at any scale."""
+    toks = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", F.expr("split(lower(text), ' ')").alias("w")))
+    dl = toks.select("doc_id", F.expr("size(w)").alias("dl"))
+    corpus = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dl").alias("n_toks"))
+    hits = (toks.select("doc_id", F.explode("w").alias("t"))
+            .filter(F.col("t").isin(*BM25_TERMS))
+            .groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf")))
+    df_t = hits.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = ("ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))")
+    term_nano = (f"cast(round({idf} * tf * ({BM25_K1} + 1.0)"
+                 f" / (tf + {BM25_K1} * (1.0 - {BM25_B}"
+                 f" + {BM25_B} * dl * cast(n_docs as double) / n_toks))"
+                 " * 1e9) as bigint)")
+    scored = (hits.join(F.broadcast(df_t), "t")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(corpus))
+              .groupBy("doc_id")
+              .agg(F.sum(F.expr(term_nano)).alias("score_nano"),
+                   F.count(F.lit(1)).alias("n_terms"),
+                   F.sum("tf").alias("tf_total")))
+    return (scored.select("doc_id", "n_terms", "tf_total",
+                          (F.round(F.col("score_nano") / 1e9, 6) + 0.0)
+                          .alias("bm25"))
+            .orderBy(F.col("bm25").desc(), "doc_id")
+            .limit(BM25_TOP_K))
+
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+register("text_bm25_topk", text_bm25_topk, f"""
+WITH toks AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), dl AS (
+    SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks
+), corpus AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS n_toks FROM dl
+), hits AS (
+    SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, UNNEST(w) AS t FROM toks) u
+    WHERE t IN ({_TERMS_SQL})
+    GROUP BY doc_id, t
+), df_t AS (
+    SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY t
+), scored AS (
+    SELECT h.doc_id,
+           CAST(SUM(CAST(ROUND(
+               LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * ({BM25_K1} + 1.0)
+               / (tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * d.dl * CAST(n_docs AS DOUBLE) / n_toks))
+               * 1e9) AS BIGINT)) AS BIGINT) AS score_nano,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(tf) AS BIGINT) AS tf_total
+    FROM hits h JOIN df_t USING (t) JOIN dl d ON h.doc_id = d.doc_id
+    CROSS JOIN corpus
+    GROUP BY h.doc_id
+)
+SELECT doc_id, n_terms, tf_total,
+       ROUND(score_nano / 1e9, 6) + 0.0 AS bm25
+FROM scored ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP_K}
+""", "Okapi BM25 top-k for a fixed query term set")
+
+
+# ------------------------------------------- BPE merge candidates
+BPE_TOP_K = 30
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of BPE tokenizer-training pair counting: the top-30
+    adjacent character pairs by corpus-weighted frequency. The corpus
+    reduces ONCE to (word, count) — a vocabulary-keyed aggregate —
+    and the character-pair fan-out explodes only the DISTINCT words,
+    each pair carrying the word's corpus count; at 100 TB the explode
+    input is the vocabulary (millions of rows), not the token stream
+    (trillions). Pure built-in expressions; top-K with a deterministic
+    pair tiebreak."""
+    vocab = (load_table(spark, sf_dir, "documents")
+             .select(F.explode(F.expr("split(lower(text), ' ')"))
+                     .alias("word"))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("c")))
+    pairs = (vocab.filter(F.length("word") >= 2)
+             .select("c", F.explode(F.expr(
+                 "transform(sequence(1, length(word) - 1),"
+                 " i -> substring(word, i, 2))")).alias("pair"))
+             .groupBy("pair").agg(F.sum("c").alias("cnt")))
+    return pairs.orderBy(F.col("cnt").desc(), "pair").limit(BPE_TOP_K)
+
+
+register("bpe_merge_candidates", bpe_merge_candidates, f"""
+WITH vocab AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (SELECT UNNEST(string_split(lower(text), ' ')) AS word
+          FROM documents) u
+    GROUP BY word
+), pairs AS (
+    SELECT substr(word, CAST(i AS INT), 2) AS pair,
+           CAST(SUM(c) AS BIGINT) AS cnt
+    FROM vocab, UNNEST(range(1, length(word))) AS g(i)
+    WHERE length(word) >= 2
+    GROUP BY 1
+)
+SELECT pair, cnt FROM pairs ORDER BY cnt DESC, pair LIMIT {BPE_TOP_K}
+""", "corpus-weighted adjacent char-pair counts (one BPE merge round)")
+
+
+# ------------------------------------- unigram cross-entropy by split
+XENT_FOLDS = 5
+XENT_MULT = 2_654_435_761   # Knuth multiplicative hash (fold_balance_audit)
+XENT_MOD = 4_294_967_296
+# validation = hash-fold 0. A plain doc_id % 5 residue split CORRELATES
+# with the fixture's id-derived source assignment (only 4 of 20 sources
+# would ever reach validation) — the exact split bug fold_balance_audit
+# exists to catch; the multiplicative hash decorrelates it.
+_XENT_FOLD = f"(doc_id * {XENT_MULT}) % {XENT_MOD} % {XENT_FOLDS}"
+
+
+def unigram_crossentropy_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed unigram LM cross-entropy of each validation
+    source against the training split (id-hash fold != 0): the cheap
+    perplexity proxy for ranking sources by distributional fit.
+    p(t) = (c_t + 1)/(N + V + 1), unseen tokens get 1/(N + V + 1).
+    Token aggregates are vocabulary-keyed; the LM attaches to the
+    validation vocabulary by a vocab-vocab left join; ln p quantizes
+    to nano-units per DISTINCT token before multiplying by the exact
+    validation count, so the per-source sum is exact integer
+    arithmetic. Output: tokens, OOV ppm, cross-entropy (nats/token)
+    per source."""
+    toks = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source",
+                    F.explode(F.expr("split(lower(text), ' ')")).alias("t")))
+    train = toks.filter(F.expr(f"{_XENT_FOLD} != 0"))
+    val = toks.filter(F.expr(f"{_XENT_FOLD} = 0"))
+    lm = train.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    lm_tot = lm.agg(F.sum("c").alias("n_train"),
+                    F.count(F.lit(1)).alias("v_train"))
+    vc = val.groupBy("source", "t").agg(F.count(F.lit(1)).alias("cnt"))
+    lp = ("cast(round(ln((coalesce(c, 0) + 1.0) / (n_train + v_train + 1.0))"
+          " * 1e9) as bigint)")
+    per_src = (vc.join(lm, "t", "left")
+               .crossJoin(F.broadcast(lm_tot))
+               .groupBy("source")
+               .agg(F.sum("cnt").alias("n_tokens"),
+                    F.sum(F.when(F.col("c").isNull(), F.col("cnt"))
+                          .otherwise(F.lit(0))).alias("n_oov"),
+                    F.sum(F.expr(lp) * F.col("cnt")).alias("lp_nano")))
+    return (per_src.select(
+        "source", "n_tokens",
+        F.expr("n_oov * 1000000 div n_tokens").alias("oov_ppm"),
+        (F.round(-F.col("lp_nano") / (F.lit(1e9) * F.col("n_tokens")), 6)
+         + 0.0).alias("xent_nats"))
+        .orderBy("source"))
+
+
+register("unigram_crossentropy_split", unigram_crossentropy_split, f"""
+WITH toks AS (
+    SELECT doc_id, source, UNNEST(string_split(lower(text), ' ')) AS t
+    FROM documents
+), lm AS (
+    SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks WHERE {_XENT_FOLD} != 0 GROUP BY t
+), lm_tot AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS n_train,
+           CAST(COUNT(*) AS BIGINT) AS v_train FROM lm
+), vc AS (
+    SELECT source, t, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks WHERE {_XENT_FOLD} = 0 GROUP BY 1, 2
+), per_src AS (
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN lm.c IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(SUM(CAST(ROUND(LN((COALESCE(lm.c, 0) + 1.0)
+                    / (n_train + v_train + 1.0)) * 1e9) AS BIGINT) * cnt)
+           AS BIGINT) AS lp_nano
+    FROM vc LEFT JOIN lm USING (t) CROSS JOIN lm_tot
+    GROUP BY source
+)
+SELECT source, n_tokens,
+       n_oov * 1000000 // n_tokens AS oov_ppm,
+       ROUND(-lp_nano / (1e9 * n_tokens), 6) + 0.0 AS xent_nats
+FROM per_src ORDER BY source
+""", "add-one unigram LM cross-entropy + OOV ppm per validation source")
+
+
+# ------------------------------------------------- Heaps' law fit
+HEAPS_BUCKETS = 64
+
+
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law exponent (V ~ k N^beta) for the corpus: each token's
+    FIRST document comes from a vocabulary-keyed MIN (no corpus-order
+    scan); documents fold into 64 id-range buckets (broadcast min/max,
+    integer bucketing), so the cumulative (tokens, types) growth curve
+    is 64 points and the log-log OLS runs on that bounded domain. The
+    log points quantize to nano-units and the normal-equation sums
+    accumulate as DECIMAL(38,0)/HUGEINT (x_nano ~ 2e10 -> xy ~ 4e20
+    overflows int64 immediately — the accumulator is sized for it);
+    slope/intercept are one float finish. Output: one row with the
+    fitted beta, ln k, and the corpus totals."""
+    toks = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", F.explode(F.expr("split(lower(text), ' ')"))
+                    .alias("t")))
+    rng = toks.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+    bucket = F.expr(f"((doc_id - mn) * {HEAPS_BUCKETS}) div (mx - mn + 1)")
+    wt = toks.crossJoin(F.broadcast(rng))
+    toks_b = (wt.groupBy(bucket.alias("b"))
+              .agg(F.count(F.lit(1)).alias("toks")))
+    first = (wt.groupBy("t")
+             .agg(F.min(bucket).alias("b")))
+    types_b = first.groupBy("b").agg(F.count(F.lit(1)).alias("types"))
+    w = (Window.orderBy("b")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pts = (toks_b.join(types_b, "b", "left")
+           .select("b", F.sum("toks").over(w).alias("cum_toks"),
+                   F.sum(F.coalesce(F.col("types"), F.lit(0))).over(w)
+                   .alias("cum_types"))
+           .select(
+               F.expr("cast(round(ln(cum_toks) * 1e9) as bigint)").alias("x"),
+               F.expr("cast(round(ln(cum_types) * 1e9) as bigint)").alias("y"),
+               "cum_toks", "cum_types"))
+    suff = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x").cast("decimal(38,0)")
+               * F.col("y").cast("decimal(38,0)")).cast("decimal(38,0)"))
+        .alias("sxy"),
+        F.sum((F.col("x").cast("decimal(38,0)")
+               * F.col("x").cast("decimal(38,0)")).cast("decimal(38,0)"))
+        .alias("sxx"),
+        F.max("cum_toks").alias("total_tokens"),
+        F.max("cum_types").alias("total_types"))
+    beta = ("(cast(n as double) * cast(sxy as double)"
+            " - cast(sx as double) * cast(sy as double))"
+            " / (cast(n as double) * cast(sxx as double)"
+            " - cast(sx as double) * cast(sx as double))")
+    return suff.select(
+        F.col("n").alias("n_buckets"), "total_tokens", "total_types",
+        (F.round(F.expr(beta), 6) + 0.0).alias("heaps_beta"),
+        (F.round(F.expr(f"(cast(sy as double) - ({beta})"
+                        f" * cast(sx as double)) / n") / 1e9, 6) + 0.0)
+        .alias("heaps_ln_k"))
+
+
+register("heaps_law_fit", heaps_law_fit, f"""
+WITH toks AS (
+    SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS t
+    FROM documents
+), rng AS (
+    SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM toks
+), wt AS (
+    SELECT ((doc_id - mn) * {HEAPS_BUCKETS}) // (mx - mn + 1) AS b, t
+    FROM toks CROSS JOIN rng
+), toks_b AS (
+    SELECT b, CAST(COUNT(*) AS BIGINT) AS toks FROM wt GROUP BY b
+), first AS (
+    SELECT t, MIN(b) AS b FROM wt GROUP BY t
+), types_b AS (
+    SELECT b, CAST(COUNT(*) AS BIGINT) AS types FROM first GROUP BY b
+), pts AS (
+    SELECT CAST(ROUND(LN(SUM(toks) OVER (ORDER BY tb.b)) * 1e9) AS BIGINT)
+               AS x,
+           CAST(ROUND(LN(SUM(COALESCE(types, 0)) OVER (ORDER BY tb.b))
+                      * 1e9) AS BIGINT) AS y,
+           SUM(toks) OVER (ORDER BY tb.b) AS cum_toks,
+           SUM(COALESCE(types, 0)) OVER (ORDER BY tb.b) AS cum_types
+    FROM toks_b tb LEFT JOIN types_b ty ON tb.b = ty.b
+), suff AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+           SUM(CAST(x AS HUGEINT) * y) AS sxy,
+           SUM(CAST(x AS HUGEINT) * x) AS sxx,
+           CAST(MAX(cum_toks) AS BIGINT) AS total_tokens,
+           CAST(MAX(cum_types) AS BIGINT) AS total_types
+    FROM pts
+)
+SELECT n AS n_buckets, total_tokens, total_types,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0
+           AS heaps_beta,
+       ROUND((CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * CAST(sx AS DOUBLE)) / n / 1e9, 6) + 0.0 AS heaps_ln_k
+FROM suff
+""", "Heaps' law vocabulary-growth exponent over 64 id-range buckets")

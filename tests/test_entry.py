@@ -18,17 +18,17 @@ def test_queries_and_oracles_consistent():
         assert isinstance(sql, str) and "SELECT" in sql.upper()
 
 
-def test_driver_window_holds_round7_targets():
+def test_driver_window_holds_round8_targets():
     """The correctness driver checks the FIRST 50 entries of queries().
-    Round 7's window must lead with the first-exposure queries, then
-    the two changed plans (bootstrap PRNG values, neardup broadcast),
-    then the 18 queries that close the r1/r2 rotation — the contract
-    from queries/__init__.py."""
+    Round 8's window must lead with the 12 never-driver-checked
+    queries (VERDICT r7 ask #1 + the two new r8 operators), then the
+    four changed plans, then the whole r3-era evidence cohort — the
+    contract from queries/__init__.py."""
     from impractical_impala_spark.queries import (
-        CHANGED_R7, FILL_R7, NEW_R7, STALE_R1R2_R7, WINDOW)
+        CHANGED_R8, FILL_R8, NEVER_CHECKED_R8, STALE_R3, WINDOW)
 
     first50 = list(e.queries())[:50]
     assert first50 == WINDOW[:50]
-    assert first50[:len(NEW_R7)] == NEW_R7
-    for name in NEW_R7 + CHANGED_R7 + STALE_R1R2_R7 + FILL_R7:
+    assert first50[:len(NEVER_CHECKED_R8)] == NEVER_CHECKED_R8
+    for name in NEVER_CHECKED_R8 + CHANGED_R8 + STALE_R3 + FILL_R8:
         assert name in first50, f"{name} fell out of the driver window"

@@ -57,6 +57,7 @@ _BNLJ_BOUNDED = {
     "ann_cosine_topk": re.compile(rf"vec_id#\d+L? < {N_QUERIES}"),
     "ann_recall_audit": re.compile(rf"vec_id#\d+L? < {N_QUERIES}"),
     "ann_ivf_nprobe_sweep": re.compile(rf"vec_id#\d+L? < {N_QUERIES}"),
+    "emb_knn_label_purity": re.compile(rf"vec_id#\d+L? < {N_QUERIES}"),
     "audience_overlap_matrix": re.compile(
         r"keys=\[(event_type|mask)#|keys=\[\]"),
     "q_range_band_join": re.compile(r"Scan ExistingRDD|LocalTableScan"),

@@ -18,6 +18,15 @@ R8_CASES = [
     "o22_hp_detrend_centi",   # exact fixed-point LDL' per user series
     "emb_pca_topk",           # deflated fixed-point power loops
     "customer_pareto",        # integer histogram deciles (r8 rewrite)
+    # wave 2/3: integer-quantized kernels — hostile partitioning must
+    # not move a value (nano/ppm quantization is order-free by design)
+    "events_periodogram",
+    "events_cvm_drift",
+    "events_mutual_information",
+    "text_bm25_topk",
+    "unigram_crossentropy_split",
+    "heaps_law_fit",
+    "emb_centroid_outliers",
 ]
 
 
