@@ -198,6 +198,14 @@ HEADLINE = [
     "emb_centroid_outliers",
     "emb_knn_label_purity",
     "emb_pca_project",
+    # round-8 wave 4: linkage / split hygiene / diagnostics
+    "dedup_sorted_neighborhood",
+    "split_time_embargo",
+    "events_pacf",
+    "lineitem_corr_matrix",
+    "text_readability",
+    "graph_adamic_adar",
+    "nation_theil_index",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a
