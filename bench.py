@@ -206,6 +206,12 @@ HEADLINE = [
     "text_readability",
     "graph_adamic_adar",
     "nation_theil_index",
+    # round-8 wave 5: calibration & harmonization
+    "events_roc_auc",
+    "events_isotonic_calibration",
+    "privacy_ldiversity_audit",
+    "covariate_shift_weights",
+    "source_quantile_normalize",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

@@ -37,7 +37,8 @@ from . import (reference_ops, stats_ops, tpch, tpch_more,  # noqa: F401
                curation, analytics, lakehouse, ml_more, warehouse_extras,
                layout, feature_ops, paths_stats, modern_sql, profiling,
                drift, quality, stat_tests, audit_ops, sampling_stats,
-               forecast, spectral_info, text_ir, emb_eval, linkage_splits)
+               forecast, spectral_info, text_ir, emb_eval, linkage_splits,
+               calibration_ops)
 
 # r5 window. VERDICT r4 top-next: every one of the 154 registered
 # queries should carry a green-or-sanctioned driver row after this
