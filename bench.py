@@ -212,6 +212,13 @@ HEADLINE = [
     "privacy_ldiversity_audit",
     "covariate_shift_weights",
     "source_quantile_normalize",
+    # round-8 wave 6: scoring diagnostics / sequences / tail risk
+    "events_woe_iv",
+    "events_cumulative_gain",
+    "session_pattern_mining",
+    "events_type_ccf",
+    "events_gumbel_maxima",
+    "snm_recall_audit",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

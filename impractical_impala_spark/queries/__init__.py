@@ -38,7 +38,7 @@ from . import (reference_ops, stats_ops, tpch, tpch_more,  # noqa: F401
                layout, feature_ops, paths_stats, modern_sql, profiling,
                drift, quality, stat_tests, audit_ops, sampling_stats,
                forecast, spectral_info, text_ir, emb_eval, linkage_splits,
-               calibration_ops)
+               calibration_ops, scoring_seq)
 
 # r5 window. VERDICT r4 top-next: every one of the 154 registered
 # queries should carry a green-or-sanctioned driver row after this

@@ -49,27 +49,22 @@ SNM_TOPK = 200       # deterministic output cap
 SNM_RAW_PREFIX = 256  # normalize only this many raw chars (>= 4x SIG_LEN)
 
 
-def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sorted-neighborhood-method near-dup candidates over documents:
-    normalize (lower, strip non-alphanumerics), block on the first
+def snm_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """The SNM candidate-generation core over a (doc_id, text) frame:
+    normalize a bounded SNM_RAW_PREFIX-char raw prefix (so per-doc
+    regex cost is O(1) in document length), block on the first
     SNM_BLOCK_LEN normalized chars, sort within each block by the
     SNM_KEY_LEN-char key, and compare each doc against its next
     SNM_WINDOW-1 neighbors with Levenshtein over the SNM_SIG_LEN-char
-    signature. Normalization runs on a bounded SNM_RAW_PREFIX-char raw
-    prefix (4x the signature length — ample alnum yield), so per-doc
-    regex cost is O(1) in document length, not O(doc). The scalable variant of Hernandez-Stolfo SNM: blocking
-    first means the sort is a per-block window (one shuffle on the
-    block key), NOT a global total order, and the comparison count is
-    exactly (w-1)·n. Signature truncation bounds per-pair edit-distance
-    cost to SNM_SIG_LEN²; output is capped deterministically at
-    SNM_TOPK by (distance, pair) — the cap is part of the operator's
-    semantics and mirrored in the oracle."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    signature. Returns ALL (doc_a, doc_b, edit_dist) neighbor pairs —
+    callers apply their own distance filters/caps. Shared by the
+    registered query and the recall audit (queries/scoring_seq.py)."""
+    normed = docs.select(
         "doc_id",
         F.expr(f"regexp_replace(lower(substr(text, 1, {SNM_RAW_PREFIX})),"
                " '[^a-z0-9]', '')")
         .alias("norm"))
-    keyed = docs.select(
+    keyed = normed.select(
         "doc_id",
         F.expr(f"substr(norm, 1, {SNM_KEY_LEN})").alias("k"),
         F.expr(f"substr(norm, 1, {SNM_SIG_LEN})").alias("sig"),
@@ -89,7 +84,21 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = pair_frames[0]
     for extra in pair_frames[1:]:
         pairs = pairs.unionByName(extra)
-    return (pairs.filter(F.col("edit_dist") <= SNM_MAXDIST)
+    return pairs
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood-method near-dup candidates over documents
+    (see snm_candidate_pairs for the core). The scalable variant of
+    Hernandez-Stolfo SNM: blocking first means the sort is a per-block
+    window (one shuffle on the block key), NOT a global total order,
+    and the comparison count is exactly (w-1)·n. Signature truncation
+    bounds per-pair edit-distance cost to SNM_SIG_LEN²; output is
+    capped deterministically at SNM_TOPK by (distance, pair) — the cap
+    is part of the operator's semantics and mirrored in the oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (snm_candidate_pairs(docs)
+            .filter(F.col("edit_dist") <= SNM_MAXDIST)
             .orderBy("edit_dist", "doc_a", "doc_b")
             .limit(SNM_TOPK))
 
