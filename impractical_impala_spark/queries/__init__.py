@@ -334,15 +334,42 @@ STALE_R3 = [
     "split_cluster_safe",
 ]
 
-# Fill — the head of the r4-era cohort (next-oldest evidence), dedup
-# and ANN shapes first since that family carries the bench watch item.
-FILL_R8 = [
+# Mid-round-8 waves 2-6 — first exposure. Standing discipline (since
+# the r5 verdict): NEW queries evict RE-PROOF slots, never other
+# first-exposure ones — an unchecked new operator is the #1 gap every
+# verdict flags, while the evicted re-proofs are all locally re-proven
+# green each session and merely wait one round.
+NEW_R8_WAVES = [
+    # wave 2: spectral / information monitoring + IR text ops
+    "events_periodogram", "events_cvm_drift", "events_effect_sizes",
+    "events_mutual_information", "fold_balance_audit",
+    "text_bm25_topk", "bpe_merge_candidates",
+    "unigram_crossentropy_split", "heaps_law_fit",
+    # wave 3: embedding evaluation
+    "emb_centroid_outliers", "emb_knn_label_purity", "emb_pca_project",
+    # wave 4: linkage / split hygiene / diagnostics
+    "dedup_sorted_neighborhood", "split_time_embargo", "events_pacf",
+    "lineitem_corr_matrix", "text_readability", "graph_adamic_adar",
+    "nation_theil_index",
+    # wave 5: calibration & harmonization
+    "events_roc_auc", "events_isotonic_calibration",
+    "privacy_ldiversity_audit", "covariate_shift_weights",
+    "source_quantile_normalize",
+    # wave 6: scoring diagnostics / sequences / tail risk
+    "events_woe_iv", "events_cumulative_gain", "session_pattern_mining",
+    "events_type_ccf", "events_gumbel_maxima", "snm_recall_audit",
+]
+
+# Evicted to r9 by the waves above: the trailing 21 stale-r3 re-proof
+# slots and the entire r4-era fill — all locally DuckDB-green every
+# session; they lead the r9 fill queue (oldest evidence first).
+_EVICTED_TO_R9 = STALE_R3[4:] + [
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "ann_lsh_bucketed", "ann_ivf_probe", "q_asof_attribution",
     "q_range_band_join", "json_extract_props", "q_percentiles",
 ]
 
-WINDOW = NEVER_CHECKED_R8 + CHANGED_R8 + STALE_R3 + FILL_R8
+WINDOW = NEVER_CHECKED_R8 + CHANGED_R8 + NEW_R8_WAVES + STALE_R3[:4]
 assert len(WINDOW) == 50, len(WINDOW)
 
 set_window_order(WINDOW)
