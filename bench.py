@@ -219,6 +219,10 @@ HEADLINE = [
     "events_type_ccf",
     "events_gumbel_maxima",
     "snm_recall_audit",
+    # round-8 wave 7: sequential drift / clustering quality
+    "events_page_hinkley",
+    "emb_silhouette",
+    "events_entropy_rate",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

@@ -38,7 +38,7 @@ from . import (reference_ops, stats_ops, tpch, tpch_more,  # noqa: F401
                layout, feature_ops, paths_stats, modern_sql, profiling,
                drift, quality, stat_tests, audit_ops, sampling_stats,
                forecast, spectral_info, text_ir, emb_eval, linkage_splits,
-               calibration_ops, scoring_seq)
+               calibration_ops, scoring_seq, monitor_eval)
 
 # r5 window. VERDICT r4 top-next: every one of the 154 registered
 # queries should carry a green-or-sanctioned driver row after this
@@ -358,18 +358,20 @@ NEW_R8_WAVES = [
     # wave 6: scoring diagnostics / sequences / tail risk
     "events_woe_iv", "events_cumulative_gain", "session_pattern_mining",
     "events_type_ccf", "events_gumbel_maxima", "snm_recall_audit",
+    # wave 7: sequential drift / clustering quality / predictability
+    "events_page_hinkley", "emb_silhouette", "events_entropy_rate",
 ]
 
 # Evicted to r9 by the waves above: the trailing 21 stale-r3 re-proof
 # slots and the entire r4-era fill — all locally DuckDB-green every
 # session; they lead the r9 fill queue (oldest evidence first).
-_EVICTED_TO_R9 = STALE_R3[4:] + [
+_EVICTED_TO_R9 = STALE_R3[1:] + [
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "ann_lsh_bucketed", "ann_ivf_probe", "q_asof_attribution",
     "q_range_band_join", "json_extract_props", "q_percentiles",
 ]
 
-WINDOW = NEVER_CHECKED_R8 + CHANGED_R8 + NEW_R8_WAVES + STALE_R3[:4]
+WINDOW = NEVER_CHECKED_R8 + CHANGED_R8 + NEW_R8_WAVES + STALE_R3[:1]
 assert len(WINDOW) == 50, len(WINDOW)
 
 set_window_order(WINDOW)
