@@ -223,6 +223,7 @@ HEADLINE = [
     "events_page_hinkley",
     "emb_silhouette",
     "events_entropy_rate",
+    "events_burst_viterbi",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

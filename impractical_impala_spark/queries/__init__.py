@@ -360,18 +360,19 @@ NEW_R8_WAVES = [
     "events_type_ccf", "events_gumbel_maxima", "snm_recall_audit",
     # wave 7: sequential drift / clustering quality / predictability
     "events_page_hinkley", "emb_silhouette", "events_entropy_rate",
+    "events_burst_viterbi",
 ]
 
 # Evicted to r9 by the waves above: the trailing 21 stale-r3 re-proof
 # slots and the entire r4-era fill — all locally DuckDB-green every
 # session; they lead the r9 fill queue (oldest evidence first).
-_EVICTED_TO_R9 = STALE_R3[1:] + [
+_EVICTED_TO_R9 = STALE_R3 + [
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "ann_lsh_bucketed", "ann_ivf_probe", "q_asof_attribution",
     "q_range_band_join", "json_extract_props", "q_percentiles",
 ]
 
-WINDOW = NEVER_CHECKED_R8 + CHANGED_R8 + NEW_R8_WAVES + STALE_R3[:1]
+WINDOW = NEVER_CHECKED_R8 + CHANGED_R8 + NEW_R8_WAVES
 assert len(WINDOW) == 50, len(WINDOW)
 
 set_window_order(WINDOW)

@@ -291,3 +291,155 @@ SELECT cur, n_pairs,
 FROM ent CROSS JOIN tot
 ORDER BY cur
 """, "Markov entropy rate: next-type conditional entropy per state")
+
+# ---------------------------------------------- Viterbi burst detection
+BURST_MULT = 2          # burst state emits at 2x the base rate
+BURST_MICRO = 1_000_000  # cost quantization (micro-nats)
+
+
+def _trunc_burst_constants(n: int, total: int) -> tuple[int, int, int, int, int]:
+    """Per-series integer cost constants (micro-nat fixed point):
+    rate_j = round(1e6 * N * mult_j / n) (exact integer div), lr_j =
+    round(1e6 * ln(N * mult_j / n)), gamma = round(1e6 * ln(n)). The
+    only float work is three ln calls on exact integer ratios; at 1e6
+    quantization a 1-ulp libm difference (~4e-16 abs) moves the
+    argument of round() by ~4e-10 — the .5-boundary collision risk is
+    negligible, and everything downstream is exact integer DP."""
+    import math
+
+    r0 = (total * BURST_MICRO) // n
+    r1 = (total * BURST_MULT * BURST_MICRO) // n
+    lr0 = round(BURST_MICRO * math.log(total / n))
+    lr1 = round(BURST_MICRO * math.log(total * BURST_MULT / n))
+    gamma = round(BURST_MICRO * math.log(n))
+    return r0, r1, lr0, lr1, gamma
+
+
+def burst_viterbi(ys: list[int]) -> list[tuple[int, int, int, int]]:
+    """Pure-Python online Viterbi fold over one integer count series:
+    2-state Kleinberg-style burst model, Poisson emission costs
+    e_j(x) = rate_j - x*ln(rate_j) in micro-nats (the x!-term is
+    state-independent and drops), transition 0->1 costs gamma =
+    ln(n), 1->0 free. Returns (t, y, state, margin) where state is
+    the ONLINE argmin (no backtrack — the streaming-compatible
+    semantic, documented) and margin = c1 - c0 in micro-nats.
+    Exposed for the independent kernel test."""
+    n = len(ys)
+    total = sum(ys)
+    if n == 0 or total == 0:
+        return []
+    r0, r1, lr0, lr1, gamma = _trunc_burst_constants(n, total)
+    out = []
+    c0 = r0 - ys[0] * lr0
+    c1 = gamma + r1 - ys[0] * lr1
+    out.append((0, ys[0], 0 if c0 <= c1 else 1, c1 - c0))
+    for t in range(1, n):
+        e0 = r0 - ys[t] * lr0
+        e1 = r1 - ys[t] * lr1
+        nc0 = min(c0, c1) + e0
+        nc1 = min(c0 + gamma, c1) + e1
+        c0, c1 = nc0, nc1
+        out.append((t, ys[t], 0 if c0 <= c1 else 1, c1 - c0))
+    return out
+
+
+def events_burst_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg-style 2-state burst detection on the hourly count
+    series per event type — the operator Spark has no built-in for,
+    done the o22/Holt-Winters way: the inherently-sequential Viterbi
+    cost recursion runs in EXACT integer micro-nat fixed point inside
+    an Arrow ``applyInPandas`` kernel whose group is one type's
+    CALENDAR-BOUNDED series, and the DuckDB oracle is a recursive CTE
+    carrying the (c0, c1) cost registers — both engines fold the
+    identical integer recursion, so rows hash-match. State is the
+    online argmin (streaming-compatible; a backtracked MAP path would
+    need the full trellis). Emits (type, t, y, state, margin): margin
+    crossings localize burst onsets. int64 ladder: |c| <=
+    n·(rate + x·|lr|)·1e6 — safe to ~1e5 hours at 1e6 events/hour;
+    past that the registers widen to DECIMAL(38,0)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts_ns div {HOUR_NS}").alias("hr"))
+    hourly = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    spine = bounds.select(
+        "event_type", "h0",
+        F.explode(F.expr("sequence(h0, h1)")).alias("hr"))
+    dense = (spine.join(hourly, ["event_type", "hr"], "left")
+             .select("event_type", (F.col("hr") - F.col("h0")).alias("t"),
+                     F.coalesce("cnt", F.lit(0)).alias("y")))
+
+    def fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.sort_values("t")
+        et = g["event_type"].iloc[0]
+        rows = burst_viterbi([int(v) for v in g["y"]])
+        return pd.DataFrame({
+            "event_type": et,
+            "t": [r[0] for r in rows],
+            "y": [r[1] for r in rows],
+            "state": [r[2] for r in rows],
+            "margin_micro": [r[3] for r in rows],
+        })
+
+    schema = ("event_type string, t long, y long, state int,"
+              " margin_micro long")
+    # applyInPandas: the DP needs the whole bounded series in one call
+    return (dense.groupBy("event_type").applyInPandas(fold_group, schema)
+            .orderBy("event_type", "t"))
+
+
+register("events_burst_viterbi", events_burst_viterbi, f"""
+WITH RECURSIVE ev AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) AS BIGINT) * 1000 // {HOUR_NS} AS hr
+    FROM events
+), hourly AS (
+    SELECT event_type, hr, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM ev GROUP BY 1, 2
+), bounds AS (
+    SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1 FROM hourly GROUP BY 1
+), spine AS (
+    SELECT b.event_type, b.h0, UNNEST(range(b.h0, b.h1 + 1)) AS hr
+    FROM bounds b
+), dense AS (
+    SELECT s.event_type, s.hr - s.h0 AS t, COALESCE(h.cnt, 0) AS y
+    FROM spine s LEFT JOIN hourly h
+      ON s.event_type = h.event_type AND s.hr = h.hr
+), consts AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS total,
+           CAST(SUM(y) AS BIGINT) * {BURST_MICRO} // COUNT(*) AS r0,
+           CAST(SUM(y) AS BIGINT) * {BURST_MULT} * {BURST_MICRO}
+               // COUNT(*) AS r1,
+           CAST(ROUND({BURST_MICRO} * ln(CAST(SUM(y) AS DOUBLE)
+                / COUNT(*))) AS BIGINT) AS lr0,
+           CAST(ROUND({BURST_MICRO} * ln(CAST(SUM(y) AS DOUBLE)
+                * {BURST_MULT} / COUNT(*))) AS BIGINT) AS lr1,
+           CAST(ROUND({BURST_MICRO} * ln(CAST(COUNT(*) AS DOUBLE)))
+                AS BIGINT) AS gamma
+    FROM dense GROUP BY 1 HAVING SUM(y) > 0
+), rec AS (
+    SELECT d.event_type, d.t, d.y,
+           c.r0 - d.y * c.lr0 AS c0,
+           c.gamma + c.r1 - d.y * c.lr1 AS c1,
+           c.r0, c.r1, c.lr0, c.lr1, c.gamma
+    FROM dense d JOIN consts c ON d.event_type = c.event_type
+    WHERE d.t = 0
+    UNION ALL
+    SELECT d.event_type, d.t, d.y,
+           least(r.c0, r.c1) + r.r0 - d.y * r.lr0 AS c0,
+           least(r.c0 + r.gamma, r.c1) + r.r1 - d.y * r.lr1 AS c1,
+           r.r0, r.r1, r.lr0, r.lr1, r.gamma
+    FROM rec r JOIN dense d
+      ON d.event_type = r.event_type AND d.t = r.t + 1
+)
+SELECT event_type, t, y,
+       CAST(CASE WHEN c0 <= c1 THEN 0 ELSE 1 END AS INTEGER) AS state,
+       CAST(c1 - c0 AS BIGINT) AS margin_micro
+FROM rec
+ORDER BY event_type, t
+""", "Kleinberg 2-state Viterbi burst detection, exact micro-nat DP")

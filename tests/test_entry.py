@@ -27,10 +27,10 @@ def test_driver_window_holds_round8_targets():
     r3-era re-proofs that still fit — the contract from
     queries/__init__.py."""
     from impractical_impala_spark.queries import (
-        CHANGED_R8, NEVER_CHECKED_R8, NEW_R8_WAVES, STALE_R3, WINDOW)
+        CHANGED_R8, NEVER_CHECKED_R8, NEW_R8_WAVES, WINDOW)
 
     first50 = list(e.queries())[:50]
     assert first50 == WINDOW[:50]
     assert first50[:len(NEVER_CHECKED_R8)] == NEVER_CHECKED_R8
-    for name in NEVER_CHECKED_R8 + CHANGED_R8 + NEW_R8_WAVES + STALE_R3[:1]:
+    for name in NEVER_CHECKED_R8 + CHANGED_R8 + NEW_R8_WAVES:
         assert name in first50, f"{name} fell out of the driver window"

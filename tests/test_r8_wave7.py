@@ -183,3 +183,79 @@ def test_entropy_rate_matches_counter(spark, sf_small):
     # contributions reconstruct the chain entropy rate
     s = sum(r["rate_contribution"] for r in got.values())
     assert math.isclose(s, total_rate, abs_tol=1e-4)
+
+
+# ------------------------------------------------------ burst viterbi
+def test_burst_viterbi_in_sweeps(spark, sf_small):
+    """Partition + TZ invariance for the Arrow-kernel burst detector
+    (same contracts as the declarative wave-7 ops)."""
+    name = "events_burst_viterbi"
+    base = sorted(map(tuple, _Q[name].build(spark, sf_small).collect()))
+    conf = [("spark.sql.files.maxPartitionBytes", "65536"),
+            ("spark.sql.shuffle.partitions", "7"),
+            ("spark.sql.execution.arrow.maxRecordsPerBatch", "37")]
+    old = {k: spark.conf.get(k) for k, _ in conf}
+    try:
+        for k, v in conf:
+            spark.conf.set(k, v)
+        skewed = sorted(map(tuple, _Q[name].build(spark, sf_small).collect()))
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert base == skewed
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+        hostile = sorted(map(tuple,
+                             _Q[name].build(spark, sf_small).collect()))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    assert base == hostile
+
+
+def test_burst_viterbi_kernel_reference(spark, sf_small):
+    """The Spark kernel equals the pure-Python fold run directly on
+    the pandas-derived hourly series (third implementation beside the
+    Arrow kernel and the recursive-CTE oracle)."""
+    from impractical_impala_spark.queries.monitor_eval import burst_viterbi
+
+    ev = pd.read_parquet(f"{sf_small}/events.parquet",
+                         columns=["event_type", "ts"])
+    ev["hr"] = (pd.to_datetime(ev["ts"]).astype("datetime64[ns]")
+                .astype("int64") // 3_600_000_000_000)
+    got = _Q["events_burst_viterbi"].build(spark, sf_small).toPandas()
+    for etype, g in ev.groupby("event_type"):
+        cnt = g.groupby("hr").size()
+        ys = cnt.reindex(range(cnt.index.min(), cnt.index.max() + 1),
+                         fill_value=0).tolist()
+        want = burst_viterbi(ys)
+        sub = (got[got["event_type"] == etype]
+               .sort_values("t")[["t", "y", "state", "margin_micro"]])
+        assert [tuple(r) for r in sub.itertuples(index=False)] == want
+
+
+def test_burst_viterbi_detects_planted_burst(spark, tmp_path):
+    """A planted 5x rate burst must flip the online state to 1 inside
+    the burst window and back to 0 after it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    eid = 0
+    for h in range(200):
+        rate = 10 if 100 <= h < 130 else 2
+        for k in range(rate):
+            eid += 1
+            rows.append((eid, pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(hours=h, minutes=k % 60), 1,
+                         "synthetic", 1.0, "{}"))
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value", "props"])
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = (_Q["events_burst_viterbi"].build(spark, str(tmp_path))
+           .toPandas().sort_values("t"))
+    in_burst = got[(got["t"] >= 105) & (got["t"] < 130)]["state"]
+    after = got[got["t"] >= 140]["state"]
+    assert (in_burst == 1).all(), "burst window must be in state 1"
+    assert (after == 0).all(), "state must return to 0 after the burst"
