@@ -327,14 +327,17 @@ def write_csv_outputs(outputs: dict[str, DataFrame], out_dir: str,
             # explicit model-size guard: this driver-side path exists
             # only for byte-exact golden emission of the small stat
             # tables; pointing it at a large frame is a bug, not a
-            # slow path — fail fast instead of OOMing the driver
-            n = df.count()
-            if n > GOLDEN_MAX_ROWS:
+            # slow path — fail fast instead of OOMing the driver.
+            # limit(cap+1) bounds the fetch AND detects the overflow
+            # in the same single job (a count() first would execute
+            # the whole plan twice).
+            pdf = df.limit(GOLDEN_MAX_ROWS + 1).toPandas()
+            if len(pdf) > GOLDEN_MAX_ROWS:
                 raise ValueError(
                     f"golden CSV path is driver-side and capped at "
-                    f"{GOLDEN_MAX_ROWS} rows; {name!r} has {n} — use the "
-                    "distributed writer (golden=False)")
-            df.toPandas().to_csv(dest, index=False, na_rep="")
+                    f"{GOLDEN_MAX_ROWS} rows; {name!r} exceeds it — use "
+                    "the distributed writer (golden=False)")
+            pdf.to_csv(dest, index=False, na_rep="")
             continue
         tmp = os.path.join(out_dir, f"_{name}.csv.spark")
         (df.coalesce(1).write.mode("overwrite")

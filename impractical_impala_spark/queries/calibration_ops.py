@@ -60,8 +60,10 @@ def _binned_events(spark, sf_dir, n_bins):
 _ORACLE_BINNED = """
     SELECT event_type,
            CAST(epoch_us(ts) AS BIGINT) * 1000 // 86400000000000 AS day,
-           least({nb} - 1, greatest(0, CAST(floor(
-               (value - mn_v) * {nb} / (mx_v - mn_v)) AS BIGINT))) AS bin,
+           CASE WHEN mx_v = mn_v THEN 0 ELSE
+                least({nb} - 1, greatest(0, CAST(floor(
+                    (value - mn_v) * {nb} / (mx_v - mn_v)) AS BIGINT)))
+           END AS bin,
            CASE WHEN event_type = '{pos}' THEN 1 ELSE 0 END AS pos
     FROM events
     CROSS JOIN (SELECT MIN(value) AS mn_v, MAX(value) AS mx_v
@@ -284,8 +286,10 @@ def covariate_shift_weights(spark: SparkSession,
     Σ t_b·w_b²) that says how much train data survives reweighting.
     Embargo rows belong to neither side. Facts reduce once to the
     (type x bin x split) histogram; weights and ESS are spine-sized.
-    The w² sums exceed int64 (w~1e6 ppm squared) and accumulate
-    DECIMAL(38,0)/HUGEINT."""
+    Wide-arithmetic ladder: the w_ppm ratio itself runs in
+    DECIMAL(38,0)/HUGEINT (its int64 numerator wraps at ~7e6
+    events/type) and the w and w² ESS sums accumulate wide from the
+    first multiply."""
     binned = _binned_events(spark, sf_dir, CSW_BINS)
     bounds = binned.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     cut = bounds.select(
@@ -314,8 +318,12 @@ def covariate_shift_weights(spark: SparkSession,
              .select("event_type", "bin", "n_train", "n_test",
                      F.coalesce("tr", F.lit(0)).alias("tr"),
                      F.coalesce("te", F.lit(0)).alias("te")))
-    wppm = (f"(te + 1) * (n_train + {CSW_BINS}) * 1000000"
-            f" div ((tr + 1) * (cast(n_test as bigint) + {CSW_BINS}))")
+    # (te+1)*(n_train+B)*1e6 wraps int64 at ~7e6 events/type — the
+    # ratio runs in DECIMAL(38,0) and narrows back to bigint
+    wppm = (f"cast((cast(te + 1 as decimal(38,0))"
+            f" * (n_train + {CSW_BINS}) * 1000000)"
+            f" div (cast(tr + 1 as decimal(38,0))"
+            f" * (n_test + {CSW_BINS})) as bigint)")
     weighted = dense.withColumn("w_ppm", F.expr(wppm))
     ess = (weighted.groupBy("event_type")
            .agg(F.sum(F.col("tr").cast("decimal(38,0)") * F.col("w_ppm"))
@@ -369,15 +377,17 @@ cut AS (
       ON s.event_type = h.event_type AND s.bin = h.bin
 ), weighted AS (
     SELECT event_type, bin, tr, te, n_train,
-           CAST((te + 1) * (n_train + {CSW_BINS}) * 1000000
-                // ((tr + 1) * (n_test + {CSW_BINS})) AS BIGINT) AS w_ppm
+           CAST((CAST(te + 1 AS HUGEINT) * (n_train + {CSW_BINS})
+                 * 1000000)
+                // (CAST(tr + 1 AS HUGEINT) * (n_test + {CSW_BINS}))
+                AS BIGINT) AS w_ppm
     FROM dense
 ), ess AS (
     SELECT event_type,
-           ROUND(CAST(SUM(tr * w_ppm) AS DOUBLE)
-                 * CAST(SUM(tr * w_ppm) AS DOUBLE)
+           ROUND(CAST(SUM(CAST(tr AS HUGEINT) * w_ppm) AS DOUBLE)
+                 * CAST(SUM(CAST(tr AS HUGEINT) * w_ppm) AS DOUBLE)
                  / (CAST(MAX(n_train) AS DOUBLE)
-                    * CAST(SUM(tr * w_ppm * w_ppm) AS DOUBLE)), 6)
+                    * CAST(SUM(CAST(tr AS HUGEINT) * w_ppm * w_ppm) AS DOUBLE)), 6)
            + 0.0 AS ess_ratio
     FROM weighted GROUP BY 1
 )

@@ -43,9 +43,11 @@ def events_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     label over the 64-bin score domain: woe_b = ln(((pos_b+0.5)/P) /
     ((neg_b+0.5)/N)) with half-count smoothing, iv_b = ((pos_b/P) -
     (neg_b/N))·woe_b. One fact shuffle into 64 cells; totals broadcast
-    back over the dense spine (empty bins report the smoothed prior).
-    The ln runs once per bin on exact integers; outputs round to 6 so
-    the single-expression float work is engine-identical."""
+    back over the NONEMPTY bins (an empty bin has no row — both
+    engines agree; densify upstream if a consumer needs the smoothed
+    prior for absent bins). The ln runs once per bin on exact
+    integers; outputs round to 6 so the single-expression float work
+    is engine-identical."""
     binned = _binned_events(spark, sf_dir, WOE_BINS)
     hist = (binned.groupBy("bin")
             .agg(F.sum("pos").alias("p"),
@@ -123,8 +125,12 @@ def events_cumulative_gain(spark: SparkSession,
             .select("decile", "n_rows", "n_pos",
                     F.expr("cum_pos * 1000000 div pt")
                     .alias("capture_ppm"),
-                    F.expr("(cum_pos * nt * 1000000)"
-                           " div (cum_rows * pt)").alias("lift_ppm"))
+                    # cum_pos*nt*1e6 wraps int64 at ~1e7 rows — the
+                    # ratio runs in DECIMAL(38,0) and narrows after
+                    F.expr("cast((cast(cum_pos as decimal(38,0)) * nt"
+                           " * 1000000) div (cast(cum_rows as"
+                           " decimal(38,0)) * pt) as bigint)")
+                    .alias("lift_ppm"))
             .orderBy("decile"))
 
 
@@ -153,9 +159,10 @@ hist AS (
 SELECT decile, n_rows, n_pos,
        CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT) * 1000000
        // pt AS capture_ppm,
-       (CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT) * nt * 1000000)
-       // (CAST(SUM(n_rows) OVER (ORDER BY decile) AS BIGINT) * pt)
-       AS lift_ppm
+       CAST((CAST(SUM(n_pos) OVER (ORDER BY decile) AS HUGEINT)
+             * nt * 1000000)
+            // (CAST(SUM(n_rows) OVER (ORDER BY decile) AS HUGEINT) * pt)
+            AS BIGINT) AS lift_ppm
 FROM by_dec ORDER BY decile
 """, "descending-score decile gain/lift table from the 256-bin domain")
 
@@ -244,15 +251,24 @@ def events_type_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sufficient sums run over the calendar-bounded day spine, never the
     fact table. Positive lag pairs views at day d with purchases at
     day d+lag, so ccf at lag>0 measures views LEADING purchases."""
-    days = (load_table(spark, sf_dir, "events")
-            .filter(F.col("event_type").isin(CCF_X_TYPE, CCF_Y_TYPE))
-            .select(F.expr("ts_ns div 86400000000000").alias("day"),
-                    "event_type")
-            .groupBy("day")
-            .agg(F.sum(F.when(F.col("event_type") == CCF_X_TYPE, 1)
-                       .otherwise(0)).alias("xc"),
-                 F.sum(F.when(F.col("event_type") == CCF_Y_TYPE, 1)
-                       .otherwise(0)).alias("yc")))
+    sparse = (load_table(spark, sf_dir, "events")
+              .filter(F.col("event_type").isin(CCF_X_TYPE, CCF_Y_TYPE))
+              .select(F.expr("ts_ns div 86400000000000").alias("day"),
+                      "event_type")
+              .groupBy("day")
+              .agg(F.sum(F.when(F.col("event_type") == CCF_X_TYPE, 1)
+                         .otherwise(0)).alias("xc"),
+                   F.sum(F.when(F.col("event_type") == CCF_Y_TYPE, 1)
+                         .otherwise(0)).alias("yc")))
+    # dense day spine: a day with no view/purchase events is a REAL
+    # zero observation, not a missing row (the PACF/PH/burst spine
+    # discipline) — dropping it would bias every lagged pair
+    bounds = sparse.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1)")).alias("day"))
+    days = (spine.join(sparse, "day", "left")
+            .select("day", F.coalesce("xc", F.lit(0)).alias("xc"),
+                    F.coalesce("yc", F.lit(0)).alias("yc")))
     lags = spark.sql(
         f"SELECT explode(sequence(cast(-{CCF_MAX_LAG} as bigint),"
         f" cast({CCF_MAX_LAG} as bigint))) AS lag")
@@ -281,7 +297,7 @@ def events_type_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("events_type_ccf", events_type_ccf, f"""
-WITH days AS (
+WITH sparse AS (
     SELECT CAST(epoch_us(ts) AS BIGINT) * 1000 // 86400000000000 AS day,
            CAST(SUM(CASE WHEN event_type = '{CCF_X_TYPE}'
                     THEN 1 ELSE 0 END) AS BIGINT) AS xc,
@@ -290,6 +306,11 @@ WITH days AS (
     FROM events
     WHERE event_type IN ('{CCF_X_TYPE}', '{CCF_Y_TYPE}')
     GROUP BY 1
+), spine AS (
+    SELECT UNNEST(range(MIN(day), MAX(day) + 1)) AS day FROM sparse
+), days AS (
+    SELECT sp.day, COALESCE(s.xc, 0) AS xc, COALESCE(s.yc, 0) AS yc
+    FROM spine sp LEFT JOIN sparse s ON sp.day = s.day
 ), lags AS (
     SELECT UNNEST(range(-{CCF_MAX_LAG}, {CCF_MAX_LAG + 1})) AS lag
 ), paired AS (

@@ -142,8 +142,12 @@ def events_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     as DECIMAL(38,0) (HUGEINT in the oracle): |term| <= N * 1e12, so
     int64 would wrap past ~9e6 rows per type — the accumulator is
     chosen for the 100 TB case, not patched later."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "ts_ns", "value")
+    # NULL values would create a NULL bin that sorts NULLS-FIRST in
+    # Spark but NULLS-LAST in DuckDB inside the cumulative windows —
+    # filter them like events_value_ks_drift does
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_type", "ts_ns", "value"))
     stats = ev.agg(F.min("value").alias("mn_v"), F.max("value").alias("mx_v"),
                    F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("mid_ns"))
     binned = ev.crossJoin(F.broadcast(stats)).select(
@@ -180,7 +184,7 @@ def events_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("events_cvm_drift", events_cvm_drift, f"""
 WITH ev AS (
     SELECT event_type, CAST(epoch_us(ts) AS BIGINT) * 1000 AS ts_ns, value
-    FROM events
+    FROM events WHERE value IS NOT NULL
 ), stats AS (
     SELECT MIN(value) AS mn_v, MAX(value) AS mx_v,
            (MIN(ts_ns) + MAX(ts_ns)) // 2 AS mid_ns
@@ -230,9 +234,13 @@ def events_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-bin pairs count as ties, the documented quantization).
     Overflow ladder: greater/less sums are bounded by na*nb, int64 to
     ~3e9 rows per half; the centi^2 sum matches the Welch bound."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "ts_ns", "value",
-        F.floor(F.col("value") * 100).cast("long").alias("centi"))
+    # NULL values: counts would include rows the centi sums skip, and
+    # the NULL bin sorts at opposite ends of the two engines' windows
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_type", "ts_ns", "value",
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("centi")))
     stats = ev.agg(F.min("value").alias("mn_v"), F.max("value").alias("mx_v"),
                    F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("mid_ns"))
     base = (ev.crossJoin(F.broadcast(stats))
@@ -285,7 +293,7 @@ register("events_effect_sizes", events_effect_sizes, f"""
 WITH ev AS (
     SELECT event_type, CAST(epoch_us(ts) AS BIGINT) * 1000 AS ts_ns,
            value, CAST(FLOOR(value * 100) AS BIGINT) AS centi
-    FROM events
+    FROM events WHERE value IS NOT NULL
 ), stats AS (
     SELECT MIN(value) AS mn_v, MAX(value) AS mx_v,
            (MIN(ts_ns) + MAX(ts_ns)) // 2 AS mid_ns

@@ -155,9 +155,11 @@ SELECT pair, cnt FROM pairs ORDER BY cnt DESC, pair LIMIT {BPE_TOP_K}
 
 
 # ------------------------------------- unigram cross-entropy by split
-XENT_FOLDS = 5
-XENT_MULT = 2_654_435_761   # Knuth multiplicative hash (fold_balance_audit)
-XENT_MOD = 4_294_967_296
+# the SAME multiplicative-hash fold as fold_balance_audit — imported,
+# not re-declared, so the balance audit always audits THIS split
+from .spectral_info import FOLD_MOD as XENT_MOD  # noqa: E402
+from .spectral_info import FOLD_MULT as XENT_MULT  # noqa: E402
+from .spectral_info import N_FOLDS as XENT_FOLDS  # noqa: E402
 # validation = hash-fold 0. A plain doc_id % 5 residue split CORRELATES
 # with the fixture's id-derived source assignment (only 4 of 20 sources
 # would ever reach validation) — the exact split bug fold_balance_audit

@@ -73,6 +73,12 @@ def _update(key: tuple, pdfs: Iterator[pd.DataFrame],
         h = int(ts_ns) // HOUR_NS
         if cur_hr is None:
             h0, cur_hr = h, h
+        elif h < cur_hr:
+            # late arrival across micro-batches: its hour already
+            # folded (completed hours are immutable) — dropping it is
+            # the documented contract; counting it into cur_hr would
+            # silently diverge from the batch fold
+            continue
         elif h > cur_hr:
             ph_step(st, cur_cnt, out)            # complete cur_hr
             for _gap in range(cur_hr + 1, h):    # gap hours = zeros

@@ -157,6 +157,9 @@ def test_type_ccf_matches_numpy(spark, sf_small):
             .groupby("day")["event_type"]
             .agg(xc=lambda s: (s == CCF_X_TYPE).sum(),
                  yc=lambda s: (s == CCF_Y_TYPE).sum()))
+    # dense spine: absent days are real zero observations
+    days = days.reindex(range(days.index.min(), days.index.max() + 1),
+                        fill_value=0)
     got = {r["lag"]: r for r in
            _Q["events_type_ccf"].build(spark, sf_small).collect()}
     idx = days.index
