@@ -224,6 +224,13 @@ HEADLINE = [
     "emb_silhouette",
     "events_entropy_rate",
     "events_burst_viterbi",
+    # round-8 wave 8: corpus richness / agreement / conformal / tail
+    "vocab_chao1_richness",
+    "langid_kappa_f1",
+    "events_conformal_calibration",
+    "events_hill_tail",
+    "events_brier_decomposition",
+    "tfidf_doc_neardup",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

@@ -38,7 +38,7 @@ from . import (reference_ops, stats_ops, tpch, tpch_more,  # noqa: F401
                layout, feature_ops, paths_stats, modern_sql, profiling,
                drift, quality, stat_tests, audit_ops, sampling_stats,
                forecast, spectral_info, text_ir, emb_eval, linkage_splits,
-               calibration_ops, scoring_seq, monitor_eval)
+               calibration_ops, scoring_seq, monitor_eval, corpus_eval)
 
 # r5 window. VERDICT r4 top-next: every one of the 154 registered
 # queries should carry a green-or-sanctioned driver row after this
@@ -361,6 +361,16 @@ NEW_R8_WAVES = [
     # wave 7: sequential drift / clustering quality / predictability
     "events_page_hinkley", "emb_silhouette", "events_entropy_rate",
     "events_burst_viterbi",
+]
+
+# Registered later in round 8, after the 50-slot window was cut (the
+# LATE_R5 / late-r7 precedent) — FIRST r9 rotation candidates: wave 8
+# in queries/corpus_eval.py. All pass the local DuckDB gate; they lead
+# the r9 window ahead of the re-proof cohorts below.
+LATE_R8 = [
+    "vocab_chao1_richness", "langid_kappa_f1",
+    "events_conformal_calibration", "events_hill_tail",
+    "events_brier_decomposition", "tfidf_doc_neardup",
 ]
 
 # Evicted to r9 by the waves above: the trailing 21 stale-r3 re-proof
