@@ -231,6 +231,11 @@ HEADLINE = [
     "events_hill_tail",
     "events_brier_decomposition",
     "tfidf_doc_neardup",
+    # round-8 wave 9: operating points / fairness
+    "events_pr_auc",
+    "events_calibration_error",
+    "events_threshold_selection",
+    "fairness_accuracy_parity",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

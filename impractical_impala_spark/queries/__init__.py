@@ -38,7 +38,8 @@ from . import (reference_ops, stats_ops, tpch, tpch_more,  # noqa: F401
                layout, feature_ops, paths_stats, modern_sql, profiling,
                drift, quality, stat_tests, audit_ops, sampling_stats,
                forecast, spectral_info, text_ir, emb_eval, linkage_splits,
-               calibration_ops, scoring_seq, monitor_eval, corpus_eval)
+               calibration_ops, scoring_seq, monitor_eval, corpus_eval,
+               operating_point)
 
 # r5 window. VERDICT r4 top-next: every one of the 154 registered
 # queries should carry a green-or-sanctioned driver row after this
@@ -371,6 +372,9 @@ LATE_R8 = [
     "vocab_chao1_richness", "langid_kappa_f1",
     "events_conformal_calibration", "events_hill_tail",
     "events_brier_decomposition", "tfidf_doc_neardup",
+    # wave 9 (queries/operating_point.py)
+    "events_pr_auc", "events_calibration_error",
+    "events_threshold_selection", "fairness_accuracy_parity",
 ]
 
 # Evicted to r9 by the waves above: the trailing 21 stale-r3 re-proof
