@@ -39,7 +39,7 @@ from . import (reference_ops, stats_ops, tpch, tpch_more,  # noqa: F401
                drift, quality, stat_tests, audit_ops, sampling_stats,
                forecast, spectral_info, text_ir, emb_eval, linkage_splits,
                calibration_ops, scoring_seq, monitor_eval, corpus_eval,
-               operating_point)
+               operating_point, experiment)
 
 # r5 window. VERDICT r4 top-next: every one of the 154 registered
 # queries should carry a green-or-sanctioned driver row after this
@@ -375,6 +375,9 @@ LATE_R8 = [
     # wave 9 (queries/operating_point.py)
     "events_pr_auc", "events_calibration_error",
     "events_threshold_selection", "fairness_accuracy_parity",
+    # wave 10 (queries/experiment.py)
+    "text_rbo_agreement", "langid_mcnemar", "events_mde_power",
+    "emb_cka_alignment", "source_neyman_allocation",
 ]
 
 # Evicted to r9 by the waves above: the trailing 21 stale-r3 re-proof
