@@ -380,8 +380,10 @@ LATE_R8 = [
     "emb_cka_alignment", "source_neyman_allocation",
 ]
 
-# Evicted to r9 by the waves above: the trailing 21 stale-r3 re-proof
-# slots and the entire r4-era fill — all locally DuckDB-green every
+# Evicted to r9 by the waves above: the ENTIRE stale-r3 re-proof
+# cohort (all 25 — NEVER_CHECKED_R8(12) + CHANGED_R8(4) +
+# NEW_R8_WAVES(34) filled all 50 slots, so none of STALE_R3 made the
+# r8 window) and the r4-era fill — all locally DuckDB-green every
 # session; they lead the r9 fill queue (oldest evidence first).
 _EVICTED_TO_R9 = STALE_R3 + [
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
@@ -389,7 +391,47 @@ _EVICTED_TO_R9 = STALE_R3 + [
     "q_range_band_join", "json_extract_props", "q_percentiles",
 ]
 
-WINDOW = NEVER_CHECKED_R8 + CHANGED_R8 + NEW_R8_WAVES
+_WINDOW_R8 = NEVER_CHECKED_R8 + CHANGED_R8 + NEW_R8_WAVES
+assert len(_WINDOW_R8) == 50, len(_WINDOW_R8)
+
+# ---------------------------------------------------------------- r9
+# r9 window (replaces the r8 ordering above, kept for history). The r8
+# window went 49/50 green (the 50th, graph_kcore_summary, was the
+# sanctioned rows-only check and gets a full hash oracle THIS round).
+
+# Priority 1 — never driver-checked: the 15 late-r8 registrations
+# (corpus_eval wave 8, operating_point wave 9, experiment wave 10) —
+# VERDICT r8 ask #1. Order preserved from LATE_R8.
+NEVER_CHECKED_R9 = list(LATE_R8)
+
+# Priority 2 — changed this round, fresh rows prove the new plans:
+# graph_kcore_summary gained a full DuckDB oracle (batch-min-degree
+# recursive-CTE peel — VERDICT ask #2), so its r9 row is the first
+# HASH check; events_burst_viterbi's rounding rule is now explicit
+# half-away-from-zero on BOTH engines (ADVICE #1);
+# session_pattern_mining propagates NULL components like the oracle
+# (ADVICE #3); events_effect_sizes gained the degenerate-half guard
+# (ADVICE #4).
+CHANGED_R9 = [
+    "graph_kcore_summary", "events_burst_viterbi",
+    "session_pattern_mining", "events_effect_sizes",
+]
+
+# New in round 9 — first driver exposure (appended as they are built;
+# standing discipline: NEW queries evict RE-PROOF slots, never other
+# first-exposure ones).
+NEW_R9: list[str] = []
+
+# Fill — the evicted re-proof queue, oldest evidence first (the whole
+# stale-r3 cohort, then the r4-era fill). Computed slice: whatever
+# NEW_R9 grows to, the window stays exactly 50 and evicts from the
+# END of this queue; the remainder leads r10's fill.
+_FILL_QUEUE_R9 = list(_EVICTED_TO_R9)
+_n_fill = 50 - len(NEVER_CHECKED_R9) - len(CHANGED_R9) - len(NEW_R9)
+FILL_R9 = _FILL_QUEUE_R9[:_n_fill]
+_EVICTED_TO_R10 = _FILL_QUEUE_R9[_n_fill:]
+
+WINDOW = NEVER_CHECKED_R9 + CHANGED_R9 + NEW_R9 + FILL_R9
 assert len(WINDOW) == 50, len(WINDOW)
 
 set_window_order(WINDOW)

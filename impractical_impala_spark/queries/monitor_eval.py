@@ -297,21 +297,42 @@ BURST_MULT = 2          # burst state emits at 2x the base rate
 BURST_MICRO = 1_000_000  # cost quantization (micro-nats)
 
 
+def _half_away(x: float) -> int:
+    """Half-away-from-zero rounding — the ONE rule both engines use.
+    Python round() is half-to-even while SQL ROUND is half-away, so an
+    exact .5 micro-nat boundary would split the two Viterbi DPs; both
+    sides now share floor(x + 0.5) mirrored around zero (the oracle
+    uses the literal CASE/FLOOR twin of this expression)."""
+    import math
+
+    return (int(math.floor(x + 0.5)) if x >= 0
+            else -int(math.floor(-x + 0.5)))
+
+
+def _ha_sql(expr: str) -> str:
+    """SQL twin of ``_half_away``: half-away-from-zero as explicit
+    CASE/FLOOR so the oracle shares Python's exact rounding rule
+    instead of relying on the engine's ROUND tie behavior."""
+    return (f"CAST(CASE WHEN ({expr}) >= 0 THEN FLOOR(({expr}) + 0.5) "
+            f"ELSE -FLOOR(-({expr}) + 0.5) END AS BIGINT)")
+
+
 def _trunc_burst_constants(n: int, total: int) -> tuple[int, int, int, int, int]:
     """Per-series integer cost constants (micro-nat fixed point):
-    rate_j = round(1e6 * N * mult_j / n) (exact integer div), lr_j =
-    round(1e6 * ln(N * mult_j / n)), gamma = round(1e6 * ln(n)). The
-    only float work is three ln calls on exact integer ratios; at 1e6
-    quantization a 1-ulp libm difference (~4e-16 abs) moves the
-    argument of round() by ~4e-10 — the .5-boundary collision risk is
-    negligible, and everything downstream is exact integer DP."""
+    rate_j = half_away(1e6 * N * mult_j / n) (exact integer div), lr_j =
+    half_away(1e6 * ln(N * mult_j / n)), gamma = half_away(1e6 * ln(n)).
+    The only float work is three ln calls on exact integer ratios; at
+    1e6 quantization a 1-ulp libm difference (~4e-16 abs) moves the
+    rounding argument by ~4e-10, and the rounding RULE itself is now
+    identical across engines (_half_away), so no .5 boundary can split
+    them; everything downstream is exact integer DP."""
     import math
 
     r0 = (total * BURST_MICRO) // n
     r1 = (total * BURST_MULT * BURST_MICRO) // n
-    lr0 = round(BURST_MICRO * math.log(total / n))
-    lr1 = round(BURST_MICRO * math.log(total * BURST_MULT / n))
-    gamma = round(BURST_MICRO * math.log(n))
+    lr0 = _half_away(BURST_MICRO * math.log(total / n))
+    lr1 = _half_away(BURST_MICRO * math.log(total * BURST_MULT / n))
+    gamma = _half_away(BURST_MICRO * math.log(n))
     return r0, r1, lr0, lr1, gamma
 
 
@@ -415,12 +436,12 @@ WITH RECURSIVE ev AS (
            CAST(SUM(y) AS BIGINT) * {BURST_MICRO} // COUNT(*) AS r0,
            CAST(SUM(y) AS BIGINT) * {BURST_MULT} * {BURST_MICRO}
                // COUNT(*) AS r1,
-           CAST(ROUND({BURST_MICRO} * ln(CAST(SUM(y) AS DOUBLE)
-                / COUNT(*))) AS BIGINT) AS lr0,
-           CAST(ROUND({BURST_MICRO} * ln(CAST(SUM(y) AS DOUBLE)
-                * {BURST_MULT} / COUNT(*))) AS BIGINT) AS lr1,
-           CAST(ROUND({BURST_MICRO} * ln(CAST(COUNT(*) AS DOUBLE)))
-                AS BIGINT) AS gamma
+           {_ha_sql(f"{BURST_MICRO} * ln(CAST(SUM(y) AS DOUBLE)"
+                    " / COUNT(*))")} AS lr0,
+           {_ha_sql(f"{BURST_MICRO} * ln(CAST(SUM(y) AS DOUBLE)"
+                    f" * {BURST_MULT} / COUNT(*))")} AS lr1,
+           {_ha_sql(f"{BURST_MICRO} * ln(CAST(COUNT(*) AS DOUBLE))")}
+                AS gamma
     FROM dense GROUP BY 1 HAVING SUM(y) > 0
 ), rec AS (
     SELECT d.event_type, d.t, d.y,

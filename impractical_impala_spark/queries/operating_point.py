@@ -38,8 +38,10 @@ def events_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average precision (PR-AUC) of 'value-bin predicts a purchase'
     over the descending 256-bin score sweep: AP = sum_b dtp_b *
     precision_b / P with precision quantized to exact integer ppm (the
-    operator contract), plus precision at the first threshold whose
-    recall crosses 50%. One fact shuffle into the shared histogram;
+    operator contract), plus the MAX precision over thresholds whose
+    recall is >= 50% (precision is not monotone along the sweep, so
+    this is deliberately NOT first-crossing precision — max is the
+    order-free form both engines aggregate identically). One fact shuffle into the shared histogram;
     the sweep is a cumulative window on the 256-cell spine. The
     dtp*ppm products sum in DECIMAL(38,0)/HUGEINT (each term reaches
     P*1e6, past int64 when P*1e6*terms ~ P*1e9 exceeds ~9e18 at

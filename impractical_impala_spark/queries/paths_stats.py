@@ -303,9 +303,11 @@ def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal, informative at any density where fixed k levels are not.
     Runs operators/graph.py::degeneracy_core over the SAME
     support-capped edge set as graph_triangles, so every scale bound
-    of cohort_edges applies unchanged. Iterative fixpoint -> rows-only
-    for the oracle harness; semantics pinned against a Python
-    reference peel in tests/test_r7_kernels.py."""
+    of cohort_edges applies unchanged. Semantics pinned against a
+    Python reference peel in tests/test_r7_kernels.py AND (since r9)
+    a full DuckDB oracle: a batch-min-degree recursive-CTE peel whose
+    equivalence to the binary-searched fixpoint is proved in the
+    oracle's comment."""
     from ..operators.graph import degeneracy_core
 
     return (degeneracy_core(cohort_edges(load_table(spark, sf_dir,
@@ -313,5 +315,111 @@ def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("level"))
 
 
-register("graph_kcore_summary", graph_kcore_summary, None,
+# The same act/ua/support/edges pipeline as graph_triangles' oracle —
+# one textual definition keeps the two backbones provably identical.
+_COHORT_EDGES_SQL = f"""
+act AS (
+    SELECT epoch_us(ts) // 3600000000 AS hr, event_type, user_id,
+           COUNT(*) AS n_ev
+    FROM events GROUP BY 1, 2, 3
+), ua AS (
+    SELECT user_id, hr, event_type
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY hr, event_type
+                                       ORDER BY n_ev DESC, user_id) AS rk
+          FROM act)
+    WHERE rk <= {K_COHORT}
+), support AS (
+    SELECT r1.user_id AS a, r2.user_id AS b, COUNT(*) AS support
+    FROM ua r1 JOIN ua r2
+      ON r1.hr = r2.hr AND r1.event_type = r2.event_type
+     AND r1.user_id < r2.user_id
+    GROUP BY 1, 2
+), edges AS (
+    SELECT a, b FROM support
+    ORDER BY support DESC, a, b LIMIT {EDGE_CAP}
+)"""
+
+# Oracle: batch-min-degree peel as a recursive CTE. Each iteration
+# drops EVERY node whose current degree equals the current minimum
+# (isolated nodes vanish with their last edge), so the recursion ends
+# by itself when the edge set empties — no iteration cap needed
+# (>=1 node leaves per round => rounds <= n_nodes; sf0.01: 54 rounds
+# over 7,788 edges, ~2 s). Equivalence to the Spark plan's
+# binary-searched k-core fixpoints (operators/graph.py::degeneracy_core):
+#   * k* = max over rounds of the round-start min degree. (<=) the
+#     round achieving the max m starts from a subgraph of min degree m,
+#     so the m-core is non-empty; (>=) the innermost core H keeps all
+#     its nodes at degree >= k* while intact, so the first round that
+#     touches H has min >= k*.
+#   * the graph at the FIRST round whose min degree is m IS the m-core:
+#     it has min degree >= m (so it is contained in the maximal such
+#     subgraph) and contains the m-core (whose nodes never qualify for
+#     removal in earlier min<m rounds). Applied at m=k* for the
+#     degeneracy row and at the first min>=2 round for the 2-core row.
+# Both equivalences are also re-checked numerically by
+# tests/test_r7_kernels.py's Python peel.
+_KCORE_ORACLE = f"""
+WITH RECURSIVE {_COHORT_EDGES_SQL},
+peel(it, a, b) AS (
+    SELECT 0, a, b FROM edges
+    UNION ALL
+    SELECT p.it + 1, p.a, p.b
+    FROM peel p
+    WHERE p.a IN (SELECT u FROM (SELECT u, COUNT(*) AS d
+                                 FROM (SELECT a AS u FROM peel
+                                       UNION ALL SELECT b FROM peel)
+                                 GROUP BY u)
+                  WHERE d > (SELECT MIN(d) FROM
+                             (SELECT COUNT(*) AS d
+                              FROM (SELECT a AS u FROM peel
+                                    UNION ALL SELECT b FROM peel)
+                              GROUP BY u)))
+      AND p.b IN (SELECT u FROM (SELECT u, COUNT(*) AS d
+                                 FROM (SELECT a AS u FROM peel
+                                       UNION ALL SELECT b FROM peel)
+                                 GROUP BY u)
+                  WHERE d > (SELECT MIN(d) FROM
+                             (SELECT COUNT(*) AS d
+                              FROM (SELECT a AS u FROM peel
+                                    UNION ALL SELECT b FROM peel)
+                              GROUP BY u)))
+),
+stats AS (
+    SELECT it, MIN(d) AS min_d
+    FROM (SELECT it, u, COUNT(*) AS d
+          FROM (SELECT it, a AS u FROM peel
+                UNION ALL SELECT it, b FROM peel)
+          GROUP BY it, u)
+    GROUP BY it
+),
+nodesz AS (
+    SELECT it, COUNT(DISTINCT u) AS n_nodes
+    FROM (SELECT it, a AS u FROM peel UNION ALL SELECT it, b FROM peel)
+    GROUP BY it
+),
+edgesz AS (SELECT it, COUNT(*) AS n_edges FROM peel GROUP BY it),
+kstar AS (SELECT MAX(min_d) AS k FROM stats),
+it_k AS (SELECT MIN(it) AS it FROM stats
+         WHERE min_d = (SELECT k FROM kstar)),
+it_2 AS (SELECT MIN(it) AS it FROM stats WHERE min_d >= 2)
+SELECT '2core' AS level, CAST(2 AS BIGINT) AS k,
+       CAST(COALESCE((SELECT n_nodes FROM nodesz
+                      WHERE it = (SELECT it FROM it_2)), 0) AS BIGINT)
+           AS n_nodes,
+       CAST(COALESCE((SELECT n_edges FROM edgesz
+                      WHERE it = (SELECT it FROM it_2)), 0) AS BIGINT)
+           AS n_edges
+UNION ALL
+SELECT 'degeneracy' AS level,
+       CAST(COALESCE((SELECT k FROM kstar), 0) AS BIGINT) AS k,
+       CAST(COALESCE((SELECT n_nodes FROM nodesz
+                      WHERE it = (SELECT it FROM it_k)), 0) AS BIGINT)
+           AS n_nodes,
+       CAST(COALESCE((SELECT n_edges FROM edgesz
+                      WHERE it = (SELECT it FROM it_k)), 0) AS BIGINT)
+           AS n_edges
+ORDER BY level
+"""
+
+register("graph_kcore_summary", graph_kcore_summary, _KCORE_ORACLE,
          "2-core and binary-searched degeneracy core of the backbone")

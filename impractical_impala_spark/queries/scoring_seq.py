@@ -193,13 +193,17 @@ def session_pattern_mining(spark: SparkSession,
                 w.rowsBetween(Window.unboundedPreceding, 0))))
     ws = Window.partitionBy("user_id", "sess_n") \
         .orderBy("ts_us", "event_id")
+    # concat (NOT concat_ws): concat_ws silently skips NULL components,
+    # so a NULL event_type would emit a 2-part pattern the oracle's
+    # NULL-propagating || drops — concat + the pattern filter keeps the
+    # two engines' NULL rule identical.
     tri = (sess
            .withColumn("t2", F.lead("event_type", 1).over(ws))
            .withColumn("t3", F.lead("event_type", 2).over(ws))
-           .filter(F.col("t3").isNotNull())
            .select("user_id", "sess_n",
-                   F.concat_ws(">", "event_type", "t2", "t3")
-                   .alias("pattern")))
+                   F.concat("event_type", F.lit(">"), "t2",
+                            F.lit(">"), "t3").alias("pattern"))
+           .filter(F.col("pattern").isNotNull()))
     return (tri.distinct()
             .groupBy("pattern")
             .agg(F.count(F.lit(1)).alias("support"))

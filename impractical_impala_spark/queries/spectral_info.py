@@ -277,15 +277,20 @@ def events_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
           "/(cast(nb as double)*(nb-1)))")
     pooled = (f"sqrt(((na-1)*{va} + (nb-1)*{vb})"
               f"/(cast(na as double) + nb - 2))")
-    d = (f"((cast(sa as double)/na - cast(sb as double)/nb)"
-         f" / {pooled})")
+    # degenerate-half guard (the events_gumbel_maxima n>=2 pattern):
+    # without it Spark's non-ANSI 0/0 yields NULL while DuckDB's IEEE
+    # division yields Inf/NaN — an explicit NULL keeps engines aligned
+    d = (f"CASE WHEN na < 2 OR nb < 2 THEN NULL ELSE "
+         f"((cast(sa as double)/na - cast(sb as double)/nb)"
+         f" / {pooled}) END")
+    delta = ("CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE "
+             "round((greater - less)"
+             " / (cast(na as double) * nb), 4) + 0.0 END")
     return (suff.join(pairs, "event_type")
             .select("event_type", F.col("na").alias("n_early"),
                     F.col("nb").alias("n_late"),
                     (F.round(F.expr(d), 4) + 0.0).alias("cohens_d"),
-                    (F.round((F.col("greater") - F.col("less"))
-                             / (F.col("na").cast("double") * F.col("nb")),
-                             4) + 0.0).alias("cliffs_delta"))
+                    F.expr(delta).alias("cliffs_delta"))
             .orderBy("event_type"))
 
 
@@ -334,15 +339,19 @@ WITH ev AS (
     FROM cum GROUP BY event_type
 )
 SELECT s.event_type, s.na AS n_early, s.nb AS n_late,
+       CASE WHEN na < 2 OR nb < 2 THEN NULL ELSE
        ROUND((CAST(sa AS DOUBLE)/na - CAST(sb AS DOUBLE)/nb)
              / SQRT(((na-1)*((CAST(na AS DOUBLE)*qa - CAST(sa AS DOUBLE)*sa)
                              /(CAST(na AS DOUBLE)*(na-1)))
                      + (nb-1)*((CAST(nb AS DOUBLE)*qb
                                 - CAST(sb AS DOUBLE)*sb)
                                /(CAST(nb AS DOUBLE)*(nb-1))))
-                    /(CAST(na AS DOUBLE) + nb - 2)), 4) + 0.0 AS cohens_d,
+                    /(CAST(na AS DOUBLE) + nb - 2)), 4) + 0.0
+       END AS cohens_d,
+       CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE
        ROUND((p.greater - p.less)
-             / (CAST(s.na AS DOUBLE) * s.nb), 4) + 0.0 AS cliffs_delta
+             / (CAST(s.na AS DOUBLE) * s.nb), 4) + 0.0
+       END AS cliffs_delta
 FROM suff s JOIN pairs p USING (event_type)
 ORDER BY s.event_type
 """, "Cohen's d + Cliff's delta per event type, early vs late half")

@@ -18,19 +18,20 @@ def test_queries_and_oracles_consistent():
         assert isinstance(sql, str) and "SELECT" in sql.upper()
 
 
-def test_driver_window_holds_round8_targets():
+def test_driver_window_holds_round9_targets():
     """The correctness driver checks the FIRST 50 entries of queries().
-    Round 8's window must lead with the 12 never-driver-checked
-    queries (VERDICT r7 ask #1 + the two new r8 operators), then the
-    four changed plans, then every mid-round-8 wave query (standing
-    discipline: first exposure evicts re-proof slots), then the oldest
-    r3-era re-proofs that still fit — the contract from
-    queries/__init__.py."""
+    Round 9's window must lead with the 15 never-driver-checked
+    late-r8 registrations (VERDICT r8 ask #1), then the plans changed
+    this round (graph_kcore_summary's first HASH row among them), then
+    any new r9 queries (first exposure evicts re-proof slots), then
+    the oldest-evidence re-proof queue — note the r8 waves filled all
+    50 r8 slots, so the ENTIRE stale-r3 cohort waited for this fill.
+    Contract from queries/__init__.py."""
     from impractical_impala_spark.queries import (
-        CHANGED_R8, NEVER_CHECKED_R8, NEW_R8_WAVES, WINDOW)
+        CHANGED_R9, NEVER_CHECKED_R9, NEW_R9, WINDOW)
 
     first50 = list(e.queries())[:50]
     assert first50 == WINDOW[:50]
-    assert first50[:len(NEVER_CHECKED_R8)] == NEVER_CHECKED_R8
-    for name in NEVER_CHECKED_R8 + CHANGED_R8 + NEW_R8_WAVES:
+    assert first50[:len(NEVER_CHECKED_R9)] == NEVER_CHECKED_R9
+    for name in NEVER_CHECKED_R9 + CHANGED_R9 + NEW_R9:
         assert name in first50, f"{name} fell out of the driver window"
