@@ -236,6 +236,38 @@ HEADLINE = [
     "events_calibration_error",
     "events_threshold_selection",
     "fairness_accuracy_parity",
+    # round-8 wave 10: experiment/eval extras (completing the late-r8
+    # cohort so every r9 window candidate has a per-query prior)
+    "text_rbo_agreement",
+    "langid_mcnemar",
+    "events_mde_power",
+    "emb_cka_alignment",
+    "source_neyman_allocation",
+    # r9: k-core got its hash oracle this round
+    "graph_kcore_summary",
+    # r9 re-proof fill cohort (stale-r3 era) — benched so the window's
+    # re-proof members carry priors too
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q11_important_stock",
+    "q12_ship_delay",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q20_small_part_suppliers",
+    "q22_dormant_customers",
+    "q_grouping_sets",
+    "w6_distribution_ranks",
+    "text_length_histogram",
+    "text_redact_pii",
+    "text_repetition_ratio",
+    "quality_gate_survivors",
+    "split_cluster_safe",
+    "sink_roundtrip_partitioned",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

@@ -35,13 +35,30 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
+try:  # optional real codec path — pillow is NOT in this container
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - the in-container branch
+    _PILImage = None
+
+
 def decode_image(blob: bytes) -> "np.ndarray":
-    """Decode an image payload to an HxWxC array. STUB: image codecs are
-    not installed in this container; the plumbing around this call is
-    real and the fake featurizer below keeps pipelines testable."""
+    """Decode an image payload to an HxWxC uint8 RGB array.
+
+    Feature-gated on pillow being importable: a user with pillow
+    installed gets real decode; in this codec-less container it raises
+    NotImplementedError as before. Registered (hash-checked) queries
+    deliberately stay on ``fake_features`` either way, so driver hashes
+    are identical with or without pillow — the real path is covered by
+    a skipif test (tests/test_multimodal.py)."""
+    if _PILImage is not None:
+        import io
+
+        with _PILImage.open(io.BytesIO(blob)) as im:
+            return np.asarray(im.convert("RGB"))
     raise NotImplementedError(
-        "image codecs unavailable in this environment; "
-        "use fake_features() for deterministic pipeline tests"
+        "image codecs unavailable in this environment (pip install "
+        "pillow to enable); use fake_features() for deterministic "
+        "pipeline tests"
     )
 
 

@@ -411,10 +411,13 @@ NEVER_CHECKED_R9 = list(LATE_R8)
 # half-away-from-zero on BOTH engines (ADVICE #1);
 # session_pattern_mining propagates NULL components like the oracle
 # (ADVICE #3); events_effect_sizes gained the degenerate-half guard
-# (ADVICE #4).
+# (ADVICE #4); ann_ivf_trained's Lloyd trainer is now exact integer
+# fixed point with a fully-unrolled training oracle (VERDICT ask #5 —
+# first HASH row replaces the r3-era rows-only row).
 CHANGED_R9 = [
     "graph_kcore_summary", "events_burst_viterbi",
     "session_pattern_mining", "events_effect_sizes",
+    "ann_ivf_trained",
 ]
 
 # New in round 9 — first driver exposure (appended as they are built;

@@ -265,16 +265,21 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(emb, cent)
 
 
-def _ivf_oracle(n_probe: int) -> str:
-    """Parameterized DuckDB twin of _ivf_search over the seed coarse
-    quantizer — shared by ann_ivf_probe (N_PROBE) and the nprobe
-    sweep."""
+def _ivf_oracle(n_probe: int, pre: str = "", cent_sql: str = "") -> str:
+    """Parameterized DuckDB twin of _ivf_search — shared by
+    ann_ivf_probe (N_PROBE), the nprobe sweep, and (via ``pre`` +
+    ``cent_sql``) the Lloyd-trained variant: ``pre`` splices extra
+    training CTEs after ``emb``; ``cent_sql`` overrides the seed
+    centroid SELECT (default: the k lowest vec_ids)."""
+    if not cent_sql:
+        cent_sql = (f"SELECT vec_id AS cell_id, v AS cv "
+                    f"FROM emb WHERE vec_id < {N_CELLS}")
     return f"""
 WITH emb AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings
-), cent AS (
-    SELECT vec_id AS cell_id, v AS cv FROM emb WHERE vec_id < {N_CELLS}
+){pre}, cent AS (
+    {cent_sql}
 ), scored AS (
     SELECT e.vec_id, e.v, c.cell_id,
            list_dot_product(e.v, c.cv)
@@ -314,65 +319,84 @@ register("ann_ivf_probe", ann_ivf_probe, _ivf_oracle(N_PROBE),
 
 # ------------------------------------------------- trained quantizer
 N_ITERS = 4
+Q_SCALE = 1_000_000  # micro fixed point for the exact-integer Lloyd
 
 
 def train_ivf_centroids(spark: SparkSession, emb: DataFrame,
                         k: int = N_CELLS, iters: int = N_ITERS) -> DataFrame:
     """Lloyd's k-means over the embedding corpus, expressed as
     DataFrame ops (round-1 verdict: seed centroids give unbalanced
-    cells on clustered corpora).
+    cells on clustered corpora) — in EXACT integer fixed point, so the
+    trained model is bit-stable across runs, partitionings AND engines
+    (the r8 verdict ask: make the trained variant oracle-checkable the
+    way emb_pca_topk's deflated loops were).
 
+    Vectors quantize to micro units (vq = floor(v * 1e6), int64).
     Per iteration: (1) assignment = broadcast cross join against the k
-    centroids + argmax cosine — the same shape the search path uses;
-    (2) update = element-wise mean via posexplode + groupBy(cell, pos).
+    integer centroids + argmax of dot(vq, cq)/sqrt(ssq(cq)) — dot and
+    ssq are exact int64 sums (|x| < 1 => |vq| <= 1e6; 64 dims keep
+    every partial sum < 2^53, so even the double-typed oracle computes
+    them exactly), sqrt and divide are single correctly-rounded IEEE
+    ops, hence bit-identical cross-engine; ties break on cell_id;
+    (2) update = per-position exact integer SUM + floor(sum/n) (the
+    double quotient cannot cross an integer boundary: a non-integer
+    mean is >= 1/n >= 1/N_TRAIN_MAX away from any integer, ~60x the
+    worst double rounding error at these magnitudes).
     The k x dim centroid table (the model parameters, a few KB) is
     collected to the driver each iteration to seed the next broadcast —
-    the corpus itself never leaves the executors, so the loop scales
-    with corpus size exactly like the search path does. On 100 TB you
-    train on a bounded sample (pass ``emb.sample(...)``); the result is
-    a centroid model, not a data-sized artifact.
+    the corpus itself never leaves the executors. On 100 TB you train
+    on a bounded sample (``ivf_training_sample``); the result is a
+    centroid model, not a data-sized artifact.
 
-    Initialization is deterministic (the k lowest vec_ids); ties and
-    float-sum order make the trained model run-stable only to ~1e-15,
-    which is why the driver-checked oracle query keeps the pure seed
-    quantizer and this variant is rows-only checked.
-    """
-    emb = emb.cache()
-    cent = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"),
-        F.col("norm").alias("cnorm"),
-    )
-    cdot = F.expr("aggregate(zip_with(v, cv, (x, y) -> x * y),"
-                  " cast(0.0 as double), (acc, x) -> acc + x)")
-    prev = {r.cell_id: list(r.cv) for r in cent.collect()}
+    Returns (cell_id, cv array<double> = cq/1e6, cnorm) — the
+    _ivf_search contract."""
+    embq = emb.select("vec_id", F.expr(
+        f"transform(v, x -> cast(floor(x * {Q_SCALE}) as bigint))"
+    ).alias("vq")).cache()
+    # model-size collect: k seed rows of dim ints
+    cent_q = {int(r.vec_id): [int(x) for x in r.vq]
+              for r in embq.filter(F.col("vec_id") < k).collect()}
+    idot = F.expr("aggregate(zip_with(vq, cq, (x, y) -> x * y),"
+                  " cast(0 as bigint), (acc, x) -> acc + x)")
     for _ in range(iters):
-        scored = emb.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "v", "cell_id",
-            (cdot / (F.col("norm") * F.col("cnorm"))).alias("ccos"),
+        cent = spark.createDataFrame(
+            sorted(cent_q.items()), "cell_id long, cq array<bigint>",
+        ).withColumn("cssq", F.expr(
+            "aggregate(cq, cast(0 as bigint), (acc, x) -> acc + x * x)"))
+        scored = embq.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "vq", "cell_id",
+            (idot.cast("double")
+             / F.sqrt(F.col("cssq").cast("double"))).alias("s"),
         )
-        w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cell_id")
+        w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), "cell_id")
         assigned = (
             scored.withColumn("crn", F.row_number().over(w))
             .filter(F.col("crn") == 1)
-            .select("cell_id", "v")
+            .select("cell_id", "vq")
         )
         means = (
-            assigned.select("cell_id", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cell_id", "pos").agg(F.avg("x").alias("m"))
+            assigned.select("cell_id", F.posexplode("vq").alias("pos", "x"))
+            .groupBy("cell_id", "pos")
+            .agg(F.floor(F.sum("x").cast("double")
+                         / F.count(F.lit(1))).alias("m"))
             .groupBy("cell_id")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cell_id", F.expr("transform(pm, s -> s.m)").alias("cv"))
+            .select("cell_id", F.expr("transform(pm, s -> s.m)").alias("cq"))
         )
-        got = {r.cell_id: list(r.cv) for r in means.collect()}
+        # model-size collect: k centroid rows of dim ints
+        got = {int(r.cell_id): [int(x) for x in r.cq]
+               for r in means.collect()}
         # a cell that lost every member keeps its previous centroid
-        prev = prev | got
-        cent = spark.createDataFrame(
-            [(cid, cv) for cid, cv in sorted(prev.items())],
-            "cell_id int, cv array<double>",
-        ).withColumn("cnorm", F.expr(
-            "sqrt(aggregate(cv, cast(0.0 as double), (acc, x) -> acc + x * x))"
-        ))
-    return cent
+        cent_q = cent_q | got
+    final = spark.createDataFrame(
+        sorted(cent_q.items()), "cell_id long, cq array<bigint>")
+    return final.select(
+        "cell_id",
+        F.expr(f"transform(cq, c -> cast(c as double) / {Q_SCALE})")
+        .alias("cv"),
+    ).withColumn("cnorm", F.expr(
+        "sqrt(aggregate(cv, cast(0.0 as double), (acc, x) -> acc + x * x))"
+    ))
 
 
 N_TRAIN_MAX = 4096  # absolute cap on k-means training rows
@@ -399,18 +423,72 @@ def ivf_training_sample(emb: DataFrame, cap: int = N_TRAIN_MAX) -> DataFrame:
 
 def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe-2 search against a Lloyd-trained coarse quantizer —
-    the production variant of ann_ivf_probe (see train_ivf_centroids
-    for why the driver check is rows-only). Training input is a
+    the production variant of ann_ivf_probe. Training input is a
     size-BOUNDED deterministic subset of the corpus, per the trainer's
     own contract: the quantizer only needs cluster geometry, so at
     100 TB it fits on <=N_TRAIN_MAX rows while the SEARCH still runs
-    over the full corpus."""
+    over the full corpus. Since r9 the trainer is exact integer fixed
+    point (see train_ivf_centroids), so the full train+search pipeline
+    carries a DuckDB oracle: N_ITERS unrolled Lloyd CTEs feeding the
+    shared _ivf_oracle search. The oracle trains on the whole corpus,
+    which equals the Spark side's hash-membership sample whenever the
+    corpus fits under N_TRAIN_MAX (true at every driver/test scale —
+    pinned by tests/test_similarity_training.py; past the cap the
+    subsampling seam would need the hash in SQL)."""
     emb = _emb(spark, sf_dir).cache()
     return _ivf_search(emb, train_ivf_centroids(spark, ivf_training_sample(emb)))
 
 
-register("ann_ivf_trained", ann_ivf_trained, None,
-         "IVF probe-2 over a k-means-trained coarse quantizer")
+def _trained_ivf_pre() -> str:
+    """Unrolled Lloyd training CTEs for the trained-IVF oracle:
+    per iteration an assignment (argmax of the exact integer
+    dot/sqrt(ssq) score) and a per-position exact mean, mirroring
+    train_ivf_centroids step for step. vq values are micro-unit
+    integers stored in DOUBLE lists — every product (< 1e12) and
+    64-term sum (< 1e14) is below 2^53, so DuckDB's double
+    list_dot_product computes the same exact integers as Spark's
+    int64 fold."""
+    mean_list = "[" + ",\n            ".join(
+        f"CAST(FLOOR(SUM(vq[{i}]) / COUNT(*)) AS DOUBLE)"
+        for i in range(1, DIM + 1)) + "]"
+    parts = [f""", embq AS (
+    SELECT vec_id,
+           list_transform(v, x -> CAST(FLOOR(x * {Q_SCALE}) AS DOUBLE))
+               AS vq
+    FROM emb
+), tcent0 AS (
+    SELECT vec_id AS cell_id, vq AS cq FROM embq WHERE vec_id < {N_CELLS}
+)"""]
+    for i in range(1, N_ITERS + 1):
+        parts.append(f""", tscore{i} AS (
+    SELECT e.vec_id, e.vq, c.cell_id,
+           list_dot_product(e.vq, c.cq) / sqrt(list_dot_product(c.cq, c.cq))
+               AS s
+    FROM embq e CROSS JOIN tcent{i - 1} c
+), tasg{i} AS (
+    SELECT vec_id, vq, cell_id
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY s DESC, cell_id) AS rn
+          FROM tscore{i})
+    WHERE rn = 1
+), tmean{i} AS (
+    SELECT cell_id, {mean_list} AS cq
+    FROM tasg{i} GROUP BY cell_id
+), tcent{i} AS (
+    SELECT p.cell_id, COALESCE(n.cq, p.cq) AS cq
+    FROM tcent{i - 1} p LEFT JOIN tmean{i} n USING (cell_id)
+)""")
+    return "".join(parts)
+
+
+register(
+    "ann_ivf_trained", ann_ivf_trained,
+    _ivf_oracle(
+        N_PROBE, pre=_trained_ivf_pre(),
+        cent_sql=(f"SELECT cell_id, "
+                  f"list_transform(cq, c -> c / {Q_SCALE}.0) AS cv "
+                  f"FROM tcent{N_ITERS}")),
+    "IVF probe-2 over a k-means-trained coarse quantizer")
 
 
 # ------------------------------------------------- ANN recall audit

@@ -6,9 +6,27 @@ import pytest
 from impractical_impala_spark.multimodal import blobs as B
 
 
-def test_decode_is_stubbed():
+def test_decode_raises_without_codec_lib():
+    if B._PILImage is not None:
+        pytest.skip("pillow installed — real decode path covered below")
     with pytest.raises(NotImplementedError):
         B.decode_image(b"\x89PNG...")
+
+
+def test_decode_real_path_with_pillow():
+    """Runs only where pillow is importable (not this container):
+    decode a generated 2x2 PNG and check shape/values — the
+    feature-gated real-codec path of decode_image."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    arr = np.array([[[255, 0, 0], [0, 255, 0]],
+                    [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(arr).save(buf, format="PNG")
+    got = B.decode_image(buf.getvalue())
+    assert got.shape == (2, 2, 3)
+    assert (got == arr).all()
 
 
 def test_fake_features_deterministic_and_bounded():

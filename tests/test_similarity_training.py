@@ -106,3 +106,26 @@ def test_training_sample_stays_bounded_at_scale(spark, clustered):
     assert n_train <= 2 * cap, (n_train, cap)
     # and the sample is still big enough to train on
     assert n_train >= cap // 2
+
+
+def test_oracle_scales_fit_under_training_cap():
+    """The trained-IVF oracle (r9) unrolls Lloyd over the FULL corpus;
+    parity with the Spark side's hash-membership sample holds exactly
+    when the corpus fits under N_TRAIN_MAX (denom == 1 => sample ==
+    corpus). Pin that precondition at the oracle-harness scales so
+    testdata growth fails loudly HERE instead of as an opaque
+    ann_ivf_trained hash mismatch."""
+    import duckdb
+
+    from impractical_impala_spark.queries.similarity import N_TRAIN_MAX
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01"):
+        n = con.execute(
+            "SELECT COUNT(*) FROM "
+            f"read_parquet('/root/testdata/{sf}/embeddings.parquet')"
+        ).fetchone()[0]
+        assert n <= N_TRAIN_MAX, (
+            f"{sf}: corpus {n} > N_TRAIN_MAX {N_TRAIN_MAX} — the "
+            "trained-IVF oracle needs the hash-membership sample "
+            "expressed in SQL before parity can hold")
