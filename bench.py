@@ -268,6 +268,13 @@ HEADLINE = [
     "quality_gate_survivors",
     "split_cluster_safe",
     "sink_roundtrip_partitioned",
+    # round-9 wave 11: retrieval & curation completion
+    "emb_mmr_diversify",
+    "bloom_filter_audit",
+    "dedup_edit_distance_confirm",
+    "retrieval_rrf_fusion",
+    "text_charclass_profile",
+    "attribution_position_based",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

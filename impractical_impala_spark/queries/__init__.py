@@ -39,7 +39,7 @@ from . import (reference_ops, stats_ops, tpch, tpch_more,  # noqa: F401
                drift, quality, stat_tests, audit_ops, sampling_stats,
                forecast, spectral_info, text_ir, emb_eval, linkage_splits,
                calibration_ops, scoring_seq, monitor_eval, corpus_eval,
-               operating_point, experiment)
+               operating_point, experiment, retrieval_curation)
 
 # r5 window. VERDICT r4 top-next: every one of the 154 registered
 # queries should carry a green-or-sanctioned driver row after this
@@ -423,7 +423,12 @@ CHANGED_R9 = [
 # New in round 9 — first driver exposure (appended as they are built;
 # standing discipline: NEW queries evict RE-PROOF slots, never other
 # first-exposure ones).
-NEW_R9: list[str] = []
+NEW_R9: list[str] = [
+    # wave 11: retrieval & curation completion (retrieval_curation.py)
+    "emb_mmr_diversify", "bloom_filter_audit",
+    "dedup_edit_distance_confirm", "retrieval_rrf_fusion",
+    "text_charclass_profile", "attribution_position_based",
+]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole
 # stale-r3 cohort, then the r4-era fill). Computed slice: whatever

@@ -51,10 +51,13 @@ _MODEL_SIZE = re.compile(
 #     the bounded event-type dimension (<= T rows / <= 2^T mask rows);
 #   q_range_band_join: a 4-row literal band table (Python local data
 #     compiles to Scan ExistingRDD, not LocalTableScan).
+from impractical_impala_spark.queries.retrieval_curation import MMR_QUERIES
 from impractical_impala_spark.queries.similarity import N_QUERIES
 
 _BNLJ_BOUNDED = {
     "ann_cosine_topk": re.compile(rf"vec_id#\d+L? < {N_QUERIES}"),
+    # the MMR query panel: vec_id < MMR_QUERIES predicate, hinted side
+    "emb_mmr_diversify": re.compile(rf"vec_id#\d+L? < {MMR_QUERIES}"),
     "ann_recall_audit": re.compile(rf"vec_id#\d+L? < {N_QUERIES}"),
     "ann_ivf_nprobe_sweep": re.compile(rf"vec_id#\d+L? < {N_QUERIES}"),
     "emb_knn_label_purity": re.compile(rf"vec_id#\d+L? < {N_QUERIES}"),

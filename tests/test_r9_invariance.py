@@ -1,0 +1,159 @@
+"""Round-9 determinism + scale invariants for the wave-11 queries
+(retrieval_curation.py), same contracts as the r5-r8 sweeps: hostile
+splits must not move a value, session timezones must not move a
+bucket, and replication must behave exactly as the integer arithmetic
+predicts."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from impractical_impala_spark.registry import all_queries
+
+_Q = all_queries()
+
+R9_CASES = [
+    "emb_mmr_diversify",           # exact integer-dot greedy rerank
+    "bloom_filter_audit",          # int64 hash positions, set algebra
+    "dedup_edit_distance_confirm",  # blocked integer edit distances
+    "retrieval_rrf_fusion",        # nano-quantized ranks, IEEE fusion
+    "text_charclass_profile",      # regexp census, integer sums
+    "attribution_position_based",  # integer micro-credit split
+]
+
+
+@pytest.mark.parametrize("name", R9_CASES)
+def test_r9_partition_invariance(spark, sf_small, name):
+    """Narrow scan partitions, prime shuffle width, small Arrow batches
+    must not change a single output value."""
+    base = sorted(map(tuple, _Q[name].build(spark, sf_small).collect()))
+    conf = [("spark.sql.files.maxPartitionBytes", "65536"),
+            ("spark.sql.shuffle.partitions", "7"),
+            ("spark.sql.execution.arrow.maxRecordsPerBatch", "37")]
+    old = {k: spark.conf.get(k) for k, _ in conf}
+    try:
+        for k, v in conf:
+            spark.conf.set(k, v)
+        skewed = sorted(map(tuple, _Q[name].build(spark, sf_small).collect()))
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert base == skewed
+
+
+@pytest.mark.parametrize("name", ["attribution_position_based"])
+def test_r9_timezone_invariance(spark, sf_small, name):
+    """The one ts-bearing wave-11 query sessionizes on the lossless
+    ts_ns epoch; a UTC+14 session zone must not move any credit."""
+    base = sorted(map(tuple, _Q[name].build(spark, sf_small).collect()))
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+        hostile = sorted(map(tuple,
+                             _Q[name].build(spark, sf_small).collect()))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    assert base == hostile
+
+
+def test_bloom_counts_scale_linearly_under_replication(spark, sf_small,
+                                                       tmp_path):
+    """Replicating every order K-fold (fresh orderkeys, same custkeys)
+    must scale n_probe/n_pass/n_true/n_false_pos by exactly K and keep
+    fp_ppm IDENTICAL — membership is a per-custkey property, so the
+    Bloom pass set replicates with the rows. Pins that the audit
+    measures the filter, not the data volume."""
+    from impractical_impala_spark.queries.retrieval_curation import (
+        bloom_filter_audit)
+
+    K = 3
+    out = str(tmp_path)
+    rep = F.explode(F.expr(f"sequence(0, {K - 1})")).alias("rep")
+    od = spark.read.parquet(f"{sf_small}/orders.parquet")
+    (od.select("*", rep)
+     .withColumn("o_orderkey",
+                 F.col("o_orderkey") + F.col("rep") * 10_000_000)
+     .drop("rep")
+     .write.mode("overwrite").parquet(f"{out}/orders.parquet"))
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "lineitem", "events", "documents", "embeddings"]:
+        (spark.read.parquet(f"{sf_small}/{t}.parquet")
+         .write.mode("overwrite").parquet(f"{out}/{t}.parquet"))
+
+    base = bloom_filter_audit(spark, sf_small).collect()[0]
+    big = bloom_filter_audit(spark, out).collect()[0]
+    assert big.n_probe == K * base.n_probe
+    assert big.n_pass == K * base.n_pass
+    assert big.n_true == K * base.n_true
+    assert big.n_false_pos == K * base.n_false_pos
+    assert big.fp_ppm == base.fp_ppm
+
+
+def test_attribution_credit_sums_to_unit_per_conversion(spark, sf_small):
+    """The U-shaped split must conserve credit exactly: summed over
+    event types, total micro-credit == 1,000,000 x (number of sessions
+    with >= 1 touch before their first conversion) — the deterministic
+    remainder assignment is what makes this an equality, not a bound."""
+    from impractical_impala_spark.queries.retrieval_curation import (
+        ATTR_CONVERT)
+    from impractical_impala_spark.queries.paths_stats import (
+        SESSION_GAP_US)
+    from impractical_impala_spark.sources import load_table
+    from pyspark.sql import Window
+
+    total = (_Q["attribution_position_based"].build(spark, sf_small)
+             .agg(F.sum("credit_micro").alias("c")).collect()[0].c)
+
+    ev = load_table(spark, sf_small, "events").select(
+        "user_id", "event_type", "event_id",
+        F.expr("ts_ns div 1000").alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    sess = (ev.withColumn("gap", F.col("ts_us") - F.lag("ts_us").over(w))
+            .withColumn("new_s", (F.col("gap").isNull()
+                                  | (F.col("gap") > SESSION_GAP_US))
+                        .cast("int"))
+            .withColumn("sess_n", F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    ws = Window.partitionBy("user_id", "sess_n").orderBy("ts_us",
+                                                         "event_id")
+    conv = (sess.withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("event_type") == ATTR_CONVERT)
+            .groupBy("user_id", "sess_n")
+            .agg(F.min("rn").alias("p"))
+            .filter(F.col("p") > 1)
+            .count())
+    assert total == 1_000_000 * conv
+
+
+def test_mmr_shape_and_first_pick(spark, sf_small):
+    """Every query yields exactly ranks 1..MMR_K over distinct
+    neighbors, and rank-1 equals the pure-relevance cosine argmax
+    (the greedy base case) — cross-checked against an independent
+    numpy computation of the quantized similarity."""
+    import numpy as np
+
+    from impractical_impala_spark.queries.retrieval_curation import (
+        MMR_K, MMR_QUERIES)
+    from impractical_impala_spark.queries.similarity import Q_SCALE
+    from impractical_impala_spark.sources import load_table
+
+    rows = _Q["emb_mmr_diversify"].build(spark, sf_small).collect()
+    emb = {r.vec_id: np.floor(np.array(r.embedding, dtype=np.float64)
+                              * Q_SCALE)
+           for r in load_table(spark, sf_small, "embeddings")
+           .select("vec_id", "embedding").collect()}
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert sorted(by_q) == list(range(MMR_QUERIES))
+    for q, rs in by_q.items():
+        assert sorted(r.rnk for r in rs) == list(range(1, MMR_K + 1))
+        ids = [r.neighbor_id for r in rs]
+        assert len(set(ids)) == MMR_K
+        qv = emb[q]
+        best = max(
+            ((c, float(qv @ v)
+              / (np.sqrt(qv @ qv) * np.sqrt(v @ v)))
+             for c, v in emb.items() if c != q),
+            key=lambda t: (t[1], -t[0]))
+        first = next(r for r in rs if r.rnk == 1)
+        assert first.neighbor_id == best[0]
