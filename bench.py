@@ -275,6 +275,17 @@ HEADLINE = [
     "retrieval_rrf_fusion",
     "text_charclass_profile",
     "attribution_position_based",
+    # round-9 wave 12: engine statistics, data skipping & governance
+    "zonemap_skipping_audit",
+    "ndv_estimator_audit",
+    "stats_histogram_equidepth",
+    "join_cardinality_audit",
+    "privacy_tcloseness_audit",
+    "retrieval_ndcg",
+    # round-9 wave 13: operational quality
+    "fairness_equalized_odds",
+    "orders_cohort_ltv",
+    "dq_freshness_sla",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

@@ -39,7 +39,8 @@ from . import (reference_ops, stats_ops, tpch, tpch_more,  # noqa: F401
                drift, quality, stat_tests, audit_ops, sampling_stats,
                forecast, spectral_info, text_ir, emb_eval, linkage_splits,
                calibration_ops, scoring_seq, monitor_eval, corpus_eval,
-               operating_point, experiment, retrieval_curation)
+               operating_point, experiment, retrieval_curation,
+               engine_stats, ops_quality)
 
 # r5 window. VERDICT r4 top-next: every one of the 154 registered
 # queries should carry a green-or-sanctioned driver row after this
@@ -428,6 +429,13 @@ NEW_R9: list[str] = [
     "emb_mmr_diversify", "bloom_filter_audit",
     "dedup_edit_distance_confirm", "retrieval_rrf_fusion",
     "text_charclass_profile", "attribution_position_based",
+    # wave 12: engine statistics, data skipping & governance
+    # (engine_stats.py)
+    "zonemap_skipping_audit", "ndv_estimator_audit",
+    "stats_histogram_equidepth", "join_cardinality_audit",
+    "privacy_tcloseness_audit", "retrieval_ndcg",
+    # wave 13: operational quality (ops_quality.py)
+    "fairness_equalized_odds", "orders_cohort_ltv", "dq_freshness_sla",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

@@ -352,7 +352,7 @@ WITH d AS (
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(levenshtein(substring(a.t, 1, {ED_PREFIX}),
-                        substring(b.t, 1, {ED_PREFIX})) AS BIGINT)
+                        substring(b.t, 1, {ED_PREFIX})) AS INTEGER)
            AS dist
 FROM keep a JOIN keep b
   ON a.lenb = b.lenb AND a.pfx = b.pfx AND a.doc_id < b.doc_id
@@ -451,8 +451,8 @@ WITH toks AS (
                AS r_tfidf
     FROM scored
 )
-SELECT doc_id, CAST(r_bm25 AS BIGINT) AS r_bm25,
-       CAST(r_tfidf AS BIGINT) AS r_tfidf,
+SELECT doc_id, CAST(r_bm25 AS INTEGER) AS r_bm25,
+       CAST(r_tfidf AS INTEGER) AS r_tfidf,
        ROUND(CAST(1 AS DOUBLE) / (60 + r_bm25)
              + CAST(1 AS DOUBLE) / (60 + r_tfidf), 6) + 0.0 AS rrf
 FROM ranked

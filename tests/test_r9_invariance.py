@@ -18,6 +18,17 @@ R9_CASES = [
     "retrieval_rrf_fusion",        # nano-quantized ranks, IEEE fusion
     "text_charclass_profile",      # regexp census, integer sums
     "attribution_position_based",  # integer micro-credit split
+    # wave 12: engine statistics & governance
+    "zonemap_skipping_audit",      # integer-cents zone maps
+    "ndv_estimator_audit",         # md5-mod samples, integer GEE
+    "stats_histogram_equidepth",   # bounded-spine cutpoints
+    "join_cardinality_audit",      # per-key count products
+    "privacy_tcloseness_audit",    # integer-ppm cumulative EMD
+    "retrieval_ndcg",              # nano-quantized DCG terms
+    # wave 13: operational quality
+    "fairness_equalized_odds",     # integer confusion counts
+    "orders_cohort_ltv",           # exact cents cumulative spine
+    "dq_freshness_sla",            # integer lag/ppm audit
 ]
 
 
