@@ -286,6 +286,13 @@ HEADLINE = [
     "fairness_equalized_odds",
     "orders_cohort_ltv",
     "dq_freshness_sla",
+    # round-9 wave 14: sketch exactness, interval joins & survival
+    "ndv_kmv_sketch",
+    "stats_histogram_sampled",
+    "retrieval_mrr_hitk",
+    "ann_pq_adc_topk",
+    "events_interval_overlap",
+    "users_nelson_aalen",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

@@ -436,6 +436,11 @@ NEW_R9: list[str] = [
     "privacy_tcloseness_audit", "retrieval_ndcg",
     # wave 13: operational quality (ops_quality.py)
     "fairness_equalized_odds", "orders_cohort_ltv", "dq_freshness_sla",
+    # wave 14: sketch exactness, interval joins & survival completion
+    # (engine_stats.py, training_extras.py, joins_special.py,
+    # stat_tests.py)
+    "ndv_kmv_sketch", "stats_histogram_sampled", "retrieval_mrr_hitk",
+    "ann_pq_adc_topk", "events_interval_overlap", "users_nelson_aalen",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

@@ -26,6 +26,18 @@ each operator exact-integer and oracle-checked:
 - ``retrieval_ndcg``: NDCG@10 of the log-TF-IDF ranking against
   BM25-graded relevance — the graded-relevance companion to
   ann_recall_audit's binary recall.
+
+Round-9 wave 14 residents (same introspection theme):
+
+- ``ndv_kmv_sketch``: KMV k-minimum-values NDV sketch — deterministic
+  md5 order statistics make the approximate estimator carry a FULL
+  hash oracle (unlike HLL's rows-only contract).
+- ``stats_histogram_sampled``: equi-depth cutpoints from a
+  deterministic row sample (the ANALYZE path when the fact is too
+  large to sort), audited for bucket balance in ppm.
+- ``retrieval_mrr_hitk``: per-source MRR + hit@k of the TF-IDF
+  ranking vs BM25 relevance — the rank-of-first-relevant companion
+  to retrieval_ndcg.
 """
 
 from __future__ import annotations
@@ -668,3 +680,278 @@ SELECT overlap, dcg_nano, idcg_nano,
        ROUND(CAST(dcg_nano AS DOUBLE) / idcg_nano, 6) + 0.0 AS ndcg
 FROM dcg CROSS JOIN idcg
 """, "NDCG@10 of log-TF-IDF ranking vs BM25-graded relevance")
+
+
+# ------------------------------------------------ KMV distinct sketch
+KMV_K = 64            # k-th minimum hash is the estimator's pivot
+KMV_SPACE = 1 << 28   # 7 hex digits of md5 = 28-bit hash domain
+
+
+def ndv_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per return flag,
+    audited against the true NDV — the ORDER-STATISTIC estimator
+    family next to ndv_estimator_audit's Bernoulli/value samples:
+    hash every key into the 28-bit md5-prefix domain, keep the K
+    smallest DISTINCT hash values, estimate D = (K-1) * SPACE / h_(K).
+    Deterministic md5 makes the sketch bit-identical in both engines,
+    so unlike HLL (q_approx_distinct, rows-only) this approximate
+    operator carries a full hash oracle. Groups with fewer than K
+    distinct hashes report their exact count (the sketch is exact
+    below saturation). The audit's d_true needs a distinct pass
+    anyway; the sketch half alone would be a per-partition bottom-K
+    merge (K integers per group of state, the 100 TB form)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey")
+    dk = li.distinct()
+    hashed = dk.select(
+        "l_returnflag",
+        F.expr("cast(conv(substring(md5(cast(l_partkey as string)), 1, 7),"
+               " 16, 10) as bigint)").alias("h"))
+    dh = hashed.distinct()
+    w = Window.partitionBy("l_returnflag").orderBy("h")
+    ranked = dh.withColumn("rn", F.row_number().over(w))
+    hk = (ranked.filter(F.col("rn") == KMV_K)
+          .select("l_returnflag", F.col("h").alias("h_k")))
+    truth = dk.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("d_true"))
+    hcnt = dh.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("d_hashes"))
+    return (truth.join(hcnt, "l_returnflag")
+            .join(hk, "l_returnflag", "left")
+            .select(
+                "l_returnflag", "d_true", "d_hashes",
+                F.expr(f"case when d_hashes < {KMV_K} then d_hashes"
+                       f" else ({KMV_K} - 1) * cast({KMV_SPACE} as bigint)"
+                       " div greatest(h_k, 1) end").alias("d_kmv"),
+                F.expr(f"(case when d_hashes < {KMV_K} then d_hashes"
+                       f" else ({KMV_K} - 1) * cast({KMV_SPACE} as bigint)"
+                       " div greatest(h_k, 1) end - d_true)"
+                       " * 1000000 div d_true").alias("kmv_err_ppm"))
+            .orderBy("l_returnflag"))
+
+
+register("ndv_kmv_sketch", ndv_kmv_sketch, f"""
+WITH dk AS (
+    SELECT DISTINCT l_returnflag, l_partkey FROM lineitem
+), hashed AS (
+    SELECT DISTINCT l_returnflag,
+           CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 7))
+                AS BIGINT) AS h
+    FROM dk
+), ranked AS (
+    SELECT l_returnflag, h,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+    FROM hashed
+), hk AS (
+    SELECT l_returnflag, h AS h_k FROM ranked WHERE rn = {KMV_K}
+), truth AS (
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS d_true
+    FROM dk GROUP BY 1
+), hcnt AS (
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS d_hashes
+    FROM hashed GROUP BY 1
+)
+SELECT t.l_returnflag, t.d_true, c.d_hashes,
+       CAST(CASE WHEN c.d_hashes < {KMV_K} THEN c.d_hashes
+                 ELSE ({KMV_K} - 1) * CAST({KMV_SPACE} AS BIGINT)
+                      // GREATEST(k.h_k, 1) END AS BIGINT) AS d_kmv,
+       CAST((CASE WHEN c.d_hashes < {KMV_K} THEN c.d_hashes
+                  ELSE ({KMV_K} - 1) * CAST({KMV_SPACE} AS BIGINT)
+                       // GREATEST(k.h_k, 1) END - t.d_true)
+            * 1000000 // t.d_true AS BIGINT) AS kmv_err_ppm
+FROM truth t JOIN hcnt c USING (l_returnflag)
+LEFT JOIN hk k USING (l_returnflag)
+ORDER BY l_returnflag
+""", "KMV k-minimum-values NDV sketch vs true distinct (exact oracle)")
+
+
+# ------------------------------------- sampled equi-depth histogram
+SMP_BUCKETS = 8
+
+
+def stats_histogram_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style equi-depth histogram whose cutpoints come from a
+    deterministic 1/{NDV_MOD} row sample (md5 of the row identity) —
+    the production mechanism when the fact table is too large to sort:
+    cutpoints are exact order statistics OF THE SAMPLE (rank
+    j*n_s/{SMP_BUCKETS}), then one full scan buckets every row against
+    the broadcast 7-cut array and the audit reports each bucket's
+    deviation from the ideal n/{SMP_BUCKETS} in ppm. The sample is
+    sort-bounded (1/{NDV_MOD} of the fact), the cut array is
+    model-size, and the full table is never sorted — contrast
+    stats_histogram_equidepth, whose spine cutpoints avoid even the
+    sample sort. All arithmetic exact integer cents."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        "l_orderkey", "l_linenumber")
+    samp = li.filter(F.expr(
+        "pmod(cast(conv(substring(md5(concat(cast(l_orderkey as string),"
+        f" '_', cast(l_linenumber as string))), 1, 7), 16, 10) as bigint),"
+        f" {NDV_MOD}) = 0")).select("cents")
+    ns = samp.agg(F.count(F.lit(1)).alias("n_s"))
+    ranked = samp.withColumn(
+        "rn", F.row_number().over(Window.orderBy("cents")))
+    rank_set = ", ".join(f"{j} * n_s div {SMP_BUCKETS}"
+                         for j in range(1, SMP_BUCKETS))
+    cuts = (ranked.crossJoin(F.broadcast(ns))
+            .filter(F.expr(f"rn in ({rank_set})"))
+            .agg(F.sort_array(F.collect_list("cents")).alias("cuts")))
+    bucketed = (li.crossJoin(F.broadcast(cuts))
+                .select(F.expr("size(filter(cuts, c -> c <= cents))")
+                        .alias("bucket"),
+                        F.col("cuts"))
+                .select("bucket",
+                        F.expr("case when bucket >= 1"
+                               " then element_at(cuts, bucket) end")
+                        .alias("lo_cents"))
+                .groupBy("bucket", "lo_cents")
+                .agg(F.count(F.lit(1)).alias("n_rows")))
+    tot = bucketed.agg(F.sum("n_rows").alias("total"))
+    return (bucketed.crossJoin(F.broadcast(tot))
+            .select("bucket", "lo_cents", "n_rows",
+                    F.expr(f"total div {SMP_BUCKETS}").alias("ideal_rows"),
+                    F.expr(f"(n_rows - total div {SMP_BUCKETS}) * 1000000"
+                           f" div (total div {SMP_BUCKETS})")
+                    .alias("dev_ppm"))
+            .orderBy("bucket"))
+
+
+register("stats_histogram_sampled", stats_histogram_sampled, f"""
+WITH li AS (
+    SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
+           l_orderkey, l_linenumber
+    FROM lineitem
+), samp AS (
+    SELECT cents FROM li
+    WHERE CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_'
+                || CAST(l_linenumber AS VARCHAR)), 1, 7)) AS BIGINT)
+          % {NDV_MOD} = 0
+), ns AS (SELECT COUNT(*) AS n_s FROM samp),
+ranked AS (
+    SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM samp
+), cutranks AS (
+    SELECT (j.r * n_s) // {SMP_BUCKETS} AS rk
+    FROM (SELECT UNNEST(range(1, {SMP_BUCKETS})) AS r) j CROSS JOIN ns
+), cuts AS (
+    SELECT LIST_SORT(LIST(cents)) AS cl
+    FROM ranked WHERE rn IN (SELECT rk FROM cutranks)
+), bucketed AS (
+    SELECT LEN(LIST_FILTER(cl, c -> c <= cents)) AS bucket,
+           CASE WHEN LEN(LIST_FILTER(cl, c -> c <= cents)) >= 1
+                THEN cl[LEN(LIST_FILTER(cl, c -> c <= cents))] END
+               AS lo_cents,
+           COUNT(*) AS n_rows
+    FROM li CROSS JOIN cuts GROUP BY 1, 2
+), tot AS (SELECT SUM(n_rows) AS total FROM bucketed)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(lo_cents AS BIGINT) AS lo_cents,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(total // {SMP_BUCKETS} AS BIGINT) AS ideal_rows,
+       CAST((n_rows - total // {SMP_BUCKETS}) * 1000000
+            // (total // {SMP_BUCKETS}) AS BIGINT) AS dev_ppm
+FROM bucketed CROSS JOIN tot ORDER BY bucket
+""", "equi-depth histogram from a deterministic row sample (ANALYZE path)")
+
+
+# ------------------------------------------------- MRR / hit@k audit
+def retrieval_mrr_hitk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR and hit@k of the log-TF-IDF ranking against BM25-graded
+    relevance, treating each SOURCE as one query (rankings are
+    per-source partitions over the shared corpus-level tf/df stats):
+    the rank-of-first-relevant companion to retrieval_ndcg's graded
+    gain. Relevant = that source's BM25 top-{K}; reciprocal rank is
+    exact integer ppm (1e6 div rank). Same nano-quantized integer
+    scores as retrieval_rrf_fusion, so ranking ties are impossible
+    cross-engine; one row per source keeps the output model-size."""
+    toks = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source",
+                    F.expr("split(lower(text), ' ')").alias("w")))
+    dl = toks.select("doc_id", "source", F.expr("size(w)").alias("dl"))
+    corpus = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dl").alias("n_toks"))
+    hits = (toks.select("doc_id", F.explode("w").alias("t"))
+            .filter(F.col("t").isin(*BM25_TERMS))
+            .groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf")))
+    df_t = hits.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    bm_nano = _ha_sql(
+        f"ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf"
+        f" * ({BM25_K1} + 1.0)"
+        f" / (tf + {BM25_K1} * (1.0 - {BM25_B}"
+        f" + {BM25_B} * dl * cast(n_docs as double) / n_toks)) * 1e9")
+    tfidf_nano = _ha_sql(
+        "ln(1.0 + tf) * ln(cast(n_docs as double) / df) * 1e9")
+    scored = (hits.join(F.broadcast(df_t), "t")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(corpus))
+              .groupBy("doc_id", "source")
+              .agg(F.sum(F.expr(bm_nano)).alias("bm_nano"),
+                   F.sum(F.expr(tfidf_nano)).alias("tfidf_nano")))
+    ranked = (scored
+              .withColumn("r_bm25", F.row_number().over(
+                  Window.partitionBy("source")
+                  .orderBy(F.col("bm_nano").desc(), "doc_id")))
+              .withColumn("r_tfidf", F.row_number().over(
+                  Window.partitionBy("source")
+                  .orderBy(F.col("tfidf_nano").desc(), "doc_id"))))
+    return (ranked.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_ranked"),
+                 F.min(F.when(F.col("r_bm25") <= NDCG_K,
+                              F.col("r_tfidf"))).alias("first_rel_rank"))
+            .select("source", "n_ranked", "first_rel_rank",
+                    F.expr("1000000 div first_rel_rank").alias("rr_ppm"),
+                    F.expr("cast(first_rel_rank <= 1 as int)").alias("hit1"),
+                    F.expr("cast(first_rel_rank <= 3 as int)").alias("hit3"),
+                    F.expr("cast(first_rel_rank <= 10 as int)")
+                    .alias("hit10"))
+            .orderBy("source"))
+
+
+register("retrieval_mrr_hitk", retrieval_mrr_hitk, f"""
+WITH toks AS (
+    SELECT doc_id, source, string_split(lower(text), ' ') AS w
+    FROM documents
+), dl AS (
+    SELECT doc_id, source, len(w) AS dl FROM toks
+), corpus AS (
+    SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS n_toks FROM dl
+), hits AS (
+    SELECT doc_id, t, COUNT(*) AS tf
+    FROM (SELECT doc_id, UNNEST(w) AS t FROM toks)
+    WHERE t IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+    GROUP BY 1, 2
+), df_t AS (
+    SELECT t, COUNT(*) AS df FROM hits GROUP BY 1
+), scored AS (
+    SELECT h.doc_id, dl.source,
+           CAST(SUM({_ha_sql(
+               f"ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf"
+               f" * ({BM25_K1} + 1.0)"
+               f" / (tf + {BM25_K1} * (1.0 - {BM25_B}"
+               f" + {BM25_B} * dl * CAST(n_docs AS DOUBLE) / n_toks))"
+               f" * 1e9")}) AS BIGINT) AS bm_nano,
+           CAST(SUM({_ha_sql(
+               "ln(1.0 + tf) * ln(CAST(n_docs AS DOUBLE) / df) * 1e9"
+           )}) AS BIGINT) AS tfidf_nano
+    FROM hits h
+    JOIN df_t USING (t) JOIN dl USING (doc_id) CROSS JOIN corpus
+    GROUP BY 1, 2
+), ranked AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY bm_nano DESC, doc_id) AS r_bm25,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY tfidf_nano DESC, doc_id) AS r_tfidf
+    FROM scored
+), per_src AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_ranked,
+           CAST(MIN(CASE WHEN r_bm25 <= {NDCG_K} THEN r_tfidf END)
+                AS INT) AS first_rel_rank
+    FROM ranked GROUP BY 1
+)
+SELECT source, n_ranked, first_rel_rank,
+       CAST(1000000 // first_rel_rank AS BIGINT) AS rr_ppm,
+       CAST(first_rel_rank <= 1 AS INT) AS hit1,
+       CAST(first_rel_rank <= 3 AS INT) AS hit3,
+       CAST(first_rel_rank <= 10 AS INT) AS hit10
+FROM per_src ORDER BY source
+""", "per-source MRR + hit@k of TF-IDF ranking vs BM25 relevance")

@@ -159,3 +159,108 @@ FROM blocked a JOIN blocked b
 WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAXDIST}
 ORDER BY part_a, part_b
 """, "blocked+capped Levenshtein fuzzy match over augmented part names")
+
+
+# ------------------------------------------- interval-overlap join
+OV_GAP_US = 30 * 60 * 1_000_000   # the corpus-wide session gap
+OV_HOUR_US = 3_600 * 1_000_000    # join-bucket width
+
+
+def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join + stabbing max: sessionize each user
+    (30-min gap), then (a) count cross-USER session pairs whose
+    [lo, hi] intervals intersect, with total and max overlap duration,
+    and (b) the maximum number of concurrently open sessions — the two
+    classic interval queries (overlap join, stabbing count) missing
+    between q_range_band_join's literal bands and pit_state_join's
+    as-of semantics. Scale shape: NEVER the naive theta join — each
+    interval explodes onto its covered hour buckets (bounded: sessions
+    are gap-bounded), pairs join on the bucket key, and a pair is
+    counted only in the FIRST bucket both share (greatest(lo_a, lo_b)
+    falls in it), so no dedup shuffle is needed. The concurrency sweep
+    is a boundary cumsum over session-cardinality rows (+1 at lo, -1
+    at hi+1, grouped per instant so closed-interval ties resolve
+    exactly). One summary row, exact integer microseconds."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns div 1000").alias("ts_us"))
+    wu = Window.partitionBy("user_id").orderBy("ts_us")
+    iv = (ev.withColumn("prev", F.lag("ts_us").over(wu))
+          .withColumn("brk", F.expr(
+              f"case when prev is null or ts_us - prev > {OV_GAP_US}"
+              " then 1 else 0 end"))
+          .withColumn("sid", F.sum("brk").over(
+              wu.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "sid")
+          .agg(F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")))
+    nsess = iv.agg(F.count(F.lit(1)).alias("n_sessions"))
+    bucketed = iv.select(
+        "user_id", "sid", "lo", "hi",
+        F.explode(F.expr(
+            f"sequence(lo div {OV_HOUR_US}, hi div {OV_HOUR_US})"))
+        .alias("bucket"))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a.user_id") < F.col("b.user_id"))
+                    & (F.expr("greatest(a.lo, b.lo) <= least(a.hi, b.hi)"))
+                    & (F.expr(f"greatest(a.lo, b.lo) div {OV_HOUR_US}"
+                              " = a.bucket")))
+             .select(F.expr("least(a.hi, b.hi) - greatest(a.lo, b.lo)")
+                     .alias("ov_us")))
+    pair_agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.sum("ov_us"), F.lit(0)).alias("tot_overlap_us"),
+        F.coalesce(F.max("ov_us"), F.lit(0)).alias("max_overlap_us"))
+    bounds = (iv.select(F.col("lo").alias("t"), F.lit(1).alias("delta"))
+              .unionByName(iv.select((F.col("hi") + 1).alias("t"),
+                                     F.lit(-1).alias("delta"))))
+    per_t = bounds.groupBy("t").agg(F.sum("delta").alias("d"))
+    conc = (per_t.withColumn(
+        "active", F.sum("d").over(
+            Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)))
+        .agg(F.max("active").alias("max_concurrent")))
+    return (nsess.crossJoin(pair_agg).crossJoin(conc)
+            .select("n_sessions", "n_pairs", "tot_overlap_us",
+                    "max_overlap_us", "max_concurrent"))
+
+
+register("events_interval_overlap", events_interval_overlap, f"""
+WITH ev AS (
+    SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events
+), marked AS (
+    SELECT user_id, ts_us,
+           CASE WHEN LAG(ts_us) OVER w IS NULL
+                     OR ts_us - LAG(ts_us) OVER w > {OV_GAP_US}
+                THEN 1 ELSE 0 END AS brk
+    FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+), sess AS (
+    SELECT user_id, ts_us,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us) AS sid
+    FROM marked
+), iv AS (
+    SELECT user_id, sid, MIN(ts_us) AS lo, MAX(ts_us) AS hi
+    FROM sess GROUP BY 1, 2
+), pair_agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(LEAST(a.hi, b.hi)
+                             - GREATEST(a.lo, b.lo)), 0) AS BIGINT)
+               AS tot_overlap_us,
+           CAST(COALESCE(MAX(LEAST(a.hi, b.hi)
+                             - GREATEST(a.lo, b.lo)), 0) AS BIGINT)
+               AS max_overlap_us
+    FROM iv a JOIN iv b
+      ON a.user_id < b.user_id
+     AND GREATEST(a.lo, b.lo) <= LEAST(a.hi, b.hi)
+), bounds AS (
+    SELECT lo AS t, 1 AS delta FROM iv
+    UNION ALL
+    SELECT hi + 1 AS t, -1 AS delta FROM iv
+), per_t AS (
+    SELECT t, SUM(delta) AS d FROM bounds GROUP BY t
+), conc AS (
+    SELECT CAST(MAX(active) AS BIGINT) AS max_concurrent FROM (
+        SELECT SUM(d) OVER (ORDER BY t) AS active FROM per_t)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM iv) AS n_sessions,
+       n_pairs, tot_overlap_us, max_overlap_us, max_concurrent
+FROM pair_agg CROSS JOIN conc
+""", "bucketed interval-overlap join + max-concurrency sweep")

@@ -725,3 +725,80 @@ SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n,
        ROUND({_OLS_SSR} / {_OLS_SST}, 6) + 0.0 AS r2
 FROM suff ORDER BY l_returnflag
 """, "two-feature OLS per flag via exact integer normal equations")
+
+
+# ------------------------------- Nelson-Aalen cumulative hazard
+def users_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard twin of users_kaplan_meier —
+    same right-censored per-user lifetime reduction (one fact scan to
+    (first, last) day, KM_CENSOR_DAYS censoring at the corpus end),
+    but the estimator is the SUM form H(t) = sum_{u<=t} d_u/n_u with
+    Aalen's variance sum d_u/n_u^2. Both accumulate as EXACT integers
+    (ppm for H, 1e12-scale for the variance; d <= users so 1e12*d
+    fits int64), so the running sums are bit-identical across engines
+    — no float product chain at all. Everything after the per-user
+    reduce is lifetime-day cardinality (bounded spine)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts_ns")
+    life = ev.groupBy("user_id").agg(
+        F.expr(f"min(ts_ns) div {DAY_NS}").alias("first_d"),
+        F.expr(f"max(ts_ns) div {DAY_NS}").alias("last_d"))
+    gmax = life.agg(F.max("last_d").alias("g_max"))
+    marked = (life.crossJoin(F.broadcast(gmax))
+              .select((F.col("last_d") - F.col("first_d")).alias("t"),
+                      F.expr(f"CASE WHEN last_d > g_max - {KM_CENSOR_DAYS}"
+                             " THEN 1 ELSE 0 END").alias("censored")))
+    per_day = marked.groupBy("t").agg(
+        F.sum(F.lit(1) - F.col("censored")).alias("d"),
+        F.sum("censored").alias("c"))
+    tot = per_day.agg(F.sum(F.col("d") + F.col("c")).alias("n_users"))
+    wday = Window.orderBy("t")
+    curve = (per_day.crossJoin(F.broadcast(tot))
+             .withColumn("left_before",
+                         F.coalesce(F.sum(F.col("d") + F.col("c"))
+                                    .over(wday.rowsBetween(
+                                        Window.unboundedPreceding, -1)),
+                                    F.lit(0)))
+             .withColumn("n_risk", F.col("n_users") - F.col("left_before"))
+             .withColumn("h_term",
+                         F.expr("d * 1000000 div n_risk"))
+             .withColumn("v_term",
+                         F.expr("d * 1000000000000 div (n_risk * n_risk)")))
+    return (curve.select(
+        F.col("t").alias("lifetime_d"), "n_risk",
+        F.col("d").alias("n_churned"), F.col("c").alias("n_censored"),
+        F.sum("h_term").over(wday).alias("na_cumhaz_ppm"),
+        F.sum("v_term").over(wday).alias("na_var_e12"))
+        .orderBy("lifetime_d"))
+
+
+register("users_nelson_aalen", users_nelson_aalen, f"""
+WITH life AS (
+    SELECT user_id,
+           MIN(CAST(epoch_us(ts) AS BIGINT)) * 1000 // {DAY_NS} AS first_d,
+           MAX(CAST(epoch_us(ts) AS BIGINT)) * 1000 // {DAY_NS} AS last_d
+    FROM events GROUP BY user_id
+), gmax AS (SELECT MAX(last_d) AS g_max FROM life),
+marked AS (
+    SELECT last_d - first_d AS t,
+           CASE WHEN last_d > g_max - {KM_CENSOR_DAYS} THEN 1 ELSE 0 END
+               AS censored
+    FROM life CROSS JOIN gmax
+), per_day AS (
+    SELECT t, CAST(SUM(1 - censored) AS BIGINT) AS d,
+           CAST(SUM(censored) AS BIGINT) AS c
+    FROM marked GROUP BY t
+), tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n_users FROM per_day),
+curve AS (
+    SELECT t, d, c,
+           n_users - COALESCE(CAST(SUM(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS n_risk
+    FROM per_day CROSS JOIN tot
+)
+SELECT t AS lifetime_d, n_risk, d AS n_churned, c AS n_censored,
+       CAST(SUM(d * 1000000 // n_risk) OVER (ORDER BY t) AS BIGINT)
+           AS na_cumhaz_ppm,
+       CAST(SUM(d * 1000000000000 // (n_risk * n_risk)) OVER (ORDER BY t)
+            AS BIGINT) AS na_var_e12
+FROM curve ORDER BY lifetime_d
+""", "Nelson-Aalen cumulative hazard (exact integer ppm sums)")

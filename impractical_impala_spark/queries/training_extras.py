@@ -265,3 +265,113 @@ WITH ex AS (
 SELECT label, pos, ROUND(AVG(v), 6) AS c, COUNT(*) AS n_vecs
 FROM ex GROUP BY label, pos
 """, "per-label mean embedding (class prototypes), exploded granularity")
+
+
+# -------------------------------------- PQ asymmetric-distance top-k
+ADC_NQ = 10    # query panel: vec_id < 10 (the similarity.py convention)
+ADC_TOPK = 5
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search over PQ-COMPRESSED codes by asymmetric distance
+    computation (ADC) — the memory-side half of an IVF-PQ index: each
+    database vector is represented only by its {PQ_M} codebook codes
+    (emb_pq_codes' assignment, seed codebooks = first {PQ_K} vectors),
+    each query precomputes a {PQ_M}x{PQ_K} lookup table of exact
+    subspace distances, and a vector's score is the sum of {PQ_M} LUT
+    entries — the raw embedding is never touched at scan time. Scale
+    shape: the LUT (queries x {PQ_M} x {PQ_K} rows) and codebook are
+    broadcasts; the scan is one pass over the code table with a
+    model-size top-k per query. Distances fold in index order and the
+    {PQ_M} subspace terms add in fixed order, so doubles are
+    bit-identical cross-engine; ADC quality is auditable against
+    ann_cosine_topk's exact ranking."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    sub = emb.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(m).alias("m"),
+                     F.expr(f"slice(v, {m * PQ_SUB + 1}, {PQ_SUB})")
+                     .alias("sv"))
+            for m in range(PQ_M)])).alias("e"),
+    ).select("vec_id", F.col("e.m").alias("m"), F.col("e.sv").alias("sv"))
+    codebook = sub.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("code"), "m", F.col("sv").alias("cv"))
+    dist = F.expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)),"
+                  " cast(0.0 as double), (acc, d) -> acc + d)")
+    db_sub = sub.filter(F.col("vec_id") >= ADC_NQ)
+    scored = db_sub.join(F.broadcast(codebook), "m").withColumn("dist", dist)
+    w = Window.partitionBy("vec_id", "m").orderBy("dist", "code")
+    codes = (scored.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1).select("vec_id", "m", "code"))
+    q_sub = sub.filter(F.col("vec_id") < ADC_NQ).select(
+        F.col("vec_id").alias("query_id"), "m", "sv")
+    lut = (q_sub.join(F.broadcast(codebook), "m")
+           .withColumn("ld", dist)
+           .select("query_id", "m", "code", "ld"))
+    paired = codes.join(F.broadcast(lut), ["m", "code"])
+    dists = [F.sum(F.when(F.col("m") == m, F.col("ld"))).alias(f"_d{m}")
+             for m in range(PQ_M)]
+    agg = paired.groupBy("query_id", "vec_id").agg(*dists)
+    total = "+".join(f"_d{m}" for m in range(PQ_M))
+    adc = agg.withColumn("adc_r6", F.round(F.expr(total), 6))
+    wq = Window.partitionBy("query_id").orderBy("adc_r6", "vec_id")
+    return (adc.withColumn("rank", F.row_number().over(wq))
+            .filter(F.col("rank") <= ADC_TOPK)
+            .select("query_id", "rank", "vec_id", "adc_r6")
+            .orderBy("query_id", "rank"))
+
+
+def _adc_oracle() -> str:
+    slices = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m,"
+        f" list_slice(v, {m * PQ_SUB + 1}, {(m + 1) * PQ_SUB}) AS sv FROM emb"
+        for m in range(PQ_M))
+    dist = (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            f" list_transform(range(1, {PQ_SUB} + 1),"
+            " i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),"
+            " (acc, d) -> acc + d)")
+    qdist = dist.replace("s.sv", "q.sv")
+    dists = ", ".join(
+        f"SUM(CASE WHEN m = {m} THEN ld END) AS _d{m}" for m in range(PQ_M))
+    total = "+".join(f"_d{m}" for m in range(PQ_M))
+    return f"""
+WITH emb AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), sub AS ({slices}),
+codebook AS (
+    SELECT vec_id AS code, m, sv AS cv FROM sub WHERE vec_id < {PQ_K}
+), db_scored AS (
+    SELECT s.vec_id, s.m, c.code, {dist} AS dist
+    FROM (SELECT * FROM sub WHERE vec_id >= {ADC_NQ}) s
+    JOIN codebook c USING (m)
+), codes AS (
+    SELECT vec_id, m, code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                     ORDER BY dist, code) AS rn
+        FROM db_scored) WHERE rn = 1
+), lut AS (
+    SELECT q.vec_id AS query_id, q.m, c.code, {qdist} AS ld
+    FROM (SELECT * FROM sub WHERE vec_id < {ADC_NQ}) q
+    JOIN codebook c USING (m)
+), agg AS (
+    SELECT l.query_id, k.vec_id, {dists}
+    FROM codes k JOIN lut l USING (m, code)
+    GROUP BY 1, 2
+), ranked AS (
+    SELECT query_id, vec_id, ROUND({total}, 6) AS adc_r6,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ROUND({total}, 6), vec_id) AS rank
+    FROM agg
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id, adc_r6
+FROM ranked WHERE rank <= {ADC_TOPK} ORDER BY query_id, rank
+"""
+
+
+register("ann_pq_adc_topk", ann_pq_adc_topk, _adc_oracle(),
+         "PQ asymmetric-distance (ADC) top-k over compressed codes")

@@ -29,6 +29,13 @@ R9_CASES = [
     "fairness_equalized_odds",     # integer confusion counts
     "orders_cohort_ltv",           # exact cents cumulative spine
     "dq_freshness_sla",            # integer lag/ppm audit
+    # wave 14: sketch exactness, interval joins & survival
+    "ndv_kmv_sketch",              # md5 order statistics, integer est
+    "stats_histogram_sampled",     # md5 sample + exact sample ranks
+    "retrieval_mrr_hitk",          # nano-quantized ranks, integer rr
+    "ann_pq_adc_topk",             # index-ordered folds, fixed-order sum
+    "events_interval_overlap",     # integer us intervals, bucket join
+    "users_nelson_aalen",          # integer ppm hazard sums
 ]
 
 
