@@ -293,6 +293,12 @@ HEADLINE = [
     "ann_pq_adc_topk",
     "events_interval_overlap",
     "users_nelson_aalen",
+    # round-9 wave 15: curation filters & symbolic series
+    "doc_perplexity_filter",
+    "text_keyword_rake",
+    "doc_gopher_quality_flags",
+    "events_sax_symbolic",
+    "lineitem_pchart_returns",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

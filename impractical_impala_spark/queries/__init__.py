@@ -441,6 +441,11 @@ NEW_R9: list[str] = [
     # stat_tests.py)
     "ndv_kmv_sketch", "stats_histogram_sampled", "retrieval_mrr_hitk",
     "ann_pq_adc_topk", "events_interval_overlap", "users_nelson_aalen",
+    # wave 15: curation-filter & symbolic-series completion
+    # (text_ir.py, quality.py, forecast.py, ops_quality.py)
+    "doc_perplexity_filter", "text_keyword_rake",
+    "doc_gopher_quality_flags", "events_sax_symbolic",
+    "lineitem_pchart_returns",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

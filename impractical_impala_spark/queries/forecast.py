@@ -165,3 +165,118 @@ SELECT event_type, t, y AS y_centi, l AS level_centi, b AS trend_centi,
 FROM rec WHERE t >= {HW_SEASON}
 ORDER BY event_type, t
 """, "exact fixed-point additive Holt-Winters over daily revenue")
+
+
+# ---------------------------------------------- SAX symbolic series
+from .monitor_eval import _ha_sql as _sax_ha  # noqa: E402
+
+SAX_W = 8                    # PAA windows per series
+SAX_BP_MICRO = 674_500       # N(0,1) quartile breakpoint, micro units
+
+
+def events_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (symbolic aggregate approximation) of each event type's
+    daily-count series: the zero-filled day spine folds into SAX_W
+    PAA windows, each window's mean z-scores against the type's own
+    day-level mean/sd, and quartile breakpoints of N(0,1) map z to a
+    4-letter alphabet — the standard discretization behind motif
+    mining and whole-series indexing. All inputs to the one
+    float expression are exact integers (window sums, day counts,
+    moment sums), the z quantizes to micro units with shared
+    half-away rounding, and breakpoint compares are integer — so the
+    symbol strings are bit-identical cross-engine. Everything after
+    the per-(type, day) count is bounded-spine cardinality."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts_ns div {DAY_NS}").alias("d"))
+    cnt = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("c"))
+    rng = ev.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    types = ev.select("event_type").distinct()
+    spine = (types.crossJoin(F.broadcast(rng))
+             .select("event_type", "dmin", "dmax",
+                     F.explode(F.expr("sequence(dmin, dmax)")).alias("d")))
+    filled = (spine.join(cnt, ["event_type", "d"], "left")
+              .select("event_type", "dmin", "dmax", "d",
+                      F.coalesce("c", F.lit(0)).alias("c")))
+    stats = filled.groupBy("event_type").agg(
+        F.sum("c").alias("s"), F.sum(F.expr("c * c")).alias("ss"),
+        F.count(F.lit(1)).alias("n"))
+    paa = (filled
+           .withColumn("w", F.expr(
+               f"(d - dmin) * {SAX_W} div (dmax - dmin + 1)"))
+           .groupBy("event_type", "w")
+           .agg(F.sum("c").alias("pn"), F.count(F.lit(1)).alias("pd")))
+    var_num = "n * ss - s * s"
+    z_micro = _sax_ha(
+        f"case when ({var_num}) <= 0 then 0.0 else"
+        " ((pn * n - s * pd) / (cast(pd as double) * n))"
+        f" / sqrt(({var_num}) / (n * (n - 1.0))) * 1e6 end")
+    sym = (f"case when z_micro < -{SAX_BP_MICRO} then 'a'"
+           " when z_micro < 0 then 'b'"
+           f" when z_micro < {SAX_BP_MICRO} then 'c' else 'd' end")
+    symbols = (paa.join(stats, "event_type")
+               .withColumn("z_micro", F.expr(z_micro))
+               .withColumn("sym", F.expr(sym)))
+    return (symbols.groupBy("event_type")
+            .agg(F.expr("concat_ws('', transform(sort_array("
+                        "collect_list(struct(w, sym))), x -> x.sym))")
+                 .alias("sax_word"),
+                 F.max("n").alias("n_days"),
+                 F.sum(F.expr("cast(sym = 'a' as int)")).alias("n_a"),
+                 F.sum(F.expr("cast(sym = 'b' as int)")).alias("n_b"),
+                 F.sum(F.expr("cast(sym = 'c' as int)")).alias("n_c"),
+                 F.sum(F.expr("cast(sym = 'd' as int)")).alias("n_d"))
+            .orderBy("event_type"))
+
+
+register("events_sax_symbolic", events_sax_symbolic, f"""
+WITH ev AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) AS BIGINT) * 1000 // {DAY_NS} AS d
+    FROM events
+), cnt AS (
+    SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS c
+    FROM ev GROUP BY 1, 2
+), rng AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM ev),
+types AS (SELECT DISTINCT event_type FROM ev),
+spine AS (
+    SELECT event_type, dmin, dmax, UNNEST(range(dmin, dmax + 1)) AS d
+    FROM types CROSS JOIN rng
+), filled AS (
+    SELECT s.event_type, s.dmin, s.dmax, s.d,
+           COALESCE(c.c, 0) AS c
+    FROM spine s LEFT JOIN cnt c USING (event_type, d)
+), stats AS (
+    SELECT event_type, CAST(SUM(c) AS BIGINT) AS s,
+           CAST(SUM(c * c) AS BIGINT) AS ss,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM filled GROUP BY 1
+), paa AS (
+    SELECT event_type, (d - dmin) * {SAX_W} // (dmax - dmin + 1) AS w,
+           CAST(SUM(c) AS BIGINT) AS pn, CAST(COUNT(*) AS BIGINT) AS pd
+    FROM filled GROUP BY 1, 2
+), symbols AS (
+    SELECT p.event_type, p.w,
+           {_sax_ha(
+               "CASE WHEN (n * ss - s * s) <= 0 THEN 0.0 ELSE"
+               " ((pn * n - s * pd) / (CAST(pd AS DOUBLE) * n))"
+               " / sqrt((n * ss - s * s) / (n * (n - 1.0))) * 1e6 END"
+           )} AS z_micro,
+           st.n
+    FROM paa p JOIN stats st USING (event_type)
+), lettered AS (
+    SELECT event_type, w, n,
+           CASE WHEN z_micro < -{SAX_BP_MICRO} THEN 'a'
+                WHEN z_micro < 0 THEN 'b'
+                WHEN z_micro < {SAX_BP_MICRO} THEN 'c'
+                ELSE 'd' END AS sym
+    FROM symbols
+)
+SELECT event_type,
+       STRING_AGG(sym, '' ORDER BY w) AS sax_word,
+       CAST(MAX(n) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN sym = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       CAST(SUM(CASE WHEN sym = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       CAST(SUM(CASE WHEN sym = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+       CAST(SUM(CASE WHEN sym = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_d
+FROM lettered GROUP BY event_type ORDER BY event_type
+""", "SAX symbolic aggregate approximation of daily series per type")

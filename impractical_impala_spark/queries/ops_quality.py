@@ -258,3 +258,81 @@ SELECT event_type,
 FROM per
 ORDER BY event_type
 """, "per-feed freshness lag, SLA verdict, and volume-decay ratio")
+
+
+# ---------------------------------------------------- SPC p-chart
+from .monitor_eval import _ha_sql as _pc_ha  # noqa: E402
+
+
+def lineitem_pchart_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart p-chart over the monthly return fraction — statistical
+    process control with VARIABLE subgroup sizes: the centerline p-bar
+    comes from the global counts, each ship-month's 3-sigma limits are
+    p-bar +/- 3*sqrt(p-bar*(1-p-bar)/n_i), and the out-of-control flag
+    compares the month's exact fraction against them. Counts are
+    exact integers; the one float expression per month (the sqrt) has
+    exact-integer inputs and quantizes to ppm with shared half-away
+    rounding, so flags are bit-identical cross-engine. Two key-sized
+    aggregates over one scan — the SPC complement to
+    events_ewma_hourly's smoothed chart and the CUSUM family."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("m"),
+        F.expr("cast(l_returnflag = 'R' as int)").alias("r"))
+    per_m = li.groupBy("m").agg(F.count(F.lit(1)).alias("n"),
+                                F.sum("r").alias("nr"))
+    tot = per_m.agg(F.sum("n").alias("gn"), F.sum("nr").alias("gr"))
+    sig = ("sqrt((cast(gr as double) / gn) * (1.0 - cast(gr as double) / gn)"
+           " / n)")
+    ucl = _pc_ha(f"(cast(gr as double) / gn + 3.0 * {sig}) * 1e6")
+    lcl = _pc_ha(f"greatest(cast(gr as double) / gn - 3.0 * {sig}, 0.0)"
+                 " * 1e6")
+    return (per_m.crossJoin(F.broadcast(tot))
+            .withColumn("p_ppm", F.expr("nr * 1000000 div n"))
+            .withColumn("pbar_ppm", F.expr("gr * 1000000 div gn"))
+            .withColumn("ucl_ppm", F.expr(ucl))
+            .withColumn("lcl_ppm", F.expr(lcl))
+            .withColumn("ooc", F.expr(
+                "cast(p_ppm > ucl_ppm or p_ppm < lcl_ppm as int)"))
+            .select("m", "n", "nr", "p_ppm", "pbar_ppm",
+                    "ucl_ppm", "lcl_ppm", "ooc")
+            .orderBy("m"))
+
+
+register("lineitem_pchart_returns", lineitem_pchart_returns, f"""
+WITH li AS (
+    SELECT year(l_shipdate) * 12 + month(l_shipdate) AS m,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+    FROM lineitem
+), per_m AS (
+    SELECT m, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(r) AS BIGINT) AS nr
+    FROM li GROUP BY m
+), tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS gn, CAST(SUM(nr) AS BIGINT) AS gr
+    FROM per_m
+)
+SELECT CAST(m AS INT) AS m, n, nr,
+       CAST(nr * 1000000 // n AS BIGINT) AS p_ppm,
+       CAST(gr * 1000000 // gn AS BIGINT) AS pbar_ppm,
+       {_pc_ha(
+           "(CAST(gr AS DOUBLE) / gn + 3.0 *"
+           " sqrt((CAST(gr AS DOUBLE) / gn)"
+           " * (1.0 - CAST(gr AS DOUBLE) / gn) / n)) * 1e6")} AS ucl_ppm,
+       {_pc_ha(
+           "GREATEST(CAST(gr AS DOUBLE) / gn - 3.0 *"
+           " sqrt((CAST(gr AS DOUBLE) / gn)"
+           " * (1.0 - CAST(gr AS DOUBLE) / gn) / n), 0.0) * 1e6")}
+           AS lcl_ppm,
+       CAST(CASE WHEN nr * 1000000 // n >
+                 {_pc_ha(
+                     "(CAST(gr AS DOUBLE) / gn + 3.0 *"
+                     " sqrt((CAST(gr AS DOUBLE) / gn)"
+                     " * (1.0 - CAST(gr AS DOUBLE) / gn) / n)) * 1e6")}
+                 OR nr * 1000000 // n <
+                 {_pc_ha(
+                     "GREATEST(CAST(gr AS DOUBLE) / gn - 3.0 *"
+                     " sqrt((CAST(gr AS DOUBLE) / gn)"
+                     " * (1.0 - CAST(gr AS DOUBLE) / gn) / n), 0.0)"
+                     " * 1e6")}
+            THEN 1 ELSE 0 END AS INT) AS ooc
+FROM per_m CROSS JOIN tot ORDER BY m
+""", "Shewhart p-chart: monthly return fraction vs 3-sigma limits")

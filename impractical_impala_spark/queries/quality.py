@@ -861,3 +861,90 @@ SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
            * 1000000 // CAST(SUM(sz) AS BIGINT) AS below_k_ppm
 FROM classes
 """, "k-anonymity / l-diversity release audit over the QI class table")
+
+
+# ------------------------------------------- Gopher-style rule flags
+# Rule constants tuned so every rule has both outcomes on the fixture
+# at all scale factors (all integer cross-multiplications — no float
+# thresholds anywhere):
+GQ_MIN_WORDS, GQ_MAX_WORDS = 15, 90
+GQ_MWL_LO_X10, GQ_MWL_HI_X10 = 43, 47   # mean word length in [4.3, 4.7]
+GQ_STOP_DEN = 25                        # stopword fraction >= 1/25 = 4%
+GQ_MAX_WORDLEN = 7                      # longest token <= 7 chars
+_GQ_STOPS = ("the", "a", "of", "to", "and")
+
+
+def doc_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document quality census (the repetition/charclass
+    rules live in text_repetition_ratio / text_charclass_profile; this
+    operator covers the length-and-lexicon family): per doc, integer
+    flags for word-count bounds, mean-word-length band, minimum
+    stopword fraction, and maximum token length — every threshold an
+    exact integer cross-multiplication, so no float ever decides a
+    flag. Output: per-source rule pass counts and the all-rules pass
+    rate in ppm. One token explode, doc-keyed reduce, source-keyed
+    final aggregate — the standard quality-gate shape."""
+    stop_list = ", ".join(f"'{w}'" for w in _GQ_STOPS)
+    toks = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source",
+                    F.explode(F.expr("split(lower(text), ' ')")).alias("t")))
+    per_doc = (toks.groupBy("doc_id", "source")
+               .agg(F.count(F.lit(1)).alias("nw"),
+                    F.sum(F.length("t")).alias("chars"),
+                    F.max(F.length("t")).alias("maxw"),
+                    F.sum(F.expr(f"cast(t in ({stop_list}) as int)"))
+                    .alias("sw")))
+    flagged = per_doc.select(
+        "source",
+        F.expr(f"cast(nw between {GQ_MIN_WORDS} and {GQ_MAX_WORDS} as int)")
+        .alias("f_wc"),
+        F.expr(f"cast(chars * 10 between {GQ_MWL_LO_X10} * nw"
+               f" and {GQ_MWL_HI_X10} * nw as int)").alias("f_mwl"),
+        F.expr(f"cast(sw * {GQ_STOP_DEN} >= nw as int)").alias("f_stop"),
+        F.expr(f"cast(maxw <= {GQ_MAX_WORDLEN} as int)").alias("f_maxw"))
+    return (flagged.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("f_wc").alias("pass_wordcount"),
+                 F.sum("f_mwl").alias("pass_meanwordlen"),
+                 F.sum("f_stop").alias("pass_stopword"),
+                 F.sum("f_maxw").alias("pass_maxwordlen"),
+                 F.sum(F.expr("f_wc * f_mwl * f_stop * f_maxw"))
+                 .alias("pass_all"))
+            .withColumn("pass_all_ppm",
+                        F.expr("pass_all * 1000000 div n_docs"))
+            .orderBy("source"))
+
+
+register("doc_gopher_quality_flags", doc_gopher_quality_flags, f"""
+WITH toks AS (
+    SELECT doc_id, source, UNNEST(string_split(lower(text), ' ')) AS t
+    FROM documents
+), per_doc AS (
+    SELECT doc_id, source,
+           CAST(COUNT(*) AS BIGINT) AS nw,
+           CAST(SUM(length(t)) AS BIGINT) AS chars,
+           CAST(MAX(length(t)) AS BIGINT) AS maxw,
+           CAST(SUM(CASE WHEN t IN ({", ".join(f"'{w}'" for w in _GQ_STOPS)})
+                         THEN 1 ELSE 0 END) AS BIGINT) AS sw
+    FROM toks GROUP BY 1, 2
+), flagged AS (
+    SELECT source,
+           CASE WHEN nw BETWEEN {GQ_MIN_WORDS} AND {GQ_MAX_WORDS}
+                THEN 1 ELSE 0 END AS f_wc,
+           CASE WHEN chars * 10 BETWEEN {GQ_MWL_LO_X10} * nw
+                     AND {GQ_MWL_HI_X10} * nw THEN 1 ELSE 0 END AS f_mwl,
+           CASE WHEN sw * {GQ_STOP_DEN} >= nw THEN 1 ELSE 0 END AS f_stop,
+           CASE WHEN maxw <= {GQ_MAX_WORDLEN} THEN 1 ELSE 0 END AS f_maxw
+    FROM per_doc
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f_wc) AS BIGINT) AS pass_wordcount,
+       CAST(SUM(f_mwl) AS BIGINT) AS pass_meanwordlen,
+       CAST(SUM(f_stop) AS BIGINT) AS pass_stopword,
+       CAST(SUM(f_maxw) AS BIGINT) AS pass_maxwordlen,
+       CAST(SUM(f_wc * f_mwl * f_stop * f_maxw) AS BIGINT) AS pass_all,
+       CAST(SUM(f_wc * f_mwl * f_stop * f_maxw) * 1000000 // COUNT(*)
+            AS BIGINT) AS pass_all_ppm
+FROM flagged GROUP BY source ORDER BY source
+""", "Gopher-style length/lexicon quality rules, per-source pass rates")

@@ -341,3 +341,198 @@ SELECT n AS n_buckets, total_tokens, total_types,
                 * CAST(sx AS DOUBLE)) / n / 1e9, 6) + 0.0 AS heaps_ln_k
 FROM suff
 """, "Heaps' law vocabulary-growth exponent over 64 id-range buckets")
+
+
+# ---------------------------------------- per-doc perplexity filter
+# keep docs at or below this add-one unigram cross-entropy (nats,
+# nano-quantized); sits just above the fixture median so both outcomes
+# occur at every scale factor
+PPL_XENT_MAX_NANO = 3_402_000_000
+
+
+def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering audit: score every document
+    under the corpus's own add-one-smoothed unigram LM (the cheap
+    stand-in for an external 5-gram LM), keep docs whose per-token
+    cross-entropy is at or below PPL_XENT_MAX_NANO, and report the
+    keep rate and kept-vs-dropped entropy means per source. ln p
+    quantizes to nano-units per DISTINCT vocabulary token (one LM
+    row per type, not per occurrence), the per-doc sum is exact
+    integer, and the per-doc entropy is an integer division — so the
+    filter decision is bit-identical cross-engine. Shuffle keys are
+    vocabulary then doc_id; sources aggregate at the end."""
+    toks = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source",
+                    F.explode(F.expr("split(lower(text), ' ')")).alias("t")))
+    lm = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    lm_tot = lm.agg(F.sum("c").alias("n_corpus"),
+                    F.count(F.lit(1)).alias("v_corpus"))
+    dc = toks.groupBy("doc_id", "source", "t").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    lp = ("cast(round(ln((c + 1.0) / (n_corpus + v_corpus + 1.0))"
+          " * 1e9) as bigint)")
+    per_doc = (dc.join(lm, "t")
+               .crossJoin(F.broadcast(lm_tot))
+               .groupBy("doc_id", "source")
+               .agg(F.sum("cnt").alias("n_tok"),
+                    F.sum(F.expr(lp) * F.col("cnt")).alias("lp_nano"))
+               .withColumn("xent_nano", F.expr("-lp_nano div n_tok"))
+               .withColumn("keep", F.expr(
+                   f"case when xent_nano <= {PPL_XENT_MAX_NANO}"
+                   " then 1 else 0 end")))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("keep").alias("n_kept"),
+                 F.sum(F.expr("case when keep = 1 then xent_nano end"))
+                 .alias("_kept_nano"),
+                 F.sum(F.expr("case when keep = 0 then xent_nano end"))
+                 .alias("_drop_nano"))
+            .select(
+                "source", "n_docs", "n_kept",
+                F.expr("n_kept * 1000000 div n_docs").alias("kept_ppm"),
+                F.expr("case when n_kept > 0 then _kept_nano div n_kept end")
+                .alias("kept_mean_xent_nano"),
+                F.expr("case when n_docs > n_kept then"
+                       " _drop_nano div (n_docs - n_kept) end")
+                .alias("drop_mean_xent_nano"))
+            .orderBy("source"))
+
+
+register("doc_perplexity_filter", doc_perplexity_filter, f"""
+WITH toks AS (
+    SELECT doc_id, source, UNNEST(string_split(lower(text), ' ')) AS t
+    FROM documents
+), lm AS (
+    SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY t
+), lm_tot AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS n_corpus,
+           CAST(COUNT(*) AS BIGINT) AS v_corpus FROM lm
+), dc AS (
+    SELECT doc_id, source, t, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks GROUP BY 1, 2, 3
+), per_doc AS (
+    SELECT doc_id, source,
+           CAST(SUM(cnt) AS BIGINT) AS n_tok,
+           CAST(SUM(CAST(ROUND(LN((lm.c + 1.0)
+                / (n_corpus + v_corpus + 1.0)) * 1e9) AS BIGINT) * cnt)
+            AS BIGINT) AS lp_nano
+    FROM dc JOIN lm USING (t) CROSS JOIN lm_tot
+    GROUP BY 1, 2
+), flagged AS (
+    SELECT source, -lp_nano // n_tok AS xent_nano,
+           CASE WHEN -lp_nano // n_tok <= {PPL_XENT_MAX_NANO}
+                THEN 1 ELSE 0 END AS keep
+    FROM per_doc
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(SUM(keep) * 1000000 // COUNT(*) AS BIGINT) AS kept_ppm,
+       CAST(CASE WHEN SUM(keep) > 0 THEN
+            SUM(CASE WHEN keep = 1 THEN xent_nano END) // SUM(keep) END
+           AS BIGINT) AS kept_mean_xent_nano,
+       CAST(CASE WHEN COUNT(*) > SUM(keep) THEN
+            SUM(CASE WHEN keep = 0 THEN xent_nano END)
+            // (COUNT(*) - SUM(keep)) END
+           AS BIGINT) AS drop_mean_xent_nano
+FROM flagged GROUP BY source ORDER BY source
+""", "per-doc unigram-LM perplexity filter with keep-rate audit")
+
+
+# ---------------------------------------------- RAKE keyword extract
+from .text import STOPWORDS as RAKE_STOPS  # noqa: E402
+
+RAKE_MAXLEN = 4   # drop runaway phrases (docs with no stopwords)
+RAKE_TOPK = 3
+
+
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE (rapid automatic keyword extraction) per source: candidate
+    phrases are maximal stopword-free token runs (capped at
+    RAKE_MAXLEN — the cap is part of the operator, mirrored in the
+    oracle), each word scores degree/freq over all phrase occurrences
+    (degree = sum of lengths of phrases it appears in), and a phrase
+    scores the sum of its member word scores; top-RAKE_TOPK phrases
+    per source. Scale shape: phrase ids come from a per-doc cumsum
+    (doc-local window), word stats shuffle on the vocabulary, and the
+    final rank is per-source top-k over deduplicated phrase text.
+    Scores are integer ppm (degree * 1e6 div freq), so ranking ties
+    break identically cross-engine."""
+    stop_list = ", ".join(f"'{w}'" for w in RAKE_STOPS)
+    toks = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source",
+                    F.posexplode(F.expr("split(lower(text), ' ')"))
+                    .alias("pos", "t")))
+    marked = toks.withColumn(
+        "is_stop", F.expr(f"cast(t in ({stop_list}) as int)"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    ph = (marked.withColumn("phrase_id", F.sum("is_stop").over(wdoc))
+          .filter(F.col("is_stop") == 0)
+          .select("doc_id", "source", "phrase_id", "pos", "t"))
+    plen = ph.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("plen"))
+    members = (ph.join(plen, ["doc_id", "phrase_id"])
+               .filter(F.col("plen") <= RAKE_MAXLEN))
+    wstats = (members.groupBy("t")
+              .agg(F.count(F.lit(1)).alias("freq"),
+                   F.sum("plen").alias("degree"))
+              .withColumn("wscore_ppm",
+                          F.expr("degree * 1000000 div freq")))
+    phrases = (members.join(wstats.select("t", "wscore_ppm"), "t")
+               .groupBy("doc_id", "source", "phrase_id")
+               .agg(F.expr("concat_ws(' ', transform(sort_array("
+                           "collect_list(struct(pos, t))), x -> x.t))")
+                    .alias("phrase"),
+                    F.sum("wscore_ppm").alias("score_ppm")))
+    per = phrases.groupBy("source", "phrase").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.max("score_ppm").alias("score_ppm"))
+    wr = Window.partitionBy("source").orderBy(
+        F.col("score_ppm").desc(), "phrase")
+    return (per.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= RAKE_TOPK)
+            .select("source", "rank", "phrase", "score_ppm", "n_occ")
+            .orderBy("source", "rank"))
+
+
+register("text_keyword_rake", text_keyword_rake, f"""
+WITH toks AS (
+    SELECT doc_id, source, UNNEST(string_split(lower(text), ' ')) AS t,
+           UNNEST(range(len(string_split(lower(text), ' ')))) AS pos
+    FROM documents
+), marked AS (
+    SELECT *, CASE WHEN t IN ({", ".join(f"'{w}'" for w in RAKE_STOPS)})
+                   THEN 1 ELSE 0 END AS is_stop
+    FROM toks
+), ph AS (
+    SELECT doc_id, source,
+           SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS phrase_id,
+           pos, t
+    FROM marked QUALIFY is_stop = 0
+), plen AS (
+    SELECT doc_id, phrase_id, CAST(COUNT(*) AS BIGINT) AS plen
+    FROM ph GROUP BY 1, 2
+), members AS (
+    SELECT ph.*, plen.plen FROM ph JOIN plen USING (doc_id, phrase_id)
+    WHERE plen <= {RAKE_MAXLEN}
+), wstats AS (
+    SELECT t, CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(SUM(plen) AS BIGINT) AS degree
+    FROM members GROUP BY t
+), phrases AS (
+    SELECT m.doc_id, m.source, m.phrase_id,
+           STRING_AGG(m.t, ' ' ORDER BY m.pos) AS phrase,
+           CAST(SUM(w.degree * 1000000 // w.freq) AS BIGINT) AS score_ppm
+    FROM members m JOIN wstats w USING (t)
+    GROUP BY 1, 2, 3
+), per AS (
+    SELECT source, phrase, CAST(COUNT(*) AS BIGINT) AS n_occ,
+           CAST(MAX(score_ppm) AS BIGINT) AS score_ppm
+    FROM phrases GROUP BY 1, 2
+)
+SELECT source, CAST(rank AS INT) AS rank, phrase, score_ppm, n_occ
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY score_ppm DESC, phrase) AS rank FROM per)
+WHERE rank <= {RAKE_TOPK} ORDER BY source, rank
+""", "RAKE keyword extraction: top stopword-free phrases per source")

@@ -36,6 +36,12 @@ R9_CASES = [
     "ann_pq_adc_topk",             # index-ordered folds, fixed-order sum
     "events_interval_overlap",     # integer us intervals, bucket join
     "users_nelson_aalen",          # integer ppm hazard sums
+    # wave 15: curation filters & symbolic series
+    "doc_perplexity_filter",       # nano-quantized LM, integer filter
+    "text_keyword_rake",           # integer ppm word/phrase scores
+    "doc_gopher_quality_flags",    # integer cross-multiplied rules
+    "events_sax_symbolic",         # micro-quantized z, integer compares
+    "lineitem_pchart_returns",     # ppm limits, shared half-away
 ]
 
 
