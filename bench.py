@@ -299,6 +299,12 @@ HEADLINE = [
     "doc_gopher_quality_flags",
     "events_sax_symbolic",
     "lineitem_pchart_returns",
+    # round-9 wave 16: forecast eval, graph reach, DP, DSIR, IVF-PQ
+    "orders_forecast_backtest",
+    "graph_bfs_hops",
+    "privacy_dp_count_release",
+    "doc_dsir_importance",
+    "ann_ivf_pq_pipeline",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

@@ -446,18 +446,30 @@ NEW_R9: list[str] = [
     "doc_perplexity_filter", "text_keyword_rake",
     "doc_gopher_quality_flags", "events_sax_symbolic",
     "lineitem_pchart_returns",
+    # wave 16: forecasting eval, graph reach, DP release, DSIR, IVF-PQ
+    # (forecast.py, paths_stats.py, quality.py, curation.py,
+    # similarity.py)
+    "orders_forecast_backtest", "graph_bfs_hops",
+    "privacy_dp_count_release", "doc_dsir_importance",
+    "ann_ivf_pq_pipeline",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole
 # stale-r3 cohort, then the r4-era fill). Computed slice: whatever
 # NEW_R9 grows to, the window stays exactly 50 and evicts from the
-# END of this queue; the remainder leads r10's fill.
+# END of this queue; the remainder leads r10's fill. If the
+# first-exposure candidates alone exceed 50 (round-9 waves 11-16 did:
+# 15 + 5 + 31), the TAIL of NEW_R9 overflows to lead r10's
+# never-checked queue — first-exposure order is preserved, re-proofs
+# wait behind them.
+_CANDIDATES_R9 = NEVER_CHECKED_R9 + CHANGED_R9 + NEW_R9
+NEVER_CHECKED_R10 = _CANDIDATES_R9[50:]
 _FILL_QUEUE_R9 = list(_EVICTED_TO_R9)
-_n_fill = 50 - len(NEVER_CHECKED_R9) - len(CHANGED_R9) - len(NEW_R9)
+_n_fill = max(0, 50 - len(_CANDIDATES_R9))
 FILL_R9 = _FILL_QUEUE_R9[:_n_fill]
 _EVICTED_TO_R10 = _FILL_QUEUE_R9[_n_fill:]
 
-WINDOW = NEVER_CHECKED_R9 + CHANGED_R9 + NEW_R9 + FILL_R9
+WINDOW = _CANDIDATES_R9[:50] + FILL_R9
 assert len(WINDOW) == 50, len(WINDOW)
 
 set_window_order(WINDOW)

@@ -373,3 +373,98 @@ FROM assigned
 
 register("split_cluster_safe", split_cluster_safe, _split_oracle(),
          "near-dup-cluster-keyed train/val/test split (no cross-split leakage)")
+
+
+# ------------------------------------------- DSIR importance weights
+from .monitor_eval import _ha_sql as _dsir_ha  # noqa: E402
+
+DSIR_B = 256             # hashed feature buckets
+DSIR_TARGET_LANG = "en"  # the target distribution: English docs
+
+
+def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed-n-gram importance weights: estimate per-doc
+    log importance of the TARGET distribution (lang = 'en') over the
+    RAW corpus from Laplace-smoothed hashed-unigram bucket
+    frequencies — the data-selection mechanism behind
+    importance-resampled pretraining mixes. Tokens hash to DSIR_B
+    md5 buckets; each bucket's log density ratio quantizes to
+    nano-units (one ln over a rational of exact integers, shared
+    half-away rounding); a doc's weight is the exact integer sum of
+    its tokens' bucket scores. Per-source output: doc counts, the
+    positively-weighted (target-like) fraction in ppm, and the mean
+    weight (half-away nano — integer div would disagree between
+    engines on negative sums). The bucket table is model-size and
+    broadcast; the corpus shuffles only on (doc, bucket)."""
+    toks = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "lang",
+                    F.explode(F.expr("split(lower(text), ' ')")).alias("t")))
+    bucketed = toks.withColumn("b", F.expr(
+        "pmod(cast(conv(substring(md5(t), 1, 7), 16, 10) as bigint),"
+        f" {DSIR_B})"))
+    counts = (bucketed.groupBy("b")
+              .agg(F.count(F.lit(1)).alias("c_raw"),
+                   F.sum(F.expr(
+                       f"cast(lang = '{DSIR_TARGET_LANG}' as int)"))
+                   .alias("c_tgt")))
+    tot = counts.agg(F.sum("c_raw").alias("n_raw"),
+                     F.sum("c_tgt").alias("n_tgt"))
+    lr = _dsir_ha(
+        f"ln((cast(c_tgt + 1 as double) * (n_raw + {DSIR_B})) /"
+        f" (cast(c_raw + 1 as double) * (n_tgt + {DSIR_B}))) * 1e9")
+    scores = (counts.crossJoin(F.broadcast(tot))
+              .select("b", F.expr(lr).alias("lr_nano")))
+    per_doc = (bucketed.join(F.broadcast(scores), "b")
+               .groupBy("doc_id", "source")
+               .agg(F.sum("lr_nano").alias("w_nano")))
+    mean_ha = _dsir_ha("cast(sum_w as double) / n_docs")
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("w_nano").alias("sum_w"),
+                 F.sum(F.expr("cast(w_nano > 0 as int)")).alias("n_pos"))
+            .select("source", "n_docs",
+                    F.col("sum_w").alias("sum_w_nano"),
+                    F.expr(mean_ha).alias("mean_w_nano"),
+                    F.expr("n_pos * 1000000 div n_docs").alias("pos_ppm"))
+            .orderBy("source"))
+
+
+register("doc_dsir_importance", doc_dsir_importance, f"""
+WITH toks AS (
+    SELECT doc_id, source, lang,
+           UNNEST(string_split(lower(text), ' ')) AS t
+    FROM documents
+), bucketed AS (
+    SELECT doc_id, source, lang,
+           CAST(('0x' || substr(md5(t), 1, 7)) AS BIGINT) % {DSIR_B} AS b
+    FROM toks
+), counts AS (
+    SELECT b, CAST(COUNT(*) AS BIGINT) AS c_raw,
+           CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+    FROM bucketed GROUP BY b
+), tot AS (
+    SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
+           CAST(SUM(c_tgt) AS BIGINT) AS n_tgt
+    FROM counts
+), scores AS (
+    SELECT b, {_dsir_ha(
+        f"ln((cast(c_tgt + 1 as double) * (n_raw + {DSIR_B})) /"
+        f" (cast(c_raw + 1 as double) * (n_tgt + {DSIR_B}))) * 1e9")} AS lr_nano
+    FROM counts CROSS JOIN tot
+), per_doc AS (
+    SELECT doc_id, source, CAST(SUM(lr_nano) AS BIGINT) AS w_nano
+    FROM bucketed JOIN scores USING (b)
+    GROUP BY 1, 2
+), agg AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w_nano) AS BIGINT) AS sum_w,
+           CAST(SUM(CASE WHEN w_nano > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos
+    FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, sum_w AS sum_w_nano,
+       {_dsir_ha("CAST(sum_w AS DOUBLE) / n_docs")} AS mean_w_nano,
+       CAST(n_pos * 1000000 // n_docs AS BIGINT) AS pos_ppm
+FROM agg ORDER BY source
+""", "DSIR hashed-unigram importance weights (target lang vs corpus)")

@@ -33,7 +33,7 @@ depth (the q_recursive_streaks precedent).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -280,3 +280,85 @@ SELECT event_type,
        CAST(SUM(CASE WHEN sym = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_d
 FROM lettered GROUP BY event_type ORDER BY event_type
 """, "SAX symbolic aggregate approximation of daily series per type")
+
+
+# ------------------------------------------- rolling-origin backtest
+BT_ORIGINS = 12   # backtest the trailing year
+BT_SEASON = 12    # seasonal-naive lag (months)
+
+
+def orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest over the monthly order-count
+    series: for each of the trailing BT_ORIGINS months, score the
+    naive (last value) and seasonal-naive (same month last year)
+    forecasters, reporting MAE (milli-units) and MASE — the scaled
+    error whose denominator is the in-sample seasonal-naive MAE over
+    the pre-backtest training span, the standard way to compare
+    forecasters across series scales. Counts and errors are exact
+    integers end to end (MASE is a ppm ratio of integer sums), and
+    everything beyond the one per-month count runs on the bounded
+    month spine."""
+    m = (load_table(spark, sf_dir, "orders")
+         .select((F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+                 .alias("mi"))
+         .groupBy("mi").agg(F.count(F.lit(1)).alias("c")))
+    w = Window.orderBy("mi")
+    lagged = (m.withColumn("p_naive", F.lag("c", 1).over(w))
+              .withColumn("p_snaive", F.lag("c", BT_SEASON).over(w)))
+    rng = lagged.agg(F.max("mi").alias("mx"))
+    base = lagged.crossJoin(F.broadcast(rng))
+    den = (base.filter(F.expr(
+        f"mi <= mx - {BT_ORIGINS} and p_snaive is not null"))
+        .agg(F.sum(F.expr("abs(c - p_snaive)")).alias("den_sum"),
+             F.count(F.lit(1)).alias("den_n")))
+    orig = base.filter(F.expr(f"mi > mx - {BT_ORIGINS}"))
+    out = None
+    for model, pred in (("naive", "p_naive"),
+                        ("seasonal_naive", "p_snaive")):
+        part = (orig.agg(
+            F.sum(F.expr(f"abs(c - {pred})")).alias("err_sum"),
+            F.count(F.lit(1)).alias("n_orig"))
+            .crossJoin(F.broadcast(den))
+            .select(F.lit(model).alias("model"), "n_orig", "err_sum",
+                    F.expr("err_sum * 1000 div n_orig").alias("mae_milli"),
+                    F.expr("err_sum * den_n * 1000000"
+                           " div (n_orig * den_sum)").alias("mase_ppm")))
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("model")
+
+
+register("orders_forecast_backtest", orders_forecast_backtest, f"""
+WITH m AS (
+    SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM orders GROUP BY 1
+), lagged AS (
+    SELECT mi, c,
+           LAG(c, 1) OVER (ORDER BY mi) AS p_naive,
+           LAG(c, {BT_SEASON}) OVER (ORDER BY mi) AS p_snaive
+    FROM m
+), rng AS (SELECT MAX(mi) AS mx FROM lagged),
+den AS (
+    SELECT CAST(SUM(ABS(c - p_snaive)) AS BIGINT) AS den_sum,
+           CAST(COUNT(*) AS BIGINT) AS den_n
+    FROM lagged CROSS JOIN rng
+    WHERE mi <= mx - {BT_ORIGINS} AND p_snaive IS NOT NULL
+), orig AS (
+    SELECT * FROM lagged CROSS JOIN rng WHERE mi > mx - {BT_ORIGINS}
+), scored AS (
+    SELECT 'naive' AS model,
+           CAST(COUNT(*) AS BIGINT) AS n_orig,
+           CAST(SUM(ABS(c - p_naive)) AS BIGINT) AS err_sum
+    FROM orig
+    UNION ALL
+    SELECT 'seasonal_naive' AS model,
+           CAST(COUNT(*) AS BIGINT) AS n_orig,
+           CAST(SUM(ABS(c - p_snaive)) AS BIGINT) AS err_sum
+    FROM orig
+)
+SELECT model, n_orig, err_sum,
+       CAST(err_sum * 1000 // n_orig AS BIGINT) AS mae_milli,
+       CAST(err_sum * den_n * 1000000 // (n_orig * den_sum) AS BIGINT)
+           AS mase_ppm
+FROM scored CROSS JOIN den ORDER BY model
+""", "rolling-origin naive/seasonal-naive backtest: MAE + MASE ppm")

@@ -423,3 +423,84 @@ ORDER BY level
 
 register("graph_kcore_summary", graph_kcore_summary, _KCORE_ORACLE,
          "2-core and binary-searched degeneracy core of the backbone")
+
+
+# ------------------------------------------------ BFS hop histogram
+BFS_ROUNDS = 4
+
+
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS over the co-activity backbone: hop distances from
+    the minimum-id seed node, unrolled BFS_ROUNDS frontier expansions
+    (the fixed-iteration discipline that gave o22/ann_ivf_trained
+    their hash oracles — the unroll IS the operator, mirrored CTE for
+    CTE in the oracle). Output: nodes per hop 0..BFS_ROUNDS plus the
+    still-unreached count (hop = -1). Each round is one join of the
+    current frontier against the symmetrized edge list keyed on the
+    node id — the standard distributed BFS shape; rounds are a
+    documented cap, not a convergence loop."""
+    edges = cohort_edges(load_table(spark, sf_dir, "events"))
+    # each unrolled round joins against sym — cache it once or the
+    # support-ranked backbone is recomputed BFS_ROUNDS times
+    sym = (edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .unionByName(edges.select(F.col("b").alias("u"),
+                                     F.col("a").alias("v")))).cache()
+    nodes = sym.select("u").distinct()
+    seed = nodes.agg(F.min("u").alias("su"))
+    dist = (nodes.crossJoin(F.broadcast(seed))
+            .select("u", F.expr("case when u = su then 0 end").alias("d")))
+    for k in range(1, BFS_ROUNDS + 1):
+        # each round reads dist twice (base + frontier) — truncate the
+        # lineage per round or the plan re-evaluates the whole prefix
+        # 2^k times (the operators/graph.py CC discipline)
+        dist = dist.localCheckpoint()
+        frontier = dist.filter(F.col("d") == k - 1).select("u")
+        nxt = (sym.join(frontier, "u")
+               .select(F.col("v").alias("u")).distinct()
+               .withColumn("cand", F.lit(k)))
+        dist = (dist.join(nxt, "u", "left")
+                .select("u", F.coalesce("d", "cand").alias("d")))
+    return (dist.groupBy(F.coalesce("d", F.lit(-1)).alias("hop"))
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .orderBy("hop"))
+
+
+def _bfs_oracle() -> str:
+    prev = "d0"
+    rounds = []
+    for k in range(1, BFS_ROUNDS + 1):
+        rounds.append(f"""f{k} AS (
+    SELECT DISTINCT s.v AS u FROM sym s
+    JOIN {prev} ON s.u = {prev}.u AND {prev}.d = {k - 1}
+), d{k} AS (
+    SELECT u, d FROM {prev}
+    UNION ALL
+    SELECT u, {k} AS d FROM f{k}
+    WHERE u NOT IN (SELECT u FROM {prev} WHERE d IS NOT NULL)
+)""")
+        prev = f"d{k}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH {_COHORT_EDGES_SQL},
+sym AS (
+    SELECT a AS u, b AS v FROM edges
+    UNION ALL
+    SELECT b AS u, a AS v FROM edges
+), nodes AS (SELECT DISTINCT u FROM sym),
+s AS (SELECT MIN(u) AS su FROM nodes),
+d0 AS (
+    SELECT u, CASE WHEN u = su THEN 0 END AS d
+    FROM nodes CROSS JOIN s
+),
+{chain},
+final AS (
+    SELECT u, MIN(d) AS d FROM {prev} GROUP BY u
+)
+SELECT CAST(COALESCE(d, -1) AS INT) AS hop,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM final GROUP BY 1 ORDER BY hop
+"""
+
+
+register("graph_bfs_hops", graph_bfs_hops, _bfs_oracle(),
+         "bounded-unroll BFS hop histogram over the co-activity backbone")

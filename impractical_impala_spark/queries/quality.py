@@ -948,3 +948,62 @@ SELECT source,
             AS BIGINT) AS pass_all_ppm
 FROM flagged GROUP BY source ORDER BY source
 """, "Gopher-style length/lexicon quality rules, per-source pass rates")
+
+
+# ------------------------------------- DP-style noisy count release
+DP_MAG_SALT = "dpmag_"
+DP_SIGN_SALT = "dpsign_"
+
+
+def privacy_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-style noisy count release + utility audit,
+    completing the privacy family (k-anon / l-diversity / t-closeness
+    audit the DATA; this audits the RELEASE mechanism): per event
+    type, the released count is the true count plus two-sided
+    geometric noise — magnitude = length of the run of leading high
+    hex digits ([8-f]) of a salted md5 (P(k >= j) = 2^-j exactly, the
+    geometric mechanism at eps = ln 2), sign from the first digit of
+    a second salt. The noise is a pure string/integer computation on
+    a deterministic hash — no RNG state, no floats — so the release
+    is bit-identical cross-engine while following the real mechanism
+    shape (in production the hash input would be a secret per-release
+    nonce). Counts are one key-sized aggregate."""
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    per = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_true"))
+    mag = (f"length(regexp_extract(md5(concat('{DP_MAG_SALT}',"
+           " event_type)), '^([89a-f]*)', 1))")
+    sign = (f"case when ascii(substring(md5(concat('{DP_SIGN_SALT}',"
+            " event_type)), 1, 1)) < 56 then 1 else -1 end")
+    return (per
+            .withColumn("noise", F.expr(f"({sign}) * ({mag})"))
+            .withColumn("n_released",
+                        F.expr("greatest(0, n_true + noise)"))
+            .select("event_type", "n_true", "noise", "n_released",
+                    F.expr("abs(n_released - n_true)").alias("abs_err"),
+                    F.expr("abs(n_released - n_true) * 1000000"
+                           " div greatest(n_true, 1)").alias("err_ppm"))
+            .orderBy("event_type"))
+
+
+register("privacy_dp_count_release", privacy_dp_count_release, f"""
+WITH per AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true
+    FROM events GROUP BY 1
+), noised AS (
+    SELECT event_type, n_true,
+           (CASE WHEN ascii(substr(md5('{DP_SIGN_SALT}' || event_type),
+                                   1, 1)) < 56
+                 THEN 1 ELSE -1 END)
+           * CAST(length(regexp_extract(
+                 md5('{DP_MAG_SALT}' || event_type), '^([89a-f]*)', 1))
+             AS BIGINT) AS noise
+    FROM per
+)
+SELECT event_type, n_true, noise,
+       CAST(GREATEST(0, n_true + noise) AS BIGINT) AS n_released,
+       CAST(ABS(GREATEST(0, n_true + noise) - n_true) AS BIGINT)
+           AS abs_err,
+       CAST(ABS(GREATEST(0, n_true + noise) - n_true) * 1000000
+            // GREATEST(n_true, 1) AS BIGINT) AS err_ppm
+FROM noised ORDER BY event_type
+""", "geometric-mechanism noisy count release with utility audit")

@@ -651,3 +651,158 @@ FROM exact e LEFT JOIN ivf{p} i USING (query_id)""")
 
 register("ann_ivf_nprobe_sweep", ann_ivf_nprobe_sweep, _sweep_oracle(),
          "IVF recall@1 / cosine-regret curve across nprobe in {1,2,4}")
+
+
+# ---------------------------------------------- IVF-PQ composition
+from .training_extras import (  # noqa: E402
+    ADC_TOPK as IVFPQ_TOPK, PQ_K, PQ_M, PQ_SUB)
+
+
+def ann_ivf_pq_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ index shape: the seed coarse quantizer routes
+    each query to its probe-{N_PROBE} cells (ann_ivf_probe's
+    assignment), and WITHIN the probed cells candidates rank by PQ
+    asymmetric distance over their compressed codes
+    (ann_pq_adc_topk's scorer) — raw vectors never touched at scan
+    time, exactly how a billion-vector index serves. Scale shape: the
+    centroid and codebook tables and the per-query LUT are
+    broadcasts; the scan reads only the probed cells' code rows
+    (~{N_PROBE}/{N_CELLS} of the corpus); distances fold in index
+    order with fixed-order subspace sums, so doubles are
+    bit-identical cross-engine and the composition carries a full
+    hash oracle."""
+    emb = _emb(spark, sf_dir).cache()
+    cent = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"))
+    cdot = F.expr("aggregate(zip_with(v, cv, (x, y) -> x * y),"
+                  " cast(0.0 as double), (acc, x) -> acc + x)")
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "cell_id",
+        (cdot / (F.col("norm") * F.col("cnorm"))).alias("ccos"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(),
+                                             "cell_id")
+    ranked = scored.withColumn("crn", F.row_number().over(w)).cache()
+    assigned = (ranked.filter((F.col("crn") == 1)
+                              & (F.col("vec_id") >= N_QUERIES))
+                .select(F.col("vec_id").alias("db_id"),
+                        F.col("cell_id").alias("cell")))
+    probes = (ranked.filter((F.col("vec_id") < N_QUERIES)
+                            & (F.col("crn") <= N_PROBE))
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("cell_id").alias("cell")))
+    sub = emb.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(m).alias("m"),
+                     F.expr(f"slice(v, {m * PQ_SUB + 1}, {PQ_SUB})")
+                     .alias("sv"))
+            for m in range(PQ_M)])).alias("e"),
+    ).select("vec_id", F.col("e.m").alias("m"), F.col("e.sv").alias("sv"))
+    codebook = sub.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("code"), "m", F.col("sv").alias("cbv"))
+    dist = F.expr("aggregate(zip_with(sv, cbv, (x, y) -> (x - y) * (x - y)),"
+                  " cast(0.0 as double), (acc, d) -> acc + d)")
+    db_sub = sub.filter(F.col("vec_id") >= N_QUERIES)
+    wc = Window.partitionBy("vec_id", "m").orderBy("dist", "code")
+    codes = (db_sub.join(F.broadcast(codebook), "m")
+             .withColumn("dist", dist)
+             .withColumn("rn", F.row_number().over(wc))
+             .filter(F.col("rn") == 1)
+             .select(F.col("vec_id").alias("db_id"), "m", "code"))
+    q_sub = sub.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", "sv")
+    lut = (q_sub.join(F.broadcast(codebook), "m")
+           .withColumn("ld", dist)
+           .select("query_id", "m", "code", "ld"))
+    cand = (probes.join(assigned, "cell")
+            .select("query_id", "db_id").distinct())
+    paired = (cand.join(codes, "db_id")
+              .join(F.broadcast(lut), ["query_id", "m", "code"]))
+    dists = [F.sum(F.when(F.col("m") == m, F.col("ld"))).alias(f"_d{m}")
+             for m in range(PQ_M)]
+    agg = paired.groupBy("query_id", "db_id").agg(*dists)
+    total = "+".join(f"_d{m}" for m in range(PQ_M))
+    adc = agg.withColumn("adc_r6", F.round(F.expr(total), 6))
+    wq = Window.partitionBy("query_id").orderBy("adc_r6", "db_id")
+    return (adc.withColumn("rank", F.row_number().over(wq))
+            .filter(F.col("rank") <= IVFPQ_TOPK)
+            .select("query_id", "rank",
+                    F.col("db_id").alias("neighbor_id"), "adc_r6")
+            .orderBy("query_id", "rank"))
+
+
+def _ivf_pq_oracle() -> str:
+    slices = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m,"
+        f" list_slice(v, {m * PQ_SUB + 1}, {(m + 1) * PQ_SUB}) AS sv FROM emb"
+        for m in range(PQ_M))
+    dist = (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            f" list_transform(range(1, {PQ_SUB} + 1),"
+            " i -> (s.sv[i] - c.cbv[i]) * (s.sv[i] - c.cbv[i]))),"
+            " (acc, d) -> acc + d)")
+    qdist = dist.replace("s.sv", "q.sv")
+    dsums = ", ".join(
+        f"SUM(CASE WHEN k.m = {m} THEN ld END) AS _d{m}" for m in range(PQ_M))
+    total = "+".join(f"_d{m}" for m in range(PQ_M))
+    return f"""
+WITH emb AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), cent AS (
+    SELECT vec_id AS cell_id, v AS cv FROM emb WHERE vec_id < {N_CELLS}
+), cscored AS (
+    SELECT e.vec_id, e.v, c.cell_id,
+           list_dot_product(e.v, c.cv)
+           / (sqrt(list_dot_product(e.v, e.v))
+              * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
+    FROM emb e CROSS JOIN cent c
+), cranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cell_id) AS crn
+    FROM cscored
+), assigned AS (
+    SELECT vec_id AS db_id, cell_id AS cell
+    FROM cranked WHERE crn = 1 AND vec_id >= {N_QUERIES}
+), probes AS (
+    SELECT vec_id AS query_id, cell_id AS cell
+    FROM cranked WHERE vec_id < {N_QUERIES} AND crn <= {N_PROBE}
+), sub AS ({slices}),
+codebook AS (
+    SELECT vec_id AS code, m, sv AS cbv FROM sub WHERE vec_id < {PQ_K}
+), db_scored AS (
+    SELECT s.vec_id AS db_id, s.m, c.code, {dist} AS dist
+    FROM (SELECT * FROM sub WHERE vec_id >= {N_QUERIES}) s
+    JOIN codebook c USING (m)
+), codes AS (
+    SELECT db_id, m, code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY db_id, m
+                                     ORDER BY dist, code) AS rn
+        FROM db_scored) WHERE rn = 1
+), lut AS (
+    SELECT q.vec_id AS query_id, q.m, c.code, {qdist} AS ld
+    FROM (SELECT * FROM sub WHERE vec_id < {N_QUERIES}) q
+    JOIN codebook c USING (m)
+), cand AS (
+    SELECT DISTINCT p.query_id, a.db_id
+    FROM probes p JOIN assigned a USING (cell)
+), agg AS (
+    SELECT cd.query_id, cd.db_id, {dsums}
+    FROM cand cd JOIN codes k USING (db_id)
+    JOIN lut l ON l.query_id = cd.query_id AND l.m = k.m
+              AND l.code = k.code
+    GROUP BY 1, 2
+), rankedq AS (
+    SELECT query_id, db_id, ROUND({total}, 6) AS adc_r6,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ROUND({total}, 6), db_id) AS rank
+    FROM agg
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+       CAST(db_id AS BIGINT) AS neighbor_id, adc_r6
+FROM rankedq WHERE rank <= {IVFPQ_TOPK} ORDER BY query_id, rank
+"""
+
+
+register("ann_ivf_pq_pipeline", ann_ivf_pq_pipeline, _ivf_pq_oracle(),
+         "IVF coarse routing + PQ ADC scoring: the full compressed index")

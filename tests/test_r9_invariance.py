@@ -42,6 +42,12 @@ R9_CASES = [
     "doc_gopher_quality_flags",    # integer cross-multiplied rules
     "events_sax_symbolic",         # micro-quantized z, integer compares
     "lineitem_pchart_returns",     # ppm limits, shared half-away
+    # wave 16: forecast eval, graph reach, DP, DSIR, IVF-PQ
+    "orders_forecast_backtest",    # integer month-spine errors
+    "graph_bfs_hops",              # capped backbone, integer hops
+    "privacy_dp_count_release",    # md5 hex-run noise, integer release
+    "doc_dsir_importance",         # nano log-ratios, half-away mean
+    "ann_ivf_pq_pipeline",         # index-ordered folds, integer codes
 ]
 
 
