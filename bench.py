@@ -305,6 +305,11 @@ HEADLINE = [
     "privacy_dp_count_release",
     "doc_dsir_importance",
     "ann_ivf_pq_pipeline",
+    # round-9 wave 17: quantized retrieval audits & sequential tests
+    "ann_ivf_pq_trained",
+    "emb_matryoshka_audit",
+    "emb_binary_sign_audit",
+    "events_sprt_sequential",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

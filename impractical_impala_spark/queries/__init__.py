@@ -452,6 +452,10 @@ NEW_R9: list[str] = [
     "orders_forecast_backtest", "graph_bfs_hops",
     "privacy_dp_count_release", "doc_dsir_importance",
     "ann_ivf_pq_pipeline",
+    # wave 17: quantized retrieval audits & sequential testing
+    # (similarity.py, emb_eval.py, monitor_eval.py)
+    "ann_ivf_pq_trained", "emb_matryoshka_audit",
+    "emb_binary_sign_audit", "events_sprt_sequential",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

@@ -229,3 +229,204 @@ FROM ex JOIN comp ON ex.pos = comp.dim_idx
 GROUP BY vec_id, comp.component
 ORDER BY vec_id, comp.component
 """, "top-3 PCA coordinates per vector (exact fixed-point dot products)")
+
+
+# ------------------------------------- Matryoshka truncation audit
+MRL_DIMS = (16, 32)   # prefix truncations audited against full DIM
+MRL_K = 5
+
+
+def emb_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation audit: how much of the exact cosine
+    top-{MRL_K} survives when vectors are truncated to their first
+    16 / 32 dimensions — the retrieval-quality check behind
+    MRL-style tiered serving (coarse search on the prefix, rerank on
+    the full vector). One panel-broadcast pass computes the full and
+    truncated cosines together (index-ordered folds over list
+    slices); per truncation the audit reports mean top-k overlap and
+    top-1 agreement across the query panel. Model-size output."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("db_id"), F.col("v").alias("cv"))
+
+    def cos(d: int | None) -> str:
+        if d is None:
+            qs, cs = "qv", "cv"
+        else:
+            qs, cs = f"slice(qv, 1, {d})", f"slice(cv, 1, {d})"
+        dot = (f"aggregate(zip_with({qs}, {cs}, (x, y) -> x * y),"
+               " cast(0.0 as double), (acc, x) -> acc + x)")
+        nq = (f"sqrt(aggregate({qs}, cast(0.0 as double),"
+              " (acc, x) -> acc + x * x))")
+        nc = (f"sqrt(aggregate({cs}, cast(0.0 as double),"
+              " (acc, x) -> acc + x * x))")
+        return f"({dot}) / (({nq}) * ({nc}))"
+
+    pairs = F.broadcast(q).crossJoin(c).select(
+        "query_id", "db_id",
+        F.expr(cos(None)).alias("cos_full"),
+        *[F.expr(cos(d)).alias(f"cos_{d}") for d in MRL_DIMS])
+    ranked = pairs
+    for name in ["full", *[str(d) for d in MRL_DIMS]]:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(f"cos_{name}").desc(), "db_id")
+        ranked = ranked.withColumn(f"r_{name}", F.row_number().over(w))
+    out = None
+    for d in MRL_DIMS:
+        per_q = (ranked
+                 .groupBy("query_id")
+                 .agg(F.sum(F.expr(
+                     f"cast(r_full <= {MRL_K} and r_{d} <= {MRL_K}"
+                     " as int)")).alias("ov"),
+                     F.max(F.expr(
+                         f"cast(r_full = 1 and r_{d} = 1 as int)"))
+                     .alias("t1")))
+        summ = per_q.agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum("ov").alias("overlap_sum"),
+            F.sum("t1").alias("top1_matches")).select(
+            F.lit(d).alias("dim"), "n_queries",
+            F.expr(f"overlap_sum * 1000000 div (n_queries * {MRL_K})")
+            .alias("overlap_ppm"),
+            "top1_matches")
+        out = summ if out is None else out.unionByName(summ)
+    return out.orderBy("dim")
+
+
+def _mrl_oracle() -> str:
+    def cos(d):
+        if d is None:
+            qs, cs = "q.qv", "c.cv"
+        else:
+            qs, cs = f"list_slice(q.qv, 1, {d})", f"list_slice(c.cv, 1, {d})"
+        return (f"list_dot_product({qs}, {cs})"
+                f" / (sqrt(list_dot_product({qs}, {qs}))"
+                f" * sqrt(list_dot_product({cs}, {cs})))")
+    cos_cols = ", ".join(
+        [f"{cos(None)} AS cos_full"]
+        + [f"{cos(d)} AS cos_{d}" for d in MRL_DIMS])
+    rank_cols = ", ".join(
+        f"ROW_NUMBER() OVER (PARTITION BY query_id"
+        f" ORDER BY cos_{n} DESC, db_id) AS r_{n}"
+        for n in ["full", *[str(d) for d in MRL_DIMS]])
+    parts = []
+    for d in MRL_DIMS:
+        parts.append(f"""
+SELECT {d} AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(ov) * 1000000 // (COUNT(*) * {MRL_K}) AS BIGINT)
+           AS overlap_ppm,
+       CAST(SUM(t1) AS BIGINT) AS top1_matches
+FROM (SELECT query_id,
+             SUM(CASE WHEN r_full <= {MRL_K} AND r_{d} <= {MRL_K}
+                      THEN 1 ELSE 0 END) AS ov,
+             MAX(CASE WHEN r_full = 1 AND r_{d} = 1
+                      THEN 1 ELSE 0 END) AS t1
+      FROM ranked GROUP BY query_id)""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH emb AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS db_id, {cos_cols}
+    FROM (SELECT vec_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES}) q
+    CROSS JOIN (SELECT vec_id, v AS cv FROM emb
+                WHERE vec_id >= {N_QUERIES}) c
+), ranked AS (
+    SELECT query_id, db_id, {rank_cols} FROM pairs
+)
+{union}
+ORDER BY dim
+"""
+
+
+register("emb_matryoshka_audit", emb_matryoshka_audit, _mrl_oracle(),
+         "Matryoshka prefix-truncation retrieval-quality audit")
+
+
+# --------------------------------------- binary-sign quantization
+BSQ_K = 5
+
+
+def emb_binary_sign_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit (sign) quantization audit: rank the corpus for each
+    panel query by HAMMING distance between sign vectors (64 dims ->
+    64 bits, a 256x storage cut and an XOR-popcount scan at serve
+    time) and report, per query, how much of the exact cosine
+    top-{BSQ_K} the binary ranking preserves. Hamming distances are
+    pure integer counts (no float anywhere in the quantized path);
+    the exact baseline reuses the brute-force panel join. Per-query
+    rows keep the audit model-size."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("db_id"), F.col("v").alias("cv"))
+    dot = ("aggregate(zip_with(qv, cv, (x, y) -> x * y),"
+           " cast(0.0 as double), (acc, x) -> acc + x)")
+    nq = ("sqrt(aggregate(qv, cast(0.0 as double),"
+          " (acc, x) -> acc + x * x))")
+    nc = ("sqrt(aggregate(cv, cast(0.0 as double),"
+          " (acc, x) -> acc + x * x))")
+    ham = ("aggregate(zip_with(qv, cv, (x, y) ->"
+           " cast((x > 0) != (y > 0) as int)),"
+           " 0, (acc, d) -> acc + d)")
+    pairs = F.broadcast(q).crossJoin(c).select(
+        "query_id", "db_id",
+        F.expr(f"({dot}) / (({nq}) * ({nc}))").alias("cos"),
+        F.expr(ham).alias("hamming"))
+    wc = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                                "db_id")
+    wh = Window.partitionBy("query_id").orderBy("hamming", "db_id")
+    ranked = (pairs.withColumn("r_cos", F.row_number().over(wc))
+              .withColumn("r_ham", F.row_number().over(wh)))
+    return (ranked.groupBy("query_id")
+            .agg(F.sum(F.expr(
+                f"cast(r_cos <= {BSQ_K} and r_ham <= {BSQ_K} as int)"))
+                .alias("n_overlap"),
+                F.max(F.expr("cast(r_cos = 1 and r_ham = 1 as int)"))
+                .alias("top1_match"),
+                F.sum(F.expr(
+                    f"case when r_cos <= {BSQ_K} then hamming end"))
+                .alias("true_topk_hamming"))
+            .orderBy("query_id"))
+
+
+register("emb_binary_sign_audit", emb_binary_sign_audit, f"""
+WITH emb AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS db_id,
+           list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v))
+              * sqrt(list_dot_product(c.v, c.v))) AS cos,
+           CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+                i -> CASE WHEN (q.v[i] > 0) <> (c.v[i] > 0)
+                          THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+    FROM (SELECT * FROM emb WHERE vec_id < {N_QUERIES}) q
+    CROSS JOIN (SELECT * FROM emb WHERE vec_id >= {N_QUERIES}) c
+), ranked AS (
+    SELECT query_id, db_id, hamming,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, db_id) AS r_cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY hamming, db_id) AS r_ham
+    FROM pairs
+)
+SELECT query_id,
+       CAST(SUM(CASE WHEN r_cos <= {BSQ_K} AND r_ham <= {BSQ_K}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       CAST(MAX(CASE WHEN r_cos = 1 AND r_ham = 1
+                     THEN 1 ELSE 0 END) AS INT) AS top1_match,
+       CAST(SUM(CASE WHEN r_cos <= {BSQ_K} THEN hamming END) AS BIGINT)
+           AS true_topk_hamming
+FROM ranked GROUP BY query_id ORDER BY query_id
+""", "1-bit sign-quantization retrieval audit (integer hamming scan)")

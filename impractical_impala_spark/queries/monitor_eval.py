@@ -21,6 +21,8 @@ embedding-eval battery (cohesion/outliers/purity + silhouette).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -464,3 +466,96 @@ SELECT event_type, t, y,
 FROM rec
 ORDER BY event_type, t
 """, "Kleinberg 2-state Viterbi burst detection, exact micro-nat DP")
+
+
+# ------------------------------------------------ SPRT sequential test
+# H0: purchase share among purchase+click = SPRT_P0; H1: = SPRT_P1.
+# Boundaries at alpha = beta = 0.05: ln((1-b)/a) = ln 19, ln(b/(1-a)).
+SPRT_P0, SPRT_P1 = 0.18, 0.22
+SPRT_DAY_NS = 86_400_000_000_000
+_SPRT_LA = _half_away(math.log(19.0) * 1e6)       # upper: accept H1
+_SPRT_LB = _half_away(math.log(1.0 / 19.0) * 1e6)  # lower: accept H0
+_SPRT_W1 = _half_away(math.log(SPRT_P1 / SPRT_P0) * 1e6)
+_SPRT_W0 = _half_away(math.log((1 - SPRT_P1) / (1 - SPRT_P0)) * 1e6)
+
+
+def events_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT over the daily purchase-vs-click share — the
+    sequential experiment monitor that completes the family
+    (events_share_ztest is the fixed-horizon test, events_mde_power
+    the planning step, Page-Hinkley/CUSUM the nonparametric drift
+    side): each day adds x*ln(p1/p0) + (n-x)*ln(q1/q0) to the
+    log-likelihood-ratio walk; the walk and both Wald boundaries
+    live in micro-nat integers (per-word constants quantized ONCE in
+    Python with the house half-away rule, so each engine only does
+    exact integer multiply-adds — no runtime float at all). Output:
+    the bounded day spine with the walk, boundary-crossing flags,
+    and the sequential decision state."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts_ns div {SPRT_DAY_NS}").alias("d"))
+    per_day = (ev.filter(F.col("event_type").isin("purchase", "click"))
+               .groupBy("d")
+               .agg(F.sum(F.expr("cast(event_type = 'purchase' as int)"))
+                    .alias("x"),
+                    F.count(F.lit(1)).alias("n")))
+    rng = per_day.agg(F.min("d").alias("d0"))
+    w = Window.orderBy("d_idx")
+    walk = (per_day.crossJoin(F.broadcast(rng))
+            .select((F.col("d") - F.col("d0")).alias("d_idx"), "x", "n",
+                    F.expr(f"x * {_SPRT_W1}L + (n - x) * {_SPRT_W0}L")
+                    .alias("inc"))
+            .withColumn("llr_micro", F.sum("inc").over(w))
+            .withColumn("hit_upper", F.expr(
+                f"cast(llr_micro >= {_SPRT_LA} as int)"))
+            .withColumn("hit_lower", F.expr(
+                f"cast(llr_micro <= {_SPRT_LB} as int)"))
+            .withColumn("decided", F.max(
+                F.expr("cast(hit_upper = 1 or hit_lower = 1 as int)"))
+                .over(w))
+            .withColumn("state", F.expr(
+                "case when decided = 0 then 'continue'"
+                " when hit_upper = 1 then 'accept_h1'"
+                " when hit_lower = 1 then 'accept_h0'"
+                " else 'decided_earlier' end")))
+    return (walk.select("d_idx", "x", "n", "llr_micro",
+                        "hit_upper", "hit_lower", "state")
+            .orderBy("d_idx"))
+
+
+register("events_sprt_sequential", events_sprt_sequential, f"""
+WITH ev AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) AS BIGINT) * 1000 // {SPRT_DAY_NS} AS d
+    FROM events
+    WHERE event_type IN ('purchase', 'click')
+), per_day AS (
+    SELECT d,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS x,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ev GROUP BY d
+), rng AS (SELECT MIN(d) AS d0 FROM per_day),
+walk AS (
+    SELECT d - d0 AS d_idx, x, n,
+           SUM(x * {_SPRT_W1} + (n - x) * {_SPRT_W0})
+               OVER (ORDER BY d) AS llr_micro
+    FROM per_day CROSS JOIN rng
+), flagged AS (
+    SELECT d_idx, x, n, CAST(llr_micro AS BIGINT) AS llr_micro,
+           CASE WHEN llr_micro >= {_SPRT_LA} THEN 1 ELSE 0 END
+               AS hit_upper,
+           CASE WHEN llr_micro <= {_SPRT_LB} THEN 1 ELSE 0 END
+               AS hit_lower
+    FROM walk
+)
+SELECT d_idx, x, n, llr_micro,
+       CAST(hit_upper AS INT) AS hit_upper,
+       CAST(hit_lower AS INT) AS hit_lower,
+       CASE WHEN MAX(CASE WHEN hit_upper = 1 OR hit_lower = 1
+                          THEN 1 ELSE 0 END)
+                 OVER (ORDER BY d_idx) = 0 THEN 'continue'
+            WHEN hit_upper = 1 THEN 'accept_h1'
+            WHEN hit_lower = 1 THEN 'accept_h0'
+            ELSE 'decided_earlier' END AS state
+FROM flagged ORDER BY d_idx
+""", "Wald SPRT walk over daily purchase share (integer micro-nats)")

@@ -658,11 +658,11 @@ from .training_extras import (  # noqa: E402
     ADC_TOPK as IVFPQ_TOPK, PQ_K, PQ_M, PQ_SUB)
 
 
-def ann_ivf_pq_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full IVF-PQ index shape: the seed coarse quantizer routes
-    each query to its probe-{N_PROBE} cells (ann_ivf_probe's
-    assignment), and WITHIN the probed cells candidates rank by PQ
-    asymmetric distance over their compressed codes
+def _ivf_pq_search(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Shared IVF-PQ search: the coarse quantizer ``cent`` (cell_id,
+    cv, cnorm — the _ivf_search contract) routes each query to its
+    probe-{N_PROBE} cells, and WITHIN the probed cells candidates
+    rank by PQ asymmetric distance over their compressed codes
     (ann_pq_adc_topk's scorer) — raw vectors never touched at scan
     time, exactly how a billion-vector index serves. Scale shape: the
     centroid and codebook tables and the per-query LUT are
@@ -671,10 +671,6 @@ def ann_ivf_pq_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     order with fixed-order subspace sums, so doubles are
     bit-identical cross-engine and the composition carries a full
     hash oracle."""
-    emb = _emb(spark, sf_dir).cache()
-    cent = emb.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"),
-        F.col("norm").alias("cnorm"))
     cdot = F.expr("aggregate(zip_with(v, cv, (x, y) -> x * y),"
                   " cast(0.0 as double), (acc, x) -> acc + x)")
     scored = emb.crossJoin(F.broadcast(cent)).select(
@@ -732,7 +728,32 @@ def ann_ivf_pq_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
-def _ivf_pq_oracle() -> str:
+def ann_ivf_pq_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with the SEED coarse quantizer (vec_id < N_CELLS stand
+    in for trained centroids — ann_ivf_probe's convention); the
+    trained variant is ann_ivf_pq_trained. See _ivf_pq_search for the
+    index shape and scale arguments."""
+    emb = _emb(spark, sf_dir).cache()
+    cent = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"))
+    return _ivf_pq_search(emb, cent)
+
+
+def ann_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF-PQ composition: the exact-fixed-point
+    Lloyd-trained coarse quantizer (train_ivf_centroids — bounded
+    training sample, model-size centroid table) routes queries, PQ
+    ADC scores the probed cells' compressed codes. Both halves
+    already carry unrolled oracles (ann_ivf_trained's training CTEs,
+    ann_pq_adc_topk's scorer), so the full train+route+scan pipeline
+    is hash-checkable end to end."""
+    emb = _emb(spark, sf_dir).cache()
+    return _ivf_pq_search(
+        emb, train_ivf_centroids(spark, ivf_training_sample(emb)))
+
+
+def _ivf_pq_oracle(pre: str = "", cent_sql: str = "") -> str:
     slices = " UNION ALL ".join(
         f"SELECT vec_id, {m} AS m,"
         f" list_slice(v, {m * PQ_SUB + 1}, {(m + 1) * PQ_SUB}) AS sv FROM emb"
@@ -745,12 +766,15 @@ def _ivf_pq_oracle() -> str:
     dsums = ", ".join(
         f"SUM(CASE WHEN k.m = {m} THEN ld END) AS _d{m}" for m in range(PQ_M))
     total = "+".join(f"_d{m}" for m in range(PQ_M))
+    if not cent_sql:
+        cent_sql = (f"SELECT vec_id AS cell_id, v AS cv "
+                    f"FROM emb WHERE vec_id < {N_CELLS}")
     return f"""
 WITH emb AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings
-), cent AS (
-    SELECT vec_id AS cell_id, v AS cv FROM emb WHERE vec_id < {N_CELLS}
+){pre}, cent AS (
+    {cent_sql}
 ), cscored AS (
     SELECT e.vec_id, e.v, c.cell_id,
            list_dot_product(e.v, c.cv)
@@ -806,3 +830,12 @@ FROM rankedq WHERE rank <= {IVFPQ_TOPK} ORDER BY query_id, rank
 
 register("ann_ivf_pq_pipeline", ann_ivf_pq_pipeline, _ivf_pq_oracle(),
          "IVF coarse routing + PQ ADC scoring: the full compressed index")
+
+register(
+    "ann_ivf_pq_trained", ann_ivf_pq_trained,
+    _ivf_pq_oracle(
+        pre=_trained_ivf_pre(),
+        cent_sql=(f"SELECT cell_id, "
+                  f"list_transform(cq, c -> c / {Q_SCALE}.0) AS cv "
+                  f"FROM tcent{N_ITERS}")),
+    "Lloyd-trained IVF routing + PQ ADC scoring (fully oracle-checked)")

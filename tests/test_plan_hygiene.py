@@ -64,6 +64,10 @@ _BNLJ_BOUNDED = {
     "audience_overlap_matrix": re.compile(
         r"keys=\[(event_type|mask)#|keys=\[\]"),
     "q_range_band_join": re.compile(r"Scan ExistingRDD|LocalTableScan"),
+    # wave-17 retrieval audits: the panel broadcast is the
+    # vec_id < N_QUERIES predicate side, bounded at any corpus size
+    "emb_matryoshka_audit": re.compile(rf"vec_id#\d+L? < {N_QUERIES}"),
+    "emb_binary_sign_audit": re.compile(rf"vec_id#\d+L? < {N_QUERIES}"),
 }
 
 

@@ -48,6 +48,11 @@ R9_CASES = [
     "privacy_dp_count_release",    # md5 hex-run noise, integer release
     "doc_dsir_importance",         # nano log-ratios, half-away mean
     "ann_ivf_pq_pipeline",         # index-ordered folds, integer codes
+    # wave 17: quantized retrieval audits & sequential testing
+    "ann_ivf_pq_trained",          # fixed-point Lloyd + integer codes
+    "emb_matryoshka_audit",        # prefix-slice folds, integer overlap
+    "emb_binary_sign_audit",       # integer hamming ranks
+    "events_sprt_sequential",      # precomputed micro-nat constants
 ]
 
 
