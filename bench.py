@@ -310,6 +310,11 @@ HEADLINE = [
     "emb_matryoshka_audit",
     "emb_binary_sign_audit",
     "events_sprt_sequential",
+    # round-9 wave 18: tokenizer economics, gates, engine advice
+    "tokenizer_fertility_audit",
+    "events_tost_equivalence",
+    "engine_tuning_advisor",
+    "multimodal_chunk_dedup",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

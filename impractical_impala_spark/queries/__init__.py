@@ -456,6 +456,10 @@ NEW_R9: list[str] = [
     # (similarity.py, emb_eval.py, monitor_eval.py)
     "ann_ivf_pq_trained", "emb_matryoshka_audit",
     "emb_binary_sign_audit", "events_sprt_sequential",
+    # wave 18: tokenizer economics, release gates, engine advice
+    # (text.py, stat_tests.py, engine_stats.py, multimodal.py)
+    "tokenizer_fertility_audit", "events_tost_equivalence",
+    "engine_tuning_advisor", "multimodal_chunk_dedup",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

@@ -955,3 +955,80 @@ SELECT source, n_ranked, first_rel_rank,
        CAST(first_rel_rank <= 10 AS INT) AS hit10
 FROM per_src ORDER BY source
 """, "per-source MRR + hit@k of TF-IDF ranking vs BM25 relevance")
+
+
+# --------------------------------------------- engine tuning advisor
+ETA_TARGET_PART_BYTES = 8 * 1024 * 1024   # fixture-scale partition target
+ETA_BROADCAST_BYTES = 10 * 1024 * 1024    # autoBroadcastJoinThreshold
+
+
+def engine_tuning_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-driven tuning advice for the three fact tables — the
+    ANALYZE-to-knobs step an engine runs before sizing a job: byte
+    estimates come from exact per-row widths (string lengths + fixed
+    numeric widths, the in-memory columnar estimate), and the advice
+    is pure integer arithmetic on them: shuffle-partition count at a
+    {ETA_TARGET_PART_BYTES}-byte target (fixture-scale; production
+    would use 128 MB), next-power-of-two bucket count, and a
+    broadcastability verdict at the default 10 MB threshold. One scan
+    per table, one row per table out."""
+    specs = {
+        "lineitem": ("length(l_returnflag) + length(l_linestatus)"
+                     " + 3 * 8 + 4 + 4 * 8 + 8"),
+        "orders": ("length(o_orderstatus) + length(o_orderpriority)"
+                   " + 2 * 8 + 8 + 8"),
+        "events": ("length(event_type) + length(coalesce(props, ''))"
+                   " + 4 * 8"),
+    }
+    pow2 = ("case " + " ".join(
+        f"when advised_partitions <= {1 << p} then {1 << p}"
+        for p in range(11)) + " else 2048 end")
+    out = None
+    for name, width in specs.items():
+        t = load_table(spark, sf_dir, name)
+        part = (t.agg(F.count(F.lit(1)).alias("n_rows"),
+                      F.sum(F.expr(f"cast(({width}) as bigint)"))
+                      .alias("est_bytes"))
+                .select(F.lit(name).alias("table_name"), "n_rows",
+                        "est_bytes",
+                        F.expr(f"greatest(1, est_bytes"
+                               f" div {ETA_TARGET_PART_BYTES})")
+                        .alias("advised_partitions"))
+                .withColumn("advised_buckets", F.expr(pow2))
+                .withColumn("broadcastable", F.expr(
+                    f"cast(est_bytes <= {ETA_BROADCAST_BYTES} as int)")))
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("table_name")
+
+
+def _eta_oracle() -> str:
+    specs = {
+        "lineitem": ("length(l_returnflag) + length(l_linestatus)"
+                     " + 3 * 8 + 4 + 4 * 8 + 8"),
+        "orders": ("length(o_orderstatus) + length(o_orderpriority)"
+                   " + 2 * 8 + 8 + 8"),
+        "events": ("length(event_type) + length(coalesce(props, ''))"
+                   " + 4 * 8"),
+    }
+    parts = []
+    for name, width in specs.items():
+        pow2 = ("CASE " + " ".join(
+            f"WHEN GREATEST(1, SUM(CAST(({width}) AS BIGINT))"
+            f" // {ETA_TARGET_PART_BYTES}) <= {1 << p} THEN {1 << p}"
+            for p in range(11)) + " ELSE 2048 END")
+        parts.append(f"""
+SELECT '{name}' AS table_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(({width}) AS BIGINT)) AS BIGINT) AS est_bytes,
+       CAST(GREATEST(1, SUM(CAST(({width}) AS BIGINT))
+            // {ETA_TARGET_PART_BYTES}) AS BIGINT) AS advised_partitions,
+       CAST({pow2} AS BIGINT) AS advised_buckets,
+       CAST(CASE WHEN SUM(CAST(({width}) AS BIGINT))
+                 <= {ETA_BROADCAST_BYTES} THEN 1 ELSE 0 END AS INT)
+           AS broadcastable
+FROM {name}""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY table_name"
+
+
+register("engine_tuning_advisor", engine_tuning_advisor, _eta_oracle(),
+         "stats-driven shuffle/bucket/broadcast sizing advice per table")

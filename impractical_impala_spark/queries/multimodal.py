@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from ..multimodal.blobs import documents_as_blobs, extract_features
 from ..registry import register
+from ..sources import load_table
 
 
 def multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,3 +204,51 @@ FROM hashed a JOIN hashed b
 WHERE bit_count(xor(a.ahash, b.ahash)) <= {PH_HAMMING_T}
 ORDER BY doc_a, doc_b
 """, "aHash fingerprint -> prefix-blocked Hamming near-dup pairs")
+
+
+# -------------------------------------------- chunk-level blob dedup
+CHUNK_BYTES = 64
+
+
+def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layer chunk deduplication audit over the blob payloads
+    (fixed {CHUNK_BYTES}-byte blocks — the content-addressable-store
+    mechanism behind every dedup filesystem; content-defined chunking
+    swaps in a rolling-hash boundary but the census shape is
+    identical): per source, block count, distinct block count (by
+    md5) and the dedup win in ppm. The payload never shuffles — only
+    (source, block-hash) pairs do, and the distinct is keyed on the
+    hash space. Exact integers throughout."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("text").alias("payload"))
+    chunks = docs.select(
+        "source",
+        F.explode(F.expr(
+            f"transform(sequence(0, cast(ceil(length(payload)"
+            f" / cast({CHUNK_BYTES} as double)) as int) - 1),"
+            f" i -> md5(substring(payload, i * {CHUNK_BYTES} + 1,"
+            f" {CHUNK_BYTES})))")).alias("h"))
+    return (chunks.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.countDistinct("h").alias("n_unique"))
+            .select("source", "n_chunks", "n_unique",
+                    F.expr("(n_chunks - n_unique) * 1000000"
+                           " div n_chunks").alias("dedup_ppm"))
+            .orderBy("source"))
+
+
+register("multimodal_chunk_dedup", multimodal_chunk_dedup, f"""
+WITH chunks AS (
+    SELECT source,
+           md5(substr(text, i * {CHUNK_BYTES} + 1, {CHUNK_BYTES})) AS h
+    FROM documents,
+         UNNEST(range(0, CAST(ceil(length(text)
+               / CAST({CHUNK_BYTES} AS DOUBLE)) AS BIGINT))) AS u(i)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique,
+       CAST((COUNT(*) - COUNT(DISTINCT h)) * 1000000 // COUNT(*)
+            AS BIGINT) AS dedup_ppm
+FROM chunks GROUP BY source ORDER BY source
+""", "fixed-block chunk-dedup census over blob payloads (md5 blocks)")

@@ -802,3 +802,108 @@ SELECT t AS lifetime_d, n_risk, d AS n_churned, c AS n_censored,
             AS BIGINT) AS na_var_e12
 FROM curve ORDER BY lifetime_d
 """, "Nelson-Aalen cumulative hazard (exact integer ppm sums)")
+
+
+# ------------------------------------------ TOST equivalence test
+from .monitor_eval import _ha_sql as _tost_ha  # noqa: E402
+
+TOST_DELTA_CENTI = 450     # equivalence margin: 4.50 value units
+TOST_ZCRIT_MICRO = 1_644_854  # one-sided z at alpha = 0.05, micro
+
+
+def events_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST (two one-sided tests) equivalence between the early and
+    late half of each type's value stream: where events_welch_ttest
+    asks "did the mean move?", TOST asks the release-gate question
+    "is the mean provably WITHIN +/-delta?" — absence of evidence is
+    not equivalence, so this is the right direction for a no-regression
+    check. Same exact integer sufficient statistics as Welch (centi
+    quantization, order-free sums); the two z statistics quantize to
+    micro with shared half-away rounding and compare against a
+    pre-quantized critical constant — both engines decide with integer
+    compares."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts_ns",
+        F.floor(F.col("value") * 100).cast("long").alias("centi"))
+    stats = ev.agg(F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("mid_ns"))
+    halves = (ev.crossJoin(F.broadcast(stats))
+              .withColumn("early", F.expr(
+                  "CASE WHEN ts_ns <= mid_ns THEN 1 ELSE 0 END")))
+    suff = halves.groupBy("event_type").agg(
+        F.sum("early").alias("na"),
+        F.sum(F.lit(1) - F.col("early")).alias("nb"),
+        F.sum(F.col("early") * F.col("centi")).alias("sa"),
+        F.sum((F.lit(1) - F.col("early")) * F.col("centi")).alias("sb"),
+        F.sum(F.col("early") * F.col("centi") * F.col("centi")).alias("qa"),
+        F.sum((F.lit(1) - F.col("early")) * F.col("centi")
+              * F.col("centi")).alias("qb"))
+    va = ("((cast(na as double)*qa - cast(sa as double)*sa)"
+          "/(cast(na as double)*(na-1)))")
+    vb = ("((cast(nb as double)*qb - cast(sb as double)*sb)"
+          "/(cast(nb as double)*(nb-1)))")
+    se = f"sqrt({va}/na + {vb}/nb)"
+    diff = "(cast(sa as double)/na - cast(sb as double)/nb)"
+    t_lo = _tost_ha(f"(({diff}) + {TOST_DELTA_CENTI}) / ({se}) * 1e6")
+    t_hi = _tost_ha(f"({TOST_DELTA_CENTI} - ({diff})) / ({se}) * 1e6")
+    return (suff
+            .withColumn("t_lower_micro", F.expr(t_lo))
+            .withColumn("t_upper_micro", F.expr(t_hi))
+            .select(
+                "event_type", F.col("na").alias("n_early"),
+                F.col("nb").alias("n_late"),
+                F.expr("sa div na").alias("mean_early_centi"),
+                F.expr("sb div nb").alias("mean_late_centi"),
+                "t_lower_micro", "t_upper_micro",
+                F.expr(f"cast(t_lower_micro > {TOST_ZCRIT_MICRO}"
+                       f" and t_upper_micro > {TOST_ZCRIT_MICRO} as int)")
+                .alias("equivalent"))
+            .orderBy("event_type"))
+
+
+register("events_tost_equivalence", events_tost_equivalence, f"""
+WITH ev AS (
+    SELECT event_type, CAST(epoch_us(ts) AS BIGINT) * 1000 AS ts_ns,
+           CAST(FLOOR(value * 100) AS BIGINT) AS centi
+    FROM events
+), stats AS (
+    SELECT (MIN(ts_ns) + MAX(ts_ns)) // 2 AS mid_ns FROM ev
+), halves AS (
+    SELECT event_type, centi,
+           CASE WHEN ts_ns <= mid_ns THEN 1 ELSE 0 END AS early
+    FROM ev CROSS JOIN stats
+), suff AS (
+    SELECT event_type,
+           CAST(SUM(early) AS BIGINT) AS na,
+           CAST(SUM(1 - early) AS BIGINT) AS nb,
+           CAST(SUM(early * centi) AS BIGINT) AS sa,
+           CAST(SUM((1 - early) * centi) AS BIGINT) AS sb,
+           CAST(SUM(early * centi * centi) AS BIGINT) AS qa,
+           CAST(SUM((1 - early) * centi * centi) AS BIGINT) AS qb
+    FROM halves GROUP BY 1
+), scored AS (
+    SELECT event_type, na, nb, sa, sb,
+           {_tost_ha(
+               "(((CAST(sa AS DOUBLE)/na - CAST(sb AS DOUBLE)/nb))"
+               f" + {TOST_DELTA_CENTI})"
+               " / (sqrt(((CAST(na AS DOUBLE)*qa - CAST(sa AS DOUBLE)*sa)"
+               "/(CAST(na AS DOUBLE)*(na-1)))/na"
+               " + ((CAST(nb AS DOUBLE)*qb - CAST(sb AS DOUBLE)*sb)"
+               "/(CAST(nb AS DOUBLE)*(nb-1)))/nb)) * 1e6")} AS t_lower_micro,
+           {_tost_ha(
+               f"({TOST_DELTA_CENTI}"
+               " - ((CAST(sa AS DOUBLE)/na - CAST(sb AS DOUBLE)/nb)))"
+               " / (sqrt(((CAST(na AS DOUBLE)*qa - CAST(sa AS DOUBLE)*sa)"
+               "/(CAST(na AS DOUBLE)*(na-1)))/na"
+               " + ((CAST(nb AS DOUBLE)*qb - CAST(sb AS DOUBLE)*sb)"
+               "/(CAST(nb AS DOUBLE)*(nb-1)))/nb)) * 1e6")} AS t_upper_micro
+    FROM suff
+)
+SELECT event_type, na AS n_early, nb AS n_late,
+       CAST(sa // na AS BIGINT) AS mean_early_centi,
+       CAST(sb // nb AS BIGINT) AS mean_late_centi,
+       t_lower_micro, t_upper_micro,
+       CAST(CASE WHEN t_lower_micro > {TOST_ZCRIT_MICRO}
+                 AND t_upper_micro > {TOST_ZCRIT_MICRO}
+            THEN 1 ELSE 0 END AS INT) AS equivalent
+FROM scored ORDER BY event_type
+""", "TOST equivalence gate on early-vs-late value means (micro z)")

@@ -599,3 +599,66 @@ SELECT source, COUNT(*) AS n_docs,
            AS mean_novelty_ppm
 FROM per_doc GROUP BY source ORDER BY source
 """, "per-source fraction of corpus-unique word-bigram shingles")
+
+
+# ------------------------------------------- tokenizer fertility
+TF_VOCAB = 256  # top-V global word vocabulary (the "merged" tokens)
+
+
+def tokenizer_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: simulate a trained
+    fixed-vocabulary tokenizer by taking the corpus's top-{TF_VOCAB}
+    words as single tokens and splitting every out-of-vocabulary word
+    into ceil(len/4) subword pieces — fertility (pieces per word) is
+    THE metric that shows how a vocabulary trained on a mixed corpus
+    taxes low-resource languages. The vocabulary is a model-size
+    broadcast (count desc, word tiebreak — deterministic cut); all
+    ratios are integer ppm. One token explode, vocabulary-keyed count,
+    language-keyed reduce."""
+    toks = (load_table(spark, sf_dir, "documents")
+            .select("lang",
+                    F.explode(F.expr("split(lower(text), ' ')")).alias("t")))
+    vocab = (toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.col("c").desc(), "t").limit(TF_VOCAB)
+             .select("t", F.lit(1).alias("in_vocab")))
+    scored = (toks.join(F.broadcast(vocab), "t", "left")
+              .select("lang",
+                      F.expr("case when in_vocab = 1 then 1"
+                             " else cast(ceil(length(t) / 4.0D) as bigint)"
+                             " end").alias("pieces"),
+                      F.expr("cast(in_vocab is null as int)").alias("oov")))
+    return (scored.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("oov").alias("n_oov"),
+                 F.sum("pieces").alias("n_pieces"))
+            .select("lang", "n_words", "n_oov", "n_pieces",
+                    F.expr("n_pieces * 1000000 div n_words")
+                    .alias("fertility_ppm"),
+                    F.expr("n_oov * 1000000 div n_words").alias("oov_ppm"))
+            .orderBy("lang"))
+
+
+register("tokenizer_fertility_audit", tokenizer_fertility_audit, f"""
+WITH toks AS (
+    SELECT lang, UNNEST(string_split(lower(text), ' ')) AS t
+    FROM documents
+), vocab AS (
+    SELECT t, 1 AS in_vocab FROM (
+        SELECT t, COUNT(*) AS c FROM toks GROUP BY t
+        ORDER BY c DESC, t LIMIT {TF_VOCAB})
+), scored AS (
+    SELECT lang,
+           CASE WHEN v.in_vocab = 1 THEN 1
+                ELSE CAST(ceil(length(t) / 4.0) AS BIGINT) END AS pieces,
+           CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END AS oov
+    FROM toks LEFT JOIN vocab v USING (t)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       CAST(SUM(pieces) AS BIGINT) AS n_pieces,
+       CAST(SUM(pieces) * 1000000 // COUNT(*) AS BIGINT)
+           AS fertility_ppm,
+       CAST(SUM(oov) * 1000000 // COUNT(*) AS BIGINT) AS oov_ppm
+FROM scored GROUP BY lang ORDER BY lang
+""", "tokenizer fertility per language (top-V vocab, ceil-split OOV)")

@@ -53,6 +53,11 @@ R9_CASES = [
     "emb_matryoshka_audit",        # prefix-slice folds, integer overlap
     "emb_binary_sign_audit",       # integer hamming ranks
     "events_sprt_sequential",      # precomputed micro-nat constants
+    # wave 18: tokenizer economics, release gates, engine advice
+    "tokenizer_fertility_audit",   # deterministic top-V cut, ppm
+    "events_tost_equivalence",     # integer suff stats, micro z
+    "engine_tuning_advisor",       # integer byte estimates
+    "multimodal_chunk_dedup",      # md5 block census
 ]
 
 
