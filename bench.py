@@ -315,6 +315,9 @@ HEADLINE = [
     "events_tost_equivalence",
     "engine_tuning_advisor",
     "multimodal_chunk_dedup",
+    # round-9 wave 19: data-mix allocation & Kneser-Ney LM
+    "corpus_mix_allocation",
+    "text_bigram_kneser_ney",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

@@ -460,6 +460,9 @@ NEW_R9: list[str] = [
     # (text.py, stat_tests.py, engine_stats.py, multimodal.py)
     "tokenizer_fertility_audit", "events_tost_equivalence",
     "engine_tuning_advisor", "multimodal_chunk_dedup",
+    # wave 19: data-mix allocation & Kneser-Ney LM
+    # (curation.py, text_ir.py)
+    "corpus_mix_allocation", "text_bigram_kneser_ney",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

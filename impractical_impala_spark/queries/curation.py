@@ -468,3 +468,85 @@ SELECT source, n_docs, sum_w AS sum_w_nano,
        CAST(n_pos * 1000000 // n_docs AS BIGINT) AS pos_ppm
 FROM agg ORDER BY source
 """, "DSIR hashed-unigram importance weights (target lang vs corpus)")
+
+
+# ------------------------------------------- pretraining mix allocator
+MIX_BUDGET_NUM, MIX_BUDGET_DEN = 2, 5   # token budget = 40% of corpus
+MIX_CAP_DEN = 10                        # per-source cap = 10% of budget
+
+
+def corpus_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-mix allocator: rank sources by a quality score
+    (stopword-rate proxy in ppm — the cheap single-scan stand-in for
+    a full quality classifier), then greedily fill a token budget of
+    {MIX_BUDGET_NUM}/{MIX_BUDGET_DEN} of the corpus with a per-source
+    cap of budget/{MIX_CAP_DEN} — the capped-greedy water-fill every
+    data-mix pipeline runs before sampling. The greedy loop is a
+    WINDOW CUMSUM over the source-ranked spine (sources are
+    model-size), so the allocation is one ordered pass, not an
+    iterative driver loop; every quantity is an exact integer token
+    count. Output: per-source allocation and budget shares."""
+    toks = (load_table(spark, sf_dir, "documents")
+            .select("source",
+                    F.explode(F.expr("split(lower(text), ' ')")).alias("t")))
+    per_src = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("tokens"),
+        F.sum(F.expr("cast(t in ('the','a','of','to','and') as int)"))
+        .alias("sw"))
+    scored = per_src.withColumn(
+        "quality_ppm", F.expr("sw * 1000000 div tokens"))
+    tot = scored.agg(F.sum("tokens").alias("n_total"))
+    base = (scored.crossJoin(F.broadcast(tot))
+            .withColumn("budget", F.expr(
+                f"n_total * {MIX_BUDGET_NUM} div {MIX_BUDGET_DEN}"))
+            .withColumn("cap", F.expr(f"budget div {MIX_CAP_DEN}"))
+            .withColumn("want", F.expr("least(tokens, cap)")))
+    w = (Window.orderBy(F.col("quality_ppm").desc(), "source")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    alloc = (base
+             .withColumn("taken_before",
+                         F.coalesce(F.sum("want").over(w), F.lit(0)))
+             .withColumn("allocated", F.expr(
+                 "greatest(0, least(want, budget - taken_before))")))
+    return (alloc.select(
+        "source", "quality_ppm", "tokens", "cap", "allocated",
+        F.expr("allocated * 1000000 div budget").alias("budget_share_ppm"))
+        .orderBy(F.col("quality_ppm").desc(), "source"))
+
+
+register("corpus_mix_allocation", corpus_mix_allocation, f"""
+WITH toks AS (
+    SELECT source, UNNEST(string_split(lower(text), ' ')) AS t
+    FROM documents
+), per_src AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS tokens,
+           CAST(SUM(CASE WHEN t IN ('the','a','of','to','and')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS sw
+    FROM toks GROUP BY source
+), scored AS (
+    SELECT source, tokens, sw * 1000000 // tokens AS quality_ppm
+    FROM per_src
+), tot AS (SELECT SUM(tokens) AS n_total FROM scored),
+base AS (
+    SELECT source, tokens, quality_ppm,
+           n_total * {MIX_BUDGET_NUM} // {MIX_BUDGET_DEN} AS budget,
+           (n_total * {MIX_BUDGET_NUM} // {MIX_BUDGET_DEN})
+               // {MIX_CAP_DEN} AS cap,
+           LEAST(tokens, (n_total * {MIX_BUDGET_NUM} // {MIX_BUDGET_DEN})
+               // {MIX_CAP_DEN}) AS want
+    FROM scored CROSS JOIN tot
+), alloc AS (
+    SELECT *, COALESCE(SUM(want) OVER (
+               ORDER BY quality_ppm DESC, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS taken_before
+    FROM base
+)
+SELECT source, CAST(quality_ppm AS BIGINT) AS quality_ppm, tokens,
+       CAST(cap AS BIGINT) AS cap,
+       CAST(GREATEST(0, LEAST(want, budget - taken_before)) AS BIGINT)
+           AS allocated,
+       CAST(GREATEST(0, LEAST(want, budget - taken_before)) * 1000000
+            // budget AS BIGINT) AS budget_share_ppm
+FROM alloc ORDER BY quality_ppm DESC, source
+""", "capped-greedy pretraining mix allocation over source quality")

@@ -536,3 +536,94 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
           ORDER BY score_ppm DESC, phrase) AS rank FROM per)
 WHERE rank <= {RAKE_TOPK} ORDER BY source, rank
 """, "RAKE keyword extraction: top stopword-free phrases per source")
+
+
+# ------------------------------------------ Kneser-Ney bigram LM
+from .monitor_eval import _ha_sql as _kn_ha  # noqa: E402
+
+# D = 0.75 is exactly representable in binary, so the discount adds no
+# rounding asymmetry between engines.
+
+
+def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM over the corpus, scored per
+    source — the real next step after unigram_crossentropy_split's
+    add-one model: p(w2|w1) = (c12 - D)/c1 + (D * N1+(w1,.)/c1) *
+    (N1+(.,w2)/n_bigram_types), the continuation-count formulation
+    that fixes add-k's overestimate of frequent-but-unpromiscuous
+    words. Every count (bigram, left-context, both continuation
+    counts, type total) is an exact vocabulary-keyed integer; each
+    DISTINCT bigram's ln p quantizes to nano once and per-source
+    sums weight by exact occurrence counts. Shuffles key on the
+    bigram vocabulary, never the corpus."""
+    toks = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source",
+                    F.expr("split(lower(text), ' ')").alias("w")))
+    bi = toks.select(
+        "source",
+        F.explode(F.expr(
+            "transform(slice(w, 1, size(w) - 1),"
+            " (x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))"))
+        .alias("b")).select("source", "b.w1", "b.w2")
+    sbc = bi.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    c12 = sbc.groupBy("w1", "w2").agg(F.sum("cnt").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"),
+                               F.count(F.lit(1)).alias("n1f"))
+    n1b = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    nb = c12.agg(F.count(F.lit(1)).alias("nb"))
+    lp = _kn_ha(
+        "ln((cast(c12 as double) - 0.75D) / c1"
+        " + (0.75D * n1f / cast(c1 as double))"
+        " * (n1b / cast(nb as double))) * 1e9")
+    scored = (c12.join(c1, "w1").join(n1b, "w2")
+              .crossJoin(F.broadcast(nb))
+              .select("w1", "w2", F.expr(lp).alias("lp_nano")))
+    per_src = (sbc.join(scored, ["w1", "w2"])
+               .groupBy("source")
+               .agg(F.sum("cnt").alias("n_bigrams"),
+                    F.sum(F.col("lp_nano") * F.col("cnt"))
+                    .alias("lp_sum")))
+    return (per_src.select(
+        "source", "n_bigrams",
+        (F.round(-F.col("lp_sum") / (F.lit(1e9) * F.col("n_bigrams")), 6)
+         + 0.0).alias("kn_xent_nats"))
+        .orderBy("source"))
+
+
+register("text_bigram_kneser_ney", text_bigram_kneser_ney, f"""
+WITH toks AS (
+    SELECT doc_id, source, string_split(lower(text), ' ') AS w
+    FROM documents
+), bi AS (
+    SELECT source, w[i] AS w1, w[i + 1] AS w2
+    FROM toks, UNNEST(range(1, len(w))) AS u(i)
+), sbc AS (
+    SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM bi GROUP BY 1, 2, 3
+), c12t AS (
+    SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS c12
+    FROM sbc GROUP BY 1, 2
+), c1t AS (
+    SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+           CAST(COUNT(*) AS BIGINT) AS n1f
+    FROM c12t GROUP BY 1
+), n1bt AS (
+    SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM c12t GROUP BY 1
+), nbt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM c12t),
+scored AS (
+    SELECT w1, w2, {_kn_ha(
+        "ln((CAST(c12 AS DOUBLE) - CAST(0.75 AS DOUBLE)) / c1"
+        " + (CAST(0.75 AS DOUBLE) * n1f / CAST(c1 AS DOUBLE))"
+        " * (n1b / CAST(nb AS DOUBLE))) * 1e9")} AS lp_nano
+    FROM c12t JOIN c1t USING (w1) JOIN n1bt USING (w2) CROSS JOIN nbt
+), per_src AS (
+    SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+           CAST(SUM(lp_nano * cnt) AS BIGINT) AS lp_sum
+    FROM sbc JOIN scored USING (w1, w2)
+    GROUP BY source
+)
+SELECT source, n_bigrams,
+       ROUND(-lp_sum / (1e9 * n_bigrams), 6) + 0.0 AS kn_xent_nats
+FROM per_src ORDER BY source
+""", "interpolated Kneser-Ney bigram LM cross-entropy per source")

@@ -58,6 +58,9 @@ R9_CASES = [
     "events_tost_equivalence",     # integer suff stats, micro z
     "engine_tuning_advisor",       # integer byte estimates
     "multimodal_chunk_dedup",      # md5 block census
+    # wave 19: data-mix allocation & Kneser-Ney LM
+    "corpus_mix_allocation",       # integer greedy cumsum fill
+    "text_bigram_kneser_ney",      # nano-quantized KN, exact counts
 ]
 
 
