@@ -318,6 +318,9 @@ HEADLINE = [
     # round-9 wave 19: data-mix allocation & Kneser-Ney LM
     "corpus_mix_allocation",
     "text_bigram_kneser_ney",
+    # round-9 wave 20: Shapley attribution & Bass diffusion
+    "attribution_shapley",
+    "users_bass_diffusion",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

@@ -463,6 +463,9 @@ NEW_R9: list[str] = [
     # wave 19: data-mix allocation & Kneser-Ney LM
     # (curation.py, text_ir.py)
     "corpus_mix_allocation", "text_bigram_kneser_ney",
+    # wave 20: game-theoretic attribution & diffusion modeling
+    # (scoring_seq.py, forecast.py)
+    "attribution_shapley", "users_bass_diffusion",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

@@ -362,3 +362,136 @@ SELECT model, n_orig, err_sum,
            AS mase_ppm
 FROM scored CROSS JOIN den ORDER BY model
 """, "rolling-origin naive/seasonal-naive backtest: MAE + MASE ppm")
+
+
+# ---------------------------------------------- Bass diffusion fit
+from .stat_tests import (  # noqa: E402
+    _OLS_B0 as _BASS_B0, _OLS_B1 as _BASS_B1, _OLS_B2 as _BASS_B2,
+    _OLS_SSR as _BASS_SSR, _OLS_SST as _BASS_SST)
+
+
+def users_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Bass diffusion fit over user adoption: regress daily
+    new-adopter counts on (1, N(t-1), N(t-1)^2) by EXACT integer
+    normal equations (the lineitem_price_ols Cramer machinery — sums
+    accumulate DECIMAL(38)/HUGEINT because N^4 leaves int64 fast) and
+    report both the raw coefficients and the implied innovation /
+    imitation / market-size parameters (a = pM, b = q - p, c = -q/M,
+    so M is the positive root of cM^2 + bM + a). The fact table
+    reduces once to per-user first-activity day; everything after is
+    day-spine cardinality. Implied parameters are half-away-quantized
+    doubles over exact integer determinant ratios — deterministic
+    cross-engine; degenerate fits (c >= 0 or negative discriminant)
+    yield NULL implied columns on both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"ts_ns div {DAY_NS}").alias("d"))
+    first = ev.groupBy("user_id").agg(F.min("d").alias("fd"))
+    rng = ev.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    adopts = first.groupBy("fd").agg(F.count(F.lit(1)).alias("y"))
+    spine = (rng.select(F.explode(
+        F.expr("sequence(dmin, dmax)")).alias("d")))
+    daily = (spine.join(adopts, spine.d == adopts.fd, "left")
+             .select("d", F.coalesce("y", F.lit(0)).alias("y")))
+    w = Window.orderBy("d")
+    pts = (daily
+           .withColumn("cum", F.sum("y").over(w))
+           .withColumn("nprev", F.coalesce(
+               F.lag("cum").over(w), F.lit(0)))
+           .select(F.col("y").cast("decimal(38,0)").alias("yy"),
+                   F.col("nprev").cast("decimal(38,0)").alias("x1")))
+    suff = pts.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum(F.expr("x1 * x1")).alias("s2"),
+        F.sum(F.expr("x1 * x1")).alias("s11"),
+        F.sum(F.expr("x1 * x1 * x1")).alias("s12"),
+        F.sum(F.expr("x1 * x1 * x1 * x1")).alias("s22"),
+        F.sum("yy").alias("sy"),
+        F.sum(F.expr("x1 * yy")).alias("s1y"),
+        F.sum(F.expr("x1 * x1 * yy")).alias("s2y"),
+        F.sum(F.expr("yy * yy")).alias("syy"))
+    m_expr = (f"case when {_BASS_B2} < 0 and"
+              f" {_BASS_B1}*{_BASS_B1} - 4.0*{_BASS_B2}*{_BASS_B0} >= 0"
+              f" then (-{_BASS_B1} - sqrt({_BASS_B1}*{_BASS_B1}"
+              f" - 4.0*{_BASS_B2}*{_BASS_B0})) / (2.0*{_BASS_B2}) end")
+    ha = _sax_ha
+    det_ok = ("(n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)"
+              " + s2*(s1*s12 - s11*s2)) != 0")
+
+    def _g(expr):
+        return f"case when {det_ok} then {expr} end"
+
+    return (suff.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(_g(ha(f"{_BASS_B0} * 1e3"))).alias("a_milli"),
+        F.expr(_g(ha(f"{_BASS_B1} * 1e6"))).alias("b_micro"),
+        F.expr(_g(ha(f"{_BASS_B2} * 1e9"))).alias("c_nano"),
+        F.expr(_g(f"case when ({m_expr}) is not null then"
+                  f" {ha(f'({m_expr})')} end")).alias("m_hat"),
+        F.expr(_g(f"case when ({m_expr}) is not null and ({m_expr}) > 0"
+                  f" then {ha(f'{_BASS_B0} / ({m_expr}) * 1e6')} end"))
+        .alias("p_micro"),
+        F.expr(_g(f"case when ({m_expr}) is not null then"
+                  f" {ha(f'-{_BASS_B2} * ({m_expr}) * 1e6')} end"))
+        .alias("q_micro"),
+        F.expr(_g(f"round({_BASS_SSR} / {_BASS_SST}, 6) + 0.0"))
+        .alias("r2")))
+
+
+def _bass_oracle() -> str:
+    det_ok = ("(n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)"
+              " + s2*(s1*s12 - s11*s2)) != 0")
+    m_expr = (f"CASE WHEN {_BASS_B2} < 0 AND"
+              f" {_BASS_B1}*{_BASS_B1} - 4.0*{_BASS_B2}*{_BASS_B0} >= 0"
+              f" THEN (-{_BASS_B1} - sqrt({_BASS_B1}*{_BASS_B1}"
+              f" - 4.0*{_BASS_B2}*{_BASS_B0})) / (2.0*{_BASS_B2}) END")
+    ha = _sax_ha
+    return f"""
+WITH ev AS (
+    SELECT user_id,
+           CAST(epoch_us(ts) AS BIGINT) * 1000 // {DAY_NS} AS d
+    FROM events
+), first_d AS (
+    SELECT user_id, MIN(d) AS fd FROM ev GROUP BY user_id
+), rng AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM ev),
+spine AS (
+    SELECT UNNEST(range(dmin, dmax + 1)) AS d FROM rng
+), adopts AS (
+    SELECT fd, CAST(COUNT(*) AS BIGINT) AS y FROM first_d GROUP BY fd
+), daily AS (
+    SELECT s.d, COALESCE(a.y, 0) AS y
+    FROM spine s LEFT JOIN adopts a ON s.d = a.fd
+), pts AS (
+    SELECT CAST(y AS HUGEINT) AS yy,
+           CAST(COALESCE(SUM(y) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS HUGEINT) AS x1
+    FROM daily
+), suff AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+           SUM(x1) AS s1, SUM(x1*x1) AS s2,
+           SUM(x1*x1) AS s11, SUM(x1*x1*x1) AS s12,
+           SUM(x1*x1*x1*x1) AS s22,
+           SUM(yy) AS sy, SUM(x1*yy) AS s1y, SUM(x1*x1*yy) AS s2y,
+           SUM(yy*yy) AS syy
+    FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CASE WHEN {det_ok} THEN {ha(f"{_BASS_B0} * 1e3")} END AS a_milli,
+       CASE WHEN {det_ok} THEN {ha(f"{_BASS_B1} * 1e6")} END AS b_micro,
+       CASE WHEN {det_ok} THEN {ha(f"{_BASS_B2} * 1e9")} END AS c_nano,
+       CASE WHEN {det_ok} AND ({m_expr}) IS NOT NULL THEN
+            {ha(f"({m_expr})")} END AS m_hat,
+       CASE WHEN {det_ok} AND ({m_expr}) IS NOT NULL
+            AND ({m_expr}) > 0 THEN
+            {ha(f"{_BASS_B0} / ({m_expr}) * 1e6")} END AS p_micro,
+       CASE WHEN {det_ok} AND ({m_expr}) IS NOT NULL THEN
+            {ha(f"-{_BASS_B2} * ({m_expr}) * 1e6")} END AS q_micro,
+       CASE WHEN {det_ok}
+            THEN ROUND({_BASS_SSR} / {_BASS_SST}, 6) + 0.0 END AS r2
+FROM suff
+"""
+
+
+register("users_bass_diffusion", users_bass_diffusion, _bass_oracle(),
+         "discrete Bass diffusion fit via exact integer normal equations")

@@ -487,3 +487,120 @@ SELECT n_planted, n_zero_pairs, n_hit,
        n_hit * 1000000 // n_planted AS recall_ppm
 FROM hits CROSS JOIN totals
 """, "SNM window recall vs planted exact-duplicate ground truth")
+
+
+# ---------------------------------------------- Shapley attribution
+SHAP_CHANNELS = ("click", "error", "signup", "view")  # bit order
+SHAP_N = len(SHAP_CHANNELS)
+# s!(n-1-s)! in units of 1/n! = 1/24 for n = 4
+SHAP_W24 = {0: 6, 1: 2, 2: 2, 3: 6}
+
+
+def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value channel attribution: the characteristic
+    function v(S) counts converted users whose touched-channel set is
+    a SUBSET of S (the standard coalition game for marketing
+    attribution), and each channel's value is the exact Shapley sum
+    over all 2^{SHAP_N} coalitions with factorial weights kept in
+    integer 1/24ths — the axiomatically fair split that position-based
+    and last-touch rules approximate. Scale shape: the fact table
+    reduces once to per-user (mask, converted); everything after runs
+    on the 16-row mask table and a 32-row literal coalition frame —
+    pure model-size joins. Efficiency axiom (sum phi = v(N) - v(empty))
+    is pinned by the wave test."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    bits = " + ".join(
+        f"(cast(max(case when event_type = '{ch}' then 1 else 0 end)"
+        f" as int) * {1 << i})"
+        for i, ch in enumerate(SHAP_CHANNELS))
+    users = ev.groupBy("user_id").agg(
+        F.expr(bits).alias("mask"),
+        F.max(F.expr("cast(event_type = 'purchase' as int)"))
+        .alias("converted"))
+    conv = (users.filter(F.col("converted") == 1)
+            .groupBy("mask").agg(F.count(F.lit(1)).alias("c")))
+    # v(S) = sum over T subset of S of conv(T): 16x16 model-size join
+    smasks = spark.range(1 << SHAP_N).select(
+        F.col("id").cast("int").alias("s_mask"))
+    # v is 16 rows but read three times (two coalition joins + the
+    # gain row) — cache it or each use re-runs the fact scan
+    v = (F.broadcast(smasks)
+         .join(conv, F.expr("(mask & ~s_mask) = 0"), "left")
+         .groupBy("s_mask")
+         .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("v"))).cache()
+    rows = []
+    for i, ch in enumerate(SHAP_CHANNELS):
+        for s in range(1 << SHAP_N):
+            if not (s >> i) & 1:
+                rows.append((ch, s, s | (1 << i),
+                             SHAP_W24[bin(s).count("1")]))
+    coal = spark.createDataFrame(
+        rows, "channel string, s_mask int, si_mask int, w24 int")
+    vs = v.select(F.col("s_mask").alias("m"), F.col("v").alias("vv"))
+    phi = (coal
+           .join(F.broadcast(vs), F.col("s_mask") == F.col("m"))
+           .drop("m").withColumnRenamed("vv", "v_s")
+           .join(F.broadcast(vs), F.col("si_mask") == F.col("m"))
+           .drop("m").withColumnRenamed("vv", "v_si")
+           .groupBy("channel")
+           .agg(F.sum(F.expr("w24 * (v_si - v_s)")).alias("phi_x24")))
+    gain = v.agg(
+        (F.max(F.when(F.col("s_mask") == (1 << SHAP_N) - 1, F.col("v")))
+         - F.max(F.when(F.col("s_mask") == 0, F.col("v"))))
+        .alias("total_gain"))
+    return (phi.crossJoin(F.broadcast(gain))
+            .select("channel", "phi_x24",
+                    F.expr("case when total_gain > 0 then"
+                           " phi_x24 * 1000000 div (24 * total_gain)"
+                           " end").alias("share_ppm"))
+            .orderBy("channel"))
+
+
+def _shapley_oracle() -> str:
+    bits = " + ".join(
+        f"(MAX(CASE WHEN event_type = '{ch}' THEN 1 ELSE 0 END)"
+        f" * {1 << i})"
+        for i, ch in enumerate(SHAP_CHANNELS))
+    coal_rows = ", ".join(
+        f"('{ch}', {s}, {s | (1 << i)}, {SHAP_W24[bin(s).count('1')]})"
+        for i, ch in enumerate(SHAP_CHANNELS)
+        for s in range(1 << SHAP_N) if not (s >> i) & 1)
+    return f"""
+WITH users AS (
+    SELECT user_id, {bits} AS mask,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+    FROM events GROUP BY user_id
+), conv AS (
+    SELECT mask, CAST(COUNT(*) AS BIGINT) AS c
+    FROM users WHERE converted = 1 GROUP BY mask
+), smasks AS (
+    SELECT CAST(UNNEST(range(0, {1 << SHAP_N})) AS INT) AS s_mask
+), v AS (
+    SELECT s_mask, CAST(COALESCE(SUM(c), 0) AS BIGINT) AS v
+    FROM smasks LEFT JOIN conv ON (mask & ~s_mask) = 0
+    GROUP BY s_mask
+), coal(channel, s_mask, si_mask, w24) AS (
+    VALUES {coal_rows}
+), phi AS (
+    SELECT channel,
+           CAST(SUM(w24 * (vsi.v - vs.v)) AS BIGINT) AS phi_x24
+    FROM coal
+    JOIN v vs ON vs.s_mask = coal.s_mask
+    JOIN v vsi ON vsi.s_mask = coal.si_mask
+    GROUP BY channel
+), gain AS (
+    SELECT MAX(CASE WHEN s_mask = {(1 << SHAP_N) - 1} THEN v END)
+           - MAX(CASE WHEN s_mask = 0 THEN v END) AS total_gain
+    FROM v
+)
+SELECT channel, phi_x24,
+       CAST(CASE WHEN total_gain > 0 THEN
+            phi_x24 * 1000000 // (24 * total_gain) END AS BIGINT)
+           AS share_ppm
+FROM phi CROSS JOIN gain ORDER BY channel
+"""
+
+
+register("attribution_shapley", attribution_shapley, _shapley_oracle(),
+         "exact Shapley-value channel attribution (integer 1/24 units)")

@@ -68,6 +68,8 @@ _BNLJ_BOUNDED = {
     # vec_id < N_QUERIES predicate side, bounded at any corpus size
     "emb_matryoshka_audit": re.compile(rf"vec_id#\d+L? < {N_QUERIES}"),
     "emb_binary_sign_audit": re.compile(rf"vec_id#\d+L? < {N_QUERIES}"),
+    # the 16-row literal coalition-mask Range (bounded by construction)
+    "attribution_shapley": re.compile(r"Range \(0, 16"),
 }
 
 

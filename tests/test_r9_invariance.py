@@ -61,6 +61,9 @@ R9_CASES = [
     # wave 19: data-mix allocation & Kneser-Ney LM
     "corpus_mix_allocation",       # integer greedy cumsum fill
     "text_bigram_kneser_ney",      # nano-quantized KN, exact counts
+    # wave 20: game-theoretic attribution & diffusion modeling
+    "attribution_shapley",         # integer 1/24-unit coalition sums
+    "users_bass_diffusion",        # DECIMAL(38) Cramer, ha-quantized
 ]
 
 
