@@ -321,6 +321,9 @@ HEADLINE = [
     # round-9 wave 20: Shapley attribution & Bass diffusion
     "attribution_shapley",
     "users_bass_diffusion",
+    # round-9 wave 21: stylometry & causal inference
+    "text_burrows_delta",
+    "orders_diff_in_diff",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

@@ -466,6 +466,9 @@ NEW_R9: list[str] = [
     # wave 20: game-theoretic attribution & diffusion modeling
     # (scoring_seq.py, forecast.py)
     "attribution_shapley", "users_bass_diffusion",
+    # wave 21: stylometry & causal inference
+    # (text_ir.py, experiment.py)
+    "text_burrows_delta", "orders_diff_in_diff",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

@@ -484,3 +484,109 @@ SELECT source, n_docs, sx AS total_tokens,
        {NEYMAN_BUDGET} * w_centi // w_tot AS alloc_docs
 FROM wc CROSS JOIN tot ORDER BY source
 """, "Neyman-optimal audit-budget allocation across sources")
+
+
+# --------------------------------------- difference-in-differences
+from .monitor_eval import _ha_sql as _did_ha  # noqa: E402
+
+DID_ZCRIT_MICRO = 1_959_964  # two-sided z at alpha = 0.05, micro
+
+
+def orders_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator — the workhorse causal
+    design for before/after x treated/control panels: treated =
+    urgent/high-priority orders, the period split is the date-range
+    midpoint, outcome is order value in exact integer cents. The
+    estimate is (T_post - T_pre) - (C_post - C_pre) on cell means,
+    its large-sample SE is sqrt(sum var_g/n_g) over the four cells,
+    and the z decision compares a micro-quantized statistic against a
+    pre-quantized critical constant. One scan reduces the fact table
+    to four cells of exact (n, sum, sum-of-squares); everything after
+    is constant-size arithmetic."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("cast(o_orderpriority in ('1-URGENT', '2-HIGH') as int)")
+        .alias("treated"),
+        F.expr("cast(unix_micros(cast(o_orderdate as timestamp))"
+               " as bigint)").alias("us"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    rng = o.agg(F.expr("(min(us) + max(us)) div 2").alias("mid"))
+    cells = (o.crossJoin(F.broadcast(rng))
+             .withColumn("post", F.expr("cast(us > mid as int)"))
+             .groupBy("treated", "post")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("cents").alias("s"),
+                  F.sum(F.expr("cents * cents")).alias("q")))
+    picks = []
+    for t in (0, 1):
+        for p in (0, 1):
+            for col in ("n", "s", "q"):
+                picks.append(F.max(F.when(
+                    (F.col("treated") == t) & (F.col("post") == p),
+                    F.col(col))).alias(f"{col}{t}{p}"))
+    wide = cells.agg(*picks)
+    mean = {f"{t}{p}": f"(cast(s{t}{p} as double) / n{t}{p})"
+            for t in (0, 1) for p in (0, 1)}
+    var_over_n = " + ".join(
+        f"((cast(n{t}{p} as double) * q{t}{p}"
+        f" - cast(s{t}{p} as double) * s{t}{p})"
+        f" / (cast(n{t}{p} as double) * (n{t}{p} - 1.0) * n{t}{p}))"
+        for t in (0, 1) for p in (0, 1))
+    did = (f"(({mean['11']} - {mean['10']})"
+           f" - ({mean['01']} - {mean['00']}))")
+    z = f"({did}) / sqrt({var_over_n}) * 1e6"
+    return (wide.select(
+        *[F.col(f"n{t}{p}") for t in (0, 1) for p in (0, 1)],
+        F.expr(_did_ha(f"{did} * 10")).alias("did_milli_cents"),
+        F.expr(_did_ha(f"sqrt({var_over_n}) * 10"))
+        .alias("se_milli_cents"),
+        F.expr(_did_ha(z)).alias("z_micro"),
+        F.expr(f"cast(abs({_did_ha(z)}) > {DID_ZCRIT_MICRO} as int)")
+        .alias("significant")))
+
+
+def _did_oracle() -> str:
+    mean = {f"{t}{p}": f"(CAST(s{t}{p} AS DOUBLE) / n{t}{p})"
+            for t in (0, 1) for p in (0, 1)}
+    var_over_n = " + ".join(
+        f"((CAST(n{t}{p} AS DOUBLE) * q{t}{p}"
+        f" - CAST(s{t}{p} AS DOUBLE) * s{t}{p})"
+        f" / (CAST(n{t}{p} AS DOUBLE) * (n{t}{p} - 1.0) * n{t}{p}))"
+        for t in (0, 1) for p in (0, 1))
+    did = (f"(({mean['11']} - {mean['10']})"
+           f" - ({mean['01']} - {mean['00']}))")
+    z = f"({did}) / sqrt({var_over_n}) * 1e6"
+    picks = ", ".join(
+        f"CAST(MAX(CASE WHEN treated = {t} AND post = {p}"
+        f" THEN {col} END) AS BIGINT) AS {col}{t}{p}"
+        for t in (0, 1) for p in (0, 1) for col in ("n", "s", "q"))
+    ncols = ", ".join(f"n{t}{p}" for t in (0, 1) for p in (0, 1))
+    return f"""
+WITH o AS (
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END AS treated,
+           CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
+               AS us,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), rng AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM o),
+cells AS (
+    SELECT treated, CASE WHEN us > mid THEN 1 ELSE 0 END AS post,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS s,
+           CAST(SUM(cents * cents) AS BIGINT) AS q
+    FROM o CROSS JOIN rng GROUP BY 1, 2
+), wide AS (
+    SELECT {picks} FROM cells
+)
+SELECT {ncols},
+       {_did_ha(f"{did} * 10")} AS did_milli_cents,
+       {_did_ha(f"sqrt({var_over_n}) * 10")} AS se_milli_cents,
+       {_did_ha(z)} AS z_micro,
+       CAST(CASE WHEN ABS({_did_ha(z)}) > {DID_ZCRIT_MICRO}
+            THEN 1 ELSE 0 END AS INT) AS significant
+FROM wide
+"""
+
+
+register("orders_diff_in_diff", orders_diff_in_diff, _did_oracle(),
+         "difference-in-differences on priority/period order values")

@@ -627,3 +627,111 @@ SELECT source, n_bigrams,
        ROUND(-lp_sum / (1e9 * n_bigrams), 6) + 0.0 AS kn_xent_nats
 FROM per_src ORDER BY source
 """, "interpolated Kneser-Ney bigram LM cross-entropy per source")
+
+
+# ------------------------------------------- Burrows' Delta stylometry
+BD_PANEL = 50   # most-frequent-word panel
+BD_TOPK = 5     # closest source pairs reported
+
+
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta authorship/stylometry distance between sources:
+    relative frequencies of the corpus's top-{BD_PANEL} words,
+    z-scored ACROSS sources per word, Delta(a, b) = mean |z_a - z_b|
+    over the panel; the {BD_TOPK} closest pairs are the
+    style-duplicate candidates (same generator/template feeding two
+    feeds — the provenance cousin of content near-dup). Exactness:
+    relative frequencies are ppb integers, per-word mean/sd come from
+    the SOURCE-cardinality spine (variance via n*Σx²-(Σx)² exact
+    ints), each z quantizes to micro with shared half-away rounding,
+    and Delta is an exact integer mean of |Δz|. Pairs are
+    (sources²x panel) — model-size; the corpus is touched once."""
+    toks = (load_table(spark, sf_dir, "documents")
+            .select("source",
+                    F.explode(F.expr("split(lower(text), ' ')")).alias("t")))
+    src_tot = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_tok"))
+    panel = (toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.col("c").desc(), "t").limit(BD_PANEL)
+             .select("t"))
+    stc = (toks.join(F.broadcast(panel), "t")
+           .groupBy("source", "t").agg(F.count(F.lit(1)).alias("c")))
+    # dense (source x panel) spine so absent words count as freq 0
+    spine = (src_tot.crossJoin(F.broadcast(panel))
+             .join(stc, ["source", "t"], "left")
+             .select("source", "t", "n_tok",
+                     F.coalesce("c", F.lit(0)).alias("c"))
+             .withColumn("f_ppb", F.expr("c * 1000000000 div n_tok")))
+    wstats = spine.groupBy("t").agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.sum("f_ppb").alias("s"),
+        F.sum(F.expr("f_ppb * f_ppb")).alias("ss"))
+    z = _kn_ha(
+        "case when ns * ss - s * s <= 0 then 0.0 else"
+        " (f_ppb * ns - s)"
+        " / (cast(ns as double)"
+        " * sqrt((ns * ss - s * s) / (ns * (ns - 1.0)))) * 1e6 end")
+    zs = (spine.join(F.broadcast(wstats), "t")
+          .select("source", "t", F.expr(z).alias("z_micro")))
+    a, b = zs.alias("a"), zs.alias("b")
+    delta = (a.join(b, (F.col("a.t") == F.col("b.t"))
+                    & (F.col("a.source") < F.col("b.source")))
+             .groupBy(F.col("a.source").alias("src_a"),
+                      F.col("b.source").alias("src_b"))
+             .agg(F.count(F.lit(1)).alias("n_words"),
+                  F.sum(F.expr("abs(a.z_micro - b.z_micro)"))
+                  .alias("abs_sum"))
+             .withColumn("delta_micro",
+                         F.expr("abs_sum div n_words")))
+    w = Window.orderBy("delta_micro", "src_a", "src_b")
+    return (delta.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= BD_TOPK)
+            .select("rank", "src_a", "src_b", "n_words", "delta_micro")
+            .orderBy("rank"))
+
+
+register("text_burrows_delta", text_burrows_delta, f"""
+WITH toks AS (
+    SELECT source, UNNEST(string_split(lower(text), ' ')) AS t
+    FROM documents
+), src_tot AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok
+    FROM toks GROUP BY source
+), panel AS (
+    SELECT t FROM (SELECT t, COUNT(*) AS c FROM toks GROUP BY t
+                   ORDER BY c DESC, t LIMIT {BD_PANEL})
+), stc AS (
+    SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks JOIN panel USING (t) GROUP BY 1, 2
+), spine AS (
+    SELECT s.source, p.t, s.n_tok,
+           COALESCE(stc.c, 0) * 1000000000 // s.n_tok AS f_ppb
+    FROM src_tot s CROSS JOIN panel p
+    LEFT JOIN stc ON stc.source = s.source AND stc.t = p.t
+), wstats AS (
+    SELECT t, CAST(COUNT(*) AS BIGINT) AS ns,
+           CAST(SUM(f_ppb) AS BIGINT) AS s,
+           CAST(SUM(f_ppb * f_ppb) AS BIGINT) AS ss
+    FROM spine GROUP BY t
+), zs AS (
+    SELECT source, spine.t, {_kn_ha(
+        "CASE WHEN ns * ss - s * s <= 0 THEN 0.0 ELSE"
+        " (f_ppb * ns - s)"
+        " / (CAST(ns AS DOUBLE)"
+        " * sqrt((ns * ss - s * s) / (ns * (ns - 1.0)))) * 1e6 END"
+    )} AS z_micro
+    FROM spine JOIN wstats ON spine.t = wstats.t
+), delta AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(ABS(a.z_micro - b.z_micro)) AS BIGINT) AS abs_sum
+    FROM zs a JOIN zs b ON a.t = b.t AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT CAST(rank AS INT) AS rank, src_a, src_b, n_words,
+       CAST(abs_sum // n_words AS BIGINT) AS delta_micro
+FROM (SELECT *, abs_sum // n_words AS delta_micro,
+             ROW_NUMBER() OVER (ORDER BY abs_sum // n_words,
+                                src_a, src_b) AS rank
+      FROM delta)
+WHERE rank <= {BD_TOPK} ORDER BY rank
+""", "Burrows' Delta stylometry: closest source pairs by z-score gap")

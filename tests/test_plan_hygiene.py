@@ -70,6 +70,8 @@ _BNLJ_BOUNDED = {
     "emb_binary_sign_audit": re.compile(rf"vec_id#\d+L? < {N_QUERIES}"),
     # the 16-row literal coalition-mask Range (bounded by construction)
     "attribution_shapley": re.compile(r"Range \(0, 16"),
+    # the top-50 word panel: a TakeOrdered limit IS the bound
+    "text_burrows_delta": re.compile(r"TakeOrderedAndProject\(limit=50"),
 }
 
 

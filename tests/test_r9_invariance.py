@@ -64,6 +64,9 @@ R9_CASES = [
     # wave 20: game-theoretic attribution & diffusion modeling
     "attribution_shapley",         # integer 1/24-unit coalition sums
     "users_bass_diffusion",        # DECIMAL(38) Cramer, ha-quantized
+    # wave 21: stylometry & causal inference
+    "text_burrows_delta",          # ppb freqs, micro z, integer delta
+    "orders_diff_in_diff",         # four exact cells, micro z
 ]
 
 
