@@ -324,6 +324,10 @@ HEADLINE = [
     # round-9 wave 21: stylometry & causal inference
     "text_burrows_delta",
     "orders_diff_in_diff",
+    # round-9 wave 22: causality, queueing, multimodal runs
+    "events_granger_causality",
+    "orders_littles_law",
+    "multimodal_vad_segments",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

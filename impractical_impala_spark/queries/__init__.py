@@ -469,6 +469,10 @@ NEW_R9: list[str] = [
     # wave 21: stylometry & causal inference
     # (text_ir.py, experiment.py)
     "text_burrows_delta", "orders_diff_in_diff",
+    # wave 22: econometric causality, queueing, multimodal runs
+    # (spectral_info.py, warehouse_extras.py, multimodal.py)
+    "events_granger_causality", "orders_littles_law",
+    "multimodal_vad_segments",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

@@ -4,7 +4,7 @@ char and byte counts coincide)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..multimodal.blobs import documents_as_blobs, extract_features
@@ -252,3 +252,104 @@ SELECT source,
             AS BIGINT) AS dedup_ppm
 FROM chunks GROUP BY source ORDER BY source
 """, "fixed-block chunk-dedup census over blob payloads (md5 blocks)")
+
+
+# ---------------------------------------------- fake-audio VAD runs
+VAD_THRESH = 110  # byte-energy threshold ('n' — splits ASCII text)
+
+
+def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-detection plumbing over the fake-audio payloads:
+    treat each byte as an energy sample, threshold at VAD_THRESH, and
+    extract the per-blob voiced segmentation — segment count, longest
+    run, voiced fraction — with the reference run-length mechanics
+    (lag + cumsum run ids) applied INSIDE blobs. Per-source
+    aggregates keep the output model-size; byte explode happens once
+    and the per-blob window is blob-local (no cross-blob state). The
+    real VAD kernel would swap the threshold for a codec energy — the
+    Spark-side shape (explode, blob-keyed windows, reduce) is what is
+    being pinned."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("text").alias("payload"))
+    bytes_ = docs.select(
+        "doc_id", "source",
+        F.posexplode(F.expr(
+            "transform(sequence(1, length(payload)),"
+            " i -> ascii(substring(payload, i, 1)))")).alias("pos", "v"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (bytes_
+            .withColumn("voiced", F.expr(
+                f"cast(v >= {VAD_THRESH} as int)"))
+            .withColumn("prev", F.lag("voiced").over(w))
+            .withColumn("start", F.expr(
+                "cast(voiced = 1 and (prev is null or prev = 0) as int)"))
+            .withColumn("run_id", F.sum("start").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    per_run = (runs.filter(F.col("voiced") == 1)
+               .groupBy("doc_id", "source", "run_id")
+               .agg(F.count(F.lit(1)).alias("run_len")))
+    per_blob = (runs.groupBy("doc_id", "source")
+                .agg(F.count(F.lit(1)).alias("n_bytes"),
+                     F.sum("voiced").alias("n_voiced"))
+                .join(per_run.groupBy("doc_id")
+                      .agg(F.count(F.lit(1)).alias("n_segments"),
+                           F.max("run_len").alias("max_run")),
+                      "doc_id", "left")
+                .select("source", "n_bytes", "n_voiced",
+                        F.coalesce("n_segments", F.lit(0))
+                        .alias("n_segments"),
+                        F.coalesce("max_run", F.lit(0)).alias("max_run")))
+    return (per_blob.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_blobs"),
+                 F.sum("n_voiced").alias("voiced_bytes"),
+                 F.sum("n_bytes").alias("total_bytes"),
+                 F.sum("n_segments").alias("n_segments"),
+                 F.max("max_run").alias("max_run"))
+            .withColumn("voiced_ppm", F.expr(
+                "voiced_bytes * 1000000 div total_bytes"))
+            .select("source", "n_blobs", "n_segments", "max_run",
+                    "voiced_ppm")
+            .orderBy("source"))
+
+
+register("multimodal_vad_segments", multimodal_vad_segments, f"""
+WITH bytes_ AS (
+    SELECT doc_id, source, u.i AS pos,
+           ascii(substr(text, CAST(u.i AS INT), 1)) AS v
+    FROM documents, UNNEST(range(1, length(text) + 1)) AS u(i)
+), marked AS (
+    SELECT doc_id, source, pos,
+           CASE WHEN v >= {VAD_THRESH} THEN 1 ELSE 0 END AS voiced
+    FROM bytes_
+), started AS (
+    SELECT *, CASE WHEN voiced = 1 AND COALESCE(LAG(voiced)
+                   OVER (PARTITION BY doc_id ORDER BY pos), 0) = 0
+              THEN 1 ELSE 0 END AS start
+    FROM marked
+), runs AS (
+    SELECT doc_id, source, voiced,
+           SUM(start) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+    FROM started
+), per_run AS (
+    SELECT doc_id, source, run_id, COUNT(*) AS run_len
+    FROM runs WHERE voiced = 1 GROUP BY 1, 2, 3
+), per_blob AS (
+    SELECT r.doc_id, r.source,
+           COUNT(*) AS n_bytes, SUM(r.voiced) AS n_voiced,
+           COALESCE(MAX(pr.n_segments), 0) AS n_segments,
+           COALESCE(MAX(pr.max_run), 0) AS max_run
+    FROM runs r
+    LEFT JOIN (SELECT doc_id, COUNT(*) AS n_segments,
+                      MAX(run_len) AS max_run
+               FROM per_run GROUP BY doc_id) pr
+      ON r.doc_id = pr.doc_id
+    GROUP BY 1, 2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_blobs,
+       CAST(SUM(n_segments) AS BIGINT) AS n_segments,
+       CAST(MAX(max_run) AS BIGINT) AS max_run,
+       CAST(SUM(n_voiced) * 1000000 // SUM(n_bytes) AS BIGINT)
+           AS voiced_ppm
+FROM per_blob GROUP BY source ORDER BY source
+""", "fake-audio VAD run extraction per blob, per-source census")

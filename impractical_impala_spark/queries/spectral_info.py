@@ -509,3 +509,144 @@ FROM obs JOIN fold_t USING (fold) JOIN src_t USING (source)
 CROSS JOIN n_tot
 GROUP BY fold ORDER BY fold
 """, "hash 5-fold split balance audit (chi-square vs source marginals)")
+
+
+# ---------------------------------------------- Granger causality
+from .monitor_eval import _ha_sql as _gc_ha  # noqa: E402
+from .stat_tests import (  # noqa: E402
+    _OLS_B0 as _GC_B0, _OLS_B1 as _GC_B1, _OLS_B2 as _GC_B2)
+
+# the Cramer beta strings are engine-agnostic SQL (used verbatim in
+# both the Spark plan and the DuckDB oracle, like lineitem_price_ols)
+_GC_B0_SQL, _GC_B1_SQL, _GC_B2_SQL = _GC_B0, _GC_B1, _GC_B2
+
+GC_PAIRS = (("click", "purchase"), ("purchase", "click"))
+GC_F_CRIT_MICRO = 3_841_459  # F(1, inf) at alpha = 0.05, micro
+
+
+def events_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality between the click and purchase daily-count
+    series, both directions: does yesterday's X improve today's Y
+    prediction beyond yesterday's Y? The unrestricted OLS
+    (1, y_lag, x_lag) and restricted (1, y_lag) fits both come from
+    EXACT integer sufficient sums over the zero-filled day spine
+    (normal equations in closed form — no iterative fitting), the
+    F statistic F = (RSS_r - RSS_u) * (n - 3) / RSS_u quantizes to
+    micro with shared half-away rounding, and the verdict compares
+    against the pre-quantized F(1, inf) critical value. The fact
+    table reduces once to (day, type) counts; everything after is
+    day-spine cardinality."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts_ns div 86400000000000").alias("d"))
+    cnt = (ev.filter(F.col("event_type").isin(
+        *{t for pair in GC_PAIRS for t in pair}))
+        .groupBy("d", "event_type").agg(F.count(F.lit(1)).alias("c")))
+    rng = ev.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    spine = rng.select(F.explode(F.expr("sequence(dmin, dmax)")).alias("d"))
+    out = None
+    for x_t, y_t in GC_PAIRS:
+        wide = (spine
+                .join(cnt.filter(F.col("event_type") == x_t)
+                      .select("d", F.col("c").alias("xc")), "d", "left")
+                .join(cnt.filter(F.col("event_type") == y_t)
+                      .select("d", F.col("c").alias("yc")), "d", "left")
+                .select("d", F.coalesce("xc", F.lit(0)).alias("xc"),
+                        F.coalesce("yc", F.lit(0)).alias("yc")))
+        w = Window.orderBy("d")
+        pts = (wide
+               .withColumn("x1", F.lag("yc").over(w))
+               .withColumn("x2", F.lag("xc").over(w))
+               .filter(F.col("x1").isNotNull())
+               .select(F.col("yc").alias("y"), "x1", "x2"))
+        suff = pts.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
+            F.sum(F.expr("x1 * x1")).alias("s11"),
+            F.sum(F.expr("x1 * x2")).alias("s12"),
+            F.sum(F.expr("x2 * x2")).alias("s22"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("x1 * y")).alias("s1y"),
+            F.sum(F.expr("x2 * y")).alias("s2y"),
+            F.sum(F.expr("y * y")).alias("syy"))
+        sst = ("(cast(syy as double)"
+               " - cast(sy as double)*cast(sy as double)/n)")
+        ess_u = (f"({_GC_B0}*cast(sy as double)"
+                 f" + {_GC_B1}*cast(s1y as double)"
+                 f" + {_GC_B2}*cast(s2y as double)"
+                 " - cast(sy as double)*cast(sy as double)/n)")
+        ess_r = ("((cast(n as double)*s1y - cast(s1 as double)*sy)"
+                 " * (cast(n as double)*s1y - cast(s1 as double)*sy)"
+                 " / (cast(n as double)"
+                 " * (cast(n as double)*s11"
+                 " - cast(s1 as double)*s1)))")
+        f_stat = (f"((({ess_u}) - ({ess_r})) * (n - 3.0))"
+                  f" / (({sst}) - ({ess_u}))")
+        part = (suff.select(
+            F.lit(f"{x_t}->{y_t}").alias("direction"),
+            F.col("n").cast("long").alias("n_days"),
+            F.expr(_gc_ha(f"{f_stat} * 1e6")).alias("f_micro"))
+            .withColumn("causal", F.expr(
+                f"cast(f_micro > {GC_F_CRIT_MICRO} as int)")))
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("direction")
+
+
+def _gc_oracle() -> str:
+    sst = ("(CAST(syy AS DOUBLE)"
+           " - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n)")
+    ess_u = (f"({_GC_B0_SQL}*CAST(sy AS DOUBLE)"
+             f" + {_GC_B1_SQL}*CAST(s1y AS DOUBLE)"
+             f" + {_GC_B2_SQL}*CAST(s2y AS DOUBLE)"
+             " - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n)")
+    ess_r = ("((CAST(n AS DOUBLE)*s1y - CAST(s1 AS DOUBLE)*sy)"
+             " * (CAST(n AS DOUBLE)*s1y - CAST(s1 AS DOUBLE)*sy)"
+             " / (CAST(n AS DOUBLE)"
+             " * (CAST(n AS DOUBLE)*s11 - CAST(s1 AS DOUBLE)*s1)))")
+    f_stat = (f"((({ess_u}) - ({ess_r})) * (n - 3.0))"
+              f" / (({sst}) - ({ess_u}))")
+    parts = []
+    for x_t, y_t in GC_PAIRS:
+        parts.append(f"""
+SELECT '{x_t}->{y_t}' AS direction,
+       CAST(n AS BIGINT) AS n_days,
+       {_gc_ha(f"{f_stat} * 1e6")} AS f_micro,
+       CAST(CASE WHEN {_gc_ha(f"{f_stat} * 1e6")} > {GC_F_CRIT_MICRO}
+            THEN 1 ELSE 0 END AS INT) AS causal
+FROM (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+           CAST(SUM(x1*x1) AS BIGINT) AS s11,
+           CAST(SUM(x1*x2) AS BIGINT) AS s12,
+           CAST(SUM(x2*x2) AS BIGINT) AS s22,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x1*y) AS BIGINT) AS s1y,
+           CAST(SUM(x2*y) AS BIGINT) AS s2y,
+           CAST(SUM(y*y) AS BIGINT) AS syy
+    FROM (
+        SELECT yc AS y,
+               LAG(yc) OVER (ORDER BY d) AS x1,
+               LAG(xc) OVER (ORDER BY d) AS x2
+        FROM (
+            SELECT s.d,
+                   COALESCE(x.c, 0) AS xc, COALESCE(y.c, 0) AS yc
+            FROM (SELECT UNNEST(range(dmin, dmax + 1)) AS d
+                  FROM (SELECT MIN(CAST(epoch_us(ts) AS BIGINT) * 1000
+                                   // 86400000000000) AS dmin,
+                               MAX(CAST(epoch_us(ts) AS BIGINT) * 1000
+                                   // 86400000000000) AS dmax
+                        FROM events)) s
+            LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) * 1000
+                              // 86400000000000 AS d, COUNT(*) AS c
+                       FROM events WHERE event_type = '{x_t}'
+                       GROUP BY 1) x ON s.d = x.d
+            LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) * 1000
+                              // 86400000000000 AS d, COUNT(*) AS c
+                       FROM events WHERE event_type = '{y_t}'
+                       GROUP BY 1) y ON s.d = y.d))
+    WHERE x1 IS NOT NULL)""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY direction"
+
+
+register("events_granger_causality", events_granger_causality,
+         _gc_oracle(),
+         "two-direction Granger F-test on daily click/purchase counts")

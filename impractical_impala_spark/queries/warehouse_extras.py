@@ -240,3 +240,92 @@ SELECT tok, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
 FROM toks WHERE tok <> ''
 GROUP BY tok ORDER BY tf DESC, df DESC, tok LIMIT {IDX_TOP}
 """, "vocabulary posting-list stats (df/tf), exact distinct at test scale")
+
+
+# ------------------------------------------------- Little's law audit
+def orders_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law audit (L = lambda * W) over the order fulfilment
+    queue: arrival rate lambda = orders per spine day, W = mean
+    order-to-last-ship lag, and L measured INDEPENDENTLY by sampling
+    the number of open orders at every day boundary (each order's
+    open interval explodes onto its covered days — gap-bounded spans,
+    the events_interval_overlap mechanism). With clean data the two
+    sides agree exactly; the ppm residual surfaces whatever breaks
+    the identity — here the fixture's ship-before-order rows, whose
+    negative lags enter W but can never appear as open days (the
+    explode guard drops inverted spans) — the queueing sanity check
+    a fulfilment dashboard runs. All quantities are milli-scaled
+    exact integers."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.expr("cast(l_shipdate as date)").alias("sd"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr("cast(o_orderdate as date)").alias("od"))
+    spans = (li.groupBy("l_orderkey")
+             .agg(F.max("sd").alias("ship_d"))
+             .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+             .select(F.expr("datediff(ship_d, od)").alias("lag_d"),
+                     "od", "ship_d"))
+    rng = spans.agg(F.min("od").alias("d0"), F.max("ship_d").alias("d1"))
+    base = spans.crossJoin(F.broadcast(rng)).select(
+        "lag_d",
+        F.expr("datediff(od, d0)").alias("a"),
+        F.expr("datediff(ship_d, d0)").alias("b"),
+        F.expr("datediff(d1, d0) + 1").alias("n_days"))
+    # open at day-start d iff a < d <= b  <=>  d in [a+1, b]
+    open_days = base.select(
+        "n_days",
+        F.explode(F.expr(
+            "case when b >= a + 1 then sequence(a + 1, b)"
+            " else array() end")).alias("d"))
+    l_sum = open_days.agg(F.count(F.lit(1)).alias("open_order_days"),
+                          F.max("n_days").alias("n_days"))
+    w_sum = base.agg(F.count(F.lit(1)).alias("n_orders"),
+                     F.sum("lag_d").alias("lag_sum"))
+    return (l_sum.crossJoin(F.broadcast(w_sum))
+            .select(
+                "n_days", "n_orders",
+                F.expr("open_order_days * 1000 div n_days")
+                .alias("l_milli"),
+                F.expr("n_orders * 1000 div n_days").alias("lambda_milli"),
+                F.expr("lag_sum * 1000 div n_orders").alias("w_milli"),
+                F.expr("lag_sum * 1000 div n_days").alias("lw_milli"),
+                F.expr("(open_order_days - lag_sum) * 1000000"
+                       " div greatest(lag_sum, 1)").alias("residual_ppm")))
+
+
+register("orders_littles_law", orders_littles_law, """
+WITH spans AS (
+    SELECT CAST(o.o_orderdate AS DATE) AS od,
+           CAST(s.ship_d AS DATE) AS ship_d,
+           datediff('day', CAST(o.o_orderdate AS DATE),
+                    CAST(s.ship_d AS DATE)) AS lag_d
+    FROM (SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS ship_d
+          FROM lineitem GROUP BY l_orderkey) s
+    JOIN orders o ON s.l_orderkey = o.o_orderkey
+), rng AS (SELECT MIN(od) AS d0, MAX(ship_d) AS d1 FROM spans),
+base AS (
+    SELECT lag_d,
+           datediff('day', d0, od) AS a,
+           datediff('day', d0, ship_d) AS b,
+           datediff('day', d0, d1) + 1 AS n_days
+    FROM spans CROSS JOIN rng
+), open_days AS (
+    SELECT n_days, UNNEST(range(a + 1, b + 1)) AS d FROM base
+), l_sum AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS open_order_days,
+           CAST(MAX(n_days) AS BIGINT) AS n_days
+    FROM open_days
+), w_sum AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(lag_d) AS BIGINT) AS lag_sum
+    FROM base
+)
+SELECT n_days, n_orders,
+       CAST(open_order_days * 1000 // n_days AS BIGINT) AS l_milli,
+       CAST(n_orders * 1000 // n_days AS BIGINT) AS lambda_milli,
+       CAST(lag_sum * 1000 // n_orders AS BIGINT) AS w_milli,
+       CAST(lag_sum * 1000 // n_days AS BIGINT) AS lw_milli,
+       CAST((open_order_days - lag_sum) * 1000000
+            // GREATEST(lag_sum, 1) AS BIGINT) AS residual_ppm
+FROM l_sum CROSS JOIN w_sum
+""", "Little's law audit: sampled WIP vs arrival-rate x lead-time")

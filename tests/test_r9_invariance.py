@@ -67,6 +67,10 @@ R9_CASES = [
     # wave 21: stylometry & causal inference
     "text_burrows_delta",          # ppb freqs, micro z, integer delta
     "orders_diff_in_diff",         # four exact cells, micro z
+    # wave 22: econometric causality, queueing, multimodal runs
+    "events_granger_causality",    # exact day-spine suff stats
+    "orders_littles_law",          # integer open-day explode
+    "multimodal_vad_segments",     # blob-local runlength, integers
 ]
 
 
