@@ -328,6 +328,11 @@ HEADLINE = [
     "events_granger_causality",
     "orders_littles_law",
     "multimodal_vad_segments",
+    # round-9 wave 23: hypothesis-testing completion
+    "events_anova_f",
+    "events_perm_bh_fdr",
+    "events_ljung_box",
+    "lineitem_bartlett_test",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

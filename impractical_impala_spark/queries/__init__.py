@@ -40,7 +40,7 @@ from . import (reference_ops, stats_ops, tpch, tpch_more,  # noqa: F401
                forecast, spectral_info, text_ir, emb_eval, linkage_splits,
                calibration_ops, scoring_seq, monitor_eval, corpus_eval,
                operating_point, experiment, retrieval_curation,
-               engine_stats, ops_quality)
+               engine_stats, ops_quality, hypothesis)
 
 # r5 window. VERDICT r4 top-next: every one of the 154 registered
 # queries should carry a green-or-sanctioned driver row after this
@@ -473,6 +473,9 @@ NEW_R9: list[str] = [
     # (spectral_info.py, warehouse_extras.py, multimodal.py)
     "events_granger_causality", "orders_littles_law",
     "multimodal_vad_segments",
+    # wave 23: hypothesis-testing completion (hypothesis.py)
+    "events_anova_f", "events_perm_bh_fdr", "events_ljung_box",
+    "lineitem_bartlett_test",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

@@ -71,6 +71,11 @@ R9_CASES = [
     "events_granger_causality",    # exact day-spine suff stats
     "orders_littles_law",          # integer open-day explode
     "multimodal_vad_segments",     # blob-local runlength, integers
+    # wave 23: hypothesis-testing completion
+    "events_anova_f",              # milli-quantized group terms
+    "events_perm_bh_fdr",          # md5 day blocks, decimal compares
+    "events_ljung_box",            # n^2-scaled integer autocovs
+    "lineitem_bartlett_test",      # decimal suff stats, micro ln terms
 ]
 
 
