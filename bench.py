@@ -333,6 +333,10 @@ HEADLINE = [
     "events_perm_bh_fdr",
     "events_ljung_box",
     "lineitem_bartlett_test",
+    # round-9 wave 24: graph completion
+    "graph_bfs_multisource",
+    "graph_jaccard_linkpred",
+    "graph_clustering_coeff",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

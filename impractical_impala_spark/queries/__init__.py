@@ -476,6 +476,9 @@ NEW_R9: list[str] = [
     # wave 23: hypothesis-testing completion (hypothesis.py)
     "events_anova_f", "events_perm_bh_fdr", "events_ljung_box",
     "lineitem_bartlett_test",
+    # wave 24: graph completion (paths_stats.py)
+    "graph_bfs_multisource", "graph_jaccard_linkpred",
+    "graph_clustering_coeff",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

@@ -504,3 +504,259 @@ FROM final GROUP BY 1 ORDER BY hop
 
 register("graph_bfs_hops", graph_bfs_hops, _bfs_oracle(),
          "bounded-unroll BFS hop histogram over the co-activity backbone")
+
+
+# --------------------------------------- multi-source BFS (seed set)
+MS_SEEDS = 5
+
+
+def graph_bfs_multisource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the co-activity backbone: hop distances
+    from the MS_SEEDS highest-degree nodes (degree desc, id asc — a
+    total order, so the seed set is deterministic), unrolled
+    BFS_ROUNDS frontier expansions exactly like graph_bfs_hops. The
+    reachability-audit shape a curation pipeline wants ("how much of
+    the graph is within h hops of the hubs"), and the multi-source
+    generalization the round-9 roadmap queued. Seed selection is a
+    distributed top-K (never a global-order window); each round is
+    one frontier join against the symmetrized edge list with
+    per-round localCheckpoint lineage truncation."""
+    edges = cohort_edges(load_table(spark, sf_dir, "events"))
+    sym = (edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .unionByName(edges.select(F.col("b").alias("u"),
+                                     F.col("a").alias("v")))).cache()
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    seeds = (deg.orderBy(F.col("deg").desc(), "u").limit(MS_SEEDS)
+             .select("u", F.lit(0).alias("d0")))
+    dist = (deg.select("u").join(F.broadcast(seeds), "u", "left")
+            .select("u", F.col("d0").alias("d")))
+    for k in range(1, BFS_ROUNDS + 1):
+        dist = dist.localCheckpoint()
+        frontier = dist.filter(F.col("d") == k - 1).select("u")
+        nxt = (sym.join(frontier, "u")
+               .select(F.col("v").alias("u")).distinct()
+               .withColumn("cand", F.lit(k)))
+        dist = (dist.join(nxt, "u", "left")
+                .select("u", F.coalesce("d", "cand").alias("d")))
+    return (dist.groupBy(F.coalesce("d", F.lit(-1)).alias("hop"))
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .orderBy("hop"))
+
+
+def _bfs_ms_oracle() -> str:
+    prev = "d0"
+    rounds = []
+    for k in range(1, BFS_ROUNDS + 1):
+        rounds.append(f"""f{k} AS (
+    SELECT DISTINCT s.v AS u FROM sym s
+    JOIN {prev} ON s.u = {prev}.u AND {prev}.d = {k - 1}
+), d{k} AS (
+    SELECT u, d FROM {prev}
+    UNION ALL
+    SELECT u, {k} AS d FROM f{k}
+    WHERE u NOT IN (SELECT u FROM {prev} WHERE d IS NOT NULL)
+)""")
+        prev = f"d{k}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH {_COHORT_EDGES_SQL},
+sym AS (
+    SELECT a AS u, b AS v FROM edges
+    UNION ALL
+    SELECT b AS u, a AS v FROM edges
+), deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+seeds AS (
+    SELECT u FROM deg ORDER BY deg DESC, u LIMIT {MS_SEEDS}
+),
+d0 AS (
+    SELECT deg.u, CASE WHEN deg.u IN (SELECT u FROM seeds)
+                  THEN 0 END AS d
+    FROM deg
+),
+{chain},
+final AS (
+    SELECT u, MIN(d) AS d FROM {prev} GROUP BY u
+)
+SELECT CAST(COALESCE(d, -1) AS INT) AS hop,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM final GROUP BY 1 ORDER BY hop
+"""
+
+
+register("graph_bfs_multisource", graph_bfs_multisource, _bfs_ms_oracle(),
+         f"multi-source BFS hop histogram from the top-{MS_SEEDS} hubs")
+
+
+# ------------------------------------ Jaccard link prediction (capped)
+JC_PIVOT_CAP = 128  # wedge pivots above this degree are dropped entirely
+JC_TOPK = 100
+
+
+def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard link prediction over the co-activity backbone:
+    score(x, y) = |N(x) ∩ N(y)| / |N(x) ∪ N(y)| for NON-adjacent
+    pairs with at least one common neighbor. Candidate pairs come
+    from a wedge join whose PIVOTS are capped at JC_PIVOT_CAP degree
+    (the AA_PART_CAP frequent-blocker discipline — a super-hub pivot
+    contributes O(deg²) near-zero-information pairs, so it is dropped
+    entirely, mirrored in the oracle; wedge work is bounded by
+    nodes x cap² at any scale). Union sizes use FULL degrees; the
+    score is exact integer ppm; existing backbone edges are
+    anti-joined away; output caps at JC_TOPK by (ppm desc, x, y)."""
+    edges = cohort_edges(load_table(spark, sf_dir, "events"))
+    sym = (edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .unionByName(edges.select(F.col("b").alias("u"),
+                                     F.col("a").alias("v")))).cache()
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    piv = deg.filter(F.col("deg") <= JC_PIVOT_CAP).select("u")
+    adj = sym.join(piv, "u")
+    w1, w2 = adj.alias("w1"), adj.alias("w2")
+    common = (w1.join(w2, (F.col("w1.u") == F.col("w2.u"))
+                      & (F.col("w1.v") < F.col("w2.v")))
+              .groupBy(F.col("w1.v").alias("x"), F.col("w2.v").alias("y"))
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    nonadj = common.join(
+        edges, (common.x == edges.a) & (common.y == edges.b), "left_anti")
+    scored = (nonadj
+              .join(deg.select(F.col("u").alias("x"),
+                               F.col("deg").alias("dx")), "x")
+              .join(deg.select(F.col("u").alias("y"),
+                               F.col("deg").alias("dy")), "y")
+              .withColumn("jaccard_ppm", F.expr(
+                  "n_common * 1000000 div (dx + dy - n_common)")))
+    return (scored.orderBy(F.desc("jaccard_ppm"), "x", "y").limit(JC_TOPK)
+            .select("x", "y", "n_common", "dx", "dy", "jaccard_ppm"))
+
+
+register("graph_jaccard_linkpred", graph_jaccard_linkpred, f"""
+WITH {_COHORT_EDGES_SQL},
+sym AS (
+    SELECT a AS u, b AS v FROM edges
+    UNION ALL
+    SELECT b AS u, a AS v FROM edges
+), deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+adj AS (
+    SELECT sym.u, sym.v FROM sym
+    JOIN deg ON sym.u = deg.u AND deg.deg <= {JC_PIVOT_CAP}
+), common AS (
+    SELECT w1.v AS x, w2.v AS y, CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM adj w1 JOIN adj w2
+      ON w1.u = w2.u AND w1.v < w2.v
+    GROUP BY 1, 2
+), nonadj AS (
+    SELECT c.* FROM common c
+    WHERE NOT EXISTS (SELECT 1 FROM edges e
+                      WHERE e.a = c.x AND e.b = c.y)
+), scored AS (
+    SELECT n.x, n.y, n.n_common, dx.deg AS dx, dy.deg AS dy,
+           n.n_common * 1000000 // (dx.deg + dy.deg - n.n_common)
+               AS jaccard_ppm
+    FROM nonadj n
+    JOIN deg dx ON n.x = dx.u
+    JOIN deg dy ON n.y = dy.u
+)
+SELECT x, y, n_common, dx, dy, CAST(jaccard_ppm AS BIGINT) AS jaccard_ppm
+FROM scored
+ORDER BY jaccard_ppm DESC, x, y LIMIT {JC_TOPK}
+""", "capped-pivot Jaccard link prediction over non-adjacent pairs")
+
+
+# ----------------------------------- local clustering coefficient
+CC_BUCKETS = 10
+
+
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering-coefficient histogram of the co-activity
+    backbone: per node, coeff = 2·t(v) / (deg(v)·(deg(v)-1)) with
+    t(v) the node's triangle count from the degree-oriented wedge
+    join (each triangle credits all three corners via one explode —
+    the orientation bounds per-key fanout exactly as in
+    graph_triangles). Coefficients are exact integer ppm; nodes
+    bucket into CC_BUCKETS fixed ppm deciles (coeff 1.0 folds into
+    the top bucket) plus bucket -1 for degree < 2 where the
+    coefficient is undefined (NULL mean). Output is bucket-bounded;
+    every reduction is an integer sum."""
+    edges = cohort_edges(load_table(spark, sf_dir, "events")).cache()
+    deg = (edges.select(F.col("a").alias("u"))
+           .unionByName(edges.select(F.col("b").alias("u")))
+           .groupBy("u").agg(F.count(F.lit(1)).alias("deg")))
+    ed = (edges
+          .join(deg.select(F.col("u").alias("a"), F.col("deg").alias("da")),
+                "a")
+          .join(deg.select(F.col("u").alias("b"), F.col("deg").alias("db")),
+                "b"))
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"))
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    tri = (o1.join(o2, (F.col("o1.src") == F.col("o2.src"))
+                   & (F.col("o1.dst") < F.col("o2.dst")))
+           .select(F.col("o1.src").alias("p"),
+                   F.col("o1.dst").alias("x"), F.col("o2.dst").alias("y"))
+           .join(edges, (F.col("x") == F.col("a"))
+                 & (F.col("y") == F.col("b"))))
+    corners = (tri.select(F.explode(F.array("p", "x", "y")).alias("u"))
+               .groupBy("u").agg(F.count(F.lit(1)).alias("t")))
+    per_node = (deg.join(corners, "u", "left")
+                .select("u", "deg",
+                        F.coalesce("t", F.lit(0)).alias("t"))
+                .withColumn("coeff_ppm", F.expr(
+                    "case when deg >= 2 then"
+                    " 2000000 * t div (deg * (deg - 1)) end"))
+                .withColumn("bucket", F.expr(
+                    f"case when deg < 2 then -1 else"
+                    f" least({CC_BUCKETS - 1},"
+                    f" coeff_ppm * {CC_BUCKETS} div 1000000) end")))
+    return (per_node.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.expr("sum(coeff_ppm) div count(1)")
+                 .alias("mean_coeff_ppm"))
+            .orderBy("bucket"))
+
+
+register("graph_clustering_coeff", graph_clustering_coeff, f"""
+WITH {_COHORT_EDGES_SQL},
+deg AS (
+    SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM (SELECT a AS u FROM edges UNION ALL SELECT b FROM edges)
+    GROUP BY u
+), oriented AS (
+    SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END
+               AS src,
+           CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END
+               AS dst
+    FROM (SELECT e.a, e.b, dx.deg AS da, dy.deg AS db
+          FROM edges e
+          JOIN deg dx ON e.a = dx.u
+          JOIN deg dy ON e.b = dy.u)
+), tri AS (
+    SELECT o1.src AS p, o1.dst AS x, o2.dst AS y
+    FROM oriented o1 JOIN oriented o2
+      ON o1.src = o2.src AND o1.dst < o2.dst
+    JOIN edges e ON o1.dst = e.a AND o2.dst = e.b
+), corners AS (
+    SELECT u, CAST(COUNT(*) AS BIGINT) AS t
+    FROM (SELECT p AS u FROM tri
+          UNION ALL SELECT x FROM tri
+          UNION ALL SELECT y FROM tri)
+    GROUP BY u
+), per_node AS (
+    SELECT deg.u, deg.deg, COALESCE(corners.t, 0) AS t,
+           CASE WHEN deg.deg >= 2 THEN
+               2000000 * COALESCE(corners.t, 0)
+               // (deg.deg * (deg.deg - 1)) END AS coeff_ppm
+    FROM deg LEFT JOIN corners ON deg.u = corners.u
+), bucketed AS (
+    SELECT CASE WHEN deg < 2 THEN -1 ELSE
+               LEAST({CC_BUCKETS - 1},
+                     coeff_ppm * {CC_BUCKETS} // 1000000) END AS bucket,
+           coeff_ppm
+    FROM per_node
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(coeff_ppm) // COUNT(*) AS BIGINT) AS mean_coeff_ppm
+FROM bucketed GROUP BY bucket ORDER BY bucket
+""", "local clustering-coefficient ppm histogram of the backbone")

@@ -76,6 +76,10 @@ R9_CASES = [
     "events_perm_bh_fdr",          # md5 day blocks, decimal compares
     "events_ljung_box",            # n^2-scaled integer autocovs
     "lineitem_bartlett_test",      # decimal suff stats, micro ln terms
+    # wave 24: graph completion
+    "graph_bfs_multisource",       # top-K seeds, bounded unroll
+    "graph_jaccard_linkpred",      # capped pivots, integer ppm
+    "graph_clustering_coeff",      # oriented wedges, integer buckets
 ]
 
 
