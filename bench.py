@@ -337,6 +337,10 @@ HEADLINE = [
     "graph_bfs_multisource",
     "graph_jaccard_linkpred",
     "graph_clustering_coeff",
+    # round-9 wave 25: calibration decision layer
+    "events_spiegelhalter_z",
+    "events_calibration_slope",
+    "events_lift_at_k",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

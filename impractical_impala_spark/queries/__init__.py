@@ -479,6 +479,9 @@ NEW_R9: list[str] = [
     # wave 24: graph completion (paths_stats.py)
     "graph_bfs_multisource", "graph_jaccard_linkpred",
     "graph_clustering_coeff",
+    # wave 25: calibration decision layer (operating_point.py)
+    "events_spiegelhalter_z", "events_calibration_slope",
+    "events_lift_at_k",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

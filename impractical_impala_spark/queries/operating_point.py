@@ -271,3 +271,206 @@ SELECT source, n,
            AS passes_fourfifths
 FROM per CROSS JOIN pooled ORDER BY source
 """, "per-source accuracy parity with the four-fifths verdict")
+
+
+# --------------------------------------------- Spiegelhalter's Z
+# Forecast convention shared with events_calibration_error: the
+# 64-bin position forecast p_b = b/(ECE_BINS-1). Scaling the Z
+# numerator by 63^2 and the variance by 63^4 makes every per-bin
+# term an exact integer, and sqrt(63^4) = 63^2 cancels — Z is one
+# integer ratio through a single correctly-rounded sqrt.
+SPIEG_D = ECE_BINS - 1  # 63
+Z_CRIT_MICRO = 1_959_964  # two-sided 5% normal critical value, micro
+
+
+def events_spiegelhalter_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spiegelhalter's calibration Z test on the bin-position
+    forecast: Z = sum (y-p)(1-2p) / sqrt(sum p(1-p)(1-2p)^2). With
+    p = b/63 every term multiplies out to integers:
+    NUM = sum_b (63*P_b - n_b*b)(63 - 2b), DEN = sum_b n_b * b *
+    (63-b) * (63-2b)^2, and Z = NUM / sqrt(DEN) exactly (the 63^2
+    scale factors cancel through the sqrt). The one-number
+    significance gate that complements ECE/MCE magnitudes — ECE says
+    how far off, Z says whether it is explainable by chance. One
+    fact shuffle into the 64-bin histogram; int64 holds DEN to
+    ~3e11 rows (then DECIMAL(38,0))."""
+    binned = _binned_events(spark, sf_dir, ECE_BINS)
+    hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("nb"), F.sum("pos").alias("pb"))
+    agg = hist.agg(
+        F.sum("nb").alias("n"),
+        F.sum(F.expr(f"({SPIEG_D} * pb - nb * bin)"
+                     f" * ({SPIEG_D} - 2 * bin)")).alias("num"),
+        F.sum(F.expr(f"nb * bin * ({SPIEG_D} - bin)"
+                     f" * ({SPIEG_D} - 2 * bin)"
+                     f" * ({SPIEG_D} - 2 * bin)")).alias("den"))
+    z = "(cast(num as double) / sqrt(cast(den as double)))"
+    from .monitor_eval import _ha_sql as _ha
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("num").cast("long").alias("z_num"),
+        F.col("den").cast("long").alias("z_den"),
+        F.expr(_ha(f"({z}) * 1e6")).alias("z_micro"),
+        F.expr(f"cast(abs({_ha(f'({z}) * 1e6')})"
+               f" <= {Z_CRIT_MICRO} as int)").alias("well_calibrated"))
+
+
+from .monitor_eval import _ha_sql as _op_ha  # noqa: E402
+
+_SPIEG_Z = "(CAST(num AS DOUBLE) / SQRT(CAST(den AS DOUBLE)))"
+
+register("events_spiegelhalter_z", events_spiegelhalter_z, f"""
+WITH binned AS ({_ORACLE_BINNED.format(nb=ECE_BINS, pos='purchase')}),
+hist AS (
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb,
+           CAST(SUM(pos) AS BIGINT) AS pb
+    FROM binned GROUP BY 1
+), agg AS (
+    SELECT CAST(SUM(nb) AS BIGINT) AS n,
+           CAST(SUM(({SPIEG_D} * pb - nb * bin)
+                    * ({SPIEG_D} - 2 * bin)) AS BIGINT) AS num,
+           CAST(SUM(nb * bin * ({SPIEG_D} - bin)
+                    * ({SPIEG_D} - 2 * bin)
+                    * ({SPIEG_D} - 2 * bin)) AS BIGINT) AS den
+    FROM hist
+)
+SELECT n, num AS z_num, den AS z_den,
+       {_op_ha(f"({_SPIEG_Z}) * 1e6")} AS z_micro,
+       CAST(ABS({_op_ha(f"({_SPIEG_Z}) * 1e6")}) <= {Z_CRIT_MICRO}
+            AS INT) AS well_calibrated
+FROM agg
+""", "Spiegelhalter calibration Z over the 64-bin forecast domain")
+
+
+# --------------------------------------------- calibration slope/intercept
+def events_calibration_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-probability calibration line: OLS of the binary outcome
+    on the bin-position forecast (slope 1 / intercept 0 = perfectly
+    calibrated; slope < 1 = overconfident spread). Regressing on the
+    INTEGER bin index keeps every sufficient statistic exact
+    (Sx = sum n_b*b, Sxx = sum n_b*b^2, Sxy = sum P_b*b); the
+    probability-scale slope is the bin slope times 63. Closed-form
+    Cramer solution — no iterative fit, one float evaluation per
+    coefficient. Companion to events_spiegelhalter_z (significance)
+    and events_calibration_error (magnitude): the slope says in which
+    DIRECTION the forecast is misscaled."""
+    binned = _binned_events(spark, sf_dir, ECE_BINS)
+    hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("nb"), F.sum("pos").alias("pb"))
+    agg = hist.agg(
+        F.sum("nb").alias("n"),
+        F.sum(F.expr("nb * bin")).alias("sx"),
+        F.sum(F.expr("nb * bin * bin")).alias("sxx"),
+        F.sum("pb").alias("sy"),
+        F.sum(F.expr("pb * bin")).alias("sxy"))
+    slope_bin = ("((cast(n as double) * sxy - cast(sx as double) * sy)"
+                 " / (cast(n as double) * sxx"
+                 " - cast(sx as double) * sx))")
+    slope = f"({slope_bin} * {SPIEG_D})"
+    intercept = (f"(cast(sy as double) / n"
+                 f" - {slope_bin} * (cast(sx as double) / n))")
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.expr(_op_ha(f"({slope}) * 1e6")).alias("slope_micro"),
+        F.expr(_op_ha(f"({intercept}) * 1e6")).alias("intercept_micro"))
+
+
+_CS_SLOPE_BIN = ("((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+                 " / (CAST(n AS DOUBLE) * sxx"
+                 " - CAST(sx AS DOUBLE) * sx))")
+_CS_SLOPE = f"({_CS_SLOPE_BIN} * {SPIEG_D})"
+_CS_INTERCEPT = (f"(CAST(sy AS DOUBLE) / n"
+                 f" - {_CS_SLOPE_BIN} * (CAST(sx AS DOUBLE) / n))")
+
+register("events_calibration_slope", events_calibration_slope, f"""
+WITH binned AS ({_ORACLE_BINNED.format(nb=ECE_BINS, pos='purchase')}),
+hist AS (
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb,
+           CAST(SUM(pos) AS BIGINT) AS pb
+    FROM binned GROUP BY 1
+), agg AS (
+    SELECT CAST(SUM(nb) AS BIGINT) AS n,
+           CAST(SUM(nb * bin) AS BIGINT) AS sx,
+           CAST(SUM(nb * bin * bin) AS BIGINT) AS sxx,
+           CAST(SUM(pb) AS BIGINT) AS sy,
+           CAST(SUM(pb * bin) AS BIGINT) AS sxy
+    FROM hist
+)
+SELECT n,
+       {_op_ha(f"({_CS_SLOPE}) * 1e6")} AS slope_micro,
+       {_op_ha(f"({_CS_INTERCEPT}) * 1e6")} AS intercept_micro
+FROM agg
+""", "calibration slope/intercept (OLS of outcome on bin forecast)")
+
+
+# ------------------------------------------------------- lift at k%
+LIFT_KS = (5, 10, 20, 50)
+
+
+def events_lift_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift at the top k% of the score sweep: walk the 256-bin
+    histogram from the highest score bin, take the FIRST prefix whose
+    cumulative count crosses k% of the population, and report
+    lift = (tp_k/n_k) / (P/N) in exact integer ppm — the campaign-
+    targeting complement to events_cumulative_gain's fixed deciles
+    (first-crossing prefixes, not interpolated ones, so every number
+    is a real achievable operating point). The prefix cumulative is
+    strictly increasing across non-empty bins, so the crossing row is
+    unique and the k-explode (4 rows per bin) stays on the model-size
+    spine. int64: tp*N*1e6 holds to ~3e6-row positives x 3e6
+    population products; past that ride DECIMAL(38,0) as in
+    events_pr_auc."""
+    binned = _binned_events(spark, sf_dir, PR_BINS)
+    hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("nb"), F.sum("pos").alias("pb"))
+    tot = hist.agg(F.sum("nb").alias("nn"), F.sum("pb").alias("pp"))
+    wd = Window.orderBy(F.col("bin").desc())
+    sweep = (hist.withColumn("cum_n", F.sum("nb").over(wd))
+             .withColumn("cum_p", F.sum("pb").over(wd))
+             .crossJoin(F.broadcast(tot)))
+    ks = ", ".join(str(k) for k in LIFT_KS)
+    fan = (sweep.withColumn("k_pct", F.explode(F.expr(f"array({ks})")))
+           .filter(F.expr("cum_n * 100 >= k_pct * nn")))
+    first = fan.groupBy("k_pct").agg(F.min("cum_n").alias("n_taken"))
+    return (first.join(fan.select("k_pct", F.col("cum_n").alias("n_taken"),
+                                  "cum_p", "nn", "pp"),
+                       ["k_pct", "n_taken"])
+            .select("k_pct", "n_taken",
+                    F.col("cum_p").alias("tp_taken"),
+                    F.expr("cum_p * nn * 1000000 div (n_taken * pp)")
+                    .alias("lift_ppm"))
+            .orderBy("k_pct"))
+
+
+register("events_lift_at_k", events_lift_at_k, f"""
+WITH binned AS ({_ORACLE_BINNED.format(nb=PR_BINS, pos='purchase')}),
+hist AS (
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb,
+           CAST(SUM(pos) AS BIGINT) AS pb
+    FROM binned GROUP BY 1
+), tot AS (
+    SELECT CAST(SUM(nb) AS BIGINT) AS nn, CAST(SUM(pb) AS BIGINT) AS pp
+    FROM hist
+), sweep AS (
+    SELECT bin,
+           CAST(SUM(nb) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_n,
+           CAST(SUM(pb) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_p
+    FROM hist
+), fan AS (
+    SELECT k.k_pct, s.cum_n, s.cum_p, t.nn, t.pp
+    FROM sweep s
+    CROSS JOIN (SELECT UNNEST([{", ".join(str(k) for k in LIFT_KS)}])
+                AS k_pct) k
+    CROSS JOIN tot t
+    WHERE s.cum_n * 100 >= k.k_pct * t.nn
+), first AS (
+    SELECT k_pct, MIN(cum_n) AS n_taken FROM fan GROUP BY 1
+)
+SELECT f.k_pct AS k_pct, CAST(f.n_taken AS BIGINT) AS n_taken,
+       CAST(fan.cum_p AS BIGINT) AS tp_taken,
+       CAST(fan.cum_p * fan.nn * 1000000 // (f.n_taken * fan.pp)
+            AS BIGINT) AS lift_ppm
+FROM first f
+JOIN fan ON fan.k_pct = f.k_pct AND fan.cum_n = f.n_taken
+ORDER BY f.k_pct
+""", "lift at first-crossing top-k% prefixes of the 256-bin sweep")

@@ -80,6 +80,10 @@ R9_CASES = [
     "graph_bfs_multisource",       # top-K seeds, bounded unroll
     "graph_jaccard_linkpred",      # capped pivots, integer ppm
     "graph_clustering_coeff",      # oriented wedges, integer buckets
+    # wave 25: calibration decision layer
+    "events_spiegelhalter_z",      # integer Z num/den, one sqrt
+    "events_calibration_slope",    # integer Cramer suff stats
+    "events_lift_at_k",            # first-crossing integer prefixes
 ]
 
 
