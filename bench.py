@@ -341,6 +341,11 @@ HEADLINE = [
     "events_spiegelhalter_z",
     "events_calibration_slope",
     "events_lift_at_k",
+    # round-9 wave 26: lexical diversity & embedding geometry
+    "text_mattr",
+    "text_simpson_diversity",
+    "emb_participation_ratio",
+    "emb_hubness_audit",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

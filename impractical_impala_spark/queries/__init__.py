@@ -482,6 +482,10 @@ NEW_R9: list[str] = [
     # wave 25: calibration decision layer (operating_point.py)
     "events_spiegelhalter_z", "events_calibration_slope",
     "events_lift_at_k",
+    # wave 26: lexical diversity & embedding geometry
+    # (text_ir.py, emb_eval.py)
+    "text_mattr", "text_simpson_diversity",
+    "emb_participation_ratio", "emb_hubness_audit",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 from ..registry import register, oracle_sql_of
 from ..sources import load_table
 from .ml_more import DIM, Q_SCALE, PCA_VNORM, emb_pca_topk
-from .similarity import N_QUERIES
+from .monitor_eval import _ha_sql as _ha
+from .similarity import N_QUERIES, ann_cosine_topk
 
 # ------------------------------------------------- centroid outliers
 OUTLIER_TOP_K = 20
@@ -430,3 +431,163 @@ SELECT query_id,
            AS true_topk_hamming
 FROM ranked GROUP BY query_id ORDER BY query_id
 """, "1-bit sign-quantization retrieval audit (integer hamming scan)")
+
+
+# ------------------------------------------- participation ratio
+def emb_participation_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Participation ratio of the embedding covariance spectrum —
+    PR = (tr C)^2 / ||C||_F^2 = (sum lambda)^2 / sum lambda^2 — the
+    effective dimensionality ("how many directions actually carry
+    variance") WITHOUT an eigendecomposition: trace and Frobenius
+    norm come straight from the scatter matrix. With the Q_SCALE
+    integer quantization and A_ij = n*S_ij - S_i*S_j (the scatter
+    scaled by n, exact int64 to ~2e14 per entry), the 1/n factors
+    cancel: PR = (sum_i A_ii)^2 / sum_ij A_ij^2 exactly, ridden
+    through DECIMAL(19)^2 -> 38 (sum_ij A^2 <= d^2 * 4e28 ~ 2e32 at
+    sf0.1 — 1e38 headroom to ~30x the corpus). Gram partials are the
+    emb_covariance mapInPandas kernel: d(d+1)/2 integer cells cross
+    the shuffle, never corpus rows. Anisotropy gate for embedding
+    health: PR/d near 1 = isotropic, near 0 = collapsed."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram_partials(batches):
+        iu = np.triu_indices(DIM)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            xq = np.floor(x * Q_SCALE).astype(np.int64)
+            g = xq.T @ xq
+            yield pd.DataFrame({
+                "i": iu[0].astype("int32"), "j": iu[1].astype("int32"),
+                "s": g[iu]})
+
+    gram = (emb.mapInPandas(gram_partials, "i int, j int, s long")
+            .groupBy("i", "j").agg(F.sum("s").alias("s_ij")))
+    xq = F.floor(F.col("x").cast("double") * Q_SCALE).cast("long")
+    stats = (emb.select(F.posexplode("embedding").alias("i", "x"))
+             .groupBy("i")
+             .agg(F.sum(xq).alias("s"), F.count(F.lit(1)).alias("n")))
+    sa = stats.select("i", F.col("s").alias("s_i"), "n")
+    sb = stats.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+    cells = (gram.join(F.broadcast(sa), "i").join(F.broadcast(sb), "j")
+             .select("i", "j", "n",
+                     F.expr("n * s_ij - s_i * s_j").alias("a")))
+    agg = cells.agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr("case when i = j then a else 0 end")).alias("tr_a"),
+        # off-diagonal cells count twice in the full Frobenius sum
+        F.sum(F.expr("cast(a as decimal(19,0)) * cast(a as decimal(19,0))"
+                     " * case when i = j then 1 else 2 end")).alias("fro"))
+    pr = ("(cast(cast(tr_a as decimal(19,0))"
+          " * cast(tr_a as decimal(19,0)) as double)"
+          " / cast(fro as double))")
+    return agg.select(
+        F.col("n").cast("long").alias("n_vectors"),
+        F.lit(DIM).cast("int").alias("dim"),
+        F.expr(_ha(f"({pr}) * 1e6")).alias("pr_micro"),
+        F.expr(_ha(f"({pr}) * 1e6 / {DIM}")).alias("pr_over_d_ppm"))
+
+
+register("emb_participation_ratio", emb_participation_ratio, f"""
+WITH idx AS (
+    SELECT UNNEST(range(1, {DIM} + 1)) AS k
+), ex AS (
+    SELECT vec_id, k - 1 AS i,
+           CAST(FLOOR(CAST(embedding[k] AS DOUBLE) * {Q_SCALE}) AS BIGINT)
+               AS xq
+    FROM embeddings CROSS JOIN idx
+), gram AS (
+    SELECT a.i AS i, b.i AS j, CAST(SUM(a.xq * b.xq) AS BIGINT) AS s_ij
+    FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+), stats AS (
+    SELECT i, CAST(SUM(xq) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ex GROUP BY i
+), cells AS (
+    SELECT g.i, g.j, sa.n, g.s_ij * sa.n - sa.s * sb.s AS a
+    FROM gram g JOIN stats sa ON g.i = sa.i JOIN stats sb ON g.j = sb.i
+), agg AS (
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN i = j THEN a ELSE 0 END) AS BIGINT) AS tr_a,
+           SUM(CAST(a AS HUGEINT) * CAST(a AS HUGEINT)
+               * CASE WHEN i = j THEN 1 ELSE 2 END) AS fro
+    FROM cells
+)
+SELECT n AS n_vectors, CAST({DIM} AS INT) AS dim,
+       {_ha("(CAST(CAST(tr_a AS HUGEINT) * CAST(tr_a AS HUGEINT)"
+            " AS DOUBLE) / CAST(fro AS DOUBLE)) * 1e6")} AS pr_micro,
+       {_ha("(CAST(CAST(tr_a AS HUGEINT) * CAST(tr_a AS HUGEINT)"
+            f" AS DOUBLE) / CAST(fro AS DOUBLE)) * 1e6 / {DIM}")}
+           AS pr_over_d_ppm
+FROM agg
+""", "participation ratio (effective dim) from the integer scatter")
+
+
+# ------------------------------------------------- hubness audit
+def emb_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the exact cosine top-k lists: the k-occurrence
+    count c(v) = how many panel queries list v among their TOP_K
+    neighbors, summarized by its exact integer moments — skewness of
+    c is THE standard hubness diagnostic (high skew = a few hub
+    vectors dominate every neighbor list; retrieval quality rots).
+    Composes ann_cosine_topk unchanged; every corpus vector joins in
+    with c = 0 (antihubs count). Moment sums (sum c, c^2, c^3) are
+    exact integers — c <= n_queries*k, so c^3 stays tiny at any
+    corpus size — and skewness is one float evaluation, micro-
+    quantized with shared half-away rounding."""
+    occ = (ann_cosine_topk(spark, sf_dir)
+           .groupBy("neighbor_id").agg(F.count(F.lit(1)).alias("c")))
+    corpus = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    per_vec = (corpus.join(occ, corpus.vec_id == occ.neighbor_id, "left")
+               .select(F.coalesce("c", F.lit(0)).alias("c")))
+    agg = per_vec.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s1"),
+        F.sum(F.expr("c * c")).alias("s2"),
+        F.sum(F.expr("c * c * c")).alias("s3"),
+        F.max("c").alias("max_occ"),
+        F.sum(F.expr("cast(c = 0 as int)")).alias("n_zero"))
+    mean = "(cast(s1 as double) / n)"
+    m2 = f"(cast(s2 as double) / n - {mean} * {mean})"
+    m3 = (f"(cast(s3 as double) / n - 3.0 * {mean}"
+          f" * (cast(s2 as double) / n) + 2.0 * {mean} * {mean} * {mean})")
+    skew = f"({m3} / sqrt({m2} * {m2} * {m2}))"
+    return agg.select(
+        F.col("n").cast("long").alias("n_vectors"),
+        F.col("s1").cast("long").alias("total_occ"),
+        F.col("max_occ").cast("long").alias("max_occ"),
+        F.col("n_zero").cast("long").alias("n_antihubs"),
+        F.expr(_ha(f"({skew}) * 1e6")).alias("skew_micro"))
+
+
+_HUB_MEAN = "(CAST(s1 AS DOUBLE) / n)"
+_HUB_M2 = f"(CAST(s2 AS DOUBLE) / n - {_HUB_MEAN} * {_HUB_MEAN})"
+_HUB_M3 = (f"(CAST(s3 AS DOUBLE) / n - 3.0 * {_HUB_MEAN}"
+           f" * (CAST(s2 AS DOUBLE) / n)"
+           f" + 2.0 * {_HUB_MEAN} * {_HUB_MEAN} * {_HUB_MEAN})")
+_HUB_SKEW = f"({_HUB_M3} / SQRT({_HUB_M2} * {_HUB_M2} * {_HUB_M2}))"
+
+register("emb_hubness_audit", emb_hubness_audit, f"""
+WITH topk AS (SELECT * FROM ({oracle_sql_of("ann_cosine_topk")}) t0),
+occ AS (
+    SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS c
+    FROM topk GROUP BY 1
+), per_vec AS (
+    SELECT COALESCE(occ.c, 0) AS c
+    FROM embeddings e LEFT JOIN occ ON e.vec_id = occ.neighbor_id
+), agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s1,
+           CAST(SUM(c * c) AS BIGINT) AS s2,
+           CAST(SUM(c * c * c) AS BIGINT) AS s3,
+           CAST(MAX(c) AS BIGINT) AS max_occ,
+           CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero
+    FROM per_vec
+)
+SELECT n AS n_vectors, s1 AS total_occ, max_occ, n_zero AS n_antihubs,
+       {_ha(f"({_HUB_SKEW}) * 1e6")} AS skew_micro
+FROM agg
+""", "k-occurrence hubness skewness over the exact top-k lists")

@@ -735,3 +735,137 @@ FROM (SELECT *, abs_sum // n_words AS delta_micro,
       FROM delta)
 WHERE rank <= {BD_TOPK} ORDER BY rank
 """, "Burrows' Delta stylometry: closest source pairs by z-score gap")
+
+
+# ----------------------------------------- moving-average TTR (MATTR)
+MATTR_W = 25  # window length in tokens (fixture docs run 10-99 tokens)
+
+
+def text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average type-token ratio (MATTR, Covington & McFall):
+    the length-robust lexical-diversity standard — plain TTR decays
+    with document length, MATTR averages TTR over every length-W
+    token window. Computed in CLOSED FORM without materializing
+    windows: token j is distinct-in-window-i iff its previous
+    occurrence is before i, so its total contribution over all
+    windows is the exact integer interval overlap
+        max(0, min(j, n-W) - max(0, j-W+1, prev_j+1) + 1)
+    and MATTR = sum(contrib) / ((n-W+1)*W) — per-token work O(1)
+    after one lag window over (doc, token) by position, fact-sized
+    shuffle only on the tokens themselves. Docs shorter than W are
+    excluded (MATTR undefined); per-source mean is an integer ppm
+    division of exact sums."""
+    toks = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source",
+                    F.posexplode(F.split(F.lower("text"), " "))
+                    .alias("pos", "tok")))
+    w_tok = Window.partitionBy("doc_id", "tok").orderBy("pos")
+    w_doc = Window.partitionBy("doc_id")
+    per_tok = (toks
+               .withColumn("prev", F.lag("pos").over(w_tok))
+               .withColumn("n", F.count(F.lit(1)).over(w_doc))
+               .filter(F.col("n") >= MATTR_W)
+               .withColumn("contrib", F.expr(
+                   f"greatest(0, least(pos, n - {MATTR_W})"
+                   f" - greatest(0, pos - {MATTR_W} + 1,"
+                   f" coalesce(prev, -1) + 1) + 1)")))
+    per_doc = (per_tok.groupBy("doc_id", "source")
+               .agg(F.max("n").alias("n"),
+                    F.sum("contrib").alias("distinct_total"))
+               .withColumn("mattr_ppm", F.expr(
+                   f"distinct_total * 1000000"
+                   f" div ((n - {MATTR_W} + 1) * {MATTR_W})")))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.expr("sum(mattr_ppm) div count(1)")
+                 .alias("mean_mattr_ppm"),
+                 F.min("mattr_ppm").alias("min_mattr_ppm"),
+                 F.max("mattr_ppm").alias("max_mattr_ppm"))
+            .orderBy("source"))
+
+
+register("text_mattr", text_mattr, f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           generate_subscripts(string_split(lower(text), ' '), 1) - 1
+               AS pos,
+           unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents
+), per_tok AS (
+    SELECT doc_id, source, pos, tok,
+           LAG(pos) OVER (PARTITION BY doc_id, tok ORDER BY pos) AS prev,
+           COUNT(*) OVER (PARTITION BY doc_id) AS n
+    FROM toks
+), contribs AS (
+    SELECT doc_id, source, n,
+           GREATEST(0, LEAST(pos, n - {MATTR_W})
+                    - GREATEST(0, pos - {MATTR_W} + 1,
+                               COALESCE(prev, -1) + 1) + 1) AS contrib
+    FROM per_tok WHERE n >= {MATTR_W}
+), per_doc AS (
+    SELECT doc_id, source, MAX(n) AS n,
+           CAST(SUM(contrib) AS BIGINT) AS distinct_total
+    FROM contribs GROUP BY 1, 2
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(distinct_total * 1000000
+                // ((n - {MATTR_W} + 1) * {MATTR_W}))
+            // COUNT(*) AS BIGINT) AS mean_mattr_ppm,
+       CAST(MIN(distinct_total * 1000000
+                // ((n - {MATTR_W} + 1) * {MATTR_W})) AS BIGINT)
+           AS min_mattr_ppm,
+       CAST(MAX(distinct_total * 1000000
+                // ((n - {MATTR_W} + 1) * {MATTR_W})) AS BIGINT)
+           AS max_mattr_ppm
+FROM per_doc GROUP BY source ORDER BY source
+""", f"closed-form MATTR (window {MATTR_W}) lexical diversity per source")
+
+
+# --------------------------------------------- Simpson lexical diversity
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson lexical diversity per document, aggregated by source:
+    1 - D with D = sum c_t(c_t - 1) / (N(N - 1)) the probability two
+    sampled tokens coincide — the repeat-probability complement to
+    MATTR's coverage view (MATTR asks "how many types per window", 
+    Simpson asks "how often does the same type repeat"). Exact
+    integer ppm per document off the per-(doc, token) counts; the
+    per-source mean divides exact integer sums. One token explode,
+    vocabulary-keyed aggregation — the text_zipf_fit shuffle shape."""
+    toks = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source",
+                    F.explode(F.split(F.lower("text"), " ")).alias("tok")))
+    cnt = (toks.groupBy("doc_id", "source", "tok")
+           .agg(F.count(F.lit(1)).alias("c")))
+    per_doc = (cnt.groupBy("doc_id", "source")
+               .agg(F.sum("c").alias("n"),
+                    F.sum(F.expr("c * (c - 1)")).alias("rep"))
+               .filter(F.col("n") >= 2)
+               .withColumn("simpson_ppm", F.expr(
+                   "1000000 - rep * 1000000 div (n * (n - 1))")))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.expr("sum(simpson_ppm) div count(1)")
+                 .alias("mean_simpson_ppm"),
+                 F.min("simpson_ppm").alias("min_simpson_ppm"))
+            .orderBy("source"))
+
+
+register("text_simpson_diversity", text_simpson_diversity, """
+WITH cnt AS (
+    SELECT doc_id, source, tok, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (SELECT doc_id, source,
+                 unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents)
+    GROUP BY 1, 2, 3
+), per_doc AS (
+    SELECT doc_id, source, CAST(SUM(c) AS BIGINT) AS n,
+           CAST(SUM(c * (c - 1)) AS BIGINT) AS rep
+    FROM cnt GROUP BY 1, 2
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(1000000 - rep * 1000000 // (n * (n - 1)))
+            // COUNT(*) AS BIGINT) AS mean_simpson_ppm,
+       CAST(MIN(1000000 - rep * 1000000 // (n * (n - 1))) AS BIGINT)
+           AS min_simpson_ppm
+FROM per_doc WHERE n >= 2 GROUP BY source ORDER BY source
+""", "Simpson lexical diversity (1 - repeat probability) per source")

@@ -84,6 +84,11 @@ R9_CASES = [
     "events_spiegelhalter_z",      # integer Z num/den, one sqrt
     "events_calibration_slope",    # integer Cramer suff stats
     "events_lift_at_k",            # first-crossing integer prefixes
+    # wave 26: lexical diversity & embedding geometry
+    "text_mattr",                  # closed-form integer overlaps
+    "text_simpson_diversity",      # exact per-doc ppm
+    "emb_participation_ratio",     # integer scatter, decimal squares
+    "emb_hubness_audit",           # integer k-occurrence moments
 ]
 
 
