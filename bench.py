@@ -346,6 +346,10 @@ HEADLINE = [
     "text_simpson_diversity",
     "emb_participation_ratio",
     "emb_hubness_audit",
+    # round-9 wave 27: codec advice, stylometry, queueing what-if
+    "compression_entropy_advisor",
+    "source_bigram_kl",
+    "orders_kingman_wait",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

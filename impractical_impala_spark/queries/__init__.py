@@ -486,6 +486,10 @@ NEW_R9: list[str] = [
     # (text_ir.py, emb_eval.py)
     "text_mattr", "text_simpson_diversity",
     "emb_participation_ratio", "emb_hubness_audit",
+    # wave 27: codec advice, source stylometry, queueing what-if
+    # (engine_stats.py, quality.py, warehouse_extras.py)
+    "compression_entropy_advisor", "source_bigram_kl",
+    "orders_kingman_wait",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

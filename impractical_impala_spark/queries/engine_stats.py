@@ -1032,3 +1032,66 @@ FROM {name}""")
 
 register("engine_tuning_advisor", engine_tuning_advisor, _eta_oracle(),
          "stats-driven shuffle/bucket/broadcast sizing advice per table")
+
+
+# --------------------------------------- compression-entropy advisor
+def compression_entropy_advisor(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Codec advisor from zero-order character entropy per source: the
+    Shannon bound H (bits/char) is the floor any entropy coder can
+    reach without context modeling, so H/8 estimates the best-case
+    compressed fraction and ranks which sources deserve a heavier
+    codec or dictionary encoding. One char-position explode collapses
+    map-side into the (source x charset) census — the shuffle key is
+    the alphabet, never the corpus; each cell's -p*log2(p) term is
+    half-away-quantized to integer nano-bits BEFORE the per-source
+    sum, so the entropy is order-free exact. Output also carries the
+    distinct-char count (the dictionary-encoding signal)."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    chars = (docs
+             .select("source",
+                     F.explode(F.expr("sequence(1, length(text))"))
+                     .alias("i"), "text")
+             .select("source", F.expr("substring(text, i, 1)").alias("ch")))
+    census = chars.groupBy("source", "ch").agg(
+        F.count(F.lit(1)).alias("c"))
+    tot = census.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_distinct"))
+    term = _ha_sql("1e9 * (cast(c as double) / n)"
+                   " * (ln(cast(n as double) / c) / ln(2.0))")
+    return (census.join(tot, "source")
+            .select("source", "n", "n_distinct",
+                    F.expr(term).alias("t_nano"))
+            .groupBy("source")
+            .agg(F.max("n").alias("n_chars"),
+                 F.max("n_distinct").alias("n_distinct_chars"),
+                 F.expr("sum(t_nano) div 1000000").alias("entropy_millibits"),
+                 F.expr("sum(t_nano) div 8000").alias("est_ratio_ppm"))
+            .orderBy("source"))
+
+
+_CEA_TERM = _ha_sql("1e9 * (CAST(c AS DOUBLE) / n)"
+                    " * (LN(CAST(n AS DOUBLE) / c) / LN(2.0))")
+
+register("compression_entropy_advisor", compression_entropy_advisor, f"""
+WITH chars AS (
+    SELECT source, substr(text, i, 1) AS ch
+    FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
+), census AS (
+    SELECT source, ch, CAST(COUNT(*) AS BIGINT) AS c
+    FROM chars GROUP BY 1, 2
+), tot AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct
+    FROM census GROUP BY 1
+), terms AS (
+    SELECT census.source, tot.n, tot.n_distinct,
+           {_CEA_TERM} AS t_nano
+    FROM census JOIN tot ON census.source = tot.source
+)
+SELECT source, MAX(n) AS n_chars,
+       MAX(n_distinct) AS n_distinct_chars,
+       CAST(SUM(t_nano) // 1000000 AS BIGINT) AS entropy_millibits,
+       CAST(SUM(t_nano) // 8000 AS BIGINT) AS est_ratio_ppm
+FROM terms GROUP BY source ORDER BY source
+""", "zero-order char entropy per source -> codec/dictionary advice")

@@ -1007,3 +1007,71 @@ SELECT event_type, n_true, noise,
             // GREATEST(n_true, 1) AS BIGINT) AS err_ppm
 FROM noised ORDER BY event_type
 """, "geometric-mechanism noisy count release with utility audit")
+
+
+# --------------------------------------- char-bigram KL by source
+from .monitor_eval import _ha_sql as _kl_ha  # noqa: E402
+
+
+def source_bigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram KL divergence of each source against the
+    pooled corpus: KL(p_s || q) = sum_b p ln(p/q) — the stylometric
+    outlier detector that flags a source whose character statistics
+    (language, encoding, boilerplate, generator) diverge from the
+    rest before any model-based scorer runs. Every source bigram is
+    present in the corpus by construction, so q > 0 and no smoothing
+    enters; each cell's term is half-away-quantized to integer
+    nano-nats BEFORE the per-source sum (order-free exact). The
+    explode collapses map-side into the (source x bigram) census —
+    shuffle keys are the bounded bigram alphabet."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    bigrams = (docs
+               .select("source",
+                       F.explode(F.expr("sequence(1, length(text) - 1)"))
+                       .alias("i"), "text")
+               .select("source",
+                       F.expr("substring(text, i, 2)").alias("bg")))
+    census = bigrams.groupBy("source", "bg").agg(
+        F.count(F.lit(1)).alias("c"))
+    stot = census.groupBy("source").agg(F.sum("c").alias("ns"))
+    ctot = census.groupBy("bg").agg(F.sum("c").alias("cb"))
+    n_all = census.agg(F.sum("c").alias("nn"))
+    term = _kl_ha("1e9 * (cast(c as double) / ns)"
+                  " * ln((cast(c as double) / ns)"
+                  " / (cast(cb as double) / nn))")
+    return (census.join(stot, "source").join(ctot, "bg")
+            .crossJoin(F.broadcast(n_all))
+            .select("source", "ns",
+                    F.expr(term).alias("t_nano"))
+            .groupBy("source")
+            .agg(F.max("ns").alias("n_bigrams"),
+                 F.expr("sum(t_nano) div 1000").alias("kl_micro"))
+            .orderBy("source"))
+
+
+_KL_TERM = _kl_ha("1e9 * (CAST(c AS DOUBLE) / ns)"
+                  " * LN((CAST(c AS DOUBLE) / ns)"
+                  " / (CAST(cb AS DOUBLE) / nn))")
+
+register("source_bigram_kl", source_bigram_kl, f"""
+WITH census AS (
+    SELECT source, substr(text, i, 2) AS bg, CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents, UNNEST(range(1, length(text))) AS t(i)
+    GROUP BY 1, 2
+), stot AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM census GROUP BY 1
+), ctot AS (
+    SELECT bg, CAST(SUM(c) AS BIGINT) AS cb FROM census GROUP BY 1
+), n_all AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS nn FROM census
+), terms AS (
+    SELECT census.source, stot.ns, {_KL_TERM} AS t_nano
+    FROM census
+    JOIN stot ON census.source = stot.source
+    JOIN ctot ON census.bg = ctot.bg
+    CROSS JOIN n_all
+)
+SELECT source, MAX(ns) AS n_bigrams,
+       CAST(SUM(t_nano) // 1000 AS BIGINT) AS kl_micro
+FROM terms GROUP BY source ORDER BY source
+""", "char-bigram KL divergence of each source vs the pooled corpus")

@@ -329,3 +329,113 @@ SELECT n_days, n_orders,
             // GREATEST(lag_sum, 1) AS BIGINT) AS residual_ppm
 FROM l_sum CROSS JOIN w_sum
 """, "Little's law audit: sampled WIP vs arrival-rate x lead-time")
+
+
+# ------------------------------------------- Kingman (VUT) wait sweep
+from .monitor_eval import _ha_sql as _kg_ha  # noqa: E402
+
+KINGMAN_UTILS = (70, 80, 90, 95)  # utilization sweep, percent
+
+
+def orders_kingman_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kingman (VUT) heavy-traffic wait estimate for the order
+    fulfilment queue at a sweep of hypothetical utilizations:
+    Wq ≈ (u/(1-u)) * ((ca² + cs²)/2) * τ — the factory-physics
+    what-if that turns two dispersion numbers into "how much queueing
+    pain at 90% load". Variability inputs are measured exactly:
+    ca² is the index of dispersion of daily arrival counts on the
+    zero-filled orderdate spine (the renewal-process stand-in for the
+    interarrival CV²), cs² the squared CV of the order-to-last-ship
+    lag, τ its mean — all from integer sufficient sums (days·Q - S²
+    ladders as in events_ljung_box); the fixture's negative
+    ship-before-order lags enter the service moments unchanged, the
+    orders_littles_law convention. The utilization sweep is a 4-row
+    literal explode; one float evaluation per row, milli/micro
+    quantized with shared half-away rounding."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr("cast(o_orderdate as date)").alias("od"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.expr("cast(l_shipdate as date)").alias("sd"))
+    rng = o.agg(F.min("od").alias("d0"), F.max("od").alias("d1"))
+    daily = (o.groupBy("od").agg(F.count(F.lit(1)).alias("c"))
+             .crossJoin(F.broadcast(rng))
+             .select(F.expr("datediff(od, d0)").alias("d"), "c",
+                     F.expr("datediff(d1, d0) + 1").alias("days")))
+    arr = daily.agg(
+        F.max("days").alias("days"), F.sum("c").alias("s"),
+        F.sum(F.expr("c * c")).alias("q"))
+    # zero days contribute 0 to S and Q, so the spine enters through
+    # the closed-form count `days` alone — no fill join needed
+    lag = (li.groupBy("l_orderkey").agg(F.max("sd").alias("ship_d"))
+           .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+           .select(F.expr("datediff(ship_d, od)").alias("lag_d")))
+    srv = lag.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("lag_d").alias("sl"),
+                  F.sum(F.expr("cast(lag_d as bigint) * lag_d"))
+                  .alias("ql"))
+    ca2 = ("((cast(days as double) * q - cast(s as double) * s)"
+           " / ((cast(days as double) - 1) * s))")
+    cs2 = ("((cast(n as double) * (cast(n as double) * ql"
+           " - cast(sl as double) * sl))"
+           " / ((cast(n as double) - 1)"
+           " * (cast(sl as double) * sl)))")
+    tau = "(cast(sl as double) / n)"
+    us = ", ".join(str(u) for u in KINGMAN_UTILS)
+    fan = (arr.crossJoin(F.broadcast(srv))
+           .select("*", F.explode(F.expr(f"array({us})")).alias("u_pct")))
+    wq = (f"((cast(u_pct as double) / (100 - u_pct))"
+          f" * (({ca2} + {cs2}) / 2) * {tau})")
+    return fan.select(
+        "u_pct",
+        F.expr(_kg_ha(f"({ca2}) * 1e6")).alias("ca2_micro"),
+        F.expr(_kg_ha(f"({cs2}) * 1e6")).alias("cs2_micro"),
+        F.expr(_kg_ha(f"({tau}) * 1e3")).alias("tau_milli_days"),
+        F.expr(_kg_ha(f"({wq}) * 1e3")).alias("wq_milli_days"),
+    ).orderBy("u_pct")
+
+
+_KG_CA2 = ("((CAST(days AS DOUBLE) * q - CAST(s AS DOUBLE) * s)"
+           " / ((CAST(days AS DOUBLE) - 1) * s))")
+_KG_CS2 = ("((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * ql"
+           " - CAST(sl AS DOUBLE) * sl))"
+           " / ((CAST(n AS DOUBLE) - 1)"
+           " * (CAST(sl AS DOUBLE) * sl)))")
+_KG_TAU = "(CAST(sl AS DOUBLE) / n)"
+_KG_WQ = (f"((CAST(u_pct AS DOUBLE) / (100 - u_pct))"
+          f" * (({_KG_CA2} + {_KG_CS2}) / 2) * {_KG_TAU})")
+
+register("orders_kingman_wait", orders_kingman_wait, """
+WITH o AS (
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders
+), rng AS (SELECT MIN(od) AS d0, MAX(od) AS d1 FROM o),
+arr AS (
+    SELECT MAX(datediff('day', d0, d1) + 1) AS days,
+           CAST(SUM(c) AS BIGINT) AS s,
+           CAST(SUM(c * c) AS BIGINT) AS q
+    FROM (SELECT od, CAST(COUNT(*) AS BIGINT) AS c FROM o GROUP BY 1)
+    CROSS JOIN rng
+), srv AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(lag_d) AS BIGINT) AS sl,
+           CAST(SUM(lag_d * lag_d) AS BIGINT) AS ql
+    FROM (SELECT datediff('day', o.od, s.ship_d) AS lag_d
+          FROM (SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS ship_d
+                FROM lineitem GROUP BY 1) s
+          JOIN o ON s.l_orderkey = o.o_orderkey)
+), fan AS (
+    SELECT arr.*, srv.*, u.u_pct
+    FROM arr CROSS JOIN srv
+    CROSS JOIN (SELECT UNNEST([{us_list}]) AS u_pct) u
+)
+SELECT u_pct,
+       {ca2_ha} AS ca2_micro,
+       {cs2_ha} AS cs2_micro,
+       {tau_ha} AS tau_milli_days,
+       {wq_ha} AS wq_milli_days
+FROM fan ORDER BY u_pct
+""".format(ca2_ha=_kg_ha(f"({_KG_CA2}) * 1e6"),
+           cs2_ha=_kg_ha(f"({_KG_CS2}) * 1e6"),
+           tau_ha=_kg_ha(f"({_KG_TAU}) * 1e3"),
+           wq_ha=_kg_ha(f"({_KG_WQ}) * 1e3"),
+           us_list=", ".join(str(u) for u in KINGMAN_UTILS)),
+         "Kingman VUT wait sweep from exact dispersion statistics")

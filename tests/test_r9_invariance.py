@@ -89,6 +89,10 @@ R9_CASES = [
     "text_simpson_diversity",      # exact per-doc ppm
     "emb_participation_ratio",     # integer scatter, decimal squares
     "emb_hubness_audit",           # integer k-occurrence moments
+    # wave 27: codec advice, stylometry, queueing what-if
+    "compression_entropy_advisor",  # nano-quantized entropy terms
+    "source_bigram_kl",            # nano-quantized KL cells
+    "orders_kingman_wait",         # integer dispersion suff stats
 ]
 
 
