@@ -350,6 +350,11 @@ HEADLINE = [
     "compression_entropy_advisor",
     "source_bigram_kl",
     "orders_kingman_wait",
+    # round-9 wave 28: change-point & randomness gates, revenue structure
+    "events_pettitt_test",
+    "events_runs_test",
+    "part_abc_classes",
+    "supplier_balassa_rca",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

@@ -490,6 +490,10 @@ NEW_R9: list[str] = [
     # (engine_stats.py, quality.py, warehouse_extras.py)
     "compression_entropy_advisor", "source_bigram_kl",
     "orders_kingman_wait",
+    # wave 28: change-point & randomness gates, revenue structure
+    # (stat_tests.py, analytics.py)
+    "events_pettitt_test", "events_runs_test",
+    "part_abc_classes", "supplier_balassa_rca",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

@@ -406,3 +406,157 @@ SELECT (SELECT COUNT(*) FROM viewed) AS n_viewed,
        (SELECT COUNT(*) FROM clicked) AS n_clicked_24h,
        (SELECT COUNT(*) FROM purchased) AS n_purchased_24h
 """, "conversion funnel with a 24h per-stage conversion window")
+
+
+# --------------------------------------------------- ABC inventory classes
+from .monitor_eval import _ha_sql as _abc_ha  # noqa: E402
+
+ABC_BINS = 4096  # equi-width revenue histogram cells (model-size)
+
+
+def part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC revenue classification of parts (A ~ first 80% of revenue,
+    B ~ next 15%, C ~ tail) WITHOUT any total order over the part
+    aggregate — the customer_pareto cutpoint mechanism applied to
+    revenue-cumulative (not count-cumulative) boundaries: per-part
+    cents revenue buckets into a broadcast ABC_BINS-cell equi-width
+    histogram (bin 0 = richest), the PREVIOUS cumulative revenue of
+    richer bins assigns each BIN its class by exact integer
+    cross-multiplication (cprev*5 < 4*total -> A; cprev*20 <
+    19*total -> B; else C), and a bin never splits — the documented
+    bucket-granularity quantization that keeps both engines
+    bit-identical with no interpolated cutpoints. One fact shuffle to
+    per-part revenue; every later frame is histogram-sized."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.floor(F.col("l_extendedprice") * 100)
+        .cast("long").alias("cents"))
+    per_part = li.groupBy("l_partkey").agg(F.sum("cents").alias("rev"))
+    rng = per_part.agg(F.min("rev").alias("mn"), F.max("rev").alias("mx"),
+                       F.sum("rev").alias("total"))
+    binned = (per_part.crossJoin(F.broadcast(rng))
+              .withColumn("bin", F.when(
+                  F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+                  F.least(F.lit(ABC_BINS - 1),
+                          F.expr(f"((mx - rev) * {ABC_BINS})"
+                                 f" div (mx - mn + 1)")))))
+    hist = binned.groupBy("bin").agg(F.sum("rev").alias("brev"))
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    classed = (hist.withColumn(
+        "cprev", F.coalesce(F.sum("brev").over(wb), F.lit(0)))
+        .crossJoin(F.broadcast(rng.select("total")))
+        .select("bin", F.expr(
+            "case when cprev * 5 < 4 * total then 'A'"
+            " when cprev * 20 < 19 * total then 'B'"
+            " else 'C' end").alias("abc_class")))
+    return (binned.join(F.broadcast(classed), "bin")
+            .groupBy("abc_class")
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.sum("rev").alias("revenue_cents"),
+                 F.expr("sum(rev) * 1000000 div first(total)")
+                 .alias("share_ppm"))
+            .orderBy("abc_class"))
+
+
+register("part_abc_classes", part_abc_classes, f"""
+WITH per_part AS (
+    SELECT l_partkey,
+           SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS rev
+    FROM lineitem GROUP BY 1
+), rng AS (
+    SELECT MIN(rev) AS mn, MAX(rev) AS mx, SUM(rev) AS total
+    FROM per_part
+), binned AS (
+    SELECT rev, total,
+           CASE WHEN mx = mn THEN 0
+                ELSE LEAST({ABC_BINS - 1},
+                           ((mx - rev) * {ABC_BINS}) // (mx - mn + 1))
+           END AS bin
+    FROM per_part CROSS JOIN rng
+), hist AS (
+    SELECT bin, SUM(rev) AS brev FROM binned GROUP BY bin
+), classed AS (
+    SELECT bin,
+           CASE WHEN COALESCE(SUM(brev) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    * 5 < 4 * r.total THEN 'A'
+                WHEN COALESCE(SUM(brev) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    * 20 < 19 * r.total THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM hist CROSS JOIN (SELECT total FROM rng) r
+)
+SELECT c.abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(b.rev) AS BIGINT) AS revenue_cents,
+       CAST(SUM(b.rev) * 1000000 // ANY_VALUE(b.total) AS BIGINT)
+           AS share_ppm
+FROM binned b JOIN classed c USING (bin)
+GROUP BY c.abc_class ORDER BY c.abc_class
+""", "ABC revenue classes via integer histogram cutpoints (no total order)")
+
+
+# --------------------------------------------------- Balassa RCA matrix
+def supplier_balassa_rca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balassa revealed-comparative-advantage matrix of supplier
+    nations over part types: RCA(n, t) = (x_nt/X_n)/(X_t/X) — which
+    nation is DISPROPORTIONATELY good at which product line, the
+    trade-economics view of the supplier base. Revenue cells are
+    exact integer cents off one fact scan through the broadcast
+    supplier->nation and part->type dims; the nation/type margins are
+    model-size re-aggregations of the 25x6 cell frame. RCA evaluates
+    as (x/X_n)*(X/X_t) — two exact-integer divisions and one product,
+    all correctly-rounded IEEE so both engines agree bit-for-bit —
+    and quantizes to ppm (> 1e6 = specialized)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cells = (li.join(F.broadcast(supp),
+                     F.col("l_suppkey") == F.col("s_suppkey"))
+             .join(F.broadcast(nation),
+                   F.col("s_nationkey") == F.col("n_nationkey"))
+             .join(F.broadcast(part),
+                   F.col("l_partkey") == F.col("p_partkey"))
+             .groupBy("n_name", "p_type")
+             .agg(F.sum("cents").alias("x")))
+    by_n = cells.groupBy("n_name").agg(F.sum("x").alias("xn"))
+    by_t = cells.groupBy("p_type").agg(F.sum("x").alias("xt"))
+    tot = cells.agg(F.sum("x").alias("xx"))
+    rca = ("((cast(x as double) / xn) * (cast(xx as double) / xt))")
+    return (cells.join(F.broadcast(by_n), "n_name")
+            .join(F.broadcast(by_t), "p_type")
+            .crossJoin(F.broadcast(tot))
+            .select("n_name", "p_type",
+                    F.col("x").cast("long").alias("revenue_cents"),
+                    F.expr(_abc_ha(f"({rca}) * 1e6")).alias("rca_ppm"))
+            .withColumn("specialized", F.expr(
+                "cast(rca_ppm > 1000000 as int)"))
+            .orderBy("n_name", "p_type"))
+
+
+_RCA = "((CAST(x AS DOUBLE) / xn) * (CAST(xx AS DOUBLE) / xt))"
+
+register("supplier_balassa_rca", supplier_balassa_rca, f"""
+WITH cells AS (
+    SELECT n.n_name, p.p_type,
+           SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)) AS x
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+), by_n AS (SELECT n_name, SUM(x) AS xn FROM cells GROUP BY 1),
+by_t AS (SELECT p_type, SUM(x) AS xt FROM cells GROUP BY 1),
+tot AS (SELECT SUM(x) AS xx FROM cells)
+SELECT c.n_name, c.p_type, CAST(c.x AS BIGINT) AS revenue_cents,
+       {_abc_ha(f"({_RCA}) * 1e6")} AS rca_ppm,
+       CAST({_abc_ha(f"({_RCA}) * 1e6")} > 1000000 AS INT) AS specialized
+FROM cells c
+JOIN by_n ON c.n_name = by_n.n_name
+JOIN by_t ON c.p_type = by_t.p_type
+CROSS JOIN tot
+ORDER BY c.n_name, c.p_type
+""", "Balassa RCA matrix: nation x part-type revenue specialization")

@@ -907,3 +907,236 @@ SELECT event_type, na AS n_early, nb AS n_late,
             THEN 1 ELSE 0 END AS INT) AS equivalent
 FROM scored ORDER BY event_type
 """, "TOST equivalence gate on early-vs-late value means (micro z)")
+
+
+# ------------------------------------------------ Pettitt change point
+from .monitor_eval import _ha_sql as _pt_ha  # noqa: E402
+
+PT_SIG_MICRO = 50_000  # alpha = 0.05 in micro units
+
+
+def events_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank change-point test on each type's zero-filled daily
+    count series — the nonparametric single-break locator that
+    complements events_cusum_changepoint (mean-shift CUSUM) and
+    events_mann_kendall (monotone trend): WHERE does the distribution
+    split, with a distribution-free p-value. The statistic uses the
+    midrank identity U_t = sum_{i<=t} r2_i - t(n+1) with DOUBLED
+    midranks r2 = 2*c_less + c_eq + 1 (the Kruskal-Wallis integer-rank
+    discipline), so every U_t is an exact integer off two bounded
+    windows (value-histogram cumulative for ranks, day cumulative for
+    prefixes); ties contribute zero exactly as in the sgn formulation.
+    K = max|U_t| over t < n with the earliest-day tiebreak;
+    p ~ 2*exp(-6K^2/(n^3+n^2)) is the standard approximation, one
+    float, micro-quantized. Everything after the per-(type, day)
+    count is day-spine cardinality."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts_ns div {DAY_NS}").alias("d"))
+    cnt = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("c"))
+    rng = ev.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    types = ev.select("event_type").distinct()
+    spine = (types.crossJoin(F.broadcast(rng))
+             .select("event_type", "dmin", "dmax",
+                     F.explode(F.expr("sequence(dmin, dmax)")).alias("d")))
+    filled = (spine.join(cnt, ["event_type", "d"], "left")
+              .select("event_type", "dmin", "dmax", "d",
+                      F.coalesce("c", F.lit(0)).alias("x")))
+    vals = (filled.groupBy("event_type", "x")
+            .agg(F.count(F.lit(1)).alias("ceq")))
+    wv = (Window.partitionBy("event_type").orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = (vals.withColumn(
+        "cless", F.coalesce(F.sum("ceq").over(wv), F.lit(0)))
+        .withColumn("r2", F.expr("2 * cless + ceq + 1")))
+    wd = Window.partitionBy("event_type").orderBy("d")
+    seq = (filled.join(ranked, ["event_type", "x"])
+           .withColumn("t", F.expr("d - dmin + 1"))
+           .withColumn("n", F.expr("dmax - dmin + 1"))
+           .withColumn("s_t", F.sum("r2").over(
+               wd.rowsBetween(Window.unboundedPreceding, 0)))
+           .withColumn("u_t", F.expr("s_t - t * (n + 1)"))
+           .filter(F.col("t") < F.col("n")))
+    flagged = seq.withColumn(
+        "kmax", F.max(F.abs("u_t")).over(Window.partitionBy("event_type")))
+    agg = (flagged.groupBy("event_type")
+           .agg(F.max("n").alias("n"),
+                F.max("kmax").alias("k_stat"),
+                F.min(F.when(F.abs(F.col("u_t")) == F.col("kmax"),
+                             F.col("t"))).alias("t_star")))
+    p = ("(2.0 * exp(-6.0 * cast(k_stat as double) * k_stat"
+         " / (cast(n as double) * n * n + cast(n as double) * n)))")
+    return (agg.select(
+        "event_type", F.col("n").cast("long").alias("n_days"),
+        F.col("k_stat").cast("long").alias("k_stat"),
+        F.col("t_star").cast("long").alias("t_star"),
+        F.expr(_pt_ha(f"({p}) * 1e6")).alias("p_micro"))
+        .withColumn("significant", F.expr(
+            f"cast(p_micro <= {PT_SIG_MICRO} as int)"))
+        .orderBy("event_type"))
+
+
+_PT_P = ("(2.0 * EXP(-6.0 * CAST(k_stat AS DOUBLE) * k_stat"
+         " / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n)))")
+
+register("events_pettitt_test", events_pettitt_test, f"""
+WITH ev AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) AS BIGINT) * 1000 // {DAY_NS} AS d
+    FROM events
+), cnt AS (
+    SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS c
+    FROM ev GROUP BY 1, 2
+), rng AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM ev),
+spine AS (
+    SELECT t.event_type, r.dmin, r.dmax, s.d
+    FROM (SELECT DISTINCT event_type FROM ev) t
+    CROSS JOIN rng r
+    CROSS JOIN (SELECT UNNEST(range((SELECT dmin FROM rng),
+                                    (SELECT dmax FROM rng) + 1)) AS d) s
+), filled AS (
+    SELECT spine.event_type, spine.dmin, spine.dmax, spine.d,
+           COALESCE(cnt.c, 0) AS x
+    FROM spine LEFT JOIN cnt
+      ON spine.event_type = cnt.event_type AND spine.d = cnt.d
+), ranked AS (
+    SELECT event_type, x,
+           2 * COALESCE(SUM(ceq) OVER (PARTITION BY event_type ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + ceq + 1 AS r2
+    FROM (SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS ceq
+          FROM filled GROUP BY 1, 2)
+), seq AS (
+    SELECT f.event_type, f.d - f.dmin + 1 AS t,
+           f.dmax - f.dmin + 1 AS n,
+           SUM(r.r2) OVER (PARTITION BY f.event_type ORDER BY f.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (f.d - f.dmin + 1) * (f.dmax - f.dmin + 2) AS u_t
+    FROM filled f JOIN ranked r
+      ON f.event_type = r.event_type AND f.x = r.x
+), pruned AS (SELECT * FROM seq WHERE t < n),
+flagged AS (
+    SELECT *, MAX(ABS(u_t)) OVER (PARTITION BY event_type) AS kmax
+    FROM pruned
+), agg AS (
+    SELECT event_type, MAX(n) AS n, MAX(kmax) AS k_stat,
+           MIN(CASE WHEN ABS(u_t) = kmax THEN t END) AS t_star
+    FROM flagged GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       CAST(k_stat AS BIGINT) AS k_stat,
+       CAST(t_star AS BIGINT) AS t_star,
+       {_pt_ha(f"({_PT_P}) * 1e6")} AS p_micro,
+       CAST({_pt_ha(f"({_PT_P}) * 1e6")} <= {PT_SIG_MICRO} AS INT)
+           AS significant
+FROM agg ORDER BY event_type
+""", "Pettitt rank change-point per type (integer midrank identity)")
+
+
+# ------------------------------------------------ Wald-Wolfowitz runs
+RUNS_Z_CRIT_MICRO = 1_959_964
+
+
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the SIGNS of day-over-day count
+    changes per event type — the randomness gate that catches
+    oscillation or stickiness the trend tests cannot (Mann-Kendall
+    sees monotone drift; runs sees too-few or too-many alternations).
+    Zero diffs drop (the standard reduction); runs count via one lag
+    over the surviving sign sequence; E[R] and Var[R] are the classic
+    closed forms on exact integer (n_plus, n_minus); one float z,
+    micro-quantized. NULL z when either sign class is empty. Day
+    spine -> diffs -> bounded aggregates; nothing fact-sized after
+    the first reduction."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts_ns div {DAY_NS}").alias("d"))
+    cnt = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("c"))
+    rng = ev.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    types = ev.select("event_type").distinct()
+    spine = (types.crossJoin(F.broadcast(rng))
+             .select("event_type",
+                     F.explode(F.expr("sequence(dmin, dmax)")).alias("d")))
+    filled = (spine.join(cnt, ["event_type", "d"], "left")
+              .select("event_type", "d",
+                      F.coalesce("c", F.lit(0)).alias("x")))
+    wd = Window.partitionBy("event_type").orderBy("d")
+    signs = (filled
+             .withColumn("s", F.expr(
+                 "cast(sign(x - lag(x) over (partition by event_type"
+                 " order by d)) as int)"))
+             .filter(F.col("s").isNotNull() & (F.col("s") != 0)))
+    runs = (signs
+            .withColumn("brk", F.expr(
+                "case when lag(s) over (partition by event_type"
+                " order by d) is null then 1"
+                " when s != lag(s) over (partition by event_type"
+                " order by d) then 1 else 0 end"))
+            .groupBy("event_type")
+            .agg(F.sum("brk").alias("n_runs"),
+                 F.sum(F.expr("cast(s = 1 as int)")).alias("n1"),
+                 F.sum(F.expr("cast(s = -1 as int)")).alias("n2")))
+    e_r = ("(1.0 + 2.0 * cast(n1 as double) * n2"
+           " / (cast(n1 as double) + n2))")
+    v_r = ("((2.0 * cast(n1 as double) * n2"
+           " * (2.0 * cast(n1 as double) * n2 - n1 - n2))"
+           " / ((cast(n1 as double) + n2) * (cast(n1 as double) + n2)"
+           " * (cast(n1 as double) + n2 - 1)))")
+    z = (f"case when n1 = 0 or n2 = 0 or n1 + n2 < 2 then null"
+         f" else (cast(n_runs as double) - {e_r}) / sqrt({v_r}) end")
+    return (runs.select(
+        "event_type", F.col("n1").cast("long").alias("n_plus"),
+        F.col("n2").cast("long").alias("n_minus"),
+        F.col("n_runs").cast("long").alias("n_runs"),
+        F.expr(_pt_ha(f"({z}) * 1e6")).alias("z_micro"))
+        .withColumn("looks_random", F.expr(
+            f"cast(abs(z_micro) <= {RUNS_Z_CRIT_MICRO} as int)"))
+        .orderBy("event_type"))
+
+
+_RT_E = ("(1.0 + 2.0 * CAST(n1 AS DOUBLE) * n2"
+         " / (CAST(n1 AS DOUBLE) + n2))")
+_RT_V = ("((2.0 * CAST(n1 AS DOUBLE) * n2"
+         " * (2.0 * CAST(n1 AS DOUBLE) * n2 - n1 - n2))"
+         " / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2)"
+         " * (CAST(n1 AS DOUBLE) + n2 - 1)))")
+_RT_Z = (f"CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2 THEN NULL"
+         f" ELSE (CAST(n_runs AS DOUBLE) - {_RT_E}) / SQRT({_RT_V}) END")
+
+register("events_runs_test", events_runs_test, f"""
+WITH ev AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) AS BIGINT) * 1000 // {DAY_NS} AS d
+    FROM events
+), cnt AS (
+    SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS c
+    FROM ev GROUP BY 1, 2
+), rng AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM ev),
+filled AS (
+    SELECT t.event_type, s.d, COALESCE(cnt.c, 0) AS x
+    FROM (SELECT DISTINCT event_type FROM ev) t
+    CROSS JOIN (SELECT UNNEST(range((SELECT dmin FROM rng),
+                                    (SELECT dmax FROM rng) + 1)) AS d) s
+    LEFT JOIN cnt ON t.event_type = cnt.event_type AND s.d = cnt.d
+), signs AS (
+    SELECT event_type, d, s FROM (
+        SELECT event_type, d,
+               CAST(SIGN(x - LAG(x) OVER (PARTITION BY event_type
+                   ORDER BY d)) AS INT) AS s
+        FROM filled)
+    WHERE s IS NOT NULL AND s != 0
+), runs AS (
+    SELECT event_type,
+           CAST(SUM(CASE WHEN prev IS NULL OR s != prev THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_runs,
+           CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+    FROM (SELECT event_type, s,
+                 LAG(s) OVER (PARTITION BY event_type ORDER BY d) AS prev
+          FROM signs)
+    GROUP BY event_type
+)
+SELECT event_type, n1 AS n_plus, n2 AS n_minus, n_runs,
+       {_pt_ha(f"({_RT_Z}) * 1e6")} AS z_micro,
+       CAST(ABS({_pt_ha(f"({_RT_Z}) * 1e6")}) <= {RUNS_Z_CRIT_MICRO}
+            AS INT) AS looks_random
+FROM runs ORDER BY event_type
+""", "Wald-Wolfowitz runs test on day-over-day count change signs")

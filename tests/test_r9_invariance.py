@@ -93,6 +93,11 @@ R9_CASES = [
     "compression_entropy_advisor",  # nano-quantized entropy terms
     "source_bigram_kl",            # nano-quantized KL cells
     "orders_kingman_wait",         # integer dispersion suff stats
+    # wave 28: change-point & randomness gates, revenue structure
+    "events_pettitt_test",         # integer midrank identity
+    "events_runs_test",            # integer sign runs
+    "part_abc_classes",            # integer histogram cutpoints
+    "supplier_balassa_rca",        # exact cents cells, IEEE ratio
 ]
 
 
