@@ -355,6 +355,10 @@ HEADLINE = [
     "events_runs_test",
     "part_abc_classes",
     "supplier_balassa_rca",
+    # round-9 wave 29: curation decision curves
+    "dedup_threshold_sweep",
+    "vocab_coverage_at_k",
+    "doc_length_lognormal_fit",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

@@ -494,6 +494,9 @@ NEW_R9: list[str] = [
     # (stat_tests.py, analytics.py)
     "events_pettitt_test", "events_runs_test",
     "part_abc_classes", "supplier_balassa_rca",
+    # wave 29: curation decision curves (dedup.py, text.py, quality.py)
+    "dedup_threshold_sweep", "vocab_coverage_at_k",
+    "doc_length_lognormal_fit",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

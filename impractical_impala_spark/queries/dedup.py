@@ -1103,3 +1103,121 @@ FROM scored GROUP BY est_matches ORDER BY est_matches
 
 register("minhash_calibration", minhash_calibration, _calibration_oracle(),
          "minhash-estimate vs true Jaccard calibration per sketch bucket")
+
+
+# -------------------------------------------------- threshold sweep
+SWEEP_T_PPM = (400_000, 500_000, 600_000, 700_000, 800_000, 900_000)
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield curve: how many near-dup pairs — and how many
+    distinct documents — a Jaccard threshold removes, swept over six
+    candidate thresholds in ONE pass. The curve is what a curation
+    review actually looks at before committing to a cutoff
+    (too low = over-merging distinct docs, too high = residual
+    near-dups), and computing it per-threshold would re-run the pair
+    join six times. Pairs come from the same bounded blocking key as
+    dedup_ngram_jaccard (lang, source, len band, simhash prefix);
+    Jaccard is kept as an exact integer ppm (inter*1e6 div union), so
+    every threshold compare is integer. The sweep explodes thresholds
+    over the BLOCKED pair frame only; affected-doc counts stack both
+    pair sides and count distinct per threshold."""
+    ds = _spark_docsets(spark, sf_dir, mutated=True)
+    meta = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source")
+    meta = meta.unionByName(
+        meta.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(MUT_OFFSET)))
+    ds = (ds.join(meta, "doc_id")
+          .withColumn("len_band",
+                      F.expr("cast(floor(log2(size(dh))) as bigint)"))
+          .withColumn("blk", F.expr(
+              f"({_spark_simhash_terms('dh')})"
+              f" >> {SIMHASH_BITS - NGRAM_PREFIX_BITS}"))
+          .cache())
+    a, b = ds.alias("a"), ds.alias("b")
+    pairs = (a.join(
+        _maybe_broadcast(b, sf_dir),
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.len_band") == F.col("b.len_band"))
+        & (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("size(array_intersect(a.dh, b.dh)) * 1000000"
+                   " div (size(a.dh) + size(b.dh)"
+                   " - size(array_intersect(a.dh, b.dh)))")
+            .alias("jacc_ppm")))
+    ts = ", ".join(str(t) for t in SWEEP_T_PPM)
+    fan = (pairs.withColumn("t_ppm", F.explode(F.expr(f"array({ts})")))
+           .filter(F.col("jacc_ppm") >= F.col("t_ppm")))
+    n_pairs = fan.groupBy("t_ppm").agg(F.count(F.lit(1)).alias("n_pairs"))
+    docs = (fan.select("t_ppm", F.col("doc_a").alias("doc"))
+            .unionByName(fan.select("t_ppm", F.col("doc_b").alias("doc")))
+            .distinct()
+            .groupBy("t_ppm").agg(F.count(F.lit(1)).alias("n_docs")))
+    # literal threshold spine: a threshold that kills EVERY pair must
+    # still emit its zero row, exactly like the oracle's UNNEST spine
+    spine = spark.range(1).select(
+        F.explode(F.expr(f"array({ts})")).alias("t_ppm"))
+    return (spine.join(n_pairs, "t_ppm", "left")
+            .join(docs, "t_ppm", "left")
+            .select(F.col("t_ppm").cast("long").alias("t_ppm"),
+                    F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+                    F.coalesce("n_docs", F.lit(0)).alias("n_docs"))
+            .orderBy("t_ppm"))
+
+
+def _sweep_oracle() -> str:
+    ts = ", ".join(str(t) for t in SWEEP_T_PPM)
+    return f"""
+WITH {_duck_docsets(mutated=True).lstrip()},
+meta AS (
+    SELECT doc_id, lang, source FROM documents
+    UNION ALL
+    SELECT doc_id + {MUT_OFFSET}, lang, source FROM documents
+    WHERE doc_id % 3 = 0
+),
+ds AS (
+    SELECT d.doc_id, d.dh, m.lang, m.source,
+           CAST(floor(log2(len(d.dh))) AS BIGINT) AS len_band,
+           ({_duck_simhash_terms('d.dh')})
+               >> {SIMHASH_BITS - NGRAM_PREFIX_BITS} AS blk
+    FROM docsets d JOIN meta m USING (doc_id)
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.dh, b.dh)) * 1000000
+           // (len(a.dh) + len(b.dh) - len(list_intersect(a.dh, b.dh)))
+               AS jacc_ppm
+    FROM ds a JOIN ds b
+      ON a.lang = b.lang AND a.source = b.source
+     AND a.len_band = b.len_band AND a.blk = b.blk
+     AND a.doc_id < b.doc_id
+),
+fan AS (
+    SELECT p.*, t.t_ppm
+    FROM pairs p, (SELECT UNNEST([{ts}]) AS t_ppm) t
+    WHERE p.jacc_ppm >= t.t_ppm
+),
+np AS (SELECT t_ppm, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       FROM fan GROUP BY 1),
+nd AS (SELECT t_ppm, CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM (SELECT DISTINCT t_ppm, doc FROM (
+                 SELECT t_ppm, doc_a AS doc FROM fan
+                 UNION ALL SELECT t_ppm, doc_b FROM fan))
+       GROUP BY 1)
+SELECT CAST(t.t_ppm AS BIGINT) AS t_ppm,
+       COALESCE(np.n_pairs, 0) AS n_pairs,
+       COALESCE(nd.n_docs, 0) AS n_docs
+FROM (SELECT UNNEST([{ts}]) AS t_ppm) t
+LEFT JOIN np ON t.t_ppm = np.t_ppm
+LEFT JOIN nd ON t.t_ppm = nd.t_ppm
+ORDER BY t_ppm
+"""
+
+
+register("dedup_threshold_sweep", dedup_threshold_sweep, _sweep_oracle(),
+         "near-dup yield curve: pairs/docs removed per Jaccard threshold")

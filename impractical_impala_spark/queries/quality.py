@@ -1075,3 +1075,66 @@ SELECT source, MAX(ns) AS n_bigrams,
        CAST(SUM(t_nano) // 1000 AS BIGINT) AS kl_micro
 FROM terms GROUP BY source ORDER BY source
 """, "char-bigram KL divergence of each source vs the pooled corpus")
+
+
+# --------------------------------------- doc-length lognormal fit
+def doc_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lognormal fit of the document token-length distribution — the
+    standard shape assumption behind length-based curation filters
+    (doc_perplexity_filter, doc_gopher_quality_flags): mu/sigma come
+    from exact integer sums of the micro-quantized per-doc ln(length)
+    (each doc's ln is half-away-quantized BEFORE the corpus sum, so
+    the moments are order-free), and the moment check compares the
+    ACTUAL mean length against the fitted exp(mu + sigma²/2) in ppm —
+    a one-row goodness gate: far from 1e6 means the lognormal
+    assumption (and every filter built on it) is off. y_micro² sums
+    hold int64 to ~4e5 docs; past that the q accumulator rides
+    DECIMAL(38,0) as usual."""
+    lens = (load_table(spark, sf_dir, "documents")
+            .select(F.expr("size(split(lower(text), ' '))").alias("n_tok"))
+            .filter(F.col("n_tok") >= 1)
+            .select("n_tok", F.expr(_kl_ha(
+                "1e6 * ln(cast(n_tok as double))")).alias("y")))
+    agg = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("st"),
+        F.sum("y").alias("s"), F.sum(F.expr("y * y")).alias("q"))
+    mu = "(cast(s as double) / n / 1e6)"
+    var = ("((cast(n as double) * q - cast(s as double) * s)"
+           " / (cast(n as double) * (n - 1)) / 1e12)")
+    pred = f"exp({mu} + {var} / 2)"
+    act = "(cast(st as double) / n)"
+    return agg.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr(_kl_ha(f"({mu}) * 1e6")).alias("mu_micro"),
+        F.expr(_kl_ha(f"sqrt({var}) * 1e6")).alias("sigma_micro"),
+        F.expr("st * 1000 div n").alias("mean_actual_milli"),
+        F.expr(_kl_ha(f"({pred}) * 1e3")).alias("mean_pred_milli"),
+        F.expr(_kl_ha(f"({act}) / ({pred}) * 1e6")).alias("ratio_ppm"))
+
+
+_LN_MU = "(CAST(s AS DOUBLE) / n / 1e6)"
+_LN_VAR = ("((CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)"
+           " / (CAST(n AS DOUBLE) * (n - 1)) / 1e12)")
+_LN_PRED = f"EXP({_LN_MU} + {_LN_VAR} / 2)"
+_LN_ACT = "(CAST(st AS DOUBLE) / n)"
+
+register("doc_length_lognormal_fit", doc_length_lognormal_fit, f"""
+WITH lens AS (
+    SELECT n_tok, {_kl_ha("1e6 * LN(CAST(n_tok AS DOUBLE))")} AS y
+    FROM (SELECT CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+              AS n_tok
+          FROM documents)
+    WHERE n_tok >= 1
+), agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_tok) AS BIGINT) AS st,
+           CAST(SUM(y) AS BIGINT) AS s, CAST(SUM(y * y) AS BIGINT) AS q
+    FROM lens
+)
+SELECT n AS n_docs,
+       {_kl_ha(f"({_LN_MU}) * 1e6")} AS mu_micro,
+       {_kl_ha(f"SQRT({_LN_VAR}) * 1e6")} AS sigma_micro,
+       st * 1000 // n AS mean_actual_milli,
+       {_kl_ha(f"({_LN_PRED}) * 1e3")} AS mean_pred_milli,
+       {_kl_ha(f"({_LN_ACT}) / ({_LN_PRED}) * 1e6")} AS ratio_ppm
+FROM agg
+""", "lognormal fit of doc token lengths + moment-ratio goodness gate")

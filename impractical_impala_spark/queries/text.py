@@ -662,3 +662,72 @@ SELECT lang,
        CAST(SUM(oov) * 1000000 // COUNT(*) AS BIGINT) AS oov_ppm
 FROM scored GROUP BY lang ORDER BY lang
 """, "tokenizer fertility per language (top-V vocab, ceil-split OOV)")
+
+
+# ------------------------------------------------ vocabulary coverage@k
+from .monitor_eval import _ha_sql as _vc_ha  # noqa: E402
+
+VC_KS = (100, 1_000, 10_000)
+VC_KMAX = max(VC_KS)
+
+
+def vocab_coverage_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary truncation advisor: what fraction of the corpus
+    token mass do the top-k types cover, at k = 100 / 1k / 10k — the
+    number a tokenizer-vocab or stopword-list decision actually needs.
+    The type census is vocabulary-keyed (map-side combined); the
+    top-VC_KMAX cut is a distributed TakeOrdered with the
+    (count desc, token) total order, so the capped frame is
+    model-size BY CONSTRUCTION and the rank window runs on it, never
+    on the full vocabulary. Coverage sums are exact integer ppm; a k
+    larger than the vocabulary covers the full mass. The literal
+    k-spine guarantees all three rows exist on any corpus."""
+    toks = (load_table(spark, sf_dir, "documents")
+            .select(F.explode(F.split(F.lower("text"), " ")).alias("tok")))
+    census = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = census.agg(F.sum("c").alias("n_tokens"),
+                     F.count(F.lit(1)).alias("n_types"))
+    top = (census.orderBy(F.col("c").desc(), "tok").limit(VC_KMAX)
+           .withColumn("r", F.row_number().over(
+               Window.orderBy(F.col("c").desc(), "tok"))))
+    ks = ", ".join(str(k) for k in VC_KS)
+    spine = spark.range(1).select(
+        F.explode(F.expr(f"array({ks})")).alias("k"))
+    cov = (top.join(spine, top.r <= spine.k)
+           .groupBy("k").agg(F.sum("c").alias("covered")))
+    return (spine.join(cov, "k", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(F.col("k").cast("long").alias("k"),
+                    "n_types", "n_tokens",
+                    F.expr("coalesce(covered, 0) * 1000000 div n_tokens")
+                    .alias("covered_ppm"))
+            .orderBy("k"))
+
+
+register("vocab_coverage_at_k", vocab_coverage_at_k, f"""
+WITH census AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (SELECT UNNEST(string_split(lower(text), ' ')) AS tok
+          FROM documents)
+    GROUP BY 1
+), tot AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM census
+), top AS (
+    SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r
+    FROM (SELECT * FROM census ORDER BY c DESC, tok LIMIT {VC_KMAX})
+), cov AS (
+    SELECT k.k, CAST(SUM(top.c) AS BIGINT) AS covered
+    FROM top JOIN (SELECT UNNEST([{", ".join(str(k) for k in VC_KS)}])
+                   AS k) k
+      ON top.r <= k.k
+    GROUP BY 1
+)
+SELECT CAST(s.k AS BIGINT) AS k, t.n_types, t.n_tokens,
+       COALESCE(cov.covered, 0) * 1000000 // t.n_tokens AS covered_ppm
+FROM (SELECT UNNEST([{", ".join(str(k) for k in VC_KS)}]) AS k) s
+LEFT JOIN cov ON s.k = cov.k
+CROSS JOIN tot t
+ORDER BY s.k
+""", "token-mass coverage of the top-k vocabulary types (truncation advisor)")

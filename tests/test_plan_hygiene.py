@@ -74,6 +74,12 @@ _BNLJ_BOUNDED = {
     "attribution_shapley": re.compile(r"Range \(0, 16"),
     # the top-50 word panel: a TakeOrdered limit IS the bound
     "text_burrows_delta": re.compile(r"TakeOrderedAndProject\(limit=50"),
+    # wave-29 coverage curve: the non-equi (rank <= k) join's build
+    # side is the 3-element literal k-spine exploded over Range(0, 1)
+    # two BNLJs: the literal k-spine (rank <= k) and the default
+    # 1-row totals attach — the override must cover both
+    "vocab_coverage_at_k": re.compile(
+        r"explode\(\[100,1000,10000\]\)|keys=\[\]"),
 }
 
 

@@ -98,6 +98,10 @@ R9_CASES = [
     "events_runs_test",            # integer sign runs
     "part_abc_classes",            # integer histogram cutpoints
     "supplier_balassa_rca",        # exact cents cells, IEEE ratio
+    # wave 29: curation decision curves
+    "dedup_threshold_sweep",       # integer ppm jaccard, literal spine
+    "vocab_coverage_at_k",         # TakeOrdered cut, integer ppm
+    "doc_length_lognormal_fit",    # micro-quantized per-doc ln
 ]
 
 
