@@ -359,6 +359,10 @@ HEADLINE = [
     "dedup_threshold_sweep",
     "vocab_coverage_at_k",
     "doc_length_lognormal_fit",
+    # round-9 wave 30: system dynamics
+    "events_markov_stationary",
+    "events_transfer_entropy",
+    "graph_modularity_by_type",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

@@ -40,7 +40,7 @@ from . import (reference_ops, stats_ops, tpch, tpch_more,  # noqa: F401
                forecast, spectral_info, text_ir, emb_eval, linkage_splits,
                calibration_ops, scoring_seq, monitor_eval, corpus_eval,
                operating_point, experiment, retrieval_curation,
-               engine_stats, ops_quality, hypothesis)
+               engine_stats, ops_quality, hypothesis, dynamics)
 
 # r5 window. VERDICT r4 top-next: every one of the 154 registered
 # queries should carry a green-or-sanctioned driver row after this
@@ -497,6 +497,9 @@ NEW_R9: list[str] = [
     # wave 29: curation decision curves (dedup.py, text.py, quality.py)
     "dedup_threshold_sweep", "vocab_coverage_at_k",
     "doc_length_lognormal_fit",
+    # wave 30: system dynamics (dynamics.py)
+    "events_markov_stationary", "events_transfer_entropy",
+    "graph_modularity_by_type",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

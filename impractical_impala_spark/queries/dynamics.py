@@ -1,0 +1,369 @@
+"""System-dynamics wave (round-9 wave 30): the long-run and
+information-flow views on top of the existing transition/causality
+stack:
+
+- Stationary distribution of the user-sequence Markov chain by a
+  FIXED-ITERATION power method in integer nano fixed point — the
+  "where does the session process settle" companion to
+  events_markov_transitions (which reports one-step structure). The
+  unroll IS the operator (the o22 / ann_ivf_trained discipline):
+  every iteration's matrix-vector product quantizes each term
+  half-away to integer nano BEFORE the sum, so both engines chain
+  identical integers and the oracle is the same unroll, CTE for CTE.
+- Transfer entropy between daily count series (mean-binarized) in
+  both directions — the information-theoretic sibling of
+  events_granger_causality: model-free, detects NONLINEAR lagged
+  influence the linear F-test cannot. All eight joint cells are
+  exact integers; per-cell terms quantize to nano before the sum.
+- Modularity of the co-activity backbone under the dominant-event-
+  type partition — "does what users DO explain who they co-occur
+  with": per-group contributions (m_gg/m - (d_g/2m)^2) quantize to
+  nano before the total, so Q is an order-free integer sum.
+
+Scale shape: the chain runs on the #types^2 transition matrix
+(model-size); transfer entropy on the calendar day spine; modularity
+on the capped backbone — nothing after the first reduction is
+fact-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+from .monitor_eval import _ha_sql as _ha
+from .paths_stats import _COHORT_EDGES_SQL, cohort_edges
+
+DAY_NS = 86_400_000_000_000
+
+# ------------------------------------------- Markov stationary dist
+MS_ITERS = 12
+MS_SCALE = 1_000_000_000  # nano mass units
+
+
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type chain via
+    MS_ITERS unrolled power iterations in nano fixed point, compared
+    against the empirical type share (for an ergodic chain sampled
+    from itself the two converge — the gap column is the mixing
+    diagnostic). v0 is uniform; each round computes
+    v'(j) = sum_i ha(v(i) * c_ij / c_i) with the half-away
+    quantization INSIDE the sum, so every iterate is an exact integer
+    vector identical across engines (total mass drifts by at most a
+    few nano per round — documented, never renormalized). The chain
+    state is #types rows; each round is one join against the
+    #types^2 count matrix."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.expr("ts_ns div 1000").alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    tr = (ev.withColumn("dst", F.lead("event_type").over(w))
+          .filter(F.col("dst").isNotNull())
+          .groupBy(F.col("event_type").alias("src"), "dst")
+          .agg(F.count(F.lit(1)).alias("c")))
+    row_tot = tr.groupBy("src").agg(F.sum("c").alias("ci"))
+    trans = tr.join(F.broadcast(row_tot), "src").cache()
+    types = trans.select(F.col("src").alias("t")).distinct()
+    k_tot = types.agg(F.count(F.lit(1)).alias("k"))
+    v = (types.crossJoin(F.broadcast(k_tot))
+         .select("t", F.expr(f"{MS_SCALE} div k").alias("v")))
+    step = _ha("cast(v as double) * c / ci")
+    for _ in range(MS_ITERS):
+        v = (trans.join(v, trans.src == v.t)
+             .select(F.col("dst").alias("t"),
+                     F.expr(step).alias("term"))
+             .groupBy("t").agg(F.sum("term").alias("v")))
+    emp = (ev.groupBy(F.col("event_type").alias("t"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    emp_tot = emp.agg(F.sum("n").alias("nn"))
+    return (v.join(emp, "t").crossJoin(F.broadcast(emp_tot))
+            .select(F.col("t").alias("event_type"),
+                    F.expr("v div 1000").alias("stationary_ppm"),
+                    F.expr("n * 1000000 div nn").alias("empirical_ppm"),
+                    F.expr("abs(v div 1000 - n * 1000000 div nn)")
+                    .alias("gap_ppm"))
+            .orderBy("event_type"))
+
+
+def _ms_oracle() -> str:
+    step = _ha("CAST(v AS DOUBLE) * c / ci")
+    rounds = []
+    prev = "v0"
+    for i in range(1, MS_ITERS + 1):
+        rounds.append(f"""v{i} AS (
+    SELECT trans.dst AS t, CAST(SUM({step}) AS BIGINT) AS v
+    FROM trans JOIN {prev} ON trans.src = {prev}.t
+    GROUP BY trans.dst
+)""")
+        prev = f"v{i}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH tr AS (
+    SELECT event_type AS src, dst FROM (
+        SELECT event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id)
+                   AS dst
+        FROM events
+    ) WHERE dst IS NOT NULL
+), cnt AS (
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2
+), row_tot AS (
+    SELECT src, CAST(SUM(c) AS BIGINT) AS ci FROM cnt GROUP BY 1
+), trans AS (
+    SELECT cnt.src, cnt.dst, cnt.c, row_tot.ci
+    FROM cnt JOIN row_tot ON cnt.src = row_tot.src
+), types AS (SELECT DISTINCT src AS t FROM trans),
+v0 AS (
+    SELECT t, {MS_SCALE} // (SELECT COUNT(*) FROM types) AS v FROM types
+),
+{chain},
+emp AS (
+    SELECT event_type AS t, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+), emp_tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM emp)
+SELECT {prev}.t AS event_type,
+       {prev}.v // 1000 AS stationary_ppm,
+       emp.n * 1000000 // emp_tot.nn AS empirical_ppm,
+       ABS({prev}.v // 1000 - emp.n * 1000000 // emp_tot.nn) AS gap_ppm
+FROM {prev} JOIN emp ON {prev}.t = emp.t CROSS JOIN emp_tot
+ORDER BY event_type
+"""
+
+
+register("events_markov_stationary", events_markov_stationary,
+         _ms_oracle(),
+         f"stationary distribution via {MS_ITERS} nano fixed-point"
+         " power iterations")
+
+
+# ------------------------------------------------- transfer entropy
+TE_PAIRS = (("click", "purchase"), ("purchase", "click"))
+
+
+def events_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transfer entropy TE(X->Y) between mean-binarized daily count
+    series, both directions — the model-free causality companion to
+    events_granger_causality (linear F). Binarization is the exact
+    integer compare x_t * n > S (strictly above the series mean — no
+    float mean ever materializes); the eight joint cells
+    (y_t, y_lag, x_lag) are exact integers off the zero-filled spine,
+    and TE = sum (c/N) * ln(c * c_yp / (c_ypxp * c_ytyp)) quantizes
+    each cell's term to nano before the sum. Zero cells contribute
+    exactly zero (skipped); all marginals of a non-zero cell are
+    non-zero so no smoothing enters. Day-spine cardinality after one
+    fact reduction."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts_ns div {DAY_NS}").alias("d"))
+    cnt = (ev.filter(F.col("event_type").isin(
+        *{t for pair in TE_PAIRS for t in pair}))
+        .groupBy("d", "event_type").agg(F.count(F.lit(1)).alias("c")))
+    rng = ev.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    spine = rng.select(F.explode(F.expr("sequence(dmin, dmax)")).alias("d"))
+    out = None
+    for x_t, y_t in TE_PAIRS:
+        wide = (spine
+                .join(cnt.filter(F.col("event_type") == x_t)
+                      .select("d", F.col("c").alias("xc")), "d", "left")
+                .join(cnt.filter(F.col("event_type") == y_t)
+                      .select("d", F.col("c").alias("yc")), "d", "left")
+                .select("d", F.coalesce("xc", F.lit(0)).alias("xc"),
+                        F.coalesce("yc", F.lit(0)).alias("yc")))
+        tots = wide.agg(F.count(F.lit(1)).alias("n"),
+                        F.sum("xc").alias("sx"), F.sum("yc").alias("sy"))
+        wd = Window.orderBy("d")
+        bits = (wide.crossJoin(F.broadcast(tots))
+                .select("d",
+                        F.expr("cast(yc * n > sy as int)").alias("by"),
+                        F.expr("cast(xc * n > sx as int)").alias("bx"))
+                .withColumn("byp", F.lag("by").over(wd))
+                .withColumn("bxp", F.lag("bx").over(wd))
+                .filter(F.col("byp").isNotNull()))
+        cells = bits.groupBy("by", "byp", "bxp").agg(
+            F.count(F.lit(1)).alias("c"))
+        wy = Window.partitionBy("byp")
+        wyx = Window.partitionBy("byp", "bxp")
+        wyy = Window.partitionBy("by", "byp")
+        wall = Window.partitionBy()
+        term = _ha("1e9 * (cast(c as double) / nn)"
+                   " * ln(cast(c as double) * c_yp"
+                   " / (cast(c_ypxp as double) * c_ytyp))")
+        scored = (cells
+                  .withColumn("nn", F.sum("c").over(wall))
+                  .withColumn("c_yp", F.sum("c").over(wy))
+                  .withColumn("c_ypxp", F.sum("c").over(wyx))
+                  .withColumn("c_ytyp", F.sum("c").over(wyy))
+                  .select(F.expr(term).alias("t_nano"), "nn"))
+        part = scored.groupBy().agg(
+            F.lit(f"{x_t}->{y_t}").alias("direction"),
+            F.max("nn").alias("n_steps"),
+            F.expr("sum(t_nano) div 1000").alias("te_micro"))
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("direction")
+
+
+def _te_oracle() -> str:
+    term = _ha("1e9 * (CAST(c AS DOUBLE) / nn)"
+               " * LN(CAST(c AS DOUBLE) * c_yp"
+               " / (CAST(c_ypxp AS DOUBLE) * c_ytyp))")
+    parts = []
+    for x_t, y_t in TE_PAIRS:
+        parts.append(f"""
+SELECT '{x_t}->{y_t}' AS direction,
+       CAST(MAX(nn) AS BIGINT) AS n_steps,
+       CAST(SUM({term}) // 1000 AS BIGINT) AS te_micro
+FROM (
+    SELECT c, SUM(c) OVER () AS nn,
+           SUM(c) OVER (PARTITION BY byp) AS c_yp,
+           SUM(c) OVER (PARTITION BY byp, bxp) AS c_ypxp,
+           SUM(c) OVER (PARTITION BY by_t, byp) AS c_ytyp
+    FROM (
+        SELECT by_t, byp, bxp, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (
+            SELECT by_t, LAG(by_t) OVER (ORDER BY d) AS byp,
+                   LAG(bx) OVER (ORDER BY d) AS bxp
+            FROM (
+                SELECT s.d,
+                       CASE WHEN COALESCE(y.c, 0) * t.n > t.sy
+                            THEN 1 ELSE 0 END AS by_t,
+                       CASE WHEN COALESCE(x.c, 0) * t.n > t.sx
+                            THEN 1 ELSE 0 END AS bx
+                FROM (SELECT UNNEST(range(dmin, dmax + 1)) AS d
+                      FROM (SELECT MIN(CAST(epoch_us(ts) AS BIGINT) * 1000
+                                       // {DAY_NS}) AS dmin,
+                                   MAX(CAST(epoch_us(ts) AS BIGINT) * 1000
+                                       // {DAY_NS}) AS dmax
+                            FROM events)) s
+                LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) * 1000
+                                  // {DAY_NS} AS d, COUNT(*) AS c
+                           FROM events WHERE event_type = '{x_t}'
+                           GROUP BY 1) x ON s.d = x.d
+                LEFT JOIN (SELECT CAST(epoch_us(ts) AS BIGINT) * 1000
+                                  // {DAY_NS} AS d, COUNT(*) AS c
+                           FROM events WHERE event_type = '{y_t}'
+                           GROUP BY 1) y ON s.d = y.d
+                CROSS JOIN (
+                    SELECT (SELECT MAX(CAST(epoch_us(ts) AS BIGINT)
+                                       * 1000 // {DAY_NS})
+                                   - MIN(CAST(epoch_us(ts) AS BIGINT)
+                                         * 1000 // {DAY_NS}) + 1
+                            FROM events) AS n,
+                           (SELECT COUNT(*) FROM events
+                            WHERE event_type = '{x_t}') AS sx,
+                           (SELECT COUNT(*) FROM events
+                            WHERE event_type = '{y_t}') AS sy
+                ) t
+            )
+        ) WHERE byp IS NOT NULL
+        GROUP BY 1, 2, 3
+    )
+)""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY direction"
+
+
+register("events_transfer_entropy", events_transfer_entropy,
+         _te_oracle(),
+         "two-direction transfer entropy on mean-binarized daily counts")
+
+
+# --------------------------------------------------- graph modularity
+def graph_modularity_by_type(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Modularity of the co-activity backbone under the
+    dominant-event-type partition: Q = sum_g (m_gg/m - (d_g/2m)^2) —
+    does what users DO explain who they co-occur with? Each user's
+    group is their most frequent event type (count desc, type asc —
+    total order); edges and degrees come off the capped backbone.
+    Per-group contributions quantize half-away to nano BEFORE the
+    total, so Q is an order-free integer sum identical across
+    engines. Group assignment is one user-keyed window over the
+    per-(user, type) counts; everything after the backbone is
+    group-cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    edges = cohort_edges(ev).cache()
+    per_ut = (ev.groupBy("user_id", "event_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    wu = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), "event_type")
+    grp = (per_ut.withColumn("rk", F.row_number().over(wu))
+           .filter(F.col("rk") == 1)
+           .select("user_id", F.col("event_type").alias("g")))
+    ed = (edges
+          .join(grp.select(F.col("user_id").alias("a"),
+                           F.col("g").alias("ga")), "a")
+          .join(grp.select(F.col("user_id").alias("b"),
+                           F.col("g").alias("gb")), "b"))
+    m_tot = ed.agg(F.count(F.lit(1)).alias("m"))
+    within = (ed.filter(F.col("ga") == F.col("gb"))
+              .groupBy(F.col("ga").alias("g"))
+              .agg(F.count(F.lit(1)).alias("m_in")))
+    deg = (ed.select(F.col("a").alias("u"), F.col("ga").alias("g"))
+           .unionByName(ed.select(F.col("b").alias("u"),
+                                  F.col("gb").alias("g")))
+           .groupBy("g").agg(F.count(F.lit(1)).alias("dg"),
+                             F.countDistinct("u").alias("n_nodes")))
+    contrib = _ha("1e9 * (cast(m_in as double) / m"
+                  " - (cast(dg as double) / (2 * m))"
+                  " * (cast(dg as double) / (2 * m)))")
+    per_g = (deg.join(within, "g", "left")
+             .crossJoin(F.broadcast(m_tot))
+             .select("g", "n_nodes", "dg",
+                     F.coalesce("m_in", F.lit(0)).alias("m_in"), "m")
+             .withColumn("q_nano", F.expr(contrib)))
+    wall = Window.partitionBy()
+    return (per_g
+            .withColumn("q_total_micro",
+                        F.expr("sum(q_nano) over () div 1000"))
+            .select(F.col("g").alias("dominant_type"), "n_nodes",
+                    F.col("m_in").cast("long").alias("internal_edges"),
+                    F.col("dg").cast("long").alias("degree_sum"),
+                    F.col("q_nano").cast("long").alias("q_contrib_nano"),
+                    "q_total_micro")
+            .orderBy("dominant_type"))
+
+
+_GM_CONTRIB = _ha("1e9 * (CAST(m_in AS DOUBLE) / m"
+                  " - (CAST(dg AS DOUBLE) / (2 * m))"
+                  " * (CAST(dg AS DOUBLE) / (2 * m)))")
+
+register("graph_modularity_by_type", graph_modularity_by_type, f"""
+WITH {_COHORT_EDGES_SQL},
+per_ut AS (
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+), grp AS (
+    SELECT user_id, event_type AS g FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type) AS rk
+        FROM per_ut)
+    WHERE rk = 1
+), ed AS (
+    SELECT e.a, e.b, ga.g AS ga, gb.g AS gb
+    FROM edges e
+    JOIN grp ga ON e.a = ga.user_id
+    JOIN grp gb ON e.b = gb.user_id
+), m_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ed),
+within AS (
+    SELECT ga AS g, CAST(COUNT(*) AS BIGINT) AS m_in
+    FROM ed WHERE ga = gb GROUP BY 1
+), deg AS (
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS dg,
+           CAST(COUNT(DISTINCT u) AS BIGINT) AS n_nodes
+    FROM (SELECT a AS u, ga AS g FROM ed
+          UNION ALL SELECT b, gb FROM ed)
+    GROUP BY 1
+), per_g AS (
+    SELECT deg.g, deg.n_nodes, deg.dg,
+           COALESCE(within.m_in, 0) AS m_in, m_tot.m,
+           {_GM_CONTRIB} AS q_nano
+    FROM deg LEFT JOIN within ON deg.g = within.g
+    CROSS JOIN m_tot
+)
+SELECT g AS dominant_type, n_nodes, m_in AS internal_edges,
+       dg AS degree_sum, q_nano AS q_contrib_nano,
+       CAST(SUM(q_nano) OVER () // 1000 AS BIGINT) AS q_total_micro
+FROM per_g ORDER BY dominant_type
+""", "backbone modularity under the dominant-event-type partition")

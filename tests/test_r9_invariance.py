@@ -102,6 +102,10 @@ R9_CASES = [
     "dedup_threshold_sweep",       # integer ppm jaccard, literal spine
     "vocab_coverage_at_k",         # TakeOrdered cut, integer ppm
     "doc_length_lognormal_fit",    # micro-quantized per-doc ln
+    # wave 30: system dynamics
+    "events_markov_stationary",    # nano fixed-point power iterations
+    "events_transfer_entropy",     # integer joint cells, nano terms
+    "graph_modularity_by_type",    # nano group contributions
 ]
 
 
