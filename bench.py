@@ -363,6 +363,10 @@ HEADLINE = [
     "events_markov_stationary",
     "events_transfer_entropy",
     "graph_modularity_by_type",
+    # round-9 wave 31: long-memory, stocking targets, hub structure
+    "events_hurst_exponent",
+    "orders_newsvendor_quantile",
+    "graph_rich_club",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

@@ -500,6 +500,10 @@ NEW_R9: list[str] = [
     # wave 30: system dynamics (dynamics.py)
     "events_markov_stationary", "events_transfer_entropy",
     "graph_modularity_by_type",
+    # wave 31: long-memory, stocking targets, hub structure
+    # (spectral_info.py, warehouse_extras.py, paths_stats.py)
+    "events_hurst_exponent", "orders_newsvendor_quantile",
+    "graph_rich_club",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

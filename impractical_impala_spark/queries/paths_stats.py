@@ -760,3 +760,81 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
        CAST(SUM(coeff_ppm) // COUNT(*) AS BIGINT) AS mean_coeff_ppm
 FROM bucketed GROUP BY bucket ORDER BY bucket
 """, "local clustering-coefficient ppm histogram of the backbone")
+
+
+# ------------------------------------------------------- rich club
+RC_KS = (2, 4, 8, 16, 32)
+
+
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the co-activity backbone at fixed
+    degree thresholds: phi(k) = 2*E_k / (N_k*(N_k-1)) over the
+    subgraph of nodes with degree > k — do the hubs preferentially
+    co-occur with each other (phi near 1 = an elite core; the
+    backbone-health companion to graph_degree_assortativity's global
+    correlation). Exact integer ppm; N_k < 2 yields NULL. The
+    k-sweep explodes five literals over the degree-annotated edge
+    frame (backbone-bounded); N_k comes from the model-size degree
+    table."""
+    edges = cohort_edges(load_table(spark, sf_dir, "events")).cache()
+    deg = (edges.select(F.col("a").alias("u"))
+           .unionByName(edges.select(F.col("b").alias("u")))
+           .groupBy("u").agg(F.count(F.lit(1)).alias("deg")))
+    ed = (edges
+          .join(deg.select(F.col("u").alias("a"), F.col("deg").alias("da")),
+                "a")
+          .join(deg.select(F.col("u").alias("b"), F.col("deg").alias("db")),
+                "b"))
+    ks = ", ".join(str(k) for k in RC_KS)
+    ek = (ed.withColumn("k", F.explode(F.expr(f"array({ks})")))
+          .filter(F.expr("da > k and db > k"))
+          .groupBy("k").agg(F.count(F.lit(1)).alias("n_edges")))
+    nk = (deg.withColumn("k", F.explode(F.expr(f"array({ks})")))
+          .filter(F.expr("deg > k"))
+          .groupBy("k").agg(F.count(F.lit(1)).alias("n_nodes")))
+    spine = spark.range(1).select(
+        F.explode(F.expr(f"array({ks})")).alias("k"))
+    return (spine.join(nk, "k", "left").join(ek, "k", "left")
+            .select(F.col("k").cast("int").alias("k"),
+                    F.coalesce("n_nodes", F.lit(0)).alias("n_nodes"),
+                    F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+                    F.expr("case when coalesce(n_nodes, 0) >= 2 then"
+                           " coalesce(n_edges, 0) * 2000000"
+                           " div (n_nodes * (n_nodes - 1)) end")
+                    .alias("phi_ppm"))
+            .orderBy("k"))
+
+
+register("graph_rich_club", graph_rich_club, f"""
+WITH {_COHORT_EDGES_SQL},
+deg AS (
+    SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM (SELECT a AS u FROM edges UNION ALL SELECT b FROM edges)
+    GROUP BY u
+), ed AS (
+    SELECT e.a, e.b, da.deg AS da, db.deg AS db
+    FROM edges e
+    JOIN deg da ON e.a = da.u
+    JOIN deg db ON e.b = db.u
+), ek AS (
+    SELECT k.k, CAST(COUNT(*) AS BIGINT) AS n_edges
+    FROM ed, (SELECT UNNEST([{", ".join(str(k) for k in RC_KS)}]) AS k) k
+    WHERE ed.da > k.k AND ed.db > k.k
+    GROUP BY 1
+), nk AS (
+    SELECT k.k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg, (SELECT UNNEST([{", ".join(str(k) for k in RC_KS)}]) AS k) k
+    WHERE deg.deg > k.k
+    GROUP BY 1
+)
+SELECT CAST(s.k AS INT) AS k,
+       COALESCE(nk.n_nodes, 0) AS n_nodes,
+       COALESCE(ek.n_edges, 0) AS n_edges,
+       CASE WHEN COALESCE(nk.n_nodes, 0) >= 2 THEN
+           COALESCE(ek.n_edges, 0) * 2000000
+           // (nk.n_nodes * (nk.n_nodes - 1)) END AS phi_ppm
+FROM (SELECT UNNEST([{", ".join(str(k) for k in RC_KS)}]) AS k) s
+LEFT JOIN nk ON s.k = nk.k
+LEFT JOIN ek ON s.k = ek.k
+ORDER BY s.k
+""", "rich-club coefficient phi(k) of the backbone at fixed thresholds")

@@ -650,3 +650,129 @@ FROM (
 register("events_granger_causality", events_granger_causality,
          _gc_oracle(),
          "two-direction Granger F-test on daily click/purchase counts")
+
+
+# --------------------------------------------------- Hurst exponent
+import math as _math
+
+from .monitor_eval import _ha_sql as _ha  # noqa: E402
+
+HURST_MS = (1, 2, 3, 5)  # aggregation block sizes
+# ln(m) pre-quantized to micro — fixed PUBLIC constants shared by both
+# engines, so the 4-point log-log regression is pure integer x-values
+HURST_LNM_MICRO = {m: int(_math.floor(_math.log(m) * 1e6 + 0.5))
+                   for m in HURST_MS}
+
+
+def events_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily total event count by the
+    aggregated-variance method: variance of block means at block
+    sizes m in HURST_MS falls like m^(2H-2), so H = 1 + slope/2 of
+    the ln-var vs ln-m line — the long-memory diagnostic that says
+    whether load fluctuations average out (H=0.5, Poisson-like) or
+    persist (H>0.5, self-similar traffic: capacity planning must not
+    assume sqrt-n smoothing). Block SUMS are exact integers off the
+    zero-filled day spine (tail days beyond k*m truncate, the
+    standard estimator); each ln-variance quantizes to micro, the ln m
+    x-values are pre-quantized module constants, and the 4-point OLS
+    slope is one float expression over those integers. Day-spine
+    cardinality throughout."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts_ns div 86400000000000").alias("d"))
+    cnt = ev.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+    rng = ev.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    spine = (rng.select(
+        F.explode(F.expr("sequence(dmin, dmax)")).alias("d"), "dmin",
+        F.expr("dmax - dmin + 1").alias("n"))
+        .join(cnt, "d", "left")
+        .select(F.expr("d - dmin").alias("i"), "n",
+                F.coalesce("c", F.lit(0)).alias("x")))
+    ms = ", ".join(str(m) for m in HURST_MS)
+    blocks = (spine
+              .withColumn("m", F.explode(F.expr(f"array({ms})")))
+              .filter(F.expr("i < (n div m) * m"))
+              .groupBy("m", F.expr("i div m").alias("b"))
+              .agg(F.sum("x").alias("s"), F.max("n").alias("n")))
+    per_m = blocks.groupBy("m").agg(
+        F.count(F.lit(1)).alias("k"), F.sum("s").alias("ss"),
+        F.sum(F.expr("s * s")).alias("qq"))
+    # var of block MEANS = (k*qq - ss^2) / (k*(k-1)) / m^2
+    v = ("((cast(k as double) * qq - cast(ss as double) * ss)"
+         " / (cast(k as double) * (k - 1))"
+         " / (cast(m as double) * m))")
+    lx_case = ("case " + " ".join(
+        f"when m = {m} then {HURST_LNM_MICRO[m]}" for m in HURST_MS)
+        + " end")
+    pts = per_m.select(
+        "m", "k", F.expr(f"cast({lx_case} as bigint)").alias("lx"),
+        F.expr(_ha(f"1e6 * ln({v})")).alias("ly"))
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("lx").alias("sx"), F.sum("ly").alias("sy"),
+        F.sum(F.expr("lx * ly")).alias("sxy"),
+        F.sum(F.expr("lx * lx")).alias("sxx"),
+        F.max(F.expr("case when m = 1 then k end")).alias("n_days"))
+    slope = ("((cast(np as double) * sxy - cast(sx as double) * sy)"
+             " / (cast(np as double) * sxx - cast(sx as double) * sx))")
+    return agg.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.expr(_ha(f"({slope}) * 1e6")).alias("slope_micro"),
+        F.expr(_ha(f"(1.0 + ({slope}) / 2) * 1e6")).alias("hurst_micro"))
+
+
+def _hurst_oracle() -> str:
+    lx_case = ("CASE " + " ".join(
+        f"WHEN m = {m} THEN {HURST_LNM_MICRO[m]}" for m in HURST_MS)
+        + " END")
+    v = ("((CAST(k AS DOUBLE) * qq - CAST(ss AS DOUBLE) * ss)"
+         " / (CAST(k AS DOUBLE) * (k - 1))"
+         " / (CAST(m AS DOUBLE) * m))")
+    slope = ("((CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+             " / (CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))")
+    ms = ", ".join(str(m) for m in HURST_MS)
+    return f"""
+WITH ev AS (
+    SELECT CAST(epoch_us(ts) AS BIGINT) * 1000 // 86400000000000 AS d
+    FROM events
+), cnt AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY 1),
+rng AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM ev),
+spine AS (
+    SELECT s.d - r.dmin AS i, r.dmax - r.dmin + 1 AS n,
+           COALESCE(cnt.c, 0) AS x
+    FROM rng r,
+         (SELECT UNNEST(range((SELECT dmin FROM rng),
+                              (SELECT dmax FROM rng) + 1)) AS d) s
+    LEFT JOIN cnt ON s.d = cnt.d
+), blocks AS (
+    SELECT mm.m, i // mm.m AS b, CAST(SUM(x) AS BIGINT) AS s,
+           MAX(n) AS n
+    FROM spine, (SELECT UNNEST([{ms}]) AS m) mm
+    WHERE i < (n // mm.m) * mm.m
+    GROUP BY 1, 2
+), per_m AS (
+    SELECT m, CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(s) AS BIGINT) AS ss,
+           CAST(SUM(s * s) AS BIGINT) AS qq
+    FROM blocks GROUP BY 1
+), pts AS (
+    SELECT m, k, CAST({lx_case} AS BIGINT) AS lx,
+           {_ha(f"1e6 * LN({v})")} AS ly
+    FROM per_m
+), agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS np,
+           CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+           CAST(SUM(lx * ly) AS BIGINT) AS sxy,
+           CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+           CAST(MAX(CASE WHEN m = 1 THEN k END) AS BIGINT) AS n_days
+    FROM pts
+)
+SELECT n_days,
+       {_ha(f"({slope}) * 1e6")} AS slope_micro,
+       {_ha(f"(1.0 + ({slope}) / 2) * 1e6")} AS hurst_micro
+FROM agg
+"""
+
+
+register("events_hurst_exponent", events_hurst_exponent,
+         _hurst_oracle(),
+         "Hurst exponent (aggregated-variance method) of daily load")

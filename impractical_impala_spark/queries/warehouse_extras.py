@@ -27,7 +27,7 @@ the shared fixtures, each query the decomposition that survives 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -439,3 +439,87 @@ FROM fan ORDER BY u_pct
            wq_ha=_kg_ha(f"({_KG_WQ}) * 1e3"),
            us_list=", ".join(str(u) for u in KINGMAN_UTILS)),
          "Kingman VUT wait sweep from exact dispersion statistics")
+
+
+# --------------------------------------------- newsvendor fractiles
+NV_FRACTILES = (50, 80, 90, 95)  # critical fractiles, percent
+
+
+def orders_newsvendor_quantile(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Newsvendor stocking targets: the critical-fractile demand
+    quantiles of DAILY order volume (smallest x with
+    P(demand <= x) >= f) at the standard cost-ratio sweep — the
+    inventory/provisioning question the Kingman sweep's variability
+    numbers feed. Demand is the zero-filled day spine's order count;
+    days with NO orders enter as an arithmetic zero ROW in the value
+    histogram (spine length minus active days) rather than a fill
+    join — the no-fill identity, but as an emittable level: with a
+    zero-heavy demand distribution the 50% fractile IS zero, so zero
+    must be a real histogram value. The quantile is a
+    first-crossing on the bounded demand-value histogram (cumulative
+    window over distinct demand values, integer cross-multiplied
+    compare), so every target is an exactly attained demand level.
+    Attainment ppm reports the actual coverage at the target."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("cast(o_orderdate as date)").alias("od"))
+    rng = o.agg(F.expr("datediff(max(od), min(od)) + 1").alias("n_days"))
+    daily = o.groupBy("od").agg(F.count(F.lit(1)).alias("c"))
+    active = daily.agg(F.count(F.lit(1)).alias("n_active"))
+    zrow = (rng.crossJoin(F.broadcast(active))
+            .select(F.lit(0).cast("long").alias("c"),
+                    F.expr("n_days - n_active").alias("nd"), "n_days")
+            .filter(F.col("nd") > 0))
+    hist = (daily.groupBy("c").agg(F.count(F.lit(1)).alias("nd"))
+            .crossJoin(F.broadcast(rng))
+            .select("c", "nd", "n_days")
+            .unionByName(zrow))
+    wc = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("nd").over(wc))
+    fs = ", ".join(str(f) for f in NV_FRACTILES)
+    fan = (cum.withColumn("f_pct", F.explode(F.expr(f"array({fs})")))
+           .filter(F.expr("cum * 100 >= f_pct * n_days")))
+    first = fan.groupBy("f_pct").agg(F.min("cum").alias("cum_at"))
+    return (first.join(fan.select("f_pct", F.col("cum").alias("cum_at"),
+                                  "c", "n_days"), ["f_pct", "cum_at"])
+            .select(F.col("f_pct").cast("int").alias("fractile_pct"),
+                    F.col("c").cast("long").alias("target_units"),
+                    F.expr("cum_at * 1000000 div n_days")
+                    .alias("attained_ppm"))
+            .orderBy("fractile_pct"))
+
+
+register("orders_newsvendor_quantile", orders_newsvendor_quantile, f"""
+WITH o AS (SELECT CAST(o_orderdate AS DATE) AS od FROM orders),
+rng AS (SELECT datediff('day', MIN(od), MAX(od)) + 1 AS n_days FROM o),
+daily AS (SELECT od, CAST(COUNT(*) AS BIGINT) AS c FROM o GROUP BY 1),
+hist AS (
+    SELECT h.c, h.nd, r.n_days
+    FROM (SELECT c, CAST(COUNT(*) AS BIGINT) AS nd
+          FROM daily GROUP BY 1) h
+    CROSS JOIN rng r
+    UNION ALL
+    SELECT CAST(0 AS BIGINT) AS c,
+           r.n_days - (SELECT COUNT(*) FROM daily) AS nd, r.n_days
+    FROM rng r
+    WHERE r.n_days - (SELECT COUNT(*) FROM daily) > 0
+), cum AS (
+    SELECT c, n_days,
+           SUM(nd) OVER (ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM hist
+), fan AS (
+    SELECT f.f_pct, cum.c, cum.cum, cum.n_days
+    FROM cum, (SELECT UNNEST([{", ".join(str(f) for f in NV_FRACTILES)}])
+               AS f_pct) f
+    WHERE cum.cum * 100 >= f.f_pct * cum.n_days
+), first AS (
+    SELECT f_pct, MIN(cum) AS cum_at FROM fan GROUP BY 1
+)
+SELECT CAST(f.f_pct AS INT) AS fractile_pct,
+       CAST(fan.c AS BIGINT) AS target_units,
+       CAST(f.cum_at * 1000000 // fan.n_days AS BIGINT) AS attained_ppm
+FROM first f
+JOIN fan ON fan.f_pct = f.f_pct AND fan.cum = f.cum_at
+ORDER BY fractile_pct
+""", "newsvendor critical-fractile demand targets (first-crossing)")

@@ -106,6 +106,10 @@ R9_CASES = [
     "events_markov_stationary",    # nano fixed-point power iterations
     "events_transfer_entropy",     # integer joint cells, nano terms
     "graph_modularity_by_type",    # nano group contributions
+    # wave 31: long-memory, stocking targets, hub structure
+    "events_hurst_exponent",       # integer block sums, fixed ln(m)
+    "orders_newsvendor_quantile",  # integer first-crossing quantiles
+    "graph_rich_club",             # integer ppm at fixed thresholds
 ]
 
 
