@@ -367,6 +367,10 @@ HEADLINE = [
     "events_hurst_exponent",
     "orders_newsvendor_quantile",
     "graph_rich_club",
+    # round-9 wave 32: discriminability, lifecycle, autocorrelation cost
+    "emb_fisher_ratio_dims",
+    "customer_tier_migration",
+    "events_effective_sample_size",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

@@ -504,6 +504,10 @@ NEW_R9: list[str] = [
     # (spectral_info.py, warehouse_extras.py, paths_stats.py)
     "events_hurst_exponent", "orders_newsvendor_quantile",
     "graph_rich_club",
+    # wave 32: discriminability, lifecycle, autocorrelation cost
+    # (emb_eval.py, analytics.py, hypothesis.py)
+    "emb_fisher_ratio_dims", "customer_tier_migration",
+    "events_effective_sample_size",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

@@ -560,3 +560,79 @@ JOIN by_t ON c.p_type = by_t.p_type
 CROSS JOIN tot
 ORDER BY c.n_name, c.p_type
 """, "Balassa RCA matrix: nation x part-type revenue specialization")
+
+
+# --------------------------------------------- customer tier migration
+TIER_CASE = ("case when NX = 0 then 0 when NX <= 2 then 1"
+             " when NX <= 5 then 2 else 3 end")
+
+
+def customer_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer activity-tier migration matrix between the early and
+    late half of the order history: tiers 0 (dormant) / 1 (1-2
+    orders) / 2 (3-5) / 3 (6+), assigned per half from exact order
+    counts over ALL customers (the dimension table anchors the
+    population, so dormant->dormant is a real cell) — the lifecycle
+    view behind churn/upsell reporting, as one <=16-row matrix with
+    exact ppm shares. One fact scan splits on the integer midpoint
+    day; the matrix is two broadcast-joined count frames keyed on
+    customer."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("datediff(cast(o_orderdate as date),"
+               " date'1970-01-01')").alias("d"))
+    rng = o.agg(F.expr("(min(d) + max(d)) div 2").alias("dmid"))
+    split = (o.crossJoin(F.broadcast(rng))
+             .groupBy("o_custkey")
+             .agg(F.sum(F.expr("case when d <= dmid then 1 else 0 end"))
+                  .alias("ne"),
+                  F.sum(F.expr("case when d > dmid then 1 else 0 end"))
+                  .alias("nl")))
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"))
+    tiers = (cust.join(split, "o_custkey", "left")
+             .select(
+                 F.expr(TIER_CASE.replace("NX", "coalesce(ne, 0)"))
+                 .alias("tier_early"),
+                 F.expr(TIER_CASE.replace("NX", "coalesce(nl, 0)"))
+                 .alias("tier_late")))
+    tot = tiers.agg(F.count(F.lit(1)).alias("nn"))
+    return (tiers.groupBy("tier_early", "tier_late")
+            .agg(F.count(F.lit(1)).alias("n_customers"))
+            .crossJoin(F.broadcast(tot))
+            .select(F.col("tier_early").cast("int").alias("tier_early"),
+                    F.col("tier_late").cast("int").alias("tier_late"),
+                    "n_customers",
+                    F.expr("n_customers * 1000000 div nn")
+                    .alias("share_ppm"))
+            .orderBy("tier_early", "tier_late"))
+
+
+_TM_TIER_E = TIER_CASE.replace("NX", "COALESCE(ne, 0)")
+_TM_TIER_L = TIER_CASE.replace("NX", "COALESCE(nl, 0)")
+
+register("customer_tier_migration", customer_tier_migration, f"""
+WITH o AS (
+    SELECT o_custkey,
+           datediff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS d
+    FROM orders
+), rng AS (SELECT (MIN(d) + MAX(d)) // 2 AS dmid FROM o),
+split AS (
+    SELECT o_custkey,
+           CAST(SUM(CASE WHEN d <= dmid THEN 1 ELSE 0 END) AS BIGINT)
+               AS ne,
+           CAST(SUM(CASE WHEN d > dmid THEN 1 ELSE 0 END) AS BIGINT)
+               AS nl
+    FROM o CROSS JOIN rng GROUP BY 1
+), tiers AS (
+    SELECT CAST({_TM_TIER_E} AS INT) AS tier_early,
+           CAST({_TM_TIER_L} AS INT) AS tier_late
+    FROM customer c LEFT JOIN split ON c.c_custkey = split.o_custkey
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM tiers)
+SELECT tier_early, tier_late,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) * 1000000 // ANY_VALUE(nn) AS BIGINT) AS share_ppm
+FROM tiers CROSS JOIN tot
+GROUP BY 1, 2 ORDER BY 1, 2
+""", "activity-tier migration matrix (early vs late half, all customers)")

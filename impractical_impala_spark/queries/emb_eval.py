@@ -591,3 +591,89 @@ SELECT n AS n_vectors, s1 AS total_occ, max_occ, n_zero AS n_antihubs,
        {_ha(f"({_HUB_SKEW}) * 1e6")} AS skew_micro
 FROM agg
 """, "k-occurrence hubness skewness over the exact top-k lists")
+
+
+# ---------------------------------------------- Fisher ratio per dim
+FISHER_TOPK = 10
+
+
+def emb_fisher_ratio_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension Fisher discriminant ratio of the labeled
+    embedding corpus — which coordinates actually separate the
+    labels (the feature-selection view that complements
+    emb_knn_label_purity's holistic answer): F_d = MSB_d / MSW_d,
+    the one-way ANOVA F of dimension d across labels. Sufficient
+    statistics are exact integers in Q_SCALE fixed point off one
+    posexplode (labels x dim cells); each (label, dim) between-term
+    is half-away-quantized to milli BEFORE the cross-label sum (the
+    events_anova_f discipline), so every reduction is order-free
+    integer arithmetic. Output: the FISHER_TOPK most discriminative
+    dimensions by (f desc, dim) — a TakeOrdered on the 64-row frame."""
+    ex = (load_table(spark, sf_dir, "embeddings")
+          .select("label", F.posexplode("embedding").alias("i", "x"))
+          .select("label", "i",
+                  F.floor(F.col("x").cast("double") * Q_SCALE)
+                  .cast("long").alias("xq")))
+    per = ex.groupBy("label", "i").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("xq").alias("s"),
+        F.sum(F.expr("xq * xq")).alias("q"))
+    suff = per.select(
+        "i", "n", "s", "q",
+        F.expr(_ha("cast(s as double) * cast(s as double) * 1e3 / n"))
+        .alias("t_milli"))
+    agg = suff.groupBy("i").agg(
+        F.count(F.lit(1)).alias("k"), F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"), F.sum("q").alias("qq"),
+        F.sum("t_milli").alias("b_milli"))
+    ha_tot = _ha("cast(ss as double) * cast(ss as double) * 1e3 / nn")
+    ssb = f"(b_milli - {ha_tot})"
+    ssw = "(1000 * qq - b_milli)"
+    f_stat = (f"((cast({ssb} as double) / (k - 1))"
+              f" / (cast({ssw} as double) / (nn - k)))")
+    eta2 = (f"(cast({ssb} as double)"
+            f" / (cast({ssb} as double) + cast({ssw} as double)))")
+    return (agg.select(
+        F.col("i").cast("int").alias("dim"),
+        F.col("k").cast("int").alias("k_labels"),
+        F.expr(_ha(f"({f_stat}) * 1e6")).alias("f_micro"),
+        F.expr(_ha(f"({eta2}) * 1e6")).alias("eta2_ppm"))
+        .orderBy(F.desc("f_micro"), "dim").limit(FISHER_TOPK))
+
+
+_FR_HA_TOT = _ha("CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) * 1e3 / nn")
+_FR_SSB = f"(b_milli - {_FR_HA_TOT})"
+_FR_SSW = "(1000 * qq - b_milli)"
+_FR_F = (f"((CAST({_FR_SSB} AS DOUBLE) / (k - 1))"
+         f" / (CAST({_FR_SSW} AS DOUBLE) / (nn - k)))")
+_FR_ETA = (f"(CAST({_FR_SSB} AS DOUBLE)"
+           f" / (CAST({_FR_SSB} AS DOUBLE) + CAST({_FR_SSW} AS DOUBLE)))")
+
+register("emb_fisher_ratio_dims", emb_fisher_ratio_dims, f"""
+WITH ex AS (
+    SELECT label, k - 1 AS i,
+           CAST(FLOOR(CAST(embedding[k] AS DOUBLE) * {Q_SCALE}) AS BIGINT)
+               AS xq
+    FROM embeddings
+    CROSS JOIN (SELECT UNNEST(range(1, {DIM} + 1)) AS k)
+), per AS (
+    SELECT label, i, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(xq) AS BIGINT) AS s,
+           CAST(SUM(xq * xq) AS BIGINT) AS q
+    FROM ex GROUP BY 1, 2
+), suff AS (
+    SELECT i, n, s, q,
+           {_ha("CAST(s AS DOUBLE) * CAST(s AS DOUBLE) * 1e3 / n")}
+               AS t_milli
+    FROM per
+), agg AS (
+    SELECT i, CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+           CAST(SUM(s) AS BIGINT) AS ss, CAST(SUM(q) AS BIGINT) AS qq,
+           CAST(SUM(t_milli) AS BIGINT) AS b_milli
+    FROM suff GROUP BY i
+)
+SELECT CAST(i AS INT) AS dim, CAST(k AS INT) AS k_labels,
+       {_ha(f"({_FR_F}) * 1e6")} AS f_micro,
+       {_ha(f"({_FR_ETA}) * 1e6")} AS eta2_ppm
+FROM agg
+ORDER BY f_micro DESC, dim LIMIT {FISHER_TOPK}
+""", "top-10 label-discriminative embedding dims by ANOVA Fisher ratio")

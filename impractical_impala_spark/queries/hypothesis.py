@@ -517,3 +517,118 @@ SELECT CAST(k AS INT) AS k_groups, nn AS n_total,
             AS INT) AS homogeneous
 FROM agg
 """, "Bartlett variance-homogeneity test across return flags (cents)")
+
+
+# --------------------------------------- effective sample size (ESS)
+def events_effective_sample_size(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Integrated autocorrelation time and effective sample size of
+    each type's zero-filled daily count series: tau = 1 + 2*sum
+    rho_k over lags 1..LB_LAGS and ESS = n/tau — the "how many
+    independent days do we really have" number that calibrates every
+    i.i.d.-assuming interval on daily aggregates (a Ljung-Box
+    companion: LB says WHETHER autocorrelation exists, tau says how
+    much it costs). The rho_k reuse the exact n²-scaled integer
+    decomposition of events_ljung_box, summed in fixed textual order;
+    tau can dip below 1 under oscillation (ESS > n — documented, not
+    clamped). NULL for a constant series."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts_ns div {DAY_NS}").alias("d"))
+    cnt = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("c"))
+    rng = ev.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    types = ev.select("event_type").distinct()
+    spine = (types.crossJoin(F.broadcast(rng))
+             .select("event_type",
+                     F.explode(F.expr("sequence(dmin, dmax)")).alias("d")))
+    filled = (spine.join(cnt, ["event_type", "d"], "left")
+              .select("event_type", "d",
+                      F.coalesce("c", F.lit(0)).alias("x")))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("event_type").orderBy("d")
+    lagged = filled
+    for k in range(1, LB_LAGS + 1):
+        lagged = lagged.withColumn(f"x{k}", F.lag("x", k).over(w))
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"),
+            F.sum(F.expr("x * x")).alias("q")]
+    for k in range(1, LB_LAGS + 1):
+        aggs += [
+            F.sum(F.expr(f"case when x{k} is not null"
+                         f" then x * x{k} else 0 end")).alias(f"a{k}"),
+            F.sum(F.expr(f"case when x{k} is not null"
+                         f" then x else 0 end")).alias(f"t1{k}"),
+            F.sum(F.coalesce(F.col(f"x{k}"), F.lit(0))).alias(f"t2{k}")]
+    suff = lagged.groupBy("event_type").agg(*aggs)
+    tau = _ess_tau_expr()
+    return (suff.select(
+        "event_type", F.col("n").cast("long").alias("n_days"),
+        F.expr(_ha(f"({tau}) * 1e6")).alias("tau_micro"),
+        F.expr(_ha(f"case when ({tau}) is null then null else"
+                   f" cast(n as double) / ({tau}) * 1e3 end"))
+        .alias("ess_milli"))
+        .orderBy("event_type"))
+
+
+def _ess_tau_expr() -> str:
+    den = "(cast(n as double) * (n * q - s * s))"
+    rhos = []
+    for k in range(1, LB_LAGS + 1):
+        num = (f"(cast(n as double) * n * a{k}"
+               f" - cast(n as double) * s * (t1{k} + t2{k})"
+               f" + cast(n - {k} as double) * s * s)")
+        rhos.append(f"({num} / {den})")
+    rho_sum = " + ".join(rhos)
+    return (f"case when n * q = s * s then null else"
+            f" 1.0 + 2.0 * ({rho_sum}) end")
+
+
+def _ess_oracle() -> str:
+    lag_cols = ",\n           ".join(
+        f"LAG(x, {k}) OVER (PARTITION BY event_type ORDER BY d) AS x{k}"
+        for k in range(1, LB_LAGS + 1))
+    lag_aggs = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN x{k} IS NOT NULL THEN x * x{k} ELSE 0 END)"
+        f" AS BIGINT) AS a{k},\n           "
+        f"CAST(SUM(CASE WHEN x{k} IS NOT NULL THEN x ELSE 0 END)"
+        f" AS BIGINT) AS t1{k},\n           "
+        f"CAST(SUM(COALESCE(x{k}, 0)) AS BIGINT) AS t2{k}"
+        for k in range(1, LB_LAGS + 1))
+    tau = _ess_tau_expr()
+    return f"""
+WITH ev AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) AS BIGINT) * 1000 // {DAY_NS} AS d
+    FROM events
+), cnt AS (
+    SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS c
+    FROM ev GROUP BY 1, 2
+), rng AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM ev),
+spine AS (
+    SELECT t.event_type, s.d
+    FROM (SELECT DISTINCT event_type FROM ev) t,
+         (SELECT UNNEST(range(dmin, dmax + 1)) AS d FROM rng) s
+), filled AS (
+    SELECT spine.event_type, spine.d, COALESCE(cnt.c, 0) AS x
+    FROM spine LEFT JOIN cnt
+      ON spine.event_type = cnt.event_type AND spine.d = cnt.d
+), lagged AS (
+    SELECT event_type, x,
+           {lag_cols}
+    FROM filled
+), suff AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS s,
+           CAST(SUM(x * x) AS BIGINT) AS q,
+           {lag_aggs}
+    FROM lagged GROUP BY event_type
+)
+SELECT event_type, n AS n_days,
+       {_ha(f"({tau}) * 1e6")} AS tau_micro,
+       {_ha(f"CASE WHEN ({tau}) IS NULL THEN NULL ELSE"
+            f" CAST(n AS DOUBLE) / ({tau}) * 1e3 END")} AS ess_milli
+FROM suff ORDER BY event_type
+"""
+
+
+register("events_effective_sample_size", events_effective_sample_size,
+         _ess_oracle(),
+         f"integrated autocorrelation time (lags 1..{LB_LAGS}) + ESS")

@@ -110,6 +110,10 @@ R9_CASES = [
     "events_hurst_exponent",       # integer block sums, fixed ln(m)
     "orders_newsvendor_quantile",  # integer first-crossing quantiles
     "graph_rich_club",             # integer ppm at fixed thresholds
+    # wave 32: discriminability, lifecycle, autocorrelation cost
+    "emb_fisher_ratio_dims",       # milli-quantized per-label terms
+    "customer_tier_migration",     # integer midpoint split, 16 cells
+    "events_effective_sample_size",  # n^2-scaled integer rho sums
 ]
 
 
