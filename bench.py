@@ -371,6 +371,10 @@ HEADLINE = [
     "emb_fisher_ratio_dims",
     "customer_tier_migration",
     "events_effective_sample_size",
+    # round-9 wave 33: boilerplate, tail thresholds, concentration
+    "doc_boilerplate_ratio",
+    "events_mean_excess",
+    "user_activity_gini",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

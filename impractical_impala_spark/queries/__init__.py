@@ -508,6 +508,10 @@ NEW_R9: list[str] = [
     # (emb_eval.py, analytics.py, hypothesis.py)
     "emb_fisher_ratio_dims", "customer_tier_migration",
     "events_effective_sample_size",
+    # wave 33: boilerplate, tail thresholds, concentration
+    # (curation.py, stat_tests.py, profiling.py)
+    "doc_boilerplate_ratio", "events_mean_excess",
+    "user_activity_gini",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

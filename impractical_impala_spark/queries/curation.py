@@ -550,3 +550,69 @@ SELECT source, CAST(quality_ppm AS BIGINT) AS quality_ppm, tokens,
             // budget AS BIGINT) AS budget_share_ppm
 FROM alloc ORDER BY quality_ppm DESC, source
 """, "capped-greedy pretraining mix allocation over source quality")
+
+
+# ------------------------------------------------ boilerplate ratio
+BP_MIN_DOCS = 3   # a fragment in >= this many docs of a source is boilerplate
+BP_MIN_CHARS = 20  # fragments shorter than this are ignored
+
+
+def doc_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection per source: the share of each document's
+    sentence fragments that recur in >= BP_MIN_DOCS distinct documents
+    of the SAME source — headers, footers, templates and navigation
+    chrome that survive exact dedup because the surrounding document
+    differs. Fragments are '.'-splits of >= BP_MIN_CHARS chars,
+    md5-hashed; the census keys on (source, fragment hash) with an
+    exact distinct-doc count (the dedup shuffle shape — fragment
+    vocabulary, never the corpus, crosses the wire twice). Output per
+    source: docs, mean and max boilerplate ppm — the strip-or-keep
+    curation signal."""
+    frags = (load_table(spark, sf_dir, "documents")
+             .select("doc_id", "source",
+                     F.explode(F.split("text", "\\.")).alias("frag"))
+             .select("doc_id", "source",
+                     F.md5(F.trim("frag")).alias("h"),
+                     F.length(F.trim("frag")).alias("len"))
+             .filter(F.col("len") >= BP_MIN_CHARS))
+    census = (frags.groupBy("source", "h")
+              .agg(F.countDistinct("doc_id").alias("nd")))
+    marked = (frags.join(census, ["source", "h"])
+              .withColumn("bp", F.expr(
+                  f"cast(nd >= {BP_MIN_DOCS} as int)")))
+    per_doc = (marked.groupBy("doc_id", "source")
+               .agg(F.count(F.lit(1)).alias("n_frags"),
+                    F.sum("bp").alias("n_bp"))
+               .withColumn("ratio_ppm", F.expr(
+                   "n_bp * 1000000 div n_frags")))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.expr("sum(ratio_ppm) div count(1)")
+                 .alias("mean_bp_ppm"),
+                 F.max("ratio_ppm").alias("max_bp_ppm"))
+            .orderBy("source"))
+
+
+register("doc_boilerplate_ratio", doc_boilerplate_ratio, f"""
+WITH frags AS (
+    SELECT doc_id, source, md5(trim(frag)) AS h
+    FROM (SELECT doc_id, source,
+                 UNNEST(string_split(text, '.')) AS frag
+          FROM documents)
+    WHERE length(trim(frag)) >= {BP_MIN_CHARS}
+), census AS (
+    SELECT source, h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+    FROM frags GROUP BY 1, 2
+), per_doc AS (
+    SELECT f.doc_id, f.source, CAST(COUNT(*) AS BIGINT) AS n_frags,
+           CAST(SUM(CASE WHEN c.nd >= {BP_MIN_DOCS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bp
+    FROM frags f JOIN census c ON f.source = c.source AND f.h = c.h
+    GROUP BY 1, 2
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bp * 1000000 // n_frags) // COUNT(*) AS BIGINT)
+           AS mean_bp_ppm,
+       CAST(MAX(n_bp * 1000000 // n_frags) AS BIGINT) AS max_bp_ppm
+FROM per_doc GROUP BY source ORDER BY source
+""", "per-source boilerplate fragment share (recurring sentence census)")

@@ -667,3 +667,97 @@ SELECT n_name, CAST(cnt AS BIGINT) AS n_pairs,
        CAST(slope_milli AS BIGINT) AS theilsen_slope_milli
 FROM ranked WHERE rn = (cnt + 1) // 2 ORDER BY n_name
 """, "Theil-Sen median-of-slopes robust monthly revenue trend per nation")
+
+
+# --------------------------------------------------- user activity Gini
+from .monitor_eval import _ha_sql as _ug_ha  # noqa: E402
+
+UG_BINS = 4096
+
+
+def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of per-user event activity WITHOUT a total
+    order over users — the customer_pareto cutpoint mechanism driving
+    the grouped-data (trapezoid) Gini: per-user counts bucket into a
+    broadcast UG_BINS-cell equi-width histogram, and
+    G = 1 - sum_b p_b * (L_{b-1} + L_b) runs over the ASCENDING bin
+    spine's exact integer cumulative counts and masses (the standard
+    grouped estimator; within-bin equality is the documented bin-
+    granularity quantization — at 4096 cells the bias is far below
+    the ppm report). One fact shuffle to per-user counts; everything
+    after is histogram-sized. The inequality lens on user telemetry:
+    a rising Gini means a shrinking heavy core generates the data —
+    sampling and privacy review both want that number."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    per = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    rng = per.agg(F.min("c").alias("mn"), F.max("c").alias("mx"),
+                  F.count(F.lit(1)).alias("n"), F.sum("c").alias("s"))
+    binned = (per.crossJoin(F.broadcast(rng))
+              .withColumn("bin", F.when(
+                  F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+                  F.least(F.lit(UG_BINS - 1),
+                          F.expr(f"((c - mn) * {UG_BINS})"
+                                 f" div (mx - mn + 1)")))))
+    hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("nb"), F.sum("c").alias("sb"))
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    terms = (hist
+             .withColumn("n_prev", F.coalesce(F.sum("nb").over(wb),
+                                              F.lit(0)))
+             .withColumn("s_prev", F.coalesce(F.sum("sb").over(wb),
+                                              F.lit(0)))
+             .crossJoin(F.broadcast(rng.select("n", "s"))))
+    # p_b*(L_prev + L_b) = nb*(2*s_prev + sb) / (n*s) — quantize each
+    # bin's term to nano before the (bounded) sum for the order-free
+    # integer total
+    term = _ug_ha("1e9 * cast(nb as double) * (2 * s_prev + sb)"
+                  " / (cast(n as double) * s)")
+    agg = terms.select(F.expr(term).alias("t_nano"), "n", "s").groupBy(
+        "n", "s").agg(F.sum("t_nano").alias("lorenz_nano"))
+    return agg.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.expr("s * 1000 div n").alias("mean_events_milli"),
+        F.expr("cast((1000000000 - lorenz_nano) div 1000 as bigint)")
+        .alias("gini_ppm"))
+
+
+_UG_TERM = _ug_ha("1e9 * CAST(nb AS DOUBLE) * (2 * s_prev + sb)"
+                  " / (CAST(n AS DOUBLE) * s)")
+
+register("user_activity_gini", user_activity_gini, f"""
+WITH per AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1
+), rng AS (
+    SELECT MIN(c) AS mn, MAX(c) AS mx, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS s
+    FROM per
+), binned AS (
+    SELECT c,
+           CASE WHEN mx = mn THEN 0
+                ELSE LEAST({UG_BINS - 1},
+                           ((c - mn) * {UG_BINS}) // (mx - mn + 1))
+           END AS bin
+    FROM per CROSS JOIN rng
+), hist AS (
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb,
+           CAST(SUM(c) AS BIGINT) AS sb
+    FROM binned GROUP BY bin
+), terms AS (
+    SELECT h.nb, h.sb,
+           COALESCE(SUM(h.nb) OVER (ORDER BY h.bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_prev,
+           COALESCE(SUM(h.sb) OVER (ORDER BY h.bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS s_prev,
+           r.n, r.s
+    FROM hist h CROSS JOIN rng r
+), agg AS (
+    SELECT n, s, CAST(SUM({_UG_TERM}) AS BIGINT) AS lorenz_nano
+    FROM terms GROUP BY 1, 2
+)
+SELECT n AS n_users, s * 1000 // n AS mean_events_milli,
+       CAST((1000000000 - lorenz_nano) // 1000 AS BIGINT) AS gini_ppm
+FROM agg
+""", "grouped-data Gini of per-user activity via histogram cutpoints")

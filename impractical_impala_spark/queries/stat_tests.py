@@ -1140,3 +1140,85 @@ SELECT event_type, n1 AS n_plus, n2 AS n_minus, n_runs,
             AS INT) AS looks_random
 FROM runs ORDER BY event_type
 """, "Wald-Wolfowitz runs test on day-over-day count change signs")
+
+
+# ------------------------------------------------ mean excess (POT)
+ME_PCTS = (80, 90, 95)
+
+
+def events_mean_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold mean excess of the centi-quantized value
+    at the 80/90/95% thresholds — the tail diagnostic that picks the
+    GPD threshold before a Hill/Gumbel fit (a linearly growing mean
+    excess = heavy tail; flat = exponential): e(u) = E[X-u | X>u].
+    Thresholds are exact first-crossing order statistics off the
+    distinct-value census (a value-keyed aggregate with a cumulative
+    window — the census is bounded by the distinct centi domain); the
+    excess sums are exact integers from the same census joined to the
+    3-row threshold frame. No approximate percentile anywhere."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100).cast("long").alias("centi"))
+    census = ev.groupBy("centi").agg(F.count(F.lit(1)).alias("nd"))
+    tot = census.agg(F.sum("nd").alias("nn"))
+    wc = Window.orderBy("centi").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (census.withColumn("cum", F.sum("nd").over(wc))
+           .crossJoin(F.broadcast(tot)))
+    ps = ", ".join(str(p) for p in ME_PCTS)
+    fan = (cum.withColumn("p_pct", F.explode(F.expr(f"array({ps})")))
+           .filter(F.expr("cum * 100 >= p_pct * nn")))
+    thr = fan.groupBy("p_pct").agg(F.min("cum").alias("cum_at"))
+    u = (thr.join(fan.select("p_pct", F.col("cum").alias("cum_at"),
+                             F.col("centi").alias("u")),
+                  ["p_pct", "cum_at"]))
+    # the non-equi (> threshold) join must build on the 3-row
+    # threshold frame — the estimator would otherwise pick the
+    # distinct-value census, which is data-sized
+    exceed = (census.join(F.broadcast(u), census.centi > u.u)
+              .groupBy("p_pct", "u").agg(
+                  F.sum("nd").alias("n_exceed"),
+                  F.sum(F.expr("nd * (centi - u)")).alias("excess_sum")))
+    return (u.join(exceed, ["p_pct", "u"], "left")
+            .select(F.col("p_pct").cast("int").alias("p_pct"),
+                    F.col("u").cast("long").alias("u_centi"),
+                    F.coalesce("n_exceed", F.lit(0)).alias("n_exceed"),
+                    F.expr("case when n_exceed > 0 then"
+                           " excess_sum * 1000 div n_exceed end")
+                    .alias("mean_excess_milli"))
+            .orderBy("p_pct"))
+
+
+register("events_mean_excess", events_mean_excess, f"""
+WITH ev AS (
+    SELECT CAST(FLOOR(value * 100) AS BIGINT) AS centi FROM events
+), census AS (
+    SELECT centi, CAST(COUNT(*) AS BIGINT) AS nd FROM ev GROUP BY 1
+), tot AS (SELECT CAST(SUM(nd) AS BIGINT) AS nn FROM census),
+cum AS (
+    SELECT centi, nd,
+           SUM(nd) OVER (ORDER BY centi
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           t.nn
+    FROM census CROSS JOIN tot t
+), fan AS (
+    SELECT p.p_pct, cum.centi, cum.cum
+    FROM cum, (SELECT UNNEST([{", ".join(str(p) for p in ME_PCTS)}])
+               AS p_pct) p
+    WHERE cum.cum * 100 >= p.p_pct * cum.nn
+), thr AS (
+    SELECT f.p_pct, MIN(f.cum) AS cum_at FROM fan f GROUP BY 1
+), u AS (
+    SELECT t.p_pct, fan.centi AS u
+    FROM thr t JOIN fan ON fan.p_pct = t.p_pct AND fan.cum = t.cum_at
+), exceed AS (
+    SELECT u.p_pct, u.u, CAST(SUM(c.nd) AS BIGINT) AS n_exceed,
+           CAST(SUM(c.nd * (c.centi - u.u)) AS BIGINT) AS excess_sum
+    FROM u JOIN census c ON c.centi > u.u
+    GROUP BY 1, 2
+)
+SELECT CAST(u.p_pct AS INT) AS p_pct, u.u AS u_centi,
+       COALESCE(e.n_exceed, 0) AS n_exceed,
+       CASE WHEN e.n_exceed > 0 THEN
+           e.excess_sum * 1000 // e.n_exceed END AS mean_excess_milli
+FROM u LEFT JOIN exceed e ON u.p_pct = e.p_pct AND u.u = e.u
+ORDER BY p_pct
+""", "POT mean excess at exact 80/90/95% thresholds (census-based)")

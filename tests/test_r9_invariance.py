@@ -114,6 +114,10 @@ R9_CASES = [
     "emb_fisher_ratio_dims",       # milli-quantized per-label terms
     "customer_tier_migration",     # integer midpoint split, 16 cells
     "events_effective_sample_size",  # n^2-scaled integer rho sums
+    # wave 33: boilerplate, tail thresholds, concentration
+    "doc_boilerplate_ratio",       # md5 fragment census, integer ppm
+    "events_mean_excess",          # exact census order statistics
+    "user_activity_gini",          # nano-quantized Lorenz terms
 ]
 
 
