@@ -375,6 +375,10 @@ HEADLINE = [
     "doc_boilerplate_ratio",
     "events_mean_excess",
     "user_activity_gini",
+    # round-9 wave 34: seasonality significance, market structure, rate
+    "events_dow_anova",
+    "supplier_cr4_by_type",
+    "source_char_entropy_rate",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

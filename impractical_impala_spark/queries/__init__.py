@@ -512,6 +512,10 @@ NEW_R9: list[str] = [
     # (curation.py, stat_tests.py, profiling.py)
     "doc_boilerplate_ratio", "events_mean_excess",
     "user_activity_gini",
+    # wave 34: seasonality significance, market structure, order-1 rate
+    # (hypothesis.py, analytics.py, quality.py)
+    "events_dow_anova", "supplier_cr4_by_type",
+    "source_char_entropy_rate",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

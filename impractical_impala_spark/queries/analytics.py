@@ -636,3 +636,75 @@ SELECT tier_early, tier_late,
 FROM tiers CROSS JOIN tot
 GROUP BY 1, 2 ORDER BY 1, 2
 """, "activity-tier migration matrix (early vs late half, all customers)")
+
+
+# --------------------------------------------- CR4/CR8/HHI by part type
+from .monitor_eval import _ha_sql as _cr_ha  # noqa: E402
+
+
+def supplier_cr4_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration panel per part type: CR4 / CR8 (top-4 /
+    top-8 supplier revenue share) and the Herfindahl-Hirschman index
+    — the antitrust-style triple that says whether a product line
+    depends on a handful of suppliers. Revenue cells are exact cents
+    per (type, supplier); ranks come from a window over those cells
+    (bounded by the supplier dimension); CR shares are exact integer
+    ppm, and each supplier's HHI term (share^2 in points^2) is
+    half-away-quantized BEFORE the per-type sum so HHI is an
+    order-free integer."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"))
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cells = (li.join(F.broadcast(part),
+                     F.col("l_partkey") == F.col("p_partkey"))
+             .groupBy("p_type", "l_suppkey")
+             .agg(F.sum("cents").alias("x")))
+    tot = cells.groupBy("p_type").agg(
+        F.sum("x").alias("xt"), F.count(F.lit(1)).alias("n_suppliers"))
+    wr = Window.partitionBy("p_type").orderBy(
+        F.col("x").desc(), "l_suppkey")
+    # share^2 in basis points squared: (x*1e4/xt)^2, quantized per cell
+    hhi_term = _cr_ha("1e8 * (cast(x as double) / xt)"
+                      " * (cast(x as double) / xt)")
+    ranked = (cells.join(tot, "p_type")
+              .withColumn("rk", F.row_number().over(wr))
+              .withColumn("hhi_t", F.expr(hhi_term)))
+    return (ranked.groupBy("p_type")
+            .agg(F.max("n_suppliers").alias("n_suppliers"),
+                 F.expr("sum(case when rk <= 4 then x else 0 end)"
+                        " * 1000000 div max(xt)").alias("cr4_ppm"),
+                 F.expr("sum(case when rk <= 8 then x else 0 end)"
+                        " * 1000000 div max(xt)").alias("cr8_ppm"),
+                 F.sum("hhi_t").alias("hhi_points"))
+            .orderBy("p_type"))
+
+
+_CR_HHI_TERM = _cr_ha("1e8 * (CAST(x AS DOUBLE) / xt)"
+                      " * (CAST(x AS DOUBLE) / xt)")
+
+register("supplier_cr4_by_type", supplier_cr4_by_type, f"""
+WITH cells AS (
+    SELECT p.p_type, l.l_suppkey,
+           SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)) AS x
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+), tot AS (
+    SELECT p_type, CAST(SUM(x) AS BIGINT) AS xt,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers
+    FROM cells GROUP BY 1
+), ranked AS (
+    SELECT c.p_type, c.x, t.xt, t.n_suppliers,
+           ROW_NUMBER() OVER (PARTITION BY c.p_type
+                              ORDER BY c.x DESC, c.l_suppkey) AS rk,
+           {_CR_HHI_TERM} AS hhi_t
+    FROM cells c JOIN tot t ON c.p_type = t.p_type
+)
+SELECT p_type, MAX(n_suppliers) AS n_suppliers,
+       CAST(SUM(CASE WHEN rk <= 4 THEN x ELSE 0 END) * 1000000
+            // MAX(xt) AS BIGINT) AS cr4_ppm,
+       CAST(SUM(CASE WHEN rk <= 8 THEN x ELSE 0 END) * 1000000
+            // MAX(xt) AS BIGINT) AS cr8_ppm,
+       CAST(SUM(hhi_t) AS BIGINT) AS hhi_points
+FROM ranked GROUP BY p_type ORDER BY p_type
+""", "CR4/CR8/HHI supplier concentration per part type (exact cents)")

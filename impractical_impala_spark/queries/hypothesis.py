@@ -632,3 +632,97 @@ FROM suff ORDER BY event_type
 register("events_effective_sample_size", events_effective_sample_size,
          _ess_oracle(),
          f"integrated autocorrelation time (lags 1..{LB_LAGS}) + ESS")
+
+
+# --------------------------------------------- day-of-week ANOVA
+def events_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week effect test per event type: one-way ANOVA of the
+    zero-filled daily counts across the 7 weekday groups — the
+    SIGNIFICANCE companion to events_weekday_decompose (which reports
+    the seasonal means without saying whether they beat noise).
+    Weekday is absolute integer arithmetic ((epoch_day + 4) mod 7,
+    1970-01-01 being a Thursday) — no timezone or locale enters.
+    Same order-free milli-quantized group terms as events_anova_f;
+    df1 = 6 fixed by the calendar, so the critical value is a single
+    constant, not a CASE."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts_ns div {DAY_NS}").alias("d"))
+    cnt = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("c"))
+    rng = ev.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    types = ev.select("event_type").distinct()
+    spine = (types.crossJoin(F.broadcast(rng))
+             .select("event_type",
+                     F.explode(F.expr("sequence(dmin, dmax)")).alias("d")))
+    filled = (spine.join(cnt, ["event_type", "d"], "left")
+              .select("event_type",
+                      F.expr("pmod(d + 4, 7)").alias("dow"),
+                      F.coalesce("c", F.lit(0)).alias("x")))
+    per = filled.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"),
+        F.sum(F.expr("x * x")).alias("q"))
+    suff = per.select(
+        "event_type", "n", "s", "q",
+        F.expr(_ha("cast(s as double) * cast(s as double) * 1e3 / n"))
+        .alias("t_milli"))
+    agg = suff.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"), F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"), F.sum("q").alias("qq"),
+        F.sum("t_milli").alias("b_milli"))
+    ha_tot = _ha("cast(ss as double) * cast(ss as double) * 1e3 / nn")
+    ssb = f"(b_milli - {ha_tot})"
+    ssw = "(1000 * qq - b_milli)"
+    f_stat = (f"((cast({ssb} as double) / (k - 1))"
+              f" / (cast({ssw} as double) / (nn - k)))")
+    crit = _half_away(CHI2_95[6] / 6 * 1e6)
+    return (agg.select(
+        "event_type", F.col("nn").cast("long").alias("n_days"),
+        F.expr(_ha(f"({f_stat}) * 1e6")).alias("f_micro"),
+        F.expr(f"cast({_ha(f'({f_stat}) * 1e6')} > {crit} as int)")
+        .alias("dow_effect"))
+        .orderBy("event_type"))
+
+
+_DOW_HA_TOT = _ha("CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) * 1e3 / nn")
+_DOW_SSB = f"(b_milli - {_DOW_HA_TOT})"
+_DOW_SSW = "(1000 * qq - b_milli)"
+_DOW_F = (f"((CAST({_DOW_SSB} AS DOUBLE) / (k - 1))"
+          f" / (CAST({_DOW_SSW} AS DOUBLE) / (nn - k)))")
+
+register("events_dow_anova", events_dow_anova, f"""
+WITH ev AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) AS BIGINT) * 1000 // {DAY_NS} AS d
+    FROM events
+), cnt AS (
+    SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS c
+    FROM ev GROUP BY 1, 2
+), rng AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM ev),
+filled AS (
+    SELECT t.event_type, (s.d + 4) % 7 AS dow, COALESCE(cnt.c, 0) AS x
+    FROM (SELECT DISTINCT event_type FROM ev) t
+    CROSS JOIN (SELECT UNNEST(range((SELECT dmin FROM rng),
+                                    (SELECT dmax FROM rng) + 1)) AS d) s
+    LEFT JOIN cnt ON t.event_type = cnt.event_type AND s.d = cnt.d
+), per AS (
+    SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS s,
+           CAST(SUM(x * x) AS BIGINT) AS q
+    FROM filled GROUP BY 1, 2
+), suff AS (
+    SELECT event_type, n, s, q,
+           {_ha("CAST(s AS DOUBLE) * CAST(s AS DOUBLE) * 1e3 / n")}
+               AS t_milli
+    FROM per
+), agg AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s) AS BIGINT) AS ss,
+           CAST(SUM(q) AS BIGINT) AS qq,
+           CAST(SUM(t_milli) AS BIGINT) AS b_milli
+    FROM suff GROUP BY 1
+)
+SELECT event_type, nn AS n_days,
+       {_ha(f"({_DOW_F}) * 1e6")} AS f_micro,
+       CAST({_ha(f"({_DOW_F}) * 1e6")}
+            > {_half_away(CHI2_95[6] / 6 * 1e6)} AS INT) AS dow_effect
+FROM agg ORDER BY event_type
+""", "day-of-week ANOVA per event type on zero-filled daily counts")

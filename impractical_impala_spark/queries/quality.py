@@ -1138,3 +1138,86 @@ SELECT n AS n_docs,
        {_kl_ha(f"({_LN_ACT}) / ({_LN_PRED}) * 1e6")} AS ratio_ppm
 FROM agg
 """, "lognormal fit of doc token lengths + moment-ratio goodness gate")
+
+
+# --------------------------------------- conditional char entropy rate
+def source_char_entropy_rate(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Order-1 character entropy rate per source: H(c2 | c1) =
+    H(bigram) - H(unigram) in bits — the context-aware compressibility
+    bound the zero-order advisor (compression_entropy_advisor)
+    overstates (an order-1 coder reaches the conditional rate, not
+    H1). Both entropies come from the same two censuses, each cell's
+    -p*log2(p) term half-away-quantized to nano-bits before the
+    per-source sum (order-free). Redundancy ppm = 1 - rate/H1 says
+    how much an order-1 model buys over order-0. Census domains are
+    the alphabet and its square — the shuffle never carries the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+
+    def census(width):
+        return (docs
+                .select("source",
+                        F.explode(F.expr(
+                            f"sequence(1, length(text) - {width - 1})"))
+                        .alias("i"), "text")
+                .select("source",
+                        F.expr(f"substring(text, i, {width})").alias("g"))
+                .groupBy("source", "g").agg(F.count(F.lit(1)).alias("c")))
+
+    term = _kl_ha("1e9 * (cast(c as double) / n)"
+                  " * (ln(cast(n as double) / c) / ln(2.0))")
+
+    def entropy(cen, alias):
+        tot = cen.groupBy("source").agg(F.sum("c").alias("n"))
+        return (cen.join(tot, "source")
+                .select("source", F.expr(term).alias("t"))
+                .groupBy("source").agg(F.sum("t").alias(alias)))
+
+    h1 = entropy(census(1), "h1_nano")
+    h2 = entropy(census(2), "h2_nano")
+    return (h1.join(h2, "source")
+            .select("source",
+                    F.expr("h1_nano div 1000000").alias("h1_millibits"),
+                    F.expr("h2_nano div 1000000").alias("h2_millibits"),
+                    F.expr("(h2_nano - h1_nano) div 1000000")
+                    .alias("rate_millibits"),
+                    F.expr("(h1_nano - (h2_nano - h1_nano)) * 1000000"
+                           " div h1_nano").alias("redundancy_ppm"))
+            .orderBy("source"))
+
+
+_CER_TERM = _kl_ha("1e9 * (CAST(c AS DOUBLE) / n)"
+                   " * (LN(CAST(n AS DOUBLE) / c) / LN(2.0))")
+
+
+def _cer_census_sql(width: int, name: str) -> str:
+    return f"""{name}_cen AS (
+    SELECT source, substr(text, i, {width}) AS g,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents,
+         UNNEST(range(1, length(text) + 1 - {width - 1})) AS t(i)
+    GROUP BY 1, 2
+), {name} AS (
+    SELECT source, CAST(SUM(t) AS BIGINT) AS {name}_nano
+    FROM (SELECT cen.source, {_CER_TERM} AS t
+          FROM {name}_cen cen
+          JOIN (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+                FROM {name}_cen GROUP BY 1) tot
+            ON cen.source = tot.source)
+    GROUP BY source
+)"""
+
+
+register("source_char_entropy_rate", source_char_entropy_rate, f"""
+WITH {_cer_census_sql(1, "h1")},
+{_cer_census_sql(2, "h2")}
+SELECT h1.source,
+       h1_nano // 1000000 AS h1_millibits,
+       h2_nano // 1000000 AS h2_millibits,
+       (h2_nano - h1_nano) // 1000000 AS rate_millibits,
+       (h1_nano - (h2_nano - h1_nano)) * 1000000 // h1_nano
+           AS redundancy_ppm
+FROM h1 JOIN h2 ON h1.source = h2.source
+ORDER BY h1.source
+""", "order-1 char entropy rate + redundancy per source (two censuses)")

@@ -118,6 +118,10 @@ R9_CASES = [
     "doc_boilerplate_ratio",       # md5 fragment census, integer ppm
     "events_mean_excess",          # exact census order statistics
     "user_activity_gini",          # nano-quantized Lorenz terms
+    # wave 34: seasonality significance, market structure, order-1 rate
+    "events_dow_anova",            # absolute integer weekday groups
+    "supplier_cr4_by_type",        # exact cents ranks, nano HHI terms
+    "source_char_entropy_rate",    # two censuses, nano-bit terms
 ]
 
 
