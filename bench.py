@@ -379,6 +379,10 @@ HEADLINE = [
     "events_dow_anova",
     "supplier_cr4_by_type",
     "source_char_entropy_rate",
+    # round-9 wave 35: circular stats, regime breaks, corpus growth
+    "events_rayleigh_diurnal",
+    "orders_chow_break",
+    "text_hapax_ratio",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

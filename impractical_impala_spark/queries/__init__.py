@@ -516,6 +516,10 @@ NEW_R9: list[str] = [
     # (hypothesis.py, analytics.py, quality.py)
     "events_dow_anova", "supplier_cr4_by_type",
     "source_char_entropy_rate",
+    # wave 35: circular stats, regime breaks, corpus growth
+    # (spectral_info.py, stat_tests.py, text.py)
+    "events_rayleigh_diurnal", "orders_chow_break",
+    "text_hapax_ratio",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

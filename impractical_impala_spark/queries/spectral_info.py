@@ -776,3 +776,84 @@ FROM agg
 register("events_hurst_exponent", events_hurst_exponent,
          _hurst_oracle(),
          "Hurst exponent (aggregated-variance method) of daily load")
+
+
+# ---------------------------------------------- Rayleigh diurnal test
+RAY_Z_CRIT_MICRO = 2_995_732  # -ln(0.05) in micro units
+
+
+def _ray_trig_case(fn) -> str:
+    """24-arm CASE mapping hour-of-day -> micro fixed-point cos/sin
+    of 2*pi*h/24 — the periodogram trig-table discipline, embedded
+    identically in both engines."""
+    arms = " ".join(
+        f"WHEN {h} THEN {int(round(fn(2.0 * math.pi * h / 24) * 1e6))}"
+        for h in range(24))
+    return f"CASE h {arms} END"
+
+
+def events_rayleigh_diurnal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rayleigh test of diurnal concentration per event type: hours
+    of day map to angles, the mean resultant length
+    R = |sum e^(i*theta)| / n says HOW concentrated the daily rhythm
+    is, and z = n*R^2 with p ~ exp(-z) says whether it beats
+    uniformity — the circular-statistics companion to
+    events_chi2_daypart (which bins into 4 dayparts; Rayleigh uses
+    the full angular resolution and gives a mean PHASE). The trig
+    values are 24 fixed-point micro literals (the periodogram
+    discipline), so sc/ss are exact integers off the 24-cell
+    (type, hour) census; one sqrt and one atan2 per type follow,
+    milli/micro-quantized with shared half-away rounding."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"(ts_ns div {HOUR_NS}) % 24").alias("h"))
+    cen = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("c"))
+    cosc = _ray_trig_case(math.cos)
+    sinc = _ray_trig_case(math.sin)
+    suff = (cen.groupBy("event_type")
+            .agg(F.sum("c").alias("n"),
+                 F.sum(F.expr(f"c * ({cosc})")).alias("sc"),
+                 F.sum(F.expr(f"c * ({sinc})")).alias("ss")))
+    r_bar = ("(sqrt(cast(sc as double) * sc + cast(ss as double) * ss)"
+             " / (cast(n as double) * 1e6))")
+    mean_h = (f"(pmod(atan2(cast(ss as double), cast(sc as double))"
+              f" * 24.0 / (2 * pi()) + 24.0, 24.0))")
+    z = f"(cast(n as double) * {r_bar} * {r_bar})"
+    return (suff.select(
+        "event_type", F.col("n").cast("long").alias("n_events"),
+        F.expr(_ha(f"({mean_h}) * 1e3")).alias("mean_hour_milli"),
+        F.expr(_ha(f"({r_bar}) * 1e6")).alias("r_bar_ppm"),
+        F.expr(_ha(f"({z}) * 1e6")).alias("rayleigh_z_micro"),
+        F.expr(f"cast({_ha(f'({z}) * 1e6')} >= {RAY_Z_CRIT_MICRO}"
+               " as int)").alias("diurnal"))
+        .orderBy("event_type"))
+
+
+_RAY_RBAR = ("(SQRT(CAST(sc AS DOUBLE) * sc + CAST(ss AS DOUBLE) * ss)"
+             " / (CAST(n AS DOUBLE) * 1e6))")
+_RAY_MEANH = ("((ATAN2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE))"
+              " * 24.0 / (2 * PI()) + 24.0) % 24.0)")
+_RAY_Z = f"(CAST(n AS DOUBLE) * {_RAY_RBAR} * {_RAY_RBAR})"
+
+register("events_rayleigh_diurnal", events_rayleigh_diurnal, f"""
+WITH ev AS (
+    SELECT event_type,
+           (CAST(epoch_us(ts) AS BIGINT) * 1000 // {HOUR_NS}) % 24 AS h
+    FROM events
+), cen AS (
+    SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS c
+    FROM ev GROUP BY 1, 2
+), suff AS (
+    SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+           CAST(SUM(c * ({_ray_trig_case(math.cos)})) AS BIGINT) AS sc,
+           CAST(SUM(c * ({_ray_trig_case(math.sin)})) AS BIGINT) AS ss
+    FROM cen GROUP BY 1
+)
+SELECT event_type, n AS n_events,
+       {_ha(f"({_RAY_MEANH}) * 1e3")} AS mean_hour_milli,
+       {_ha(f"({_RAY_RBAR}) * 1e6")} AS r_bar_ppm,
+       {_ha(f"({_RAY_Z}) * 1e6")} AS rayleigh_z_micro,
+       CAST({_ha(f"({_RAY_Z}) * 1e6")} >= {RAY_Z_CRIT_MICRO} AS INT)
+           AS diurnal
+FROM suff ORDER BY event_type
+""", "Rayleigh circular test of diurnal concentration per event type")

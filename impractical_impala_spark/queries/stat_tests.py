@@ -1222,3 +1222,127 @@ SELECT CAST(u.p_pct AS INT) AS p_pct, u.u AS u_centi,
 FROM u LEFT JOIN exceed e ON u.p_pct = e.p_pct AND u.u = e.u
 ORDER BY p_pct
 """, "POT mean excess at exact 80/90/95% thresholds (census-based)")
+
+
+# ------------------------------------------------ Chow break test
+CHOW_F_CRIT_MICRO = 2_995_732  # F(2, inf) at alpha = 0.05, micro
+
+
+def orders_chow_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break test of the daily order-volume trend at
+    the sample midpoint: fit y ~ a + b*t on each half and pooled,
+    F = ((RSS_p - RSS_1 - RSS_2)/2) / ((RSS_1 + RSS_2)/(n - 4)) —
+    did the business change regime, as one number (the parametric
+    complement to events_pettitt_test's nonparametric locator). Each
+    segment's RSS comes from exact integer sufficient sums on the
+    zero-filled orderdate spine via TSS - ESS in closed form (the
+    Granger/Cramer discipline); one float evaluation, micro-quantized
+    against the fixed F(2, inf) critical value."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("datediff(cast(o_orderdate as date),"
+               " date'1970-01-01')").alias("dd"))
+    cnt = o.groupBy("dd").agg(F.count(F.lit(1)).alias("c"))
+    rng = o.agg(F.min("dd").alias("d0"), F.max("dd").alias("d1"))
+    spine = (rng.select(
+        F.explode(F.expr("sequence(d0, d1)")).alias("dd"), "d0", "d1")
+        .join(cnt, "dd", "left")
+        .select(F.expr("dd - d0").alias("t"),
+                F.expr("d1 - d0 + 1").alias("n"),
+                F.coalesce("c", F.lit(0)).alias("y"))
+        .withColumn("seg", F.expr("cast(t < n div 2 as int)")))
+
+    def suff(prefix, cond):
+        return [
+            F.sum(F.expr(f"case when {cond} then 1 else 0 end"))
+            .alias(f"{prefix}n"),
+            F.sum(F.expr(f"case when {cond} then t else 0 end"))
+            .alias(f"{prefix}sx"),
+            F.sum(F.expr(f"case when {cond} then t * t else 0 end"))
+            .alias(f"{prefix}sxx"),
+            F.sum(F.expr(f"case when {cond} then y else 0 end"))
+            .alias(f"{prefix}sy"),
+            F.sum(F.expr(f"case when {cond} then t * y else 0 end"))
+            .alias(f"{prefix}sxy"),
+            F.sum(F.expr(f"case when {cond} then y * y else 0 end"))
+            .alias(f"{prefix}syy")]
+
+    agg = spine.agg(*(suff("p_", "true") + suff("a_", "seg = 1")
+                      + suff("b_", "seg = 0")))
+    f_stat = _chow_f()
+    return agg.select(
+        F.col("p_n").cast("long").alias("n_days"),
+        F.expr(_pt_ha(f"({f_stat}) * 1e6")).alias("f_micro"),
+        F.expr(f"cast({_pt_ha(f'({f_stat}) * 1e6')}"
+               f" > {CHOW_F_CRIT_MICRO} as int)").alias("break_detected"))
+
+
+def _rss(p: str) -> str:
+    """RSS = TSS - ESS from the integer sufficient sums with prefix p
+    (engine-agnostic; one float expression)."""
+    n, sx, sxx, sy, sxy, syy = (f"{p}n", f"{p}sx", f"{p}sxx",
+                                f"{p}sy", f"{p}sxy", f"{p}syy")
+    tss = f"(cast({syy} as double) - cast({sy} as double) * {sy} / {n})"
+    ess = (f"((cast({n} as double) * {sxy}"
+           f" - cast({sx} as double) * {sy})"
+           f" * (cast({n} as double) * {sxy}"
+           f" - cast({sx} as double) * {sy})"
+           f" / (cast({n} as double)"
+           f" * (cast({n} as double) * {sxx}"
+           f" - cast({sx} as double) * {sx})))")
+    return f"({tss} - {ess})"
+
+
+def _chow_f() -> str:
+    rss_p, rss_a, rss_b = _rss("p_"), _rss("a_"), _rss("b_")
+    return (f"((({rss_p} - {rss_a} - {rss_b}) / 2.0)"
+            f" / (({rss_a} + {rss_b}) / (p_n - 4.0)))")
+
+
+def _chow_oracle() -> str:
+    def suff_sql(prefix, cond):
+        return (
+            f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS {prefix}n,\n"
+            f"CAST(SUM(CASE WHEN {cond} THEN t ELSE 0 END) AS BIGINT)"
+            f" AS {prefix}sx,\n"
+            f"CAST(SUM(CASE WHEN {cond} THEN t * t ELSE 0 END) AS BIGINT)"
+            f" AS {prefix}sxx,\n"
+            f"CAST(SUM(CASE WHEN {cond} THEN y ELSE 0 END) AS BIGINT)"
+            f" AS {prefix}sy,\n"
+            f"CAST(SUM(CASE WHEN {cond} THEN t * y ELSE 0 END) AS BIGINT)"
+            f" AS {prefix}sxy,\n"
+            f"CAST(SUM(CASE WHEN {cond} THEN y * y ELSE 0 END) AS BIGINT)"
+            f" AS {prefix}syy")
+    f_stat = _chow_f()
+    return f"""
+WITH o AS (
+    SELECT datediff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS dd
+    FROM orders
+), cnt AS (SELECT dd, CAST(COUNT(*) AS BIGINT) AS c FROM o GROUP BY 1),
+rng AS (SELECT MIN(dd) AS d0, MAX(dd) AS d1 FROM o),
+spine AS (
+    SELECT s.dd - r.d0 AS t, r.d1 - r.d0 + 1 AS n,
+           COALESCE(cnt.c, 0) AS y,
+           CASE WHEN s.dd - r.d0 < (r.d1 - r.d0 + 1) // 2
+                THEN 1 ELSE 0 END AS seg
+    FROM rng r,
+         (SELECT UNNEST(range((SELECT d0 FROM rng),
+                              (SELECT d1 FROM rng) + 1)) AS dd) s
+    LEFT JOIN cnt ON s.dd = cnt.dd
+), agg AS (
+    SELECT {suff_sql("p_", "TRUE")},
+           {suff_sql("a_", "seg = 1")},
+           {suff_sql("b_", "seg = 0")}
+    FROM spine
+)
+SELECT p_n AS n_days,
+       {_pt_ha(f"({f_stat}) * 1e6")} AS f_micro,
+       CAST({_pt_ha(f"({f_stat}) * 1e6")} > {CHOW_F_CRIT_MICRO} AS INT)
+           AS break_detected
+FROM agg
+"""
+
+
+register("orders_chow_break", orders_chow_break, _chow_oracle(),
+         "Chow structural-break F-test on the daily order-volume trend")

@@ -731,3 +731,55 @@ LEFT JOIN cov ON s.k = cov.k
 CROSS JOIN tot t
 ORDER BY s.k
 """, "token-mass coverage of the top-k vocabulary types (truncation advisor)")
+
+
+# ------------------------------------------------------- hapax ratio
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax/dis legomena profile per source: the share of vocabulary
+    types seen exactly once (hapax) and twice (dis), and the hapax
+    share of the TOKEN mass — the corpus-health triple behind
+    Heaps/Good-Turing (a hapax-heavy source is still growing
+    vocabulary: unseen-mass estimates and tokenizer vocab cuts both
+    key off it). One vocabulary-keyed census per source; all ratios
+    exact integer ppm."""
+    toks = (load_table(spark, sf_dir, "documents")
+            .select("source",
+                    F.explode(F.split(F.lower("text"), " ")).alias("tok")))
+    census = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("c"))
+    return (census.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_types"),
+                 F.sum("c").alias("n_tokens"),
+                 F.sum(F.expr("cast(c = 1 as int)")).alias("n_hapax"),
+                 F.sum(F.expr("cast(c = 2 as int)")).alias("n_dis"))
+            .select("source", "n_types", "n_tokens", "n_hapax", "n_dis",
+                    F.expr("n_hapax * 1000000 div n_types")
+                    .alias("hapax_vocab_ppm"),
+                    F.expr("n_hapax * 1000000 div n_tokens")
+                    .alias("hapax_mass_ppm"),
+                    F.expr("n_dis * 1000000 div n_types")
+                    .alias("dis_vocab_ppm"))
+            .orderBy("source"))
+
+
+register("text_hapax_ratio", text_hapax_ratio, """
+WITH census AS (
+    SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (SELECT source, UNNEST(string_split(lower(text), ' ')) AS tok
+          FROM documents)
+    GROUP BY 1, 2
+), agg AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dis
+    FROM census GROUP BY 1
+)
+SELECT source, n_types, n_tokens, n_hapax, n_dis,
+       n_hapax * 1000000 // n_types AS hapax_vocab_ppm,
+       n_hapax * 1000000 // n_tokens AS hapax_mass_ppm,
+       n_dis * 1000000 // n_types AS dis_vocab_ppm
+FROM agg ORDER BY source
+""", "hapax/dis legomena vocabulary and mass shares per source")

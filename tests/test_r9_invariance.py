@@ -122,6 +122,10 @@ R9_CASES = [
     "events_dow_anova",            # absolute integer weekday groups
     "supplier_cr4_by_type",        # exact cents ranks, nano HHI terms
     "source_char_entropy_rate",    # two censuses, nano-bit terms
+    # wave 35: circular stats, regime breaks, corpus growth
+    "events_rayleigh_diurnal",     # micro trig tables, integer sums
+    "orders_chow_break",           # integer spine suff stats
+    "text_hapax_ratio",            # vocabulary census, exact ppm
 ]
 
 
