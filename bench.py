@@ -383,6 +383,10 @@ HEADLINE = [
     "events_rayleigh_diurnal",
     "orders_chow_break",
     "text_hapax_ratio",
+    # round-9 wave 36: arrival-process fit, audience mix, price spread
+    "events_weibull_interarrival",
+    "events_new_returning_mix",
+    "part_price_dispersion",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

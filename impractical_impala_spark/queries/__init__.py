@@ -520,6 +520,10 @@ NEW_R9: list[str] = [
     # (spectral_info.py, stat_tests.py, text.py)
     "events_rayleigh_diurnal", "orders_chow_break",
     "text_hapax_ratio",
+    # wave 36: arrival-process fit, audience mix, price spread
+    # (stat_tests.py, analytics.py)
+    "events_weibull_interarrival", "events_new_returning_mix",
+    "part_price_dispersion",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

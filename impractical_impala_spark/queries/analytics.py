@@ -708,3 +708,106 @@ SELECT p_type, MAX(n_suppliers) AS n_suppliers,
        CAST(SUM(hhi_t) AS BIGINT) AS hhi_points
 FROM ranked GROUP BY p_type ORDER BY p_type
 """, "CR4/CR8/HHI supplier concentration per part type (exact cents)")
+
+
+# --------------------------------------------- new vs returning mix
+def events_new_returning_mix(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Daily audience composition: active users, first-ever-seen (new)
+    users, and the new share — the acquisition-vs-retention mix that
+    complements events_cumulative_users (which totals the new side
+    only). Both sides are first-touch/distinct reductions (one
+    user-keyed shuffle each); the day frame is calendar-bounded. All
+    ratios exact integer ppm; days render as strings (the driver
+    hash contract forbids temporal types)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns div 86400000000000").alias("d"))
+    active = (ev.distinct().groupBy("d")
+              .agg(F.count(F.lit(1)).alias("n_active")))
+    first = (ev.groupBy("user_id").agg(F.min("d").alias("d"))
+             .groupBy("d").agg(F.count(F.lit(1)).alias("n_new")))
+    return (active.join(first, "d", "left")
+            .select(F.col("d").cast("long").alias("epoch_day"),
+                    "n_active",
+                    F.coalesce("n_new", F.lit(0)).alias("n_new"),
+                    F.expr("coalesce(n_new, 0) * 1000000 div n_active")
+                    .alias("new_share_ppm"))
+            .orderBy("epoch_day"))
+
+
+register("events_new_returning_mix", events_new_returning_mix, """
+WITH ev AS (
+    SELECT user_id,
+           CAST(epoch_us(ts) AS BIGINT) * 1000 // 86400000000000 AS d
+    FROM events
+), active AS (
+    SELECT d, CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM (SELECT DISTINCT user_id, d FROM ev) GROUP BY 1
+), first_t AS (
+    SELECT d, CAST(COUNT(*) AS BIGINT) AS n_new
+    FROM (SELECT user_id, MIN(d) AS d FROM ev GROUP BY 1) GROUP BY 1
+)
+SELECT a.d AS epoch_day, a.n_active, COALESCE(f.n_new, 0) AS n_new,
+       COALESCE(f.n_new, 0) * 1000000 // a.n_active AS new_share_ppm
+FROM active a LEFT JOIN first_t f ON a.d = f.d
+ORDER BY epoch_day
+""", "daily new vs returning audience mix (first-touch decomposition)")
+
+
+# --------------------------------------------- price dispersion (QCD)
+def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile coefficient of dispersion of part retail prices per
+    brand: (Q3 - Q1)/(Q3 + Q1) — the outlier-robust pricing-spread
+    gate (a brand with high QCD mixes price tiers; flat QCD = uniform
+    positioning). Quartiles are exact first-crossing order statistics
+    off the per-brand distinct-cents census (the events_mean_excess
+    mechanism, partitioned by brand) — no approximate percentile. All
+    integer cents/ppm."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_brand",
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias("cents"))
+    census = part.groupBy("p_brand", "cents").agg(
+        F.count(F.lit(1)).alias("nd"))
+    tot = census.groupBy("p_brand").agg(F.sum("nd").alias("n"))
+    wc = (Window.partitionBy("p_brand").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (census.withColumn("cum", F.sum("nd").over(wc))
+           .join(tot, "p_brand"))
+    q1 = (cum.filter(F.expr("cum * 4 >= n"))
+          .groupBy("p_brand").agg(F.min("cents").alias("q1")))
+    q3 = (cum.filter(F.expr("cum * 4 >= 3 * n"))
+          .groupBy("p_brand").agg(F.min("cents").alias("q3")))
+    return (tot.join(q1, "p_brand").join(q3, "p_brand")
+            .select("p_brand", F.col("n").cast("long").alias("n_parts"),
+                    F.col("q1").cast("long").alias("q1_cents"),
+                    F.col("q3").cast("long").alias("q3_cents"),
+                    F.expr("(q3 - q1) * 1000000 div (q3 + q1)")
+                    .alias("qcd_ppm"))
+            .orderBy("p_brand"))
+
+
+register("part_price_dispersion", part_price_dispersion, """
+WITH census AS (
+    SELECT p_brand, CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS cents,
+           CAST(COUNT(*) AS BIGINT) AS nd
+    FROM part GROUP BY 1, 2
+), tot AS (
+    SELECT p_brand, CAST(SUM(nd) AS BIGINT) AS n FROM census GROUP BY 1
+), cum AS (
+    SELECT c.p_brand, c.cents, t.n,
+           SUM(c.nd) OVER (PARTITION BY c.p_brand ORDER BY c.cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM census c JOIN tot t ON c.p_brand = t.p_brand
+), q1 AS (
+    SELECT p_brand, MIN(cents) AS q1 FROM cum
+    WHERE cum * 4 >= n GROUP BY 1
+), q3 AS (
+    SELECT p_brand, MIN(cents) AS q3 FROM cum
+    WHERE cum * 4 >= 3 * n GROUP BY 1
+)
+SELECT t.p_brand, t.n AS n_parts, q1.q1 AS q1_cents, q3.q3 AS q3_cents,
+       (q3.q3 - q1.q1) * 1000000 // (q3.q3 + q1.q1) AS qcd_ppm
+FROM tot t JOIN q1 ON t.p_brand = q1.p_brand
+JOIN q3 ON t.p_brand = q3.p_brand
+ORDER BY t.p_brand
+""", "quartile coefficient of price dispersion per brand (exact census)")

@@ -1346,3 +1346,104 @@ FROM agg
 
 register("orders_chow_break", orders_chow_break, _chow_oracle(),
          "Chow structural-break F-test on the daily order-volume trend")
+
+
+# ------------------------------------------- Weibull interarrival fit
+def events_weibull_interarrival(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Weibull-plot fit of per-type interarrival gaps: regress
+    y = ln(-ln(1-F)) on x = ln(gap_seconds) over the distinct-gap
+    census — shape k < 1 means bursty arrivals (heavy waiting-time
+    tail), k = 1 Poisson, k > 1 regularized; the generative companion
+    to events_fano_burstiness's count dispersion. F uses the
+    n+1 plotting rule (cum/(n+1)) so F < 1 everywhere and no
+    exclusion row is needed; zero gaps (sub-second co-arrivals) drop
+    before the log. Each census point's (x, y) pair is half-away-
+    quantized to micro BEFORE the integer OLS sums, so the fit is
+    order-free; the census is keyed on distinct gap seconds, never
+    the event stream. Scale = exp(-intercept/shape), reported in
+    milli-seconds of gap."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts_ns", "event_id")
+    w = Window.partitionBy("event_type").orderBy("ts_ns", "event_id")
+    gaps = (ev.withColumn("prev", F.lag("ts_ns").over(w))
+            .filter(F.col("prev").isNotNull())
+            .select("event_type",
+                    F.expr("(ts_ns - prev) div 1000000000").alias("g"))
+            .filter(F.col("g") > 0))
+    census = gaps.groupBy("event_type", "g").agg(
+        F.count(F.lit(1)).alias("nd"))
+    tot = census.groupBy("event_type").agg(F.sum("nd").alias("n"))
+    wc = (Window.partitionBy("event_type").orderBy("g")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    pts = (census.withColumn("cum", F.sum("nd").over(wc))
+           .join(tot, "event_type")
+           .withColumn("x", F.expr(_pt_ha(
+               "1e6 * ln(cast(g as double))")))
+           .withColumn("yv", F.expr(_pt_ha(
+               "1e6 * ln(-ln(1.0 - cast(cum as double) / (n + 1)))"))))
+    suff = pts.groupBy("event_type").agg(
+        F.max("n").alias("n_gaps"),
+        F.count(F.lit(1)).alias("np"),
+        F.sum("x").alias("sx"), F.sum("yv").alias("sy"),
+        F.sum(F.expr("x * yv")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"))
+    shape = ("((cast(np as double) * sxy - cast(sx as double) * sy)"
+             " / (cast(np as double) * sxx - cast(sx as double) * sx))")
+    intercept = (f"(cast(sy as double) / np / 1e6"
+                 f" - {shape} * (cast(sx as double) / np / 1e6))")
+    scale = f"exp(-({intercept}) / {shape})"
+    return (suff.select(
+        "event_type", F.col("n_gaps").cast("long").alias("n_gaps"),
+        F.expr(_pt_ha(f"({shape}) * 1e3")).alias("shape_milli"),
+        F.expr(_pt_ha(f"({scale}) * 1e3")).alias("scale_sec_milli"))
+        .withColumn("bursty", F.expr(
+            "cast(shape_milli < 1000 as int)"))
+        .orderBy("event_type"))
+
+
+_WB_SHAPE = ("((CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+             " / (CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))")
+_WB_INTERCEPT = (f"(CAST(sy AS DOUBLE) / np / 1e6"
+                 f" - {_WB_SHAPE} * (CAST(sx AS DOUBLE) / np / 1e6))")
+_WB_SCALE = f"EXP(-({_WB_INTERCEPT}) / {_WB_SHAPE})"
+
+register("events_weibull_interarrival", events_weibull_interarrival, f"""
+WITH gaps AS (
+    SELECT event_type, (ts_ns - prev) // 1000000000 AS g
+    FROM (SELECT event_type,
+                 CAST(epoch_us(ts) AS BIGINT) * 1000 AS ts_ns,
+                 LAG(CAST(epoch_us(ts) AS BIGINT) * 1000) OVER (
+                     PARTITION BY event_type
+                     ORDER BY CAST(epoch_us(ts) AS BIGINT) * 1000,
+                              event_id) AS prev
+          FROM events)
+    WHERE prev IS NOT NULL AND (ts_ns - prev) // 1000000000 > 0
+), census AS (
+    SELECT event_type, g, CAST(COUNT(*) AS BIGINT) AS nd
+    FROM gaps GROUP BY 1, 2
+), tot AS (
+    SELECT event_type, CAST(SUM(nd) AS BIGINT) AS n
+    FROM census GROUP BY 1
+), pts AS (
+    SELECT c.event_type, t.n,
+           {_pt_ha("1e6 * LN(CAST(c.g AS DOUBLE))")} AS x,
+           {_pt_ha("1e6 * LN(-LN(1.0 - CAST(SUM(c.nd) OVER ("
+                   "PARTITION BY c.event_type ORDER BY c.g"
+                   " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                   " AS DOUBLE) / (t.n + 1)))")} AS yv
+    FROM census c JOIN tot t ON c.event_type = t.event_type
+), suff AS (
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(COUNT(*) AS BIGINT) AS np,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(yv) AS BIGINT) AS sy,
+           CAST(SUM(x * yv) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM pts GROUP BY 1
+)
+SELECT event_type, n_gaps,
+       {_pt_ha(f"({_WB_SHAPE}) * 1e3")} AS shape_milli,
+       {_pt_ha(f"({_WB_SCALE}) * 1e3")} AS scale_sec_milli,
+       CAST({_pt_ha(f"({_WB_SHAPE}) * 1e3")} < 1000 AS INT) AS bursty
+FROM suff ORDER BY event_type
+""", "Weibull-plot interarrival fit per type (shape<1 = bursty)")

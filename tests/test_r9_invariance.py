@@ -126,6 +126,10 @@ R9_CASES = [
     "events_rayleigh_diurnal",     # micro trig tables, integer sums
     "orders_chow_break",           # integer spine suff stats
     "text_hapax_ratio",            # vocabulary census, exact ppm
+    # wave 36: arrival-process fit, audience mix, price spread
+    "events_weibull_interarrival",  # micro-quantized plot points
+    "events_new_returning_mix",    # first-touch integer ppm
+    "part_price_dispersion",       # exact census quartiles
 ]
 
 
