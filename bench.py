@@ -387,6 +387,10 @@ HEADLINE = [
     "events_weibull_interarrival",
     "events_new_returning_mix",
     "part_price_dispersion",
+    # round-9 wave 37: source redundancy, layout encoding, separability
+    "source_jsd_matrix",
+    "engine_rle_advisor",
+    "dedup_hamming_spectrum",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

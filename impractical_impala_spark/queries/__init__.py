@@ -524,6 +524,10 @@ NEW_R9: list[str] = [
     # (stat_tests.py, analytics.py)
     "events_weibull_interarrival", "events_new_returning_mix",
     "part_price_dispersion",
+    # wave 37: source redundancy, layout encoding, simhash separability
+    # (quality.py, engine_stats.py, dedup.py)
+    "source_jsd_matrix", "engine_rle_advisor",
+    "dedup_hamming_spectrum",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

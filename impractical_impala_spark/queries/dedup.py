@@ -1221,3 +1221,36 @@ ORDER BY t_ppm
 
 register("dedup_threshold_sweep", dedup_threshold_sweep, _sweep_oracle(),
          "near-dup yield curve: pairs/docs removed per Jaccard threshold")
+
+
+# ---------------------------------------------- hamming spectrum
+def dedup_hamming_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash separability audit: the histogram of pairwise hamming
+    distances among fingerprints sharing a blocking bucket — the
+    empirical gap between near-dup distances (small hamming) and
+    random-pair distances (binomial around SIMHASH_BITS/2) that tells
+    you WHERE to put the hamming threshold dedup_simhash's consumers
+    use. Pairs are bucket-local only (the blocking bound: work is
+    sum of bucket sizes squared, never corpus²); bit_count(xor) is
+    exact integer in both engines; output is the <= SIMHASH_BITS+1
+    row distance histogram."""
+    sh = dedup_simhash(spark, sf_dir).select("doc_id", "simhash",
+                                             "bucket")
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.expr("cast(bit_count(a.simhash ^ b.simhash)"
+                            " as int)").alias("hamming")))
+    return (pairs.groupBy("hamming")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy("hamming"))
+
+
+register("dedup_hamming_spectrum", dedup_hamming_spectrum, f"""
+WITH sh AS (SELECT * FROM ({_simhash_oracle()}) s0)
+SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM sh a JOIN sh b
+  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY 1 ORDER BY hamming
+""", "bucket-local simhash hamming-distance histogram (threshold audit)")

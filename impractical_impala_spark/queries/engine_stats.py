@@ -1095,3 +1095,71 @@ SELECT source, MAX(n) AS n_chars,
        CAST(SUM(t_nano) // 8000 AS BIGINT) AS est_ratio_ppm
 FROM terms GROUP BY source ORDER BY source
 """, "zero-order char entropy per source -> codec/dictionary advice")
+
+
+# --------------------------------------------------- RLE advisor
+def engine_rle_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length-encoding advisor for the event_type column under
+    two physical layouts: hour-clustered arrival order vs
+    user-clustered order — the layout decision behind columnar
+    encoding pickers (RLE pays off only if the chosen sort order
+    creates runs; the SAME column can be incompressible in one order
+    and 1000x in another). Runs RESET at the cluster boundary (hour /
+    user), which is exactly what a partitioned layout gives the
+    encoder and keeps every window PARTITIONED — no global total
+    order anywhere, so the plan scales with the cluster key's
+    cardinality, not a single sorted partition. Run starts are exact
+    integer lag compares; both engines compute the identical reset
+    semantics."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_ns", "event_id",
+        F.expr("ts_ns div 3600000000000").alias("hr"))
+    tot = ev.groupBy().agg(F.count(F.lit(1)).alias("n_rows"))
+
+    def runs(part_col, name):
+        w = Window.partitionBy(part_col).orderBy("ts_ns", "event_id")
+        return (ev.withColumn("prev", F.lag("event_type").over(w))
+                .agg(F.sum(F.expr(
+                    "case when prev is null or prev != event_type"
+                    " then 1 else 0 end")).alias("n_runs"))
+                .select(F.lit(name).alias("sort_order"), "n_runs"))
+
+    both = (runs("hr", "by_hour_time")
+            .unionByName(runs("user_id", "by_user_time")))
+    return (both.crossJoin(F.broadcast(tot))
+            .select("sort_order",
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    F.col("n_runs").cast("long").alias("n_runs"),
+                    F.expr("n_runs * 1000000 div n_rows")
+                    .alias("rle_ratio_ppm"))
+            .orderBy("sort_order"))
+
+
+register("engine_rle_advisor", engine_rle_advisor, """
+WITH ev AS (
+    SELECT user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) * 1000 AS ts_ns, event_id,
+           CAST(epoch_us(ts) AS BIGINT) * 1000 // 3600000000000 AS hr
+    FROM events
+), by_hour AS (
+    SELECT 'by_hour_time' AS sort_order,
+           CAST(SUM(CASE WHEN prev IS NULL OR prev != event_type
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+    FROM (SELECT event_type,
+                 LAG(event_type) OVER (PARTITION BY hr
+                     ORDER BY ts_ns, event_id) AS prev
+          FROM ev)
+), by_user AS (
+    SELECT 'by_user_time' AS sort_order,
+           CAST(SUM(CASE WHEN prev IS NULL OR prev != event_type
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+    FROM (SELECT event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                     ORDER BY ts_ns, event_id) AS prev
+          FROM ev)
+)
+SELECT sort_order, (SELECT COUNT(*) FROM ev) AS n_rows, n_runs,
+       n_runs * 1000000 // (SELECT COUNT(*) FROM ev) AS rle_ratio_ppm
+FROM (SELECT * FROM by_hour UNION ALL SELECT * FROM by_user)
+ORDER BY sort_order
+""", "RLE run counts for event_type under two clustered layouts")

@@ -1221,3 +1221,95 @@ SELECT h1.source,
 FROM h1 JOIN h2 ON h1.source = h2.source
 ORDER BY h1.source
 """, "order-1 char entropy rate + redundancy per source (two censuses)")
+
+
+# --------------------------------------------- pairwise source JSD
+JSD_TOPK = 10
+_LN2_NANO = 693_147_181  # round(ln(2) * 1e9) — shared constant
+
+
+def source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions, reported as the JSD_TOPK MOST SIMILAR pairs — the
+    redundancy radar that says which sources tell the mixture
+    allocator the same thing. The decomposition keeps the vocabulary
+    join linear: for tokens PRESENT in both sources the cell term is
+    0.5*p*ln(2p/(p+q)) + 0.5*q*ln(2q/(p+q)); the mass each side holds
+    in tokens ABSENT from the other contributes exactly
+    0.5*ln(2)*(1 - covered) in closed form — no full-outer explosion,
+    only the shared-token join (vocabulary-keyed) plus per-pair
+    covered-mass sums. Every cell term quantizes to nano-nats before
+    the per-pair integer sum; the top-K cut is a distributed
+    TakeOrdered over the source-pair frame (sources² rows)."""
+    toks = (load_table(spark, sf_dir, "documents")
+            .select("source",
+                    F.explode(F.split(F.lower("text"), " ")).alias("tok")))
+    census = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("c"))
+    tot = census.groupBy("source").agg(F.sum("c").alias("n"))
+    cen = census.join(tot, "source")
+    a = cen.select(F.col("source").alias("s1"), "tok",
+                   F.col("c").alias("c1"), F.col("n").alias("n1"))
+    b = cen.select(F.col("source").alias("s2"), "tok",
+                   F.col("c").alias("c2"), F.col("n").alias("n2"))
+    shared = a.join(b, ["tok"]).filter(F.col("s1") < F.col("s2"))
+    term = _kl_ha(
+        "1e9 * (0.5 * (cast(c1 as double) / n1)"
+        " * ln(2.0 * (cast(c1 as double) / n1)"
+        " / (cast(c1 as double) / n1 + cast(c2 as double) / n2))"
+        " + 0.5 * (cast(c2 as double) / n2)"
+        " * ln(2.0 * (cast(c2 as double) / n2)"
+        " / (cast(c1 as double) / n1 + cast(c2 as double) / n2)))")
+    pair = (shared
+            .select("s1", "s2", "c1", "n1", "c2", "n2",
+                    F.expr(term).alias("t_nano"))
+            .groupBy("s1", "s2")
+            .agg(F.sum("t_nano").alias("shared_nano"),
+                 F.sum("c1").alias("cov1"), F.max("n1").alias("n1"),
+                 F.sum("c2").alias("cov2"), F.max("n2").alias("n2")))
+    absent = (f"({_LN2_NANO} - {_LN2_NANO} * cov1 div n1) div 2"
+              f" + ({_LN2_NANO} - {_LN2_NANO} * cov2 div n2) div 2")
+    return (pair
+            .withColumn("jsd_nano", F.expr(f"shared_nano + {absent}"))
+            .select("s1", "s2",
+                    F.expr("jsd_nano div 1000").alias("jsd_micro"))
+            .orderBy("jsd_micro", "s1", "s2").limit(JSD_TOPK))
+
+
+_JSD_TERM = _kl_ha(
+    "1e9 * (0.5 * (CAST(c1 AS DOUBLE) / n1)"
+    " * LN(2.0 * (CAST(c1 AS DOUBLE) / n1)"
+    " / (CAST(c1 AS DOUBLE) / n1 + CAST(c2 AS DOUBLE) / n2))"
+    " + 0.5 * (CAST(c2 AS DOUBLE) / n2)"
+    " * LN(2.0 * (CAST(c2 AS DOUBLE) / n2)"
+    " / (CAST(c1 AS DOUBLE) / n1 + CAST(c2 AS DOUBLE) / n2)))")
+
+register("source_jsd_matrix", source_jsd_matrix, f"""
+WITH census AS (
+    SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (SELECT source, UNNEST(string_split(lower(text), ' ')) AS tok
+          FROM documents)
+    GROUP BY 1, 2
+), tot AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM census GROUP BY 1
+), cen AS (
+    SELECT census.source, census.tok, census.c, tot.n
+    FROM census JOIN tot ON census.source = tot.source
+), pair AS (
+    SELECT a.source AS s1, b.source AS s2,
+           CAST(SUM({_JSD_TERM}) AS BIGINT) AS shared_nano,
+           CAST(SUM(a.c) AS BIGINT) AS cov1, MAX(a.n) AS n1,
+           CAST(SUM(b.c) AS BIGINT) AS cov2, MAX(b.n) AS n2
+    FROM (SELECT source, tok, c AS c1, n AS n1, c, n FROM cen) a
+    JOIN (SELECT source, tok, c AS c2, n AS n2, c, n FROM cen) b
+      ON a.tok = b.tok AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT s1, s2,
+       CAST((shared_nano
+             + ({_LN2_NANO} - {_LN2_NANO} * cov1 // n1) // 2
+             + ({_LN2_NANO} - {_LN2_NANO} * cov2 // n2) // 2)
+            // 1000 AS BIGINT) AS jsd_micro
+FROM pair
+ORDER BY jsd_micro, s1, s2 LIMIT {JSD_TOPK}
+""", "top-10 most similar source pairs by unigram Jensen-Shannon")

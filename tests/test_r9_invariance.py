@@ -130,6 +130,10 @@ R9_CASES = [
     "events_weibull_interarrival",  # micro-quantized plot points
     "events_new_returning_mix",    # first-touch integer ppm
     "part_price_dispersion",       # exact census quartiles
+    # wave 37: source redundancy, layout encoding, separability
+    "source_jsd_matrix",           # nano cell terms, closed absent mass
+    "engine_rle_advisor",          # partitioned integer run counts
+    "dedup_hamming_spectrum",      # bucket-local integer xor census
 ]
 
 
