@@ -391,6 +391,10 @@ HEADLINE = [
     "source_jsd_matrix",
     "engine_rle_advisor",
     "dedup_hamming_spectrum",
+    # round-9 wave 38: rate-model adequacy, retention decay, degree tail
+    "events_poisson_gof",
+    "events_retention_half_life",
+    "graph_degree_powerlaw",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

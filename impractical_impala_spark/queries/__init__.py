@@ -528,6 +528,10 @@ NEW_R9: list[str] = [
     # (quality.py, engine_stats.py, dedup.py)
     "source_jsd_matrix", "engine_rle_advisor",
     "dedup_hamming_spectrum",
+    # wave 38: rate-model adequacy, retention decay, degree tail
+    # (hypothesis.py, analytics.py, paths_stats.py)
+    "events_poisson_gof", "events_retention_half_life",
+    "graph_degree_powerlaw",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

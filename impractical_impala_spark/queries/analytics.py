@@ -811,3 +811,94 @@ FROM tot t JOIN q1 ON t.p_brand = q1.p_brand
 JOIN q3 ON t.p_brand = q3.p_brand
 ORDER BY t.p_brand
 """, "quartile coefficient of price dispersion per brand (exact census)")
+
+
+# --------------------------------------------- retention half-life
+HL_MIN_POINTS = 3
+
+
+def events_retention_half_life(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Retention half-life per weekly cohort: fit ln(retained share)
+    against week offset >= 1 by OLS and report ln2 / (-slope) in
+    milli-weeks — the one number per cohort that product reviews
+    extract from the retention triangle by hand. Reuses the
+    events_cohort_retention reduction (distinct (user, week) pairs +
+    one cohort join); each cohort's log points are micro-quantized
+    before the integer OLS sums (order-free); cohorts with fewer
+    than HL_MIN_POINTS nonzero offsets, or a non-negative slope,
+    report NULL."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"CAST(datediff(to_date(ts), DATE '{EPOCH0}') div 7"
+               " AS INT)").alias("week"))
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cw"))
+    active = ev.distinct()
+    ret = (active.join(cohort, "user_id")
+           .groupBy("cw", (F.col("week") - F.col("cw")).alias("off"))
+           .agg(F.count(F.lit(1)).alias("n_users")))
+    base = (ret.filter(F.col("off") == 0)
+            .select("cw", F.col("n_users").alias("n0")))
+    pts = (ret.filter(F.col("off") >= 1).join(base, "cw")
+           .withColumn("yv", F.expr(_abc_ha(
+               "1e6 * ln(cast(n_users as double) / n0)"))))
+    suff = pts.groupBy("cw").agg(
+        F.max("n0").alias("cohort_size"),
+        F.count(F.lit(1)).alias("np"),
+        F.sum("off").alias("sx"), F.sum("yv").alias("sy"),
+        F.sum(F.expr("off * yv")).alias("sxy"),
+        F.sum(F.expr("off * off")).alias("sxx"))
+    slope = ("((cast(np as double) * sxy - cast(sx as double) * sy)"
+             " / (cast(np as double) * sxx - cast(sx as double) * sx)"
+             " / 1e6)")
+    hl = (f"case when np >= {HL_MIN_POINTS} and {slope} < 0"
+          f" then ln(2.0) / (-({slope})) end")
+    return (suff.select(
+        F.col("cw").cast("int").alias("cohort_week"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        F.col("np").cast("long").alias("n_points"),
+        F.expr(_abc_ha(f"({hl}) * 1e3")).alias("half_life_milliweeks"))
+        .orderBy("cohort_week"))
+
+
+_HL_SLOPE = ("((CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+             " / (CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+             " / 1e6)")
+_HL = (f"CASE WHEN np >= {HL_MIN_POINTS} AND {_HL_SLOPE} < 0"
+       f" THEN LN(2.0) / (-({_HL_SLOPE})) END")
+
+register("events_retention_half_life", events_retention_half_life, f"""
+WITH wk AS (
+    SELECT user_id,
+           CAST(DATEDIFF('day', DATE '{EPOCH0}', CAST(ts AS DATE)) // 7
+                AS INTEGER) AS week
+    FROM events
+), cohort AS (
+    SELECT user_id, MIN(week) AS cw FROM wk GROUP BY 1
+), active AS (SELECT DISTINCT user_id, week FROM wk),
+ret AS (
+    SELECT c.cw, a.week - c.cw AS off,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM active a JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+), base AS (
+    SELECT cw, n_users AS n0 FROM ret WHERE off = 0
+), pts AS (
+    SELECT r.cw, r.off, b.n0,
+           {_abc_ha("1e6 * LN(CAST(r.n_users AS DOUBLE) / b.n0)")} AS yv
+    FROM ret r JOIN base b ON r.cw = b.cw
+    WHERE r.off >= 1
+), suff AS (
+    SELECT cw, CAST(MAX(n0) AS BIGINT) AS cohort_size,
+           CAST(COUNT(*) AS BIGINT) AS np,
+           CAST(SUM(off) AS BIGINT) AS sx,
+           CAST(SUM(yv) AS BIGINT) AS sy,
+           CAST(SUM(off * yv) AS BIGINT) AS sxy,
+           CAST(SUM(off * off) AS BIGINT) AS sxx
+    FROM pts GROUP BY 1
+)
+SELECT CAST(cw AS INT) AS cohort_week, cohort_size,
+       np AS n_points,
+       {_abc_ha(f"({_HL}) * 1e3")} AS half_life_milliweeks
+FROM suff ORDER BY cohort_week
+""", "exponential retention half-life per weekly cohort (log-OLS)")

@@ -726,3 +726,79 @@ SELECT event_type, nn AS n_days,
             > {_half_away(CHI2_95[6] / 6 * 1e6)} AS INT) AS dow_effect
 FROM agg ORDER BY event_type
 """, "day-of-week ANOVA per event type on zero-filled daily counts")
+
+
+# ------------------------------------------------ Poisson GOF
+def events_poisson_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson goodness-of-fit on each type's zero-filled daily
+    counts: the index-of-dispersion chi-square D = sum (x - m)^2 / m
+    over n days, with the large-sample variance-ratio verdict
+    z = (D/(n-1) - 1) * sqrt((n-1)/2) — overdispersion means a
+    Poisson rate model (and every Poisson-assuming alert threshold)
+    understates tail risk. chi2 multiplies out exactly through n:
+    sum (n*x - S)^2 / (n*S) is a ratio of exact integers
+    ((n*x-S)^2 <= (30*670)^2 ~ 4e8 per day at sf0.1 — int64 to ~1e9-
+    row days); one sqrt for the verdict. Complements
+    events_fano_burstiness (same moment, formal gate) and
+    events_weibull_interarrival (the interarrival view)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts_ns div {DAY_NS}").alias("d"))
+    cnt = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("c"))
+    rng = ev.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    types = ev.select("event_type").distinct()
+    spine = (types.crossJoin(F.broadcast(rng))
+             .select("event_type",
+                     F.explode(F.expr("sequence(dmin, dmax)")).alias("d")))
+    filled = (spine.join(cnt, ["event_type", "d"], "left")
+              .select("event_type", F.coalesce("c", F.lit(0)).alias("x")))
+    suff = filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"),
+        F.sum(F.expr("x * x")).alias("q"))
+    # sum (n*x - S)^2 = n^2*Q - 2nS*S + n*S^2 = n*(n*Q - S^2)
+    chi2 = ("(cast(n as double) * (n * q - s * s)"
+            " / (cast(n as double) * s))")
+    disp = f"({chi2} / (n - 1))"
+    z = f"(({disp} - 1.0) * sqrt((n - 1) / 2.0))"
+    return (suff.select(
+        "event_type", F.col("n").cast("long").alias("n_days"),
+        F.expr(_ha(f"({chi2}) * 1e6")).alias("chi2_micro"),
+        F.expr(_ha(f"({disp}) * 1e6")).alias("dispersion_micro"),
+        F.expr(_ha(f"({z}) * 1e6")).alias("z_micro"))
+        .withColumn("overdispersed", F.expr(
+            "cast(z_micro > 1959964 as int)"))
+        .orderBy("event_type"))
+
+
+_PG_CHI2 = ("(CAST(n AS DOUBLE) * (n * q - s * s)"
+            " / (CAST(n AS DOUBLE) * s))")
+_PG_DISP = f"({_PG_CHI2} / (n - 1))"
+_PG_Z = f"(({_PG_DISP} - 1.0) * SQRT((n - 1) / 2.0))"
+
+register("events_poisson_gof", events_poisson_gof, f"""
+WITH ev AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) AS BIGINT) * 1000 // {DAY_NS} AS d
+    FROM events
+), cnt AS (
+    SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS c
+    FROM ev GROUP BY 1, 2
+), rng AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM ev),
+filled AS (
+    SELECT t.event_type, COALESCE(cnt.c, 0) AS x
+    FROM (SELECT DISTINCT event_type FROM ev) t
+    CROSS JOIN (SELECT UNNEST(range((SELECT dmin FROM rng),
+                                    (SELECT dmax FROM rng) + 1)) AS d) s
+    LEFT JOIN cnt ON t.event_type = cnt.event_type AND s.d = cnt.d
+), suff AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS s,
+           CAST(SUM(x * x) AS BIGINT) AS q
+    FROM filled GROUP BY 1
+)
+SELECT event_type, n AS n_days,
+       {_ha(f"({_PG_CHI2}) * 1e6")} AS chi2_micro,
+       {_ha(f"({_PG_DISP}) * 1e6")} AS dispersion_micro,
+       {_ha(f"({_PG_Z}) * 1e6")} AS z_micro,
+       CAST({_ha(f"({_PG_Z}) * 1e6")} > 1959964 AS INT) AS overdispersed
+FROM suff ORDER BY event_type
+""", "Poisson dispersion chi-square + variance-ratio verdict per type")

@@ -838,3 +838,58 @@ LEFT JOIN nk ON s.k = nk.k
 LEFT JOIN ek ON s.k = ek.k
 ORDER BY s.k
 """, "rich-club coefficient phi(k) of the backbone at fixed thresholds")
+
+
+# ---------------------------------------------- degree power law
+PL_DMIN = 2
+
+
+def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete power-law exponent of the backbone degree
+    distribution by the standard continuous-approximation MLE
+    alpha = 1 + n / sum ln(d / (dmin - 0.5)) over degrees >= PL_DMIN
+    (Clauset-Shalizi-Newman) — with the rich-club and assortativity
+    queries this completes the hub-structure triad: HOW heavy is the
+    degree tail. Per-degree ln terms quantize to micro on the degree
+    CENSUS (distinct degrees x counts — model-size), so the tail sum
+    is order-free integer arithmetic; one division at the end."""
+    edges = cohort_edges(load_table(spark, sf_dir, "events"))
+    deg = (edges.select(F.col("a").alias("u"))
+           .unionByName(edges.select(F.col("b").alias("u")))
+           .groupBy("u").agg(F.count(F.lit(1)).alias("deg")))
+    census = (deg.filter(F.col("deg") >= PL_DMIN)
+              .groupBy("deg").agg(F.count(F.lit(1)).alias("nd")))
+    term = _ps_ha(f"1e6 * ln(cast(deg as double) / ({PL_DMIN} - 0.5))")
+    agg = (census.select("nd", F.expr(term).alias("t"))
+           .agg(F.sum("nd").alias("n_tail"),
+                F.sum(F.expr("nd * t")).alias("lnsum_micro")))
+    alpha = "(1.0 + cast(n_tail as double) * 1e6 / lnsum_micro)"
+    return agg.select(
+        F.col("n_tail").cast("long").alias("n_tail_nodes"),
+        F.lit(PL_DMIN).cast("int").alias("d_min"),
+        F.expr(_ps_ha(f"({alpha}) * 1e3")).alias("alpha_milli"))
+
+
+from .monitor_eval import _ha_sql as _ps_ha  # noqa: E402
+
+_PL_TERM = _ps_ha(f"1e6 * LN(CAST(deg AS DOUBLE) / ({PL_DMIN} - 0.5))")
+_PL_ALPHA = "(1.0 + CAST(n_tail AS DOUBLE) * 1e6 / lnsum_micro)"
+
+register("graph_degree_powerlaw", graph_degree_powerlaw, f"""
+WITH {_COHORT_EDGES_SQL},
+deg AS (
+    SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM (SELECT a AS u FROM edges UNION ALL SELECT b FROM edges)
+    GROUP BY u
+), census AS (
+    SELECT deg, CAST(COUNT(*) AS BIGINT) AS nd
+    FROM deg WHERE deg >= {PL_DMIN} GROUP BY 1
+), agg AS (
+    SELECT CAST(SUM(nd) AS BIGINT) AS n_tail,
+           CAST(SUM(nd * {_PL_TERM}) AS BIGINT) AS lnsum_micro
+    FROM census
+)
+SELECT n_tail AS n_tail_nodes, CAST({PL_DMIN} AS INT) AS d_min,
+       {_ps_ha(f"({_PL_ALPHA}) * 1e3")} AS alpha_milli
+FROM agg
+""", "CSN power-law exponent MLE of the backbone degree tail")

@@ -134,6 +134,10 @@ R9_CASES = [
     "source_jsd_matrix",           # nano cell terms, closed absent mass
     "engine_rle_advisor",          # partitioned integer run counts
     "dedup_hamming_spectrum",      # bucket-local integer xor census
+    # wave 38: rate-model adequacy, retention decay, degree tail
+    "events_poisson_gof",          # n-scaled integer chi-square
+    "events_retention_half_life",  # micro log points, integer OLS
+    "graph_degree_powerlaw",       # micro ln census terms
 ]
 
 
