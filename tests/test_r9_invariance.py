@@ -277,3 +277,35 @@ def test_mmr_shape_and_first_pick(spark, sf_small):
             key=lambda t: (t[1], -t[0]))
         first = next(r for r in rs if r.rnk == 1)
         assert first.neighbor_id == best[0]
+
+
+R9_TS_CASES = [
+    # session waves 23-38: every query that derives day/hour/week keys
+    # or event ordering from ts — a UTC+14 session zone must not move
+    # a single bucket, rank, or verdict
+    "events_perm_bh_fdr", "events_ljung_box",
+    "events_effective_sample_size", "events_pettitt_test",
+    "events_runs_test", "events_dow_anova", "events_poisson_gof",
+    "events_transfer_entropy", "events_markov_stationary",
+    "events_hurst_exponent", "events_rayleigh_diurnal",
+    "events_weibull_interarrival", "events_new_returning_mix",
+    "events_retention_half_life", "orders_kingman_wait",
+    "orders_chow_break", "orders_newsvendor_quantile",
+    "customer_tier_migration",
+]
+
+
+@pytest.mark.parametrize("name", R9_TS_CASES)
+def test_r9_late_timezone_invariance(spark, sf_small, name):
+    """Hostile-session-TZ sweep for the wave-23..38 timestamp-bearing
+    queries (the standing round gate)."""
+    base = sorted(map(tuple, _Q[name].build(spark, sf_small).collect()))
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone",
+                       "Pacific/Kiritimati")
+        hostile = sorted(map(tuple,
+                             _Q[name].build(spark, sf_small).collect()))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    assert base == hostile
