@@ -395,6 +395,10 @@ HEADLINE = [
     "events_poisson_gof",
     "events_retention_half_life",
     "graph_degree_powerlaw",
+    # round-9 wave 39: skyline operator, planning matrix, JL audit
+    "q_skyline_2d",
+    "part_abc_xyz_matrix",
+    "emb_random_projection_audit",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

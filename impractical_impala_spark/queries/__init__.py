@@ -532,6 +532,10 @@ NEW_R9: list[str] = [
     # (hypothesis.py, analytics.py, paths_stats.py)
     "events_poisson_gof", "events_retention_half_life",
     "graph_degree_powerlaw",
+    # wave 39: skyline operator, planning matrix, JL audit
+    # (warehouse_extras.py, analytics.py, emb_eval.py)
+    "q_skyline_2d", "part_abc_xyz_matrix",
+    "emb_random_projection_audit",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

@@ -902,3 +902,135 @@ SELECT CAST(cw AS INT) AS cohort_week, cohort_size,
        {_abc_ha(f"({_HL}) * 1e3")} AS half_life_milliweeks
 FROM suff ORDER BY cohort_week
 """, "exponential retention half-life per weekly cohort (log-OLS)")
+
+
+# ----------------------------------------------- ABC-XYZ matrix
+XYZ_X_MILLI = 500    # CV < 0.5 -> X (stable demand)
+XYZ_Y_MILLI = 1000   # CV < 1.0 -> Y; else Z (erratic)
+
+
+def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory segmentation matrix: revenue importance
+    (the wave-28 histogram-cutpoint ABC classes) crossed with demand
+    VARIABILITY classes from the coefficient of variation of monthly
+    shipped quantity (X stable / Y variable / Z erratic at the
+    standard 0.5 / 1.0 cuts) — the planning matrix that decides
+    forecast-driven vs buffer-driven replenishment per cell. Monthly
+    demand uses the closed-form zero-month identity (months without
+    demand contribute nothing to S or Q; the common month horizon
+    enters as the closed-form count M); the CV is one float from
+    exact integer sums, milli-quantized per part BEFORE
+    classification. Output: <= 9 cells with part counts and exact
+    revenue-share ppm."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.expr("year(l_shipdate) * 12 + month(l_shipdate)").alias("m"))
+    mrng = li.agg(F.expr("max(m) - min(m) + 1").alias("mm"))
+    per_month = (li.groupBy("l_partkey", "m")
+                 .agg(F.sum(F.expr("cast(l_quantity as bigint)"))
+                      .alias("q")))
+    per_part = (per_month.groupBy("l_partkey")
+                .agg(F.sum("q").alias("s"),
+                     F.sum(F.expr("q * q")).alias("qq")))
+    rev = li.groupBy("l_partkey").agg(F.sum("cents").alias("rev"))
+    rrng = rev.agg(F.min("rev").alias("mn"), F.max("rev").alias("mx"),
+                   F.sum("rev").alias("total"))
+    binned = (rev.crossJoin(F.broadcast(rrng))
+              .withColumn("bin", F.when(
+                  F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+                  F.least(F.lit(ABC_BINS - 1),
+                          F.expr(f"((mx - rev) * {ABC_BINS})"
+                                 f" div (mx - mn + 1)")))))
+    hist = binned.groupBy("bin").agg(F.sum("rev").alias("brev"))
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    classed = (hist.withColumn(
+        "cprev", F.coalesce(F.sum("brev").over(wb), F.lit(0)))
+        .crossJoin(F.broadcast(rrng.select("total")))
+        .select("bin", F.expr(
+            "case when cprev * 5 < 4 * total then 'A'"
+            " when cprev * 20 < 19 * total then 'B'"
+            " else 'C' end").alias("abc")))
+    # CV over the common M-month horizon with implicit zero months:
+    # var = (M*Q - S^2) / (M*(M-1)), mean = S/M -> cv = sd*M/S
+    cv = ("(sqrt((cast(mm as double) * qq - cast(s as double) * s)"
+          " / (cast(mm as double) * (mm - 1)))"
+          " * mm / cast(s as double))")
+    xyz = (per_part.crossJoin(F.broadcast(mrng))
+           .withColumn("cv_milli", F.expr(_abc_ha(f"({cv}) * 1e3")))
+           .select("l_partkey", F.expr(
+               f"case when cv_milli < {XYZ_X_MILLI} then 'X'"
+               f" when cv_milli < {XYZ_Y_MILLI} then 'Y'"
+               f" else 'Z' end").alias("xyz")))
+    cells = (binned.join(F.broadcast(classed), "bin")
+             .join(xyz, "l_partkey")
+             .groupBy("abc", "xyz")
+             .agg(F.count(F.lit(1)).alias("n_parts"),
+                  F.sum("rev").alias("rev_cents"),
+                  F.max("total").alias("total")))
+    return (cells.select(
+        F.col("abc").alias("abc_class"), F.col("xyz").alias("xyz_class"),
+        "n_parts", F.col("rev_cents").cast("long").alias("revenue_cents"),
+        F.expr("rev_cents * 1000000 div total").alias("share_ppm"))
+        .orderBy("abc_class", "xyz_class"))
+
+
+_XYZ_CV = ("(SQRT((CAST(mm AS DOUBLE) * qq - CAST(s AS DOUBLE) * s)"
+           " / (CAST(mm AS DOUBLE) * (mm - 1)))"
+           " * mm / CAST(s AS DOUBLE))")
+
+register("part_abc_xyz_matrix", part_abc_xyz_matrix, f"""
+WITH li AS (
+    SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+           CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
+           year(l_shipdate) * 12 + month(l_shipdate) AS m
+    FROM lineitem
+), mrng AS (SELECT MAX(m) - MIN(m) + 1 AS mm FROM li),
+per_month AS (
+    SELECT l_partkey, m, CAST(SUM(qty) AS BIGINT) AS q
+    FROM li GROUP BY 1, 2
+), per_part AS (
+    SELECT l_partkey, CAST(SUM(q) AS BIGINT) AS s,
+           CAST(SUM(q * q) AS BIGINT) AS qq
+    FROM per_month GROUP BY 1
+), rev AS (
+    SELECT l_partkey, CAST(SUM(cents) AS BIGINT) AS rev
+    FROM li GROUP BY 1
+), rrng AS (
+    SELECT MIN(rev) AS mn, MAX(rev) AS mx, SUM(rev) AS total FROM rev
+), binned AS (
+    SELECT l_partkey, rev, total,
+           CASE WHEN mx = mn THEN 0
+                ELSE LEAST({ABC_BINS - 1},
+                           ((mx - rev) * {ABC_BINS}) // (mx - mn + 1))
+           END AS bin
+    FROM rev CROSS JOIN rrng
+), hist AS (SELECT bin, SUM(rev) AS brev FROM binned GROUP BY bin),
+classed AS (
+    SELECT bin,
+           CASE WHEN COALESCE(SUM(brev) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    * 5 < 4 * r.total THEN 'A'
+                WHEN COALESCE(SUM(brev) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    * 20 < 19 * r.total THEN 'B'
+                ELSE 'C' END AS abc
+    FROM hist CROSS JOIN (SELECT total FROM rrng) r
+), xyz AS (
+    SELECT p.l_partkey,
+           CASE WHEN {_abc_ha(f"({_XYZ_CV}) * 1e3")} < {XYZ_X_MILLI}
+                THEN 'X'
+                WHEN {_abc_ha(f"({_XYZ_CV}) * 1e3")} < {XYZ_Y_MILLI}
+                THEN 'Y' ELSE 'Z' END AS xyz
+    FROM per_part p CROSS JOIN mrng
+)
+SELECT c.abc AS abc_class, x.xyz AS xyz_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(b.rev) AS BIGINT) AS revenue_cents,
+       CAST(SUM(b.rev) * 1000000 // ANY_VALUE(b.total) AS BIGINT)
+           AS share_ppm
+FROM binned b
+JOIN classed c USING (bin)
+JOIN xyz x ON b.l_partkey = x.l_partkey
+GROUP BY 1, 2 ORDER BY 1, 2
+""", "ABC-XYZ planning matrix (revenue cutpoints x monthly-demand CV)")

@@ -677,3 +677,102 @@ SELECT CAST(i AS INT) AS dim, CAST(k AS INT) AS k_labels,
 FROM agg
 ORDER BY f_micro DESC, dim LIMIT {FISHER_TOPK}
 """, "top-10 label-discriminative embedding dims by ANOVA Fisher ratio")
+
+
+# --------------------------------------------- JL projection audit
+RP_K = 16  # projected dimensions
+
+
+def emb_random_projection_audit(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit: project the bounded
+    query panel through a deterministic ±1 sign matrix (md5 parity of
+    (j, d) — no RNG state, identical in both engines) down to RP_K
+    dims and measure, for every panel pair, the ratio of projected to
+    original squared distance (E[ratio] = 1 for ±1 projections) —
+    the empirical answer to "how low can we project before distances
+    lie", which sizes every sketch built on random projections. All
+    arithmetic is exact integers in Q_SCALE fixed point: original
+    distances from zip_with folds, projections from an exploded
+    (vec, j, d) frame (panel x RP_K x DIM cells — model-size), ratios
+    quantized per pair then integer-aggregated. Output: one row of
+    distortion moments over the panel pairs."""
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < N_QUERIES)
+           .select("vec_id",
+                   F.expr(f"transform(embedding, x -> cast(floor("
+                          f"cast(x as double) * {Q_SCALE}) as bigint))")
+                   .alias("xq")))
+    sign = ("case when pmod(cast(conv(substring(md5(concat("
+            "cast(j as string), '_', cast(d as string))), 1, 7),"
+            " 16, 10) as bigint), 2) = 0 then 1 else -1 end")
+    proj = (emb
+            .select("vec_id", F.posexplode("xq").alias("d", "v"))
+            .withColumn("j", F.explode(F.expr(
+                f"sequence(0, {RP_K - 1})")))
+            .withColumn("sgn", F.expr(sign))
+            .groupBy("vec_id", "j")
+            .agg(F.sum(F.expr("sgn * v")).alias("s")))
+    pa = proj.select(F.col("vec_id").alias("a"), "j",
+                     F.col("s").alias("sa"))
+    pb = proj.select(F.col("vec_id").alias("b"), "j",
+                     F.col("s").alias("sb"))
+    pd2 = (pa.join(pb, ["j"]).filter(F.col("a") < F.col("b"))
+           .groupBy("a", "b")
+           .agg(F.sum(F.expr("(sa - sb) * (sa - sb)")).alias("p2")))
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("xq").alias("xa"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("xq").alias("xb"))
+    od2 = (F.broadcast(ea).join(eb, F.col("a") < F.col("b"))
+           .select("a", "b", F.expr(
+               "aggregate(zip_with(xa, xb, (x, y) -> (x - y) * (x - y)),"
+               " cast(0 as bigint), (acc, x) -> acc + x)").alias("o2")))
+    ratio = f"(cast(p2 as double) / {RP_K} / cast(o2 as double))"
+    pairs = (pd2.join(od2, ["a", "b"])
+             .select(F.expr(_ha(f"({ratio}) * 1e6")).alias("r_ppm")))
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("sum(r_ppm) div count(1)").alias("mean_distortion_ppm"),
+        F.min("r_ppm").alias("min_distortion_ppm"),
+        F.max("r_ppm").alias("max_distortion_ppm"))
+
+
+_RP_SIGN = ("CASE WHEN CAST(('0x' || substr(md5(CAST(j AS VARCHAR)"
+            " || '_' || CAST(d AS VARCHAR)), 1, 7)) AS BIGINT) % 2 = 0"
+            " THEN 1 ELSE -1 END")
+
+register("emb_random_projection_audit", emb_random_projection_audit, f"""
+WITH emb AS (
+    SELECT vec_id,
+           list_transform(embedding, x ->
+               CAST(FLOOR(CAST(x AS DOUBLE) * {Q_SCALE}) AS BIGINT))
+               AS xq
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+), ex AS (
+    SELECT vec_id, d - 1 AS d, xq[d] AS v
+    FROM emb, UNNEST(range(1, {DIM} + 1)) AS t(d)
+), proj AS (
+    SELECT vec_id, j.j, CAST(SUM(({_RP_SIGN}) * v) AS BIGINT) AS s
+    FROM ex, (SELECT UNNEST(range(0, {RP_K})) AS j) j
+    GROUP BY 1, 2
+), pd2 AS (
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           CAST(SUM((a.s - b.s) * (a.s - b.s)) AS BIGINT) AS p2
+    FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+), od2 AS (
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           CAST(list_sum(list_transform(
+               list_zip(a.xq, b.xq),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS o2
+    FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+), pairs AS (
+    SELECT {_ha(f"(CAST(p2 AS DOUBLE) / {RP_K}"
+                " / CAST(o2 AS DOUBLE)) * 1e6")} AS r_ppm
+    FROM pd2 JOIN od2 USING (a, b)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(r_ppm) // COUNT(*) AS BIGINT) AS mean_distortion_ppm,
+       CAST(MIN(r_ppm) AS BIGINT) AS min_distortion_ppm,
+       CAST(MAX(r_ppm) AS BIGINT) AS max_distortion_ppm
+FROM pairs
+""", "JL distortion audit: md5-sign projection to 16 dims, exact ratios")

@@ -523,3 +523,67 @@ FROM first f
 JOIN fan ON fan.f_pct = f.f_pct AND fan.cum = f.cum_at
 ORDER BY fractile_pct
 """, "newsvendor critical-fractile demand targets (first-crossing)")
+
+
+# ------------------------------------------------------- 2-D skyline
+SKY_BINS = 4096
+SKY_TOPK = 50
+
+
+def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-front) operator over parts: minimize retail
+    price, maximize size — the classic multi-criteria shortlist query
+    engines ship as a dedicated operator because the naive form is an
+    all-pairs dominance join. Scale decomposition: a part survives
+    iff its size strictly beats the max size of every strictly
+    cheaper part — computed as greatest(bucket-prefix max, in-bucket
+    range-frame max), where the 4096-cell price-bucket prefix runs on
+    a MODEL-SIZE frame and the in-bucket RANGE window (excluding
+    equal prices) is partitioned by bucket. Equal-price points keep
+    only the per-price max size (ties keep all maxima) — exactly the
+    classic NOT-EXISTS dominance semantics, which the oracle states
+    directly. Output caps at the SKY_TOPK cheapest skyline points."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size",
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias("cents"))
+    rng = part.agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"))
+    binned = (part.crossJoin(F.broadcast(rng))
+              .withColumn("b", F.when(
+                  F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+                  F.least(F.lit(SKY_BINS - 1),
+                          F.expr(f"((cents - mn) * {SKY_BINS})"
+                                 f" div (mx - mn + 1)")))))
+    bmax = binned.groupBy("b").agg(F.max("p_size").alias("bm"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    bprev = bmax.withColumn(
+        "prev_bm", F.coalesce(F.max("bm").over(wb), F.lit(-1)))
+    w_in = (Window.partitionBy("b").orderBy("cents")
+            .rangeBetween(Window.unboundedPreceding, -1))
+    w_eq = Window.partitionBy("b", "cents")
+    scored = (binned.join(F.broadcast(bprev.select("b", "prev_bm")), "b")
+              .withColumn("in_max", F.coalesce(
+                  F.max("p_size").over(w_in), F.lit(-1)))
+              .withColumn("eq_max", F.max("p_size").over(w_eq))
+              .withColumn("thresh", F.greatest("prev_bm", "in_max")))
+    return (scored.filter((F.col("p_size") > F.col("thresh"))
+                          & (F.col("p_size") == F.col("eq_max")))
+            .select("p_partkey", "cents",
+                    F.col("p_size").cast("int").alias("p_size"))
+            .orderBy("cents", "p_partkey").limit(SKY_TOPK))
+
+
+register("q_skyline_2d", q_skyline_2d, f"""
+WITH part_c AS (
+    SELECT p_partkey, CAST(p_size AS INT) AS p_size,
+           CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS cents
+    FROM part
+)
+SELECT a.p_partkey, a.cents, a.p_size
+FROM part_c a
+WHERE NOT EXISTS (
+    SELECT 1 FROM part_c b
+    WHERE b.cents <= a.cents AND b.p_size >= a.p_size
+      AND (b.cents < a.cents OR b.p_size > a.p_size)
+)
+ORDER BY a.cents, a.p_partkey LIMIT {SKY_TOPK}
+""", "2-D skyline (min price, max size) via bucket-prefix decomposition")

@@ -70,6 +70,10 @@ _BNLJ_BOUNDED = {
     "emb_binary_sign_audit": re.compile(rf"vec_id#\d+L? < {N_QUERIES}"),
     # wave-26 hubness audit composes ann_cosine_topk; same panel bound
     "emb_hubness_audit": re.compile(rf"vec_id#\d+L? < {N_QUERIES}"),
+    # wave-39 JL audit: the panel-pair cross join builds on the
+    # vec_id < N_QUERIES predicate side
+    "emb_random_projection_audit": re.compile(
+        rf"vec_id#\d+L? < {N_QUERIES}"),
     # the 16-row literal coalition-mask Range (bounded by construction)
     "attribution_shapley": re.compile(r"Range \(0, 16"),
     # the top-50 word panel: a TakeOrdered limit IS the bound

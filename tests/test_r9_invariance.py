@@ -138,6 +138,10 @@ R9_CASES = [
     "events_poisson_gof",          # n-scaled integer chi-square
     "events_retention_half_life",  # micro log points, integer OLS
     "graph_degree_powerlaw",       # micro ln census terms
+    # wave 39: skyline operator, planning matrix, JL audit
+    "q_skyline_2d",                # bucket-prefix dominance, integers
+    "part_abc_xyz_matrix",         # cutpoint ABC x milli CV classes
+    "emb_random_projection_audit",  # md5 sign matrix, exact ratios
 ]
 
 
