@@ -399,6 +399,8 @@ HEADLINE = [
     "q_skyline_2d",
     "part_abc_xyz_matrix",
     "emb_random_projection_audit",
+    # round-9 wave 40: engagement stickiness
+    "users_stickiness_l7",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

@@ -536,6 +536,8 @@ NEW_R9: list[str] = [
     # (warehouse_extras.py, analytics.py, emb_eval.py)
     "q_skyline_2d", "part_abc_xyz_matrix",
     "emb_random_projection_audit",
+    # wave 40: engagement stickiness (analytics.py)
+    "users_stickiness_l7",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

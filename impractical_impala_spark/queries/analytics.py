@@ -1034,3 +1034,74 @@ JOIN classed c USING (bin)
 JOIN xyz x ON b.l_partkey = x.l_partkey
 GROUP BY 1, 2 ORDER BY 1, 2
 """, "ABC-XYZ planning matrix (revenue cutpoints x monthly-demand CV)")
+
+
+# --------------------------------------------------- L7 stickiness
+def users_stickiness_l7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU(7) stickiness per day WITHOUT a distinct-over-
+    sliding-window scan: a user counts toward WAU(d) iff they were
+    active in (d-6 .. d), i.e. iff d falls in the union of
+    [activity_day, activity_day + 6] intervals — so merge each
+    user's intervals into gap-separated runs (gaps-and-islands, one
+    user-keyed window) and explode only the MERGED covered days
+    (bounded by the calendar per user, with no double counting by
+    construction). The naive form re-scans 7 days of user sets per
+    day; this shuffles user-day pairs twice. The engagement ratio
+    every growth dashboard tracks, exact to the ppm."""
+    ud = (load_table(spark, sf_dir, "events")
+          .select("user_id", F.expr("ts_ns div 86400000000000").alias("d"))
+          .distinct())
+    rng = ud.agg(F.max("d").alias("dmax"))
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = (ud.withColumn("prev", F.lag("d").over(w))
+            .withColumn("brk", F.expr(
+                "case when prev is null or d - prev > 6 then 1"
+                " else 0 end"))
+            .withColumn("run", F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("user_id", "run")
+            .agg(F.min("d").alias("s"), F.expr("max(d) + 6").alias("e")))
+    covered = (runs.crossJoin(F.broadcast(rng))
+               .select("user_id", F.explode(F.expr(
+                   "sequence(s, least(e, dmax))")).alias("d")))
+    wau = covered.groupBy("d").agg(F.count(F.lit(1)).alias("wau7"))
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    return (dau.join(wau, "d")
+            .select(F.col("d").cast("long").alias("epoch_day"),
+                    "dau", "wau7",
+                    F.expr("dau * 1000000 div wau7")
+                    .alias("stickiness_ppm"))
+            .orderBy("epoch_day"))
+
+
+register("users_stickiness_l7", users_stickiness_l7, """
+WITH ud AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch_us(ts) AS BIGINT) * 1000 // 86400000000000 AS d
+    FROM events
+), rng AS (SELECT MAX(d) AS dmax FROM ud),
+runs AS (
+    SELECT user_id, run, MIN(d) AS s, MAX(d) + 6 AS e
+    FROM (SELECT user_id, d,
+                 SUM(CASE WHEN prev IS NULL OR d - prev > 6 THEN 1
+                     ELSE 0 END) OVER (PARTITION BY user_id ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS run
+          FROM (SELECT user_id, d,
+                       LAG(d) OVER (PARTITION BY user_id ORDER BY d)
+                           AS prev
+                FROM ud))
+    GROUP BY 1, 2
+), covered AS (
+    SELECT r.user_id, UNNEST(range(r.s, LEAST(r.e, g.dmax) + 1)) AS d
+    FROM runs r CROSS JOIN rng g
+), wau AS (
+    SELECT d, CAST(COUNT(*) AS BIGINT) AS wau7 FROM covered GROUP BY 1
+), dau AS (
+    SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+)
+SELECT dau.d AS epoch_day, dau.dau, wau.wau7,
+       dau.dau * 1000000 // wau.wau7 AS stickiness_ppm
+FROM dau JOIN wau ON dau.d = wau.d
+ORDER BY epoch_day
+""", "DAU/WAU(7) stickiness via merged per-user coverage intervals")

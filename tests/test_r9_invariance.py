@@ -142,6 +142,8 @@ R9_CASES = [
     "q_skyline_2d",                # bucket-prefix dominance, integers
     "part_abc_xyz_matrix",         # cutpoint ABC x milli CV classes
     "emb_random_projection_audit",  # md5 sign matrix, exact ratios
+    # wave 40: engagement stickiness
+    "users_stickiness_l7",         # merged-interval integer coverage
 ]
 
 
