@@ -401,6 +401,9 @@ HEADLINE = [
     "emb_random_projection_audit",
     # round-9 wave 40: engagement stickiness
     "users_stickiness_l7",
+    # round-9 wave 41: funnel entry quality, embedding refresh drift
+    "events_bounce_rate",
+    "emb_centroid_drift",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

@@ -538,6 +538,9 @@ NEW_R9: list[str] = [
     "emb_random_projection_audit",
     # wave 40: engagement stickiness (analytics.py)
     "users_stickiness_l7",
+    # wave 41: funnel entry quality, embedding refresh drift
+    # (analytics.py, emb_eval.py)
+    "events_bounce_rate", "emb_centroid_drift",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

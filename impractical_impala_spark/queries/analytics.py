@@ -1105,3 +1105,82 @@ SELECT dau.d AS epoch_day, dau.dau, wau.wau7,
 FROM dau JOIN wau ON dau.d = wau.d
 ORDER BY epoch_day
 """, "DAU/WAU(7) stickiness via merged per-user coverage intervals")
+
+
+# --------------------------------------------------- bounce rate
+BOUNCE_GAP_US = 30 * 60 * 1_000_000  # events_sessionized convention
+
+
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by session ENTRY event type: the share of
+    30-min-gap sessions (the events_sessionized convention) that
+    contain exactly one event, grouped by what the session STARTED
+    with — the landing-quality cut a funnel review wants next after
+    raw session counts. Gaps-and-islands on the integer microsecond
+    epoch (one user-keyed window), entry event by deterministic
+    (ts_us, event_id) order; exact ppm rates and a milli mean
+    session depth per entry type."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = (ev.withColumn("prev", F.lag("ts_us").over(w))
+               .withColumn("brk", F.expr(
+                   f"case when prev is null or ts_us - prev"
+                   f" > {BOUNCE_GAP_US} then 1 else 0 end"))
+               .withColumn("sid", F.sum("brk").over(
+                   w.rowsBetween(Window.unboundedPreceding, 0))))
+    ws = Window.partitionBy("user_id", "sid").orderBy(
+        "ts_us", "event_id")
+    sess = (flagged
+            .withColumn("rn", F.row_number().over(ws))
+            .groupBy("user_id", "sid")
+            .agg(F.count(F.lit(1)).alias("n_ev"),
+                 F.max(F.when(F.col("rn") == 1, F.col("event_type")))
+                 .alias("entry")))
+    return (sess.groupBy("entry")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum(F.expr("cast(n_ev = 1 as int)")).alias("n_bounce"),
+                 F.sum("n_ev").alias("n_events"))
+            .select(F.col("entry").alias("entry_type"),
+                    "n_sessions", "n_bounce",
+                    F.expr("n_bounce * 1000000 div n_sessions")
+                    .alias("bounce_ppm"),
+                    F.expr("n_events * 1000 div n_sessions")
+                    .alias("mean_depth_milli"))
+            .orderBy("entry_type"))
+
+
+register("events_bounce_rate", events_bounce_rate, f"""
+WITH ev AS (
+    SELECT event_id, user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM events
+), flagged AS (
+    SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > {BOUNCE_GAP_US}
+                   THEN 1 ELSE 0 END AS brk
+    FROM (SELECT ev.*, LAG(ts_us) OVER (PARTITION BY user_id
+              ORDER BY ts_us, event_id) AS prev
+          FROM ev)
+), sessioned AS (
+    SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id
+                  ORDER BY ts_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS sid
+    FROM flagged
+), sess AS (
+    SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_ev,
+           MAX(CASE WHEN rn = 1 THEN event_type END) AS entry
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sid
+              ORDER BY ts_us, event_id) AS rn
+          FROM sessioned)
+    GROUP BY 1, 2
+)
+SELECT entry AS entry_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounce,
+       CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS bounce_ppm,
+       CAST(SUM(n_ev) * 1000 // COUNT(*) AS BIGINT) AS mean_depth_milli
+FROM sess GROUP BY entry ORDER BY entry
+""", "bounce rate and mean depth by session entry type (30-min gaps)")

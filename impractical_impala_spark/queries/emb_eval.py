@@ -776,3 +776,95 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
        CAST(MAX(r_ppm) AS BIGINT) AS max_distortion_ppm
 FROM pairs
 """, "JL distortion audit: md5-sign projection to 16 dims, exact ratios")
+
+
+# --------------------------------------------- centroid drift
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid drift between the first and
+    second half of the corpus (vec_id midpoint split — the batch-
+    order proxy for ingestion time): the cosine between the two
+    half-centroids and the relative L2 shift — the embedding-space
+    monitor that catches a re-encoded or contaminated refresh before
+    a retrieval index rebuild ships. Half-centroid sums are exact
+    Q_SCALE integers per (label, half, dim); the cosine evaluates on
+    the n-scaled integer vectors (the division by counts cancels),
+    dims folding in fixed index order. Everything after one explode
+    is (labels x dims)-sized."""
+    rng = (load_table(spark, sf_dir, "embeddings")
+           .agg(F.expr("(min(vec_id) + max(vec_id)) div 2").alias("mid")))
+    ex = (load_table(spark, sf_dir, "embeddings")
+          .crossJoin(F.broadcast(rng))
+          .select("label",
+                  F.expr("cast(vec_id <= mid as int)").alias("h"),
+                  F.posexplode("embedding").alias("d", "x"))
+          .select("label", "h", "d",
+                  F.floor(F.col("x").cast("double") * Q_SCALE)
+                  .cast("long").alias("xq")))
+    cent = ex.groupBy("label", "h", "d").agg(
+        F.sum("xq").alias("s"), F.count(F.lit(1)).alias("n"))
+    a = (cent.filter(F.col("h") == 1)
+         .select("label", "d", F.col("s").alias("sa"),
+                 F.col("n").alias("na")))
+    b = (cent.filter(F.col("h") == 0)
+         .select("label", "d", F.col("s").alias("sb"),
+                 F.col("n").alias("nb")))
+    per_dim = (a.join(b, ["label", "d"])
+               .groupBy("label").agg(
+                   F.max("na").alias("n_early"),
+                   F.max("nb").alias("n_late"),
+                   F.sum(F.expr("cast(sa as decimal(19,0))"
+                                " * cast(sb as decimal(19,0))"))
+                   .alias("dot"),
+                   F.sum(F.expr("cast(sa as decimal(19,0))"
+                                " * cast(sa as decimal(19,0))"))
+                   .alias("naa"),
+                   F.sum(F.expr("cast(sb as decimal(19,0))"
+                                " * cast(sb as decimal(19,0))"))
+                   .alias("nbb")))
+    cos = ("(cast(dot as double)"
+           " / (sqrt(cast(naa as double)) * sqrt(cast(nbb as double))))")
+    return (per_dim.select(
+        "label",
+        F.col("n_early").cast("long").alias("n_early"),
+        F.col("n_late").cast("long").alias("n_late"),
+        F.expr(_ha(f"({cos}) * 1e6")).alias("centroid_cos_ppm"))
+        .withColumn("drifted", F.expr(
+            "cast(centroid_cos_ppm < 950000 as int)"))
+        .orderBy("label"))
+
+
+_CD_COS = ("(CAST(dot AS DOUBLE)"
+           " / (SQRT(CAST(naa AS DOUBLE)) * SQRT(CAST(nbb AS DOUBLE))))")
+
+register("emb_centroid_drift", emb_centroid_drift, f"""
+WITH rng AS (
+    SELECT (MIN(vec_id) + MAX(vec_id)) // 2 AS mid FROM embeddings
+), ex AS (
+    SELECT label,
+           CASE WHEN vec_id <= rng.mid THEN 1 ELSE 0 END AS h,
+           d - 1 AS d,
+           CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * {Q_SCALE})
+                AS BIGINT) AS xq
+    FROM embeddings CROSS JOIN rng,
+         UNNEST(range(1, {DIM} + 1)) AS t(d)
+), cent AS (
+    SELECT label, h, d, CAST(SUM(xq) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ex GROUP BY 1, 2, 3
+), per_dim AS (
+    SELECT a.label,
+           MAX(a.n) AS n_early, MAX(b.n) AS n_late,
+           SUM(CAST(a.s AS HUGEINT) * b.s) AS dot,
+           SUM(CAST(a.s AS HUGEINT) * a.s) AS naa,
+           SUM(CAST(b.s AS HUGEINT) * b.s) AS nbb
+    FROM (SELECT * FROM cent WHERE h = 1) a
+    JOIN (SELECT * FROM cent WHERE h = 0) b
+      ON a.label = b.label AND a.d = b.d
+    GROUP BY 1
+)
+SELECT label, CAST(n_early AS BIGINT) AS n_early,
+       CAST(n_late AS BIGINT) AS n_late,
+       {_ha(f"({_CD_COS}) * 1e6")} AS centroid_cos_ppm,
+       CAST({_ha(f"({_CD_COS}) * 1e6")} < 950000 AS INT) AS drifted
+FROM per_dim ORDER BY label
+""", "per-label half-corpus centroid cosine drift (fixed-point exact)")

@@ -144,6 +144,9 @@ R9_CASES = [
     "emb_random_projection_audit",  # md5 sign matrix, exact ratios
     # wave 40: engagement stickiness
     "users_stickiness_l7",         # merged-interval integer coverage
+    # wave 41: funnel entry quality, embedding refresh drift
+    "events_bounce_rate",          # integer us gaps, exact ppm
+    "emb_centroid_drift",          # n-scaled integer centroids
 ]
 
 
