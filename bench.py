@@ -404,6 +404,9 @@ HEADLINE = [
     # round-9 wave 41: funnel entry quality, embedding refresh drift
     "events_bounce_rate",
     "emb_centroid_drift",
+    # round-9 wave 42: clustered-sampling cost, dimension redundancy
+    "events_day_icc",
+    "part_brand_type_cramers_v",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

@@ -541,6 +541,9 @@ NEW_R9: list[str] = [
     # wave 41: funnel entry quality, embedding refresh drift
     # (analytics.py, emb_eval.py)
     "events_bounce_rate", "emb_centroid_drift",
+    # wave 42: clustered-sampling cost, dimension redundancy
+    # (hypothesis.py, analytics.py)
+    "events_day_icc", "part_brand_type_cramers_v",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

@@ -1184,3 +1184,85 @@ SELECT entry AS entry_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
        CAST(SUM(n_ev) * 1000 // COUNT(*) AS BIGINT) AS mean_depth_milli
 FROM sess GROUP BY entry ORDER BY entry
 """, "bounce rate and mean depth by session entry type (30-min gaps)")
+
+
+# --------------------------------------------- Cramér's V association
+def part_brand_type_cramers_v(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Association between part brand and part type: chi-square over
+    the (brands x types) contingency table plus Cramér's V — the
+    dimension-modeling gate that says whether two categorical
+    attributes are redundant (V near 1: one column determines the
+    other; near 0: independent, keep both as separate dimensions).
+    Cell terms (o - e)^2/e quantize to micro before the bounded sum,
+    and the unobserved (zero) cells' mass enters in CLOSED FORM —
+    their chi-square contribution is exactly their expected count, so
+    sum_zero e = N - sum_observed e and no zero cell ever
+    materializes; the table stays the product of two dimension
+    cardinalities, never fact-sized."""
+    part = load_table(spark, sf_dir, "part").select("p_brand", "p_type")
+    cells = part.groupBy("p_brand", "p_type").agg(
+        F.count(F.lit(1)).alias("o"))
+    rb = cells.groupBy("p_brand").agg(F.sum("o").alias("nr"))
+    ct = cells.groupBy("p_type").agg(F.sum("o").alias("nc"))
+    tot = cells.agg(F.sum("o").alias("nn"),
+                    F.countDistinct("p_brand").alias("r"),
+                    F.countDistinct("p_type").alias("c"))
+    term = _abc_ha(
+        "1e6 * pow(o - cast(nr as double) * nc / nn, 2)"
+        " / (cast(nr as double) * nc / nn)")
+    e_term = _abc_ha("1e6 * cast(nr as double) * nc / nn")
+    scored = (cells.join(rb, "p_brand").join(ct, "p_type")
+              .crossJoin(F.broadcast(tot))
+              .select(F.expr(term).alias("t_micro"),
+                      F.expr(e_term).alias("e_micro"), "nn", "r", "c"))
+    agg = (scored.groupBy("nn", "r", "c")
+           .agg(F.sum("t_micro").alias("obs_micro"),
+                F.sum("e_micro").alias("sum_e_micro"))
+           .withColumn("chi2_micro", F.expr(
+               "obs_micro + (nn * 1000000 - sum_e_micro)")))
+    v = ("sqrt(cast(chi2_micro as double) / 1e6"
+         " / (cast(nn as double) * (least(r, c) - 1)))")
+    return agg.select(
+        F.col("nn").cast("long").alias("n_parts"),
+        F.col("r").cast("int").alias("n_brands"),
+        F.col("c").cast("int").alias("n_types"),
+        F.col("chi2_micro").cast("long").alias("chi2_micro"),
+        F.expr(_abc_ha(f"({v}) * 1e3")).alias("cramers_v_milli"))
+
+
+_CV_TERM = _abc_ha(
+    "1e6 * POW(o - CAST(nr AS DOUBLE) * nc / nn, 2)"
+    " / (CAST(nr AS DOUBLE) * nc / nn)")
+_CV_E = _abc_ha("1e6 * CAST(nr AS DOUBLE) * nc / nn")
+_CV_V = ("SQRT(CAST(chi2_micro AS DOUBLE) / 1e6"
+         " / (CAST(nn AS DOUBLE) * (LEAST(r, c) - 1)))")
+
+register("part_brand_type_cramers_v", part_brand_type_cramers_v, f"""
+WITH cells AS (
+    SELECT p_brand, p_type, CAST(COUNT(*) AS BIGINT) AS o
+    FROM part GROUP BY 1, 2
+), rb AS (SELECT p_brand, CAST(SUM(o) AS BIGINT) AS nr
+          FROM cells GROUP BY 1),
+ct AS (SELECT p_type, CAST(SUM(o) AS BIGINT) AS nc
+       FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS nn,
+               CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS r,
+               CAST(COUNT(DISTINCT p_type) AS BIGINT) AS c
+        FROM cells),
+agg AS (
+    SELECT t.nn, t.r, t.c,
+           CAST(SUM({_CV_TERM}) AS BIGINT)
+           + (t.nn * 1000000
+              - CAST(SUM({_CV_E}) AS BIGINT)) AS chi2_micro
+    FROM cells
+    JOIN rb USING (p_brand)
+    JOIN ct USING (p_type)
+    CROSS JOIN tot t
+    GROUP BY 1, 2, 3
+)
+SELECT nn AS n_parts, CAST(r AS INT) AS n_brands,
+       CAST(c AS INT) AS n_types, chi2_micro,
+       {_abc_ha(f"({_CV_V}) * 1e3")} AS cramers_v_milli
+FROM agg
+""", "chi-square + Cramér's V association of part brand vs type")

@@ -802,3 +802,85 @@ SELECT event_type, n AS n_days,
        CAST({_ha(f"({_PG_Z}) * 1e6")} > 1959964 AS INT) AS overdispersed
 FROM suff ORDER BY event_type
 """, "Poisson dispersion chi-square + variance-ratio verdict per type")
+
+
+# ------------------------------------------------ day-cluster ICC
+def events_day_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraclass correlation of event values within days, per type —
+    ICC(1) from the one-way days-as-groups ANOVA, with the design
+    effect 1 + (n0 - 1)*ICC that says how much day-clustering
+    inflates the variance of any day-sampled estimate (the sampling-
+    design companion to the dispersion tests: Fano asks about counts,
+    ICC asks about values). Group sufficient statistics are the usual
+    exact integers; the ANOVA average group size
+    n0 = (N - sum n_i^2 / N)/(k - 1) and both mean squares come from
+    order-free milli-quantized terms. ICC can be negative (values
+    MORE homogeneous across days than within); reported micro-signed."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts_ns div {DAY_NS}").alias("d"),
+        F.floor(F.col("value") * 100).cast("long").alias("centi"))
+    per = ev.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("centi").alias("s"),
+        F.sum(F.expr("centi * centi")).alias("q"))
+    suff = per.select(
+        "event_type", "n", "s", "q",
+        F.expr(_ha("cast(s as double) * cast(s as double) * 1e3 / n"))
+        .alias("t_milli"))
+    agg = suff.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"), F.sum("n").alias("nn"),
+        F.sum(F.expr("n * n")).alias("n2"), F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"), F.sum("t_milli").alias("b_milli"))
+    ha_tot = _ha("cast(ss as double) * cast(ss as double) * 1e3 / nn")
+    ssb = f"(b_milli - {ha_tot})"
+    ssw = "(1000 * qq - b_milli)"
+    msb = f"(cast({ssb} as double) / (k - 1))"
+    msw = f"(cast({ssw} as double) / (nn - k))"
+    n0 = ("((cast(nn as double) - cast(n2 as double) / nn) / (k - 1))")
+    icc = f"(({msb} - {msw}) / ({msb} + ({n0} - 1.0) * {msw}))"
+    deff = f"(1.0 + ({n0} - 1.0) * {icc})"
+    return (agg.select(
+        "event_type", F.col("k").cast("long").alias("k_days"),
+        F.col("nn").cast("long").alias("n_events"),
+        F.expr(_ha(f"({n0}) * 1e3")).alias("n0_milli"),
+        F.expr(_ha(f"({icc}) * 1e6")).alias("icc_micro"),
+        F.expr(_ha(f"({deff}) * 1e3")).alias("design_effect_milli"))
+        .orderBy("event_type"))
+
+
+_ICC_HA_TOT = _ha("CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) * 1e3 / nn")
+_ICC_SSB = f"(b_milli - {_ICC_HA_TOT})"
+_ICC_SSW = "(1000 * qq - b_milli)"
+_ICC_MSB = f"(CAST({_ICC_SSB} AS DOUBLE) / (k - 1))"
+_ICC_MSW = f"(CAST({_ICC_SSW} AS DOUBLE) / (nn - k))"
+_ICC_N0 = "((CAST(nn AS DOUBLE) - CAST(n2 AS DOUBLE) / nn) / (k - 1))"
+_ICC = (f"(({_ICC_MSB} - {_ICC_MSW})"
+        f" / ({_ICC_MSB} + ({_ICC_N0} - 1.0) * {_ICC_MSW}))")
+_ICC_DEFF = f"(1.0 + ({_ICC_N0} - 1.0) * {_ICC})"
+
+register("events_day_icc", events_day_icc, f"""
+WITH per AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) AS BIGINT) * 1000 // {DAY_NS} AS d,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS s,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)
+                    * CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS q
+    FROM events GROUP BY 1, 2
+), suff AS (
+    SELECT event_type, n, s, q,
+           {_ha("CAST(s AS DOUBLE) * CAST(s AS DOUBLE) * 1e3 / n")}
+               AS t_milli
+    FROM per
+), agg AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(n * n) AS BIGINT) AS n2,
+           CAST(SUM(s) AS BIGINT) AS ss, CAST(SUM(q) AS BIGINT) AS qq,
+           CAST(SUM(t_milli) AS BIGINT) AS b_milli
+    FROM suff GROUP BY 1
+)
+SELECT event_type, k AS k_days, nn AS n_events,
+       {_ha(f"({_ICC_N0}) * 1e3")} AS n0_milli,
+       {_ha(f"({_ICC}) * 1e6")} AS icc_micro,
+       {_ha(f"({_ICC_DEFF}) * 1e3")} AS design_effect_milli
+FROM agg ORDER BY event_type
+""", "ICC(1) + design effect of event values clustered by day")

@@ -147,6 +147,9 @@ R9_CASES = [
     # wave 41: funnel entry quality, embedding refresh drift
     "events_bounce_rate",          # integer us gaps, exact ppm
     "emb_centroid_drift",          # n-scaled integer centroids
+    # wave 42: clustered-sampling cost, dimension redundancy
+    "events_day_icc",              # milli group terms, ANOVA n0
+    "part_brand_type_cramers_v",   # micro cell terms + zero mass
 ]
 
 
