@@ -407,6 +407,9 @@ HEADLINE = [
     # round-9 wave 42: clustered-sampling cost, dimension redundancy
     "events_day_icc",
     "part_brand_type_cramers_v",
+    # round-9 wave 43: shared rhythms, capacity headroom
+    "events_hourly_profile_jsd",
+    "events_peak_load_ratio",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

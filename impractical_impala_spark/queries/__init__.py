@@ -544,6 +544,8 @@ NEW_R9: list[str] = [
     # wave 42: clustered-sampling cost, dimension redundancy
     # (hypothesis.py, analytics.py)
     "events_day_icc", "part_brand_type_cramers_v",
+    # wave 43: shared rhythms, capacity headroom (dynamics.py)
+    "events_hourly_profile_jsd", "events_peak_load_ratio",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

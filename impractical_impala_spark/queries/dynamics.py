@@ -367,3 +367,180 @@ SELECT g AS dominant_type, n_nodes, m_in AS internal_edges,
        CAST(SUM(q_nano) OVER () // 1000 AS BIGINT) AS q_total_micro
 FROM per_g ORDER BY dominant_type
 """, "backbone modularity under the dominant-event-type partition")
+
+
+# ------------------------------------------- hourly-profile JSD
+def events_hourly_profile_jsd(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between event types'
+    hour-of-day profiles — which behaviors share a daily rhythm (a
+    near-zero pair is a candidate for shared capacity planning and
+    shared anomaly baselines; a high pair must not share either).
+    The domain is the FIXED 24-hour spine, zero-filled per type, so
+    the pair join is (types^2 x 24)-bounded with term-wise zero
+    handling (a silent hour on one side contributes only the other
+    side's half-ln2 mass, cell by cell — no closed-form split
+    needed at 24 cells); each cell term quantizes to nano before the
+    per-pair integer sum. Output: all unordered pairs ascending by
+    divergence."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("(ts_ns div 3600000000000) % 24").alias("h"))
+    cen = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("c"))
+    types = ev.select("event_type").distinct()
+    spine = (types.crossJoin(F.broadcast(
+        ev.sparkSession.range(24).select(F.col("id").alias("h")))))
+    filled = (spine.join(cen, ["event_type", "h"], "left")
+              .select("event_type", "h",
+                      F.coalesce("c", F.lit(0)).alias("c")))
+    tot = filled.groupBy("event_type").agg(F.sum("c").alias("n"))
+    full = filled.join(tot, "event_type")
+    a = full.select(F.col("event_type").alias("t1"), "h",
+                    F.col("c").alias("c1"), F.col("n").alias("n1"))
+    b = full.select(F.col("event_type").alias("t2"), "h",
+                    F.col("c").alias("c2"), F.col("n").alias("n2"))
+    term = _ha(
+        "1e9 * (case when c1 > 0 then"
+        " 0.5 * (cast(c1 as double) / n1)"
+        " * ln(2.0 * (cast(c1 as double) / n1)"
+        " / (cast(c1 as double) / n1 + cast(c2 as double) / n2))"
+        " else 0.0 end"
+        " + case when c2 > 0 then"
+        " 0.5 * (cast(c2 as double) / n2)"
+        " * ln(2.0 * (cast(c2 as double) / n2)"
+        " / (cast(c1 as double) / n1 + cast(c2 as double) / n2))"
+        " else 0.0 end)")
+    return (a.join(b, ["h"]).filter(F.col("t1") < F.col("t2"))
+            .filter(F.expr("c1 > 0 or c2 > 0"))
+            .select("t1", "t2", F.expr(term).alias("t_nano"))
+            .groupBy("t1", "t2")
+            .agg(F.expr("sum(t_nano) div 1000").alias("jsd_micro"))
+            .orderBy("jsd_micro", "t1", "t2"))
+
+
+_HP_TERM = _ha(
+    "1e9 * (CASE WHEN c1 > 0 THEN"
+    " 0.5 * (CAST(c1 AS DOUBLE) / n1)"
+    " * LN(2.0 * (CAST(c1 AS DOUBLE) / n1)"
+    " / (CAST(c1 AS DOUBLE) / n1 + CAST(c2 AS DOUBLE) / n2))"
+    " ELSE 0.0 END"
+    " + CASE WHEN c2 > 0 THEN"
+    " 0.5 * (CAST(c2 AS DOUBLE) / n2)"
+    " * LN(2.0 * (CAST(c2 AS DOUBLE) / n2)"
+    " / (CAST(c1 AS DOUBLE) / n1 + CAST(c2 AS DOUBLE) / n2))"
+    " ELSE 0.0 END)")
+
+register("events_hourly_profile_jsd", events_hourly_profile_jsd, f"""
+WITH ev AS (
+    SELECT event_type,
+           (CAST(epoch_us(ts) AS BIGINT) * 1000 // 3600000000000) % 24
+               AS h
+    FROM events
+), cen AS (
+    SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS c
+    FROM ev GROUP BY 1, 2
+), filled AS (
+    SELECT t.event_type, s.h, COALESCE(cen.c, 0) AS c
+    FROM (SELECT DISTINCT event_type FROM ev) t
+    CROSS JOIN (SELECT UNNEST(range(0, 24)) AS h) s
+    LEFT JOIN cen ON t.event_type = cen.event_type AND s.h = cen.h
+), tot AS (
+    SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+    FROM filled GROUP BY 1
+), full_t AS (
+    SELECT filled.event_type, filled.h, filled.c, tot.n
+    FROM filled JOIN tot ON filled.event_type = tot.event_type
+)
+SELECT a.event_type AS t1, b.event_type AS t2,
+       CAST(SUM({_HP_TERM}) // 1000 AS BIGINT) AS jsd_micro
+FROM (SELECT event_type, h, c AS c1, n AS n1 FROM full_t) a
+JOIN (SELECT event_type, h, c AS c2, n AS n2 FROM full_t) b
+  ON a.h = b.h AND a.event_type < b.event_type
+WHERE a.c1 > 0 OR b.c2 > 0
+GROUP BY 1, 2 ORDER BY jsd_micro, t1, t2
+""", "pairwise hourly-rhythm JSD between event types (24-bin spine)")
+
+
+# ------------------------------------------------ peak load ratio
+def events_peak_load_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-headroom panel per event type: mean, p95
+    (first-crossing on the hourly-load census), and max hourly load,
+    with peak-to-average and p95-to-average in exact ppm — the
+    numbers a provisioning review reads next to the Hurst/Kingman
+    results (PAR near 1 = flat load; high PAR with H > 0.5 = bursts
+    that do NOT average out). Hour spine zero-fills through the
+    closed-form count (silent hours enter the mean and the census's
+    zero row); everything is integer census arithmetic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts_ns div 3600000000000").alias("t"))
+    cnt = ev.groupBy("event_type", "t").agg(F.count(F.lit(1)).alias("c"))
+    rng = ev.agg(F.expr("max(t) - min(t) + 1").alias("hh"))
+    census = (cnt.groupBy("event_type", "c")
+              .agg(F.count(F.lit(1)).alias("nd")))
+    act = census.groupBy("event_type").agg(
+        F.sum("nd").alias("n_active"),
+        F.sum(F.expr("c * nd")).alias("s"), F.max("c").alias("mx"))
+    zrow = (act.crossJoin(F.broadcast(rng))
+            .filter(F.expr("hh - n_active > 0"))
+            .select("event_type", F.lit(0).cast("long").alias("c"),
+                    F.expr("hh - n_active").alias("nd")))
+    full = census.unionByName(zrow)
+    wc = (Window.partitionBy("event_type").orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (full.withColumn("cum", F.sum("nd").over(wc))
+           .crossJoin(F.broadcast(rng)))
+    p95 = (cum.filter(F.expr("cum * 100 >= 95 * hh"))
+           .groupBy("event_type").agg(F.min("c").alias("p95")))
+    return (act.join(p95, "event_type").crossJoin(F.broadcast(rng))
+            .select("event_type",
+                    F.col("hh").cast("long").alias("n_hours"),
+                    F.expr("s * 1000 div hh").alias("mean_milli"),
+                    F.col("p95").cast("long").alias("p95_load"),
+                    F.col("mx").cast("long").alias("max_load"),
+                    F.expr("mx * hh * 1000000 div s").alias("par_ppm"),
+                    F.expr("p95 * hh * 1000000 div s")
+                    .alias("p95_ratio_ppm"))
+            .orderBy("event_type"))
+
+
+register("events_peak_load_ratio", events_peak_load_ratio, """
+WITH ev AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) AS BIGINT) * 1000 // 3600000000000 AS t
+    FROM events
+), cnt AS (
+    SELECT event_type, t, CAST(COUNT(*) AS BIGINT) AS c
+    FROM ev GROUP BY 1, 2
+), rng AS (SELECT MAX(t) - MIN(t) + 1 AS hh FROM ev),
+census AS (
+    SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS nd
+    FROM cnt GROUP BY 1, 2
+), act AS (
+    SELECT event_type, CAST(SUM(nd) AS BIGINT) AS n_active,
+           CAST(SUM(c * nd) AS BIGINT) AS s, CAST(MAX(c) AS BIGINT) AS mx
+    FROM census GROUP BY 1
+), full_c AS (
+    SELECT event_type, c, nd FROM census
+    UNION ALL
+    SELECT a.event_type, CAST(0 AS BIGINT), r.hh - a.n_active
+    FROM act a CROSS JOIN rng r
+    WHERE r.hh - a.n_active > 0
+), cum AS (
+    SELECT f.event_type, f.c,
+           SUM(f.nd) OVER (PARTITION BY f.event_type ORDER BY f.c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           r.hh
+    FROM full_c f CROSS JOIN rng r
+), p95 AS (
+    SELECT event_type, MIN(c) AS p95 FROM cum
+    WHERE cum * 100 >= 95 * hh GROUP BY 1
+)
+SELECT a.event_type, CAST(r.hh AS BIGINT) AS n_hours,
+       a.s * 1000 // r.hh AS mean_milli,
+       p95.p95 AS p95_load, a.mx AS max_load,
+       a.mx * r.hh * 1000000 // a.s AS par_ppm,
+       p95.p95 * r.hh * 1000000 // a.s AS p95_ratio_ppm
+FROM act a JOIN p95 ON a.event_type = p95.event_type
+CROSS JOIN rng r
+ORDER BY a.event_type
+""", "peak/p95-to-average hourly load ratios per type (census exact)")

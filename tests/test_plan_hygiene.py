@@ -76,6 +76,8 @@ _BNLJ_BOUNDED = {
         rf"vec_id#\d+L? < {N_QUERIES}"),
     # the 16-row literal coalition-mask Range (bounded by construction)
     "attribution_shapley": re.compile(r"Range \(0, 16"),
+    # the literal 24-hour spine Range (bounded by construction)
+    "events_hourly_profile_jsd": re.compile(r"Range \(0, 24"),
     # the top-50 word panel: a TakeOrdered limit IS the bound
     "text_burrows_delta": re.compile(r"TakeOrderedAndProject\(limit=50"),
     # wave-29 coverage curve: the non-equi (rank <= k) join's build

@@ -150,6 +150,9 @@ R9_CASES = [
     # wave 42: clustered-sampling cost, dimension redundancy
     "events_day_icc",              # milli group terms, ANOVA n0
     "part_brand_type_cramers_v",   # micro cell terms + zero mass
+    # wave 43: shared rhythms, capacity headroom
+    "events_hourly_profile_jsd",   # 24-bin spine, nano cell terms
+    "events_peak_load_ratio",      # census order stats, exact ppm
 ]
 
 
