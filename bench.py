@@ -410,6 +410,8 @@ HEADLINE = [
     # round-9 wave 43: shared rhythms, capacity headroom
     "events_hourly_profile_jsd",
     "events_peak_load_ratio",
+    # round-9 wave 44: near-dup provenance
+    "dedup_cross_source_matrix",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

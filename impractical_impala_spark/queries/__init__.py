@@ -546,6 +546,8 @@ NEW_R9: list[str] = [
     "events_day_icc", "part_brand_type_cramers_v",
     # wave 43: shared rhythms, capacity headroom (dynamics.py)
     "events_hourly_profile_jsd", "events_peak_load_ratio",
+    # wave 44: near-dup provenance (dedup.py)
+    "dedup_cross_source_matrix",
 ]
 
 # Fill — the evicted re-proof queue, oldest evidence first (the whole

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..broadcast_gate import maybe_broadcast
-from ..registry import register
+from ..registry import register, oracle_sql_of
 from ..sources import load_table
 
 P = 2147483647  # 2^31 - 1
@@ -1254,3 +1254,65 @@ FROM sh a JOIN sh b
   ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 GROUP BY 1 ORDER BY hamming
 """, "bucket-local simhash hamming-distance histogram (threshold audit)")
+
+
+# ---------------------------------------- cross-source dup matrix
+def dedup_cross_source_matrix(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Source-pair near-duplication matrix: how many confirmed
+    MinHash-LSH near-dup pairs connect each (source, source) cell —
+    the provenance view that says which sources copy from (or share a
+    pipeline with) which, the step AFTER per-source dedup rates when
+    deciding what to drop. Composes dedup_minhash_lsh's confirmed
+    pairs unchanged (band-bucketed candidates, so cross-source pairs
+    form wherever signatures collide — the banding is content-only);
+    sources attach via the doc dimension (mutated clones inherit
+    their original's source) and the matrix is sources² rows with
+    exact pair counts and within-source share ppm per source."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    meta = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source")
+    meta = meta.unionByName(
+        meta.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(MUT_OFFSET)))
+    labeled = (pairs
+               .join(meta.select(F.col("doc_id").alias("doc_a"),
+                                 F.col("source").alias("src_a")), "doc_a")
+               .join(meta.select(F.col("doc_id").alias("doc_b"),
+                                 F.col("source").alias("src_b")), "doc_b")
+               .select(F.least("src_a", "src_b").alias("s1"),
+                       F.greatest("src_a", "src_b").alias("s2")))
+    cells = labeled.groupBy("s1", "s2").agg(
+        F.count(F.lit(1)).alias("n_pairs"))
+    tot = cells.agg(F.sum("n_pairs").alias("nn"))
+    return (cells.crossJoin(F.broadcast(tot))
+            .select("s1", "s2", "n_pairs",
+                    F.expr("cast(s1 = s2 as int)").alias("within_source"),
+                    F.expr("n_pairs * 1000000 div nn").alias("share_ppm"))
+            .orderBy(F.desc("n_pairs"), "s1", "s2"))
+
+
+register("dedup_cross_source_matrix", dedup_cross_source_matrix, f"""
+WITH lsh AS (SELECT doc_a, doc_b
+             FROM ({oracle_sql_of("dedup_minhash_lsh")}) p0),
+meta AS (
+    SELECT doc_id, source FROM documents
+    UNION ALL
+    SELECT doc_id + {MUT_OFFSET}, source FROM documents
+    WHERE doc_id % 3 = 0
+), labeled AS (
+    SELECT LEAST(ma.source, mb.source) AS s1,
+           GREATEST(ma.source, mb.source) AS s2
+    FROM lsh
+    JOIN meta ma ON lsh.doc_a = ma.doc_id
+    JOIN meta mb ON lsh.doc_b = mb.doc_id
+), cells AS (
+    SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM labeled GROUP BY 1, 2
+), tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS nn FROM cells)
+SELECT s1, s2, n_pairs,
+       CAST(s1 = s2 AS INT) AS within_source,
+       CAST(n_pairs * 1000000 // nn AS BIGINT) AS share_ppm
+FROM cells CROSS JOIN tot
+ORDER BY n_pairs DESC, s1, s2
+""", "source-pair near-dup matrix from the confirmed LSH pairs")

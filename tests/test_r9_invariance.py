@@ -153,6 +153,8 @@ R9_CASES = [
     # wave 43: shared rhythms, capacity headroom
     "events_hourly_profile_jsd",   # 24-bin spine, nano cell terms
     "events_peak_load_ratio",      # census order stats, exact ppm
+    # wave 44: near-dup provenance
+    "dedup_cross_source_matrix",   # LSH pair re-aggregation, ppm
 ]
 
 
