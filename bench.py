@@ -424,6 +424,29 @@ BEST_OF_3 = {"emb_intra_label_cohesion", "dedup_incremental",
              "dedup_survivors", "dedup_clusters", "ann_dedup_pipeline",
              "graph_triangles"}
 
+# Any query whose single-shot time comes out >2x its prior recorded
+# value is AUTOMATICALLY re-measured best-of-3 before being written
+# (VERDICT r10 ask #7): single-shot timings at this scale are +-60%
+# (the nation_theilsen_trend episode), so a one-off GC/position spike
+# must not masquerade as a plan regression in the round-over-round
+# comparison. The names re-measured this way are recorded in
+# BENCH_DETAIL.json under "remeasured_2x_movers".
+MOVER_RATIO = 2.0
+
+# Library kernels deregistered from the driver-facing registry (their
+# hash-evidence twins carry the CORRECTNESS rows — see
+# queries/stats_ops.py / queries/sketches.py) but kept in bench so the
+# per-query timing series stays append-only across rounds.
+def _bench_only() -> dict:
+    from impractical_impala_spark.queries.stats_ops import o22_hp_detrend_sd
+
+    return {"o22_hp_detrend_sd": o22_hp_detrend_sd}
+
+
+def detail_path_of() -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_DETAIL.json")
+
 
 def _load_anchor() -> dict | None:
     """BENCH_ANCHOR.json (repo root, committed): a same-code re-bench
@@ -507,20 +530,46 @@ def main() -> None:
         df.select(F.xxhash64(*df.columns).alias("h")) \
             .agg(F.expr("bit_xor(h)")).collect()
 
+    # prior per-query values (the committed BENCH_DETAIL.json from the
+    # previous round) drive the >2x-mover re-measurement policy
+    prior: dict[str, float] = {}
+    try:
+        with open(detail_path_of()) as f:
+            prior = json.load(f).get("queries", {}) or {}
+    except (OSError, ValueError):
+        pass
+
+    bench_only = _bench_only()
     timings: dict[str, float] = {}
+    remeasured: list[str] = []
     total = 0.0
     for name in HEADLINE:
-        q = queries[name]
+        build = queries[name].build if name in queries else bench_only[name]
+
+        def measure_once() -> float:
+            t0 = time.perf_counter()
+            force(build(spark, sf_dir))
+            return round(time.perf_counter() - t0, 4)
+
+        def clean_heap() -> None:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+
         runs = 3 if name in BEST_OF_3 else 1
         best = None
         for _ in range(runs):
-            t0 = time.perf_counter()
-            force(q.build(spark, sf_dir))
-            dt = round(time.perf_counter() - t0, 4)
+            dt = measure_once()
             best = dt if best is None else min(best, dt)
             if runs > 1:
-                spark.catalog.clearCache()
-                spark.sparkContext._jvm.System.gc()
+                clean_heap()
+        # >2x-mover policy: a single-shot spike vs the prior round's
+        # recorded value triggers two more runs; best-of-3 is recorded
+        if runs == 1 and name in prior and prior[name] > 0 \
+                and best > MOVER_RATIO * prior[name]:
+            remeasured.append(name)
+            for _ in range(2):
+                clean_heap()
+                best = min(best, measure_once())
         timings[name] = best
         total += best
         # each query stands alone: intra-query caches must not leak
@@ -529,13 +578,11 @@ def main() -> None:
         # bench-position GC debt, not a plan change — force collection
         # OUTSIDE the timed region so each query starts from a clean
         # heap)
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
+        clean_heap()
 
     ref_sec, ref_par_sec = cpu_ref_sec(), cpu_ref_par_sec()
     anchor = _load_anchor()
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
+    detail_path = detail_path_of()
     detail = {
         "metric": "headline_query_wall_sec",
         "value": round(total, 4),
@@ -547,6 +594,8 @@ def main() -> None:
     }
     if anchor:
         detail["anchor"] = anchor
+    if remeasured:
+        detail["remeasured_2x_movers"] = sorted(remeasured)
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
         f.write("\n")

@@ -2,11 +2,13 @@
 ``impractical_impala_spark.registry``. One module per family.
 
 The correctness driver checks the FIRST 50 entries of ``all_queries()``
-each round. ``WINDOW`` below pins that window explicitly (see
-``registry.set_window_order``): each round it holds exactly the queries
-that most need a fresh driver CORRECTNESS row — never-driver-checked
-ones first, then queries whose implementation changed this round, then
-re-confirmations of families whose last row is oldest. History:
+each round. Since round 11 that window is COMPUTED from the committed
+CORRECTNESS_r*.json history (``..window.computed_window`` — never
+driver-checked first, then latest-row-failed, then stalest-green), so
+an idle round can no longer re-spend slots on green rows; the only
+hand input left is ``CHANGED_THIS_ROUND`` at the bottom. The round-by-
+round lists in between are HISTORY ONLY (nothing consumes them).
+Pre-r11 history:
 
 - r1 window: reference_ops + stats + tpch waves 1-2 + windows + streams
   + text (green in CORRECTNESS_r01... r02).
@@ -565,7 +567,29 @@ _n_fill = max(0, 50 - len(_CANDIDATES_R9))
 FILL_R9 = _FILL_QUEUE_R9[:_n_fill]
 _EVICTED_TO_R10 = _FILL_QUEUE_R9[_n_fill:]
 
-WINDOW = _CANDIDATES_R9[:50] + FILL_R9
+# ---------------------------------------------------------------- r11+
+# Round 10 landed no commits, so the r9 hand window above silently
+# re-spent all 50 slots on already-green rows while the 80-name
+# NEVER_CHECKED_R10 queue waited (VERDICT r10 "What's wrong" #2). The
+# window is now COMPUTED from the committed CORRECTNESS_r*.json history
+# (never-checked first in registration order, then latest-row-failed,
+# then stalest-green) — see impractical_impala_spark/window.py. Every
+# hand list above is HISTORY ONLY: deleting all of them changes nothing
+# about the window (the r10 verdict's done-criterion; pinned by
+# tests/test_window_rotation.py).
+#
+# The one per-round hand input the history cannot know: queries whose
+# implementation/values changed this round and therefore need a fresh
+# row ahead of the queue. Round 11 changes no registered query's plan
+# or values (the three no-oracle FAIL rows were deregistered in favor
+# of their hash-evidence twins o22_hp_detrend_centi / ndv_kmv_sketch /
+# stats_histogram_equidepth, not changed).
+CHANGED_THIS_ROUND: list[str] = []
+
+from ..registry import registered_names  # noqa: E402
+from ..window import computed_window  # noqa: E402
+
+WINDOW = computed_window(registered_names(), CHANGED_THIS_ROUND)
 assert len(WINDOW) == 50, len(WINDOW)
 
 set_window_order(WINDOW)

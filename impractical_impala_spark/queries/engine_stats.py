@@ -694,7 +694,9 @@ def ndv_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash every key into the 28-bit md5-prefix domain, keep the K
     smallest DISTINCT hash values, estimate D = (K-1) * SPACE / h_(K).
     Deterministic md5 makes the sketch bit-identical in both engines,
-    so unlike HLL (q_approx_distinct, rows-only) this approximate
+    so unlike HLL (queries/sketches.py's library-only
+    q_approx_distinct — engine-specific values, no cross-engine
+    oracle possible) this approximate
     operator carries a full hash oracle. Groups with fewer than K
     distinct hashes report their exact count (the sketch is exact
     below saturation). The audit's d_true needs a distinct pass

@@ -1,10 +1,12 @@
 """SURVEY.md §2 statistical operators (O22-O30) over the testdata.
 
-The FLOAT O22 (HP filter) is genuinely non-SQL — registered without an
-oracle (driver records a rows-only check) — but its exact-fixed-point
-twin ``o22_hp_detrend_centi`` replays the same LDL' solve in truncating
-integer arithmetic against a recursive-CTE DuckDB oracle, giving the
-operator full hash evidence. O23 (quadratic detrend) HAS a SQL closed
+The FLOAT O22 (HP filter) is genuinely non-SQL, so it is NOT a driver
+query (a no-oracle registration records as a driver FAILURE — VERDICT
+r10); the registry's O22 evidence is its exact-fixed-point twin
+``o22_hp_detrend_centi``, which replays the same LDL' solve in
+truncating integer arithmetic against a recursive-CTE DuckDB oracle,
+giving the operator full hash evidence. The float kernel itself stays
+pinned by the 28 reference goldens and remains in bench. O23 (quadratic detrend) HAS a SQL closed
 form: per-group Gram-matrix aggregates + Cramer's rule — the oracle
 uses a CENTERED time basis for numerical stability; residuals are
 basis-invariant so they match the kernel's lstsq to ~1e-12.
@@ -27,12 +29,21 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
 
 
-# --- O22: HP-filter detrend (non-SQL kernel; rows-only check) -----------
+# --- O22: HP-filter detrend (float kernel; NOT driver-registered) -------
 def o22_hp_detrend_sd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O22 (dtrendandstat_HP100.R:136-164): HP(lambda=100) cycle of each
     user's value series, then per-user cycle volatility — the reference's
-    detrend->sd pipeline shape on the events table. applyInPandas kernel;
-    no SQL oracle exists (matrix solve), driver records rows-only."""
+    detrend->sd pipeline shape on the events table. applyInPandas kernel.
+
+    Not registered as a driver query: the float matrix solve has no SQL
+    form, and the driver records a ``no_oracle`` row as a FAILURE rather
+    than a sanctioned rows-only check (VERDICT r10 "What's wrong" #1 —
+    this carried a FAIL row from r05 on). Its hash-evidence twin
+    ``o22_hp_detrend_centi`` below replays the identical LDL' solve in
+    exact integer fixed point against a recursive-CTE DuckDB oracle
+    (driver hash-green since r8); THIS float path stays pinned end to
+    end by the 28 reference goldens (tests/test_golden_wdi.py) and the
+    kernel property tests, and bench keeps timing it."""
     df = add_grouped_cycles(_events(spark, sf_dir), ["user_id"], "event_id",
                             {"value": "cyc"},
                             lambda x: hp_cycle(x, 100.0, min_t=MIN_T_EVENTS))
@@ -43,10 +54,6 @@ def o22_hp_detrend_sd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_samp("cyc") * 100, 6).alias("sd_cyc_x100"),
         )
     )
-
-
-register("o22_hp_detrend_sd", o22_hp_detrend_sd, None,
-         "O22 HP-filter detrend + volatility (rows-only)")
 
 
 # --- O22 fixed-point twin: full hash evidence for the HP solve ----------

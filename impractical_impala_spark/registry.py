@@ -49,6 +49,17 @@ def oracle_sql_of(name: str) -> str:
     return q.oracle
 
 
+def registered_names() -> list[str]:
+    """Registration (insertion) order of everything registered SO FAR.
+
+    Deliberately does NOT trigger the full package load: the computed
+    driver window (``window.computed_window``) calls this at the END of
+    ``queries/__init__``'s own import, when every query module has
+    already registered — the same late-binding contract as
+    ``oracle_sql_of``."""
+    return list(_REGISTRY)
+
+
 _WINDOW_FIRST: list[str] = []
 
 

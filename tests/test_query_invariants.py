@@ -24,7 +24,9 @@ def test_all_queries_have_unique_output_columns(spark, sf_oracle):
 def test_survey_operator_inventory_covered():
     """Every SURVEY.md §2 operator O1-O29 has a queries() entry (O5 is
     folded into o01's projection; O30 is a sink, exercised by the golden
-    CSV writer tests)."""
+    CSV writer tests; O22's registry evidence is the exact fixed-point
+    twin o22_hp_detrend_centi — the float kernel is golden-pinned but
+    not driver-registered, see queries/stats_ops.py)."""
     covered = {
         1: "o01_scan_projection", 2: "o02_recode_case", 3: "o03_unpivot",
         4: "o04_cast", 5: "o01_scan_projection", 6: "o06_union_all",
@@ -33,7 +35,7 @@ def test_survey_operator_inventory_covered():
         13: "o13_distinct", 14: "o14_having", 15: "o15_semi_join",
         16: "o16_pivot", 17: "o17_arithmetic", 18: "o18_lookup_join",
         19: "o19_guarded_log", 20: "o20_dlog", 21: "o21_time_index",
-        22: "o22_hp_detrend_sd", 23: "o23_quad_detrend_sd",
+        22: "o22_hp_detrend_centi", 23: "o23_quad_detrend_sd",
         24: "o24_grouped_sd", 25: "o25_ratio", 26: "o26_corr",
         27: "o27_acf", 28: "o28_two_level_agg", 29: "o29_max_by_group",
     }

@@ -1,18 +1,21 @@
 """Sketch aggregates must honor their error bounds against the exact
 values — the accuracy contract that replaces an oracle for
-approximate operators."""
+approximate operators. (These are library functions, not registered
+driver queries: engine-specific sketch values cannot hash-match a
+cross-engine oracle, and the driver records no_oracle as a FAIL —
+their registry twins are the exact-sketch reformulations
+ndv_kmv_sketch / stats_histogram_*.)"""
 
 from pyspark.sql import functions as F
 
-from impractical_impala_spark.registry import all_queries
+from impractical_impala_spark.queries.sketches import (
+    q_approx_distinct, q_approx_percentile)
 from impractical_impala_spark.sources import load_table
-
-_Q = all_queries()
 
 
 def test_approx_distinct_within_rsd(spark, sf_oracle):
     got = {r.l_returnflag: (r.approx_orders, r.approx_parts)
-           for r in _Q["q_approx_distinct"].build(spark, sf_oracle).collect()}
+           for r in q_approx_distinct(spark, sf_oracle).collect()}
     li = load_table(spark, sf_oracle, "lineitem")
     exact = {r.l_returnflag: (r.o, r.p)
              for r in li.groupBy("l_returnflag")
@@ -26,7 +29,7 @@ def test_approx_distinct_within_rsd(spark, sf_oracle):
 
 def test_approx_percentile_close_to_exact(spark, sf_oracle):
     got = {r.l_returnflag: (r.approx_p50, r.approx_p90, r.approx_p99)
-           for r in _Q["q_approx_percentile"].build(spark, sf_oracle).collect()}
+           for r in q_approx_percentile(spark, sf_oracle).collect()}
     li = load_table(spark, sf_oracle, "lineitem")
     exact = {r.l_returnflag: r.ps
              for r in li.groupBy("l_returnflag")

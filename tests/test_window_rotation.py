@@ -1,0 +1,128 @@
+"""Contract tests for the data-driven driver window (window.py).
+
+Round 10 proved the hand-maintained window's failure mode: a round
+with no commits re-spends all 50 driver slots re-proving already-green
+rows while 80 never-checked queries wait. The window is now a pure
+function of (committed CORRECTNESS history, registration order, this
+round's CHANGED_THIS_ROUND list) — these tests pin that function's
+priority semantics against synthetic histories AND pin the live window
+against the repo's real committed history.
+"""
+
+import json
+
+from impractical_impala_spark.queries import CHANGED_THIS_ROUND, WINDOW
+from impractical_impala_spark.registry import all_queries, registered_names
+from impractical_impala_spark.window import (
+    WINDOW_SLOTS, computed_window, driver_history)
+
+
+# ------------------------------------------------------- live window
+def test_live_window_shape():
+    qs = all_queries()
+    assert len(WINDOW) == WINDOW_SLOTS
+    assert len(set(WINDOW)) == WINDOW_SLOTS
+    for name in WINDOW:
+        assert name in qs, f"window name {name} not registered"
+    # the driver reads the first 50 of all_queries() — identical
+    assert list(qs)[:WINDOW_SLOTS] == WINDOW
+
+
+def test_live_window_prioritizes_never_checked():
+    """While the never-checked queue holds >= 50 names, every window
+    slot (past CHANGED_THIS_ROUND) must be a never-checked name; once
+    the queue drains below 50, the remainder must be failed-then-
+    stalest-green. This is the idle-round-proof property: re-importing
+    after the driver commits a new CORRECTNESS file advances the
+    window automatically."""
+    hist = driver_history()
+    names = registered_names()
+    never = [n for n in names
+             if n not in hist and n not in CHANGED_THIS_ROUND]
+    tail = WINDOW[len(CHANGED_THIS_ROUND):]
+    if len(never) >= len(tail):
+        assert tail == never[:len(tail)]
+    else:
+        assert tail[:len(never)] == never
+
+
+def test_no_registered_query_has_a_latest_fail_row():
+    """VERDICT r10 ask #3: zero error rows anywhere in the registry's
+    latest driver evidence. The three no_oracle FAIL carriers
+    (o22_hp_detrend_sd, q_approx_distinct, q_approx_percentile) were
+    deregistered in favor of their hash-evidence twins; any FUTURE
+    registered query whose latest row is red must sit in the window
+    (priority 3) until it goes green."""
+    hist = driver_history()
+    qs = all_queries()
+    red = [n for n in qs if n in hist and not hist[n][1]]
+    for name in red:
+        assert name in WINDOW, (
+            f"{name}'s latest driver row is a failure but it is not in "
+            "the re-check window")
+    # current state: nothing red at all
+    assert red == [], f"registered queries with latest-row FAIL: {red}"
+
+
+def test_hand_lists_do_not_feed_the_window():
+    """The r10 verdict's done-criterion: the window is computable from
+    history + registration order + CHANGED_THIS_ROUND alone — byte-for-
+    byte, with no reference to the historical wave lists in
+    queries/__init__.py."""
+    assert WINDOW == computed_window(registered_names(), CHANGED_THIS_ROUND)
+
+
+# --------------------------------------------------- priority semantics
+def _write_round(tmp_path, rnd, rows):
+    (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(json.dumps(rows))
+
+
+def test_priority_order_on_synthetic_history(tmp_path):
+    reg = ["a", "b", "c", "d", "e", "f"]
+    _write_round(tmp_path, 1, {
+        "a": {"hash_match": True, "rows_match": True, "err": None},
+        "b": {"hash_match": False, "rows_match": True, "err": None},
+        "c": {"hash_match": False, "rows_match": False, "err": "boom"},
+    })
+    _write_round(tmp_path, 2, {
+        "a": {"hash_match": True, "rows_match": True, "err": None},
+    })
+    # changed 'f' leads; never-checked d, e in registration order; then
+    # the failed row c; then green stalest-first: b (r1) before a (r2)
+    assert computed_window(reg, ["f"], slots=6, root=tmp_path) == \
+        ["f", "d", "e", "c", "b", "a"]
+    # a later GREEN row overrides an earlier fail, not vice versa
+    _write_round(tmp_path, 3, {
+        "c": {"hash_match": True, "rows_match": True, "err": None},
+    })
+    assert computed_window(reg, [], slots=6, root=tmp_path) == \
+        ["d", "e", "f", "b", "a", "c"]
+
+
+def test_rows_only_green_counts_as_green(tmp_path):
+    reg = ["a", "b"]
+    _write_round(tmp_path, 1, {
+        "a": {"hash_match": False, "rows_match": True, "err": None},
+        "b": {"hash_match": False, "rows_match": True, "err": "no_oracle"},
+    })
+    # a: sanctioned rows-only green; b: driver-recorded failure
+    assert computed_window(reg, [], slots=2, root=tmp_path) == ["b", "a"]
+
+
+def test_unknown_changed_names_are_ignored(tmp_path):
+    reg = ["a", "b"]
+    assert computed_window(reg, ["zz", "b"], slots=2, root=tmp_path) == \
+        ["b", "a"]
+
+
+def test_empty_history_means_registration_order(tmp_path):
+    reg = [f"q{i}" for i in range(8)]
+    assert computed_window(reg, [], slots=5, root=tmp_path) == reg[:5]
+
+
+def test_corrupt_history_file_is_skipped(tmp_path):
+    reg = ["a", "b"]
+    (tmp_path / "CORRECTNESS_r01.json").write_text("{not json")
+    _write_round(tmp_path, 2, {
+        "a": {"hash_match": True, "rows_match": True, "err": None}})
+    assert computed_window(reg, [], slots=2, root=tmp_path) == ["b", "a"]
