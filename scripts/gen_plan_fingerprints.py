@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Generate PLAN_FINGERPRINTS.json: one strategy-time plan-shape
+fingerprint per registered query (impractical_impala_spark/planfp.py).
+Regenerate whenever a query's plan legitimately changes; CI
+(tests/test_plan_fingerprints.py) fails on any drift from the committed
+snapshot."""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+from impractical_impala_spark.planfp import plan_fingerprint  # noqa: E402
+from impractical_impala_spark.registry import all_queries  # noqa: E402
+from impractical_impala_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+
+
+def main() -> None:
+    spark = get_spark("plan-fingerprints",
+                      cpus=int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")))
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    out = {}
+    for i, (name, q) in enumerate(sorted(qs.items()), 1):
+        out[name] = plan_fingerprint(q.build(spark, SF_DIR))
+        if i % 50 == 0:
+            print(f"  {i}/{len(qs)}", file=sys.stderr)
+    doc = {
+        "note": "strategy-time plan-shape counts per registered query; "
+                "regenerate with python scripts/gen_plan_fingerprints.py",
+        "sf_dir": os.path.basename(SF_DIR.rstrip("/")),
+        "spark": spark.version,
+        "queries": out,
+    }
+    with open("PLAN_FINGERPRINTS.json", "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"wrote PLAN_FINGERPRINTS.json for {len(out)} queries")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,44 @@
+"""Plan-shape regression gate (VERDICT r9/r10 ask #5): every registered
+query's strategy-time physical-plan fingerprint must match the
+committed PLAN_FINGERPRINTS.json byte for byte. A broadcast silently
+demoting to sort-merge, a new Exchange, or an Arrow kernel degrading to
+row-at-a-time Python now fails CI like a hash mismatch — wall-clock
+bench numbers are too noisy (+-60% single-shot at sf0.1) to be the
+sensor for plan regressions.
+
+On a LEGITIMATE plan change (you improved a query), regenerate with
+``python scripts/gen_plan_fingerprints.py`` and commit the diff — the
+diff itself is then the reviewable evidence of what changed.
+"""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from impractical_impala_spark.planfp import plan_fingerprint
+from impractical_impala_spark.registry import all_queries
+
+REPO = Path(__file__).resolve().parent.parent
+_Q = all_queries()
+
+
+def _committed() -> dict:
+    return json.loads((REPO / "PLAN_FINGERPRINTS.json").read_text())
+
+
+def test_snapshot_covers_exactly_the_registry():
+    snap = _committed()
+    assert sorted(snap["queries"]) == sorted(_Q), (
+        "PLAN_FINGERPRINTS.json rows diverge from the registry — "
+        "run python scripts/gen_plan_fingerprints.py")
+
+
+@pytest.mark.parametrize("name", sorted(_Q))
+def test_plan_fingerprint_unchanged(name, spark, sf_oracle):
+    want = _committed()["queries"][name]
+    got = plan_fingerprint(_Q[name].build(spark, sf_oracle))
+    assert got == want, (
+        f"{name}: plan shape drifted from the committed snapshot.\n"
+        f"  committed: {want}\n  current:   {got}\n"
+        "If intentional, regenerate PLAN_FINGERPRINTS.json.")
