@@ -580,11 +580,14 @@ _EVICTED_TO_R10 = _FILL_QUEUE_R9[_n_fill:]
 #
 # The one per-round hand input the history cannot know: queries whose
 # implementation/values changed this round and therefore need a fresh
-# row ahead of the queue. Round 11 changes no registered query's plan
-# or values (the three no-oracle FAIL rows were deregistered in favor
-# of their hash-evidence twins o22_hp_detrend_centi / ndv_kmv_sketch /
-# stats_histogram_equidepth, not changed).
-CHANGED_THIS_ROUND: list[str] = []
+# row ahead of the queue. Round 11: users_bass_diffusion's one-row
+# projection was layered through named columns to stay under janino's
+# 64 KB codegen method limit (values identical, oracle untouched —
+# verified hash-equal before and after); the three no-oracle FAIL rows
+# were deregistered in favor of their hash-evidence twins
+# (o22_hp_detrend_centi / ndv_kmv_sketch / stats_histogram_equidepth),
+# which is removal, not change.
+CHANGED_THIS_ROUND: list[str] = ["users_bass_diffusion"]
 
 from ..registry import registered_names  # noqa: E402
 from ..window import computed_window  # noqa: E402

@@ -410,32 +410,44 @@ def users_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("x1 * yy")).alias("s1y"),
         F.sum(F.expr("x1 * x1 * yy")).alias("s2y"),
         F.sum(F.expr("yy * yy")).alias("syy"))
-    m_expr = (f"case when {_BASS_B2} < 0 and"
-              f" {_BASS_B1}*{_BASS_B1} - 4.0*{_BASS_B2}*{_BASS_B0} >= 0"
-              f" then (-{_BASS_B1} - sqrt({_BASS_B1}*{_BASS_B1}"
-              f" - 4.0*{_BASS_B2}*{_BASS_B0})) / (2.0*{_BASS_B2}) end")
     ha = _sax_ha
     det_ok = ("(n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)"
               " + s2*(s1*s12 - s11*s2)) != 0")
 
-    def _g(expr):
-        return f"case when {det_ok} then {expr} end"
-
-    return (suff.select(
+    # Layer the Cramer ratios / root through NAMED columns instead of
+    # textual macro expansion: the one-row projection is value-identical
+    # (same IEEE ops in the same order — the oracle below still spells
+    # the macros textually and hash-matches), but the flat form expanded
+    # each B-ratio dozens of times (ha() alone triples its argument) and
+    # blew janino's 64 KB method limit, kicking the projection to
+    # interpreted fallback. Catalyst's CollapseProject keeps the layers:
+    # it refuses to re-inline non-cheap aliases referenced repeatedly.
+    layered = suff.select(
         F.col("n").cast("long").alias("n_days"),
-        F.expr(_g(ha(f"{_BASS_B0} * 1e3"))).alias("a_milli"),
-        F.expr(_g(ha(f"{_BASS_B1} * 1e6"))).alias("b_micro"),
-        F.expr(_g(ha(f"{_BASS_B2} * 1e9"))).alias("c_nano"),
-        F.expr(_g(f"case when ({m_expr}) is not null then"
-                  f" {ha(f'({m_expr})')} end")).alias("m_hat"),
-        F.expr(_g(f"case when ({m_expr}) is not null and ({m_expr}) > 0"
-                  f" then {ha(f'{_BASS_B0} / ({m_expr}) * 1e6')} end"))
-        .alias("p_micro"),
-        F.expr(_g(f"case when ({m_expr}) is not null then"
-                  f" {ha(f'-{_BASS_B2} * ({m_expr}) * 1e6')} end"))
-        .alias("q_micro"),
-        F.expr(_g(f"round({_BASS_SSR} / {_BASS_SST}, 6) + 0.0"))
-        .alias("r2")))
+        F.expr(det_ok).alias("det_ok"),
+        F.expr(_BASS_B0).alias("b0"),
+        F.expr(_BASS_B1).alias("b1"),
+        F.expr(_BASS_B2).alias("b2"),
+        F.expr(f"{_BASS_SSR} / {_BASS_SST}").alias("rr"))
+    m_expr = ("case when b2 < 0 and b1*b1 - 4.0*b2*b0 >= 0"
+              " then (-b1 - sqrt(b1*b1 - 4.0*b2*b0)) / (2.0*b2) end")
+    withm = layered.select("*", F.expr(m_expr).alias("m"))
+
+    def _g(expr):
+        return f"case when det_ok then {expr} end"
+
+    return (withm.select(
+        "n_days",
+        F.expr(_g(ha("b0 * 1e3"))).alias("a_milli"),
+        F.expr(_g(ha("b1 * 1e6"))).alias("b_micro"),
+        F.expr(_g(ha("b2 * 1e9"))).alias("c_nano"),
+        F.expr(_g(f"case when m is not null then {ha('(m)')} end"))
+        .alias("m_hat"),
+        F.expr(_g(f"case when m is not null and m > 0"
+                  f" then {ha('b0 / (m) * 1e6')} end")).alias("p_micro"),
+        F.expr(_g(f"case when m is not null then"
+                  f" {ha('-b2 * (m) * 1e6')} end")).alias("q_micro"),
+        F.expr(_g("round(rr, 6) + 0.0")).alias("r2")))
 
 
 def _bass_oracle() -> str:
