@@ -22,10 +22,11 @@ import os
 import subprocess
 import sys
 
-# round-7 closing bench commit ("Record closing round-7 bench"):
-# its BENCH_DETAIL.json carries the per-query numbers measured on the
-# code at exactly that commit.
-DEFAULT_COMMIT = "15b547f"
+# round-10 driver bench commit: its BENCH_DETAIL.json carries the
+# per-query numbers the driver measured on the code at exactly that
+# commit (all 311 headline queries — full overlap with current rounds,
+# vs 128 for the older r7 anchor 15b547f).
+DEFAULT_COMMIT = "7dd8cf0"
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
