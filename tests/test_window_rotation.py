@@ -10,6 +10,7 @@ against the repo's real committed history.
 """
 
 import json
+from pathlib import Path
 
 from impractical_impala_spark.queries import CHANGED_THIS_ROUND, WINDOW
 from impractical_impala_spark.registry import all_queries, registered_names
@@ -70,6 +71,39 @@ def test_hand_lists_do_not_feed_the_window():
     byte, with no reference to the historical wave lists in
     queries/__init__.py."""
     assert WINDOW == computed_window(registered_names(), CHANGED_THIS_ROUND)
+
+
+def test_next_round_window_advances_automatically(tmp_path):
+    """Verdict r10 ask #6, made structural: simulate the driver
+    committing a green CORRECTNESS_r11 for the current window and
+    recompute — the next window must lead with the REMAINING
+    never-checked names (no hand edit), then fill with stalest-green
+    re-proofs."""
+    import shutil
+
+    for p in REPO_HISTORY:
+        shutil.copy(p, tmp_path / p.name)
+    next_round = max(int(p.name[13:-5]) for p in REPO_HISTORY) + 1
+    _write_round(tmp_path, next_round, {
+        n: {"hash_match": True, "rows_match": True, "err": None}
+        for n in WINDOW})
+    names = registered_names()
+    nxt = computed_window(names, [], root=tmp_path)
+    hist = driver_history(tmp_path)
+    still_never = [n for n in names if n not in hist]
+    assert nxt[:len(still_never)] == still_never[:WINDOW_SLOTS]
+    # any remaining slots re-prove the stalest green evidence first
+    fill = nxt[len(still_never):]
+    if fill:
+        rounds = [hist[n][0] for n in fill]
+        assert rounds == sorted(rounds)
+        others = [hist[n][0] for n in names
+                  if n in hist and n not in set(nxt)]
+        assert not others or max(rounds) <= min(others)
+
+
+REPO_HISTORY = sorted(
+    (Path(__file__).resolve().parent.parent).glob("CORRECTNESS_r*.json"))
 
 
 # --------------------------------------------------- priority semantics
