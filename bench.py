@@ -412,6 +412,92 @@ HEADLINE = [
     "events_peak_load_ratio",
     # round-9 wave 44: near-dup provenance
     "dedup_cross_source_matrix",
+    # round 11 (append-only): the remaining 78 registered queries that
+    # never carried a bench prior — early o-family/TPC-H/window/text/
+    # streaming-twin/lakehouse names. Once the never-checked evidence
+    # queue empties (~r12), stalest-green re-proofs of exactly these
+    # names start entering driver windows, and the standing discipline
+    # (every window candidate carries a per-query prior) would break
+    # without them. All sub-second at sf0.1; HEADLINE now spans the
+    # whole registry plus the bench-only HP float kernel.
+    "o01_scan_projection",
+    "o02_recode_case",
+    "o04_cast",
+    "o06_union_all",
+    "o07_in_filter",
+    "o08_sort_topk",
+    "o09_validity_flag",
+    "o11_run_length",
+    "o13_distinct",
+    "o14_having",
+    "o15_semi_join",
+    "o17_arithmetic",
+    "o18_lookup_join",
+    "o19_guarded_log",
+    "o20_dlog",
+    "o21_time_index",
+    "o24_grouped_sd",
+    "o25_ratio",
+    "o26_corr",
+    "o27_acf",
+    "o28_two_level_agg",
+    "o29_max_by_group",
+    "q18_large_volume_customers",
+    "w2_rank_orders",
+    "w4_moving_avg",
+    "q_anti_join",
+    "events_hourly_counts",
+    "events_session_window",
+    "text_token_count",
+    "text_langid",
+    "text_tfidf_top_terms",
+    "dedup_embedding_neardup",
+    "ann_ivf_trained",
+    "emb_quantize_int8",
+    "emb_label_centroid",
+    "q_range_band_join",
+    "json_extract_props",
+    "string_functions",
+    "q_percentiles",
+    "q_set_ops",
+    "q_cube_revenue",
+    "w5_value_windows",
+    "q_date_functions",
+    "q_salted_agg",
+    "q_stratified_sample",
+    "q_profile_table",
+    "multimodal_blob_stats",
+    "multimodal_resized_checksum",
+    "multimodal_audio_energy",
+    "q10_returned_items",
+    "events_stream_join",
+    "events_dedup_counts",
+    "events_sliding_avg",
+    "events_anomaly_zscore",
+    "doc_chunk_tokens",
+    "mix_weighted_sample",
+    "text_heavy_hitters",
+    "events_cumulative_users",
+    "events_funnel",
+    "events_time_weighted_avg",
+    "events_funnel_bounded",
+    "snapshot_diff",
+    "text_winsorized_stats",
+    "curriculum_buckets",
+    "ivm_merge_counts",
+    "q_collect_sorted",
+    "fk_integrity_audit",
+    "zorder_layout_scan",
+    "compact_small_files",
+    "schema_evolution_read",
+    "contrastive_negatives",
+    "session_paths",
+    "events_rolling_slope",
+    "json_variant_extract",
+    "q_lateral_topn",
+    "q_recursive_streaks",
+    "udtf_char_chunks",
+    "aqp_block_sample",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a
