@@ -45,6 +45,11 @@ INTERESTING = frozenset({
     # fan-out / windowing / global ordering
     "Generate", "Window", "WindowGroupLimit", "Sort", "Expand",
     "TakeOrderedAndProject", "GlobalLimit",
+    # a query's OWN cache boundaries (fingerprints are taken against a
+    # cleared cache, so any InMemoryTableScan is self-created at build
+    # time — a new one appearing means someone started materializing
+    # mid-plan, worth a review)
+    "InMemoryTableScan",
 })
 
 
@@ -65,9 +70,26 @@ def _walk(node):
         pass
 
 
+def fingerprint_query(spark, build, sf_dir: str) -> dict[str, int]:
+    """Fingerprint of ``build(spark, sf_dir)`` against a CLEAN cache.
+
+    Spark's cache manager substitutes ``InMemoryTableScan`` for any plan
+    fragment a previously-built query ``.cache()``d in the same session
+    (lookup is by canonicalized plan, ACROSS queries), which hides the
+    replaced subtree's joins/exchanges from the fingerprint and makes it
+    depend on session history — the autocorr24 spine join vanished
+    whenever an earlier query had cached the dense hourly fragment.
+    Clearing the cache before building pins the fingerprint to the
+    query's own plan; queries that cache their OWN inputs re-create that
+    cache during build, deterministically."""
+    spark.catalog.clearCache()
+    return plan_fingerprint(build(spark, sf_dir))
+
+
 def plan_fingerprint(df: DataFrame) -> dict[str, int]:
     """Counts of INTERESTING node classes in the planning-time physical
-    plan (the AQE initial plan when adaptive execution is on)."""
+    plan (the AQE initial plan when adaptive execution is on). For a
+    session-history-independent result use ``fingerprint_query``."""
     root = df._jdf.queryExecution().executedPlan()
     if root.nodeName() == "AdaptiveSparkPlan":
         root = root.initialPlan()

@@ -587,7 +587,14 @@ _EVICTED_TO_R10 = _FILL_QUEUE_R9[_n_fill:]
 # were deregistered in favor of their hash-evidence twins
 # (o22_hp_detrend_centi / ndv_kmv_sketch / stats_histogram_equidepth),
 # which is removal, not change.
-CHANGED_THIS_ROUND: list[str] = ["users_bass_diffusion"]
+# events_hourly_autocorr24's spine-join arithmetic moved into the
+# shared autocorr24_from_hourly helper (values identical, oracle
+# untouched and hash-verified) so the new streaming twin
+# (streaming/autocorr.py) finalizes through the IDENTICAL code path;
+# the join's right side gained fresh-exprId column aliases (the
+# memory-sink gotcha), a no-op in the batch plan.
+CHANGED_THIS_ROUND: list[str] = ["users_bass_diffusion",
+                                 "events_hourly_autocorr24"]
 
 from ..registry import registered_names  # noqa: E402
 from ..window import computed_window  # noqa: E402

@@ -757,22 +757,26 @@ FROM dense GROUP BY event_type ORDER BY event_type
 
 
 # ------------------------- daily-seasonality lag-24 autocorrelation
-def events_hourly_autocorr24(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lag-24 Pearson autocorrelation of hourly counts per event type —
-    the daily-seasonality detector (high r24 = strong diurnal cycle).
-    Dense hourly spine, one lag, then Pearson from five integer
-    sufficient statistics (the o26_corr formula); the only float work
-    is the final covariance/stddev division, rounded. Window
-    cardinality is the hourly spine — time-span-bounded."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.expr(f"ts_ns div {HOUR_NS}").alias("hr"))
-    hourly = ev.groupBy("event_type", "hr").agg(
-        F.count(F.lit(1)).alias("cnt"))
+def autocorr24_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Lag-24 Pearson from a sparse (event_type, hr, cnt) hourly table:
+    dense spine, one lag, five integer sufficient statistics (the
+    o26_corr formula). Shared verbatim by the batch query below and the
+    streaming twin's finalize (streaming/autocorr.py) so the two are
+    bit-equal by construction — the freshness-twin pattern."""
     bounds = hourly.groupBy("event_type").agg(
         F.min("hr").alias("h0"), F.max("hr").alias("h1"))
     spine = bounds.select(
         "event_type", F.explode(F.expr("sequence(h0, h1)")).alias("hr"))
-    dense = (spine.join(hourly, ["event_type", "hr"], "left")
+    # COLUMN-level aliases mint fresh exprIds for the self-join's right
+    # side: spine derives from `hourly`, and when `hourly` is read from
+    # a streaming memory sink the shared plan object otherwise hits
+    # "Conflicting attributes" (the recorded memory-sink gotcha).
+    # Collapses to a no-op Project in the batch plan — values and node
+    # counts unchanged.
+    right = hourly.select(F.col("event_type").alias("event_type"),
+                          F.col("hr").alias("hr"),
+                          F.col("cnt").alias("cnt"))
+    dense = (spine.join(right, ["event_type", "hr"], "left")
              .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0))))
     wl = Window.partitionBy("event_type").orderBy("hr")
     lagged = (dense
@@ -793,6 +797,20 @@ def events_hourly_autocorr24(spark: SparkSession, sf_dir: str) -> DataFrame:
                          (F.round(num.cast("double") / den, 6) + 0.0)
                          .alias("r24"))
             .orderBy("event_type"))
+
+
+def events_hourly_autocorr24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-24 Pearson autocorrelation of hourly counts per event type —
+    the daily-seasonality detector (high r24 = strong diurnal cycle).
+    Dense hourly spine, one lag, then Pearson from five integer
+    sufficient statistics (the o26_corr formula); the only float work
+    is the final covariance/stddev division, rounded. Window
+    cardinality is the hourly spine — time-span-bounded."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts_ns div {HOUR_NS}").alias("hr"))
+    hourly = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    return autocorr24_from_hourly(hourly)
 
 
 register("events_hourly_autocorr24", events_hourly_autocorr24, f"""

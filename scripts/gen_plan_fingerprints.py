@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, ".")
 
-from impractical_impala_spark.planfp import plan_fingerprint  # noqa: E402
+from impractical_impala_spark.planfp import fingerprint_query  # noqa: E402
 from impractical_impala_spark.registry import all_queries  # noqa: E402
 from impractical_impala_spark.session import get_spark  # noqa: E402
 
@@ -25,7 +25,7 @@ def main() -> None:
     qs = all_queries()
     out = {}
     for i, (name, q) in enumerate(sorted(qs.items()), 1):
-        out[name] = plan_fingerprint(q.build(spark, SF_DIR))
+        out[name] = fingerprint_query(spark, q.build, SF_DIR)
         if i % 50 == 0:
             print(f"  {i}/{len(qs)}", file=sys.stderr)
     doc = {

@@ -16,7 +16,7 @@ from pathlib import Path
 
 import pytest
 
-from impractical_impala_spark.planfp import plan_fingerprint
+from impractical_impala_spark.planfp import fingerprint_query
 from impractical_impala_spark.registry import all_queries
 
 REPO = Path(__file__).resolve().parent.parent
@@ -37,7 +37,7 @@ def test_snapshot_covers_exactly_the_registry():
 @pytest.mark.parametrize("name", sorted(_Q))
 def test_plan_fingerprint_unchanged(name, spark, sf_oracle):
     want = _committed()["queries"][name]
-    got = plan_fingerprint(_Q[name].build(spark, sf_oracle))
+    got = fingerprint_query(spark, _Q[name].build, sf_oracle)
     assert got == want, (
         f"{name}: plan shape drifted from the committed snapshot.\n"
         f"  committed: {want}\n  current:   {got}\n"
