@@ -98,6 +98,11 @@ def _walk(node):
 
 @pytest.mark.parametrize("name", sorted(_Q))
 def test_plan_hygiene(name, spark, sf_oracle):
+    # Audit the query's OWN plan, not one with subtrees swapped for
+    # InMemoryTableScan by fragments an earlier test cached (cache
+    # lookup is by canonicalized plan, across queries) — a cached
+    # subtree would hide the very nodes this sweep hunts.
+    spark.catalog.clearCache()
     df = _Q[name].build(spark, sf_oracle)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
