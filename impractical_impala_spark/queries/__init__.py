@@ -593,8 +593,13 @@ _EVICTED_TO_R10 = _FILL_QUEUE_R9[_n_fill:]
 # (streaming/autocorr.py) finalizes through the IDENTICAL code path;
 # the join's right side gained fresh-exprId column aliases (the
 # memory-sink gotcha), a no-op in the batch plan.
+# events_cusum_changepoint: cusum_frame's three join-backs gained the
+# same fresh-exprId aliases (no-op Projects, fingerprint unchanged,
+# oracle untouched and hash-verified) so the CUSUM streaming twin
+# (streaming/cusum.py) can finalize through the shared helper.
 CHANGED_THIS_ROUND: list[str] = ["users_bass_diffusion",
-                                 "events_hourly_autocorr24"]
+                                 "events_hourly_autocorr24",
+                                 "events_cusum_changepoint"]
 
 from ..registry import registered_names  # noqa: E402
 from ..window import computed_window  # noqa: E402

@@ -857,11 +857,22 @@ def cusum_frame(hourly: DataFrame) -> DataFrame:
         F.min("hr").alias("h0"), F.max("hr").alias("h1"))
     spine = bounds.select(
         "event_type", F.explode(F.expr("sequence(h0, h1)")).alias("hr"))
-    dense = (spine.join(hourly, ["event_type", "hr"], "left")
+    # fresh-exprId aliases on the self-join's right side (the
+    # memory-sink gotcha; no-op in the batch plan) — required now that
+    # the streaming CUSUM twin finalizes through this same helper
+    right = hourly.select(F.col("event_type").alias("event_type"),
+                          F.col("hr").alias("hr"),
+                          F.col("cnt").alias("cnt"))
+    dense = (spine.join(right, ["event_type", "hr"], "left")
              .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0))))
     w = Window.partitionBy("event_type").orderBy("hr")
-    tot = dense.groupBy("event_type").agg(
+    # the tot/peak join-backs re-reference the dense/scan lineage —
+    # same memory-sink hazard as above, same no-op fresh-exprId fix
+    tot = (dense.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_hours"), F.sum("cnt").alias("total"))
+        .select(F.col("event_type").alias("event_type"),
+                F.col("n_hours").alias("n_hours"),
+                F.col("total").alias("total")))
     scan = (dense
             .withColumn("cum", F.sum("cnt").over(w))
             .withColumn("t", F.row_number().over(w))
@@ -869,8 +880,10 @@ def cusum_frame(hourly: DataFrame) -> DataFrame:
             .select("event_type", "hr", "n_hours", "total",
                     F.abs(F.col("n_hours") * F.col("cum")
                           - F.col("t") * F.col("total")).alias("s_abs")))
-    peak = scan.groupBy("event_type").agg(
+    peak = (scan.groupBy("event_type").agg(
         F.max("s_abs").alias("cusum_scaled"))
+        .select(F.col("event_type").alias("event_type"),
+                F.col("cusum_scaled").alias("cusum_scaled")))
     return (scan.join(F.broadcast(peak), "event_type")
             .filter(F.col("s_abs") == F.col("cusum_scaled"))
             .groupBy("event_type")
