@@ -522,7 +522,11 @@ MOVER_RATIO = 2.0
 # Library kernels deregistered from the driver-facing registry (their
 # hash-evidence twins carry the CORRECTNESS rows — see
 # queries/stats_ops.py / queries/sketches.py) but kept in bench so the
-# per-query timing series stays append-only across rounds.
+# per-query timing series stays append-only across rounds. VERDICT r11
+# ask #3: these are timed but recorded under BENCH_DETAIL's
+# "out_of_registry" key and EXCLUDED from the headline total/n_queries,
+# so the stdout line's basis equals the registry exactly and
+# round-over-round totals need no footnote.
 def _bench_only() -> dict:
     from impractical_impala_spark.queries.stats_ops import o22_hp_detrend_sd
 
@@ -621,12 +625,15 @@ def main() -> None:
     prior: dict[str, float] = {}
     try:
         with open(detail_path_of()) as f:
-            prior = json.load(f).get("queries", {}) or {}
+            _prior_doc = json.load(f)
+        prior = dict(_prior_doc.get("queries", {}) or {})
+        prior.update(_prior_doc.get("out_of_registry", {}) or {})
     except (OSError, ValueError):
         pass
 
     bench_only = _bench_only()
     timings: dict[str, float] = {}
+    extra_timings: dict[str, float] = {}
     remeasured: list[str] = []
     total = 0.0
     for name in HEADLINE:
@@ -656,8 +663,13 @@ def main() -> None:
             for _ in range(2):
                 clean_heap()
                 best = min(best, measure_once())
-        timings[name] = best
-        total += best
+        if name in queries:
+            timings[name] = best
+            total += best
+        else:
+            # deregistered bench-only kernel: timing series continues,
+            # headline basis stays equal to the registry
+            extra_timings[name] = best
         # each query stands alone: intra-query caches must not leak
         # memory/GC pressure into the next measurement (r5's recorded
         # dedup_minhash_lsh 5.7s vs 1.6-4.3s same-session re-runs was
@@ -678,6 +690,8 @@ def main() -> None:
         "cpu_ref_sec": ref_sec,
         "cpu_ref_par_sec": ref_par_sec,
     }
+    if extra_timings:
+        detail["out_of_registry"] = extra_timings
     if anchor:
         detail["anchor"] = anchor
     if remeasured:

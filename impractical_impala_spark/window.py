@@ -44,10 +44,15 @@ _ROOT = Path(__file__).resolve().parents[1]
 def driver_history(root: Path | None = None) -> dict[str, tuple[int, bool]]:
     """``name -> (latest round with a CORRECTNESS row, row was green)``.
 
-    Green = ``hash_match`` true, or ``rows_match`` true with a null
-    ``err`` (the driver's weaker rows-only record). A missing or
-    unparseable file is skipped — worst case the window over-prioritizes
-    (treats a query as never checked), never under-prioritizes.
+    Green = ``hash_match`` true, or — ONLY when hash evidence is absent
+    (``hash_match`` missing/null, the driver's weaker rows-only record)
+    — ``rows_match`` true with a null ``err``. An EXPLICIT
+    ``hash_match: false`` is a recorded value mismatch and is never
+    green, whatever ``rows_match`` says (ADVICE r11: a genuine
+    equal-row-count content mismatch must stay in the window, per
+    priority rule 3, not rotate out as green). A missing or unparseable
+    file is skipped — worst case the window over-prioritizes (treats a
+    query as never checked), never under-prioritizes.
     """
     hist: dict[str, tuple[int, bool]] = {}
     for path in sorted((root or _ROOT).glob("CORRECTNESS_r*.json")):
@@ -64,8 +69,10 @@ def driver_history(root: Path | None = None) -> dict[str, tuple[int, bool]]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            green = bool(row.get("hash_match")) or (
-                bool(row.get("rows_match")) and not row.get("err"))
+            hm = row.get("hash_match")
+            green = hm is True or (
+                hm is None
+                and bool(row.get("rows_match")) and not row.get("err"))
             prev = hist.get(name)
             if prev is None or rnd >= prev[0]:
                 hist[name] = (rnd, green)

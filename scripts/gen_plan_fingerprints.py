@@ -8,8 +8,13 @@ snapshot."""
 import json
 import os
 import sys
+from pathlib import Path
 
-sys.path.insert(0, ".")
+# Anchor both the import path and the output path to the repo root, not
+# the CWD (ADVICE r11: run from elsewhere, the old CWD-relative version
+# silently wrote a snapshot nowhere CI looks).
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
 
 from impractical_impala_spark.planfp import fingerprint_query  # noqa: E402
 from impractical_impala_spark.registry import all_queries  # noqa: E402
@@ -35,10 +40,10 @@ def main() -> None:
         "spark": spark.version,
         "queries": out,
     }
-    with open("PLAN_FINGERPRINTS.json", "w") as fh:
+    with open(REPO / "PLAN_FINGERPRINTS.json", "w") as fh:
         json.dump(doc, fh, indent=1, sort_keys=True)
         fh.write("\n")
-    print(f"wrote PLAN_FINGERPRINTS.json for {len(out)} queries")
+    print(f"wrote {REPO / 'PLAN_FINGERPRINTS.json'} for {len(out)} queries")
     spark.stop()
 
 

@@ -30,3 +30,16 @@ def test_bench_only_does_not_shadow_registry():
 
 def test_headline_has_no_duplicates():
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+
+
+def test_headline_basis_equals_registry():
+    """VERDICT r11 ask #3: the stdout headline (value + n_queries) must
+    cover EXACTLY the registered queries — bench-only kernels are timed
+    into BENCH_DETAIL's out_of_registry key, never the headline total —
+    so cross-round totals compare like for like without footnotes."""
+    qs = all_queries()
+    in_registry = [n for n in bench.HEADLINE if n in qs]
+    assert sorted(in_registry) == sorted(qs), (
+        "headline registry coverage diverges from the registry: "
+        f"missing={sorted(set(qs) - set(in_registry))[:5]} "
+        f"extra={sorted(set(in_registry) - set(qs))[:5]}")

@@ -27,6 +27,25 @@ def _committed() -> dict:
     return json.loads((REPO / "PLAN_FINGERPRINTS.json").read_text())
 
 
+def test_snapshot_environment_matches_live(spark, sf_oracle):
+    """ADVICE r11: join-strategy counts depend on data scale and Spark
+    version. If the committed snapshot was generated against a
+    different dataset or Spark, fail HERE with one clear config message
+    instead of surfacing as hundreds of per-query 'plan drifted'
+    failures."""
+    snap = _committed()
+    live_sf = Path(sf_oracle.rstrip("/")).name
+    assert snap["sf_dir"] == live_sf, (
+        f"PLAN_FINGERPRINTS.json was generated against sf_dir="
+        f"{snap['sf_dir']!r} but this run uses {live_sf!r} "
+        "(SPARK_GRAFT_TEST_SF mismatch) — per-query comparisons would "
+        "be meaningless; regenerate or fix the env")
+    assert snap["spark"] == spark.version, (
+        f"PLAN_FINGERPRINTS.json was generated on Spark "
+        f"{snap['spark']} but this session is {spark.version} — "
+        "plan shapes are version-dependent; regenerate the snapshot")
+
+
 def test_snapshot_covers_exactly_the_registry():
     snap = _committed()
     assert sorted(snap["queries"]) == sorted(_Q), (

@@ -102,6 +102,58 @@ def test_next_round_window_advances_automatically(tmp_path):
         assert not others or max(rounds) <= min(others)
 
 
+def test_r13_window_is_stalest_green_reproofs(tmp_path):
+    """VERDICT r11 ask #4: once the driver lands green rows for the
+    whole r12 window (which drains the never-checked queue to zero),
+    the NEXT window must be pure stalest-green re-proof — the 50 oldest
+    green rows, ascending latest-round then registration order — so
+    fixture drift cannot silently rot old evidence. Also pins that the
+    queue actually empties: the r12 window contains every
+    never-checked name."""
+    import shutil
+
+    for p in REPO_HISTORY:
+        shutil.copy(p, tmp_path / p.name)
+    names = registered_names()
+    hist = driver_history(tmp_path)
+    never = [n for n in names if n not in hist]
+    # the r12 window must hold the ENTIRE residual queue (<= 50 now)
+    assert len(never) <= WINDOW_SLOTS
+    assert set(never) <= set(WINDOW), (
+        "never-checked names missing from the r12 window: "
+        f"{sorted(set(never) - set(WINDOW))}")
+    next_round = max(int(p.name[13:-5]) for p in REPO_HISTORY) + 1
+    _write_round(tmp_path, next_round, {
+        n: {"hash_match": True, "rows_match": True, "err": None}
+        for n in WINDOW})
+    hist2 = driver_history(tmp_path)
+    assert [n for n in names if n not in hist2] == [], (
+        "queue did not drain after a green r12 window")
+    nxt = computed_window(names, [], root=tmp_path)
+    pos = {n: i for i, n in enumerate(names)}
+    expect = sorted(names, key=lambda n: (hist2[n][0], pos[n]))
+    assert nxt == expect[:WINDOW_SLOTS]
+    # every name in the predicted r13 window is strictly staler than
+    # every name outside it (round-level: max inside <= min outside)
+    inside = max(hist2[n][0] for n in nxt)
+    outside = min(hist2[n][0] for n in names if n not in set(nxt))
+    assert inside <= outside
+
+
+def test_queue_script_matches_window_module(tmp_path):
+    """ROADMAP cites scripts/window_queue.py output (VERDICT r11 ask
+    #5); the script must agree with the window module byte for byte."""
+    import scripts.window_queue as wq
+
+    state = wq.queue_state()
+    assert state["registry"] == len(registered_names())
+    assert state["window"] == WINDOW
+    hist = driver_history()
+    assert state["never_checked"] == [
+        n for n in registered_names() if n not in hist]
+    assert state["never_checked_count"] == len(state["never_checked"])
+
+
 REPO_HISTORY = sorted(
     (Path(__file__).resolve().parent.parent).glob("CORRECTNESS_r*.json"))
 
@@ -122,9 +174,11 @@ def test_priority_order_on_synthetic_history(tmp_path):
         "a": {"hash_match": True, "rows_match": True, "err": None},
     })
     # changed 'f' leads; never-checked d, e in registration order; then
-    # the failed row c; then green stalest-first: b (r1) before a (r2)
+    # the failed rows b (explicit hash mismatch — NOT green even with
+    # rows_match, ADVICE r11) and c (error), registration order; then
+    # green a
     assert computed_window(reg, ["f"], slots=6, root=tmp_path) == \
-        ["f", "d", "e", "c", "b", "a"]
+        ["f", "d", "e", "b", "c", "a"]
     # a later GREEN row overrides an earlier fail, not vice versa
     _write_round(tmp_path, 3, {
         "c": {"hash_match": True, "rows_match": True, "err": None},
@@ -133,14 +187,21 @@ def test_priority_order_on_synthetic_history(tmp_path):
         ["d", "e", "f", "b", "a", "c"]
 
 
-def test_rows_only_green_counts_as_green(tmp_path):
-    reg = ["a", "b"]
+def test_rows_only_green_requires_absent_hash_evidence(tmp_path):
+    """ADVICE r11: rows_match-green counts as green ONLY when hash
+    evidence is absent (hash_match missing or null). An explicit
+    hash_match=false is a recorded value mismatch — rows counted equal
+    but content differed — and must stay in the window as a failure."""
+    reg = ["a", "b", "c", "d"]
     _write_round(tmp_path, 1, {
-        "a": {"hash_match": False, "rows_match": True, "err": None},
-        "b": {"hash_match": False, "rows_match": True, "err": "no_oracle"},
+        "a": {"rows_match": True, "err": None},               # rows-only green
+        "b": {"hash_match": None, "rows_match": True, "err": None},  # ditto
+        "c": {"hash_match": False, "rows_match": True, "err": None},  # FAIL
+        "d": {"hash_match": None, "rows_match": True, "err": "no_oracle"},  # FAIL
     })
-    # a: sanctioned rows-only green; b: driver-recorded failure
-    assert computed_window(reg, [], slots=2, root=tmp_path) == ["b", "a"]
+    # failed c, d (registration order) ahead of the rows-only greens
+    assert computed_window(reg, [], slots=4, root=tmp_path) == \
+        ["c", "d", "a", "b"]
 
 
 def test_unknown_changed_names_are_ignored(tmp_path):
