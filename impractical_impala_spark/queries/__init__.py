@@ -597,14 +597,22 @@ _EVICTED_TO_R10 = _FILL_QUEUE_R9[_n_fill:]
 # same fresh-exprId aliases (no-op Projects, fingerprint unchanged,
 # oracle untouched and hash-verified) so the CUSUM streaming twin
 # (streaming/cusum.py) can finalize through the shared helper.
-# Round 12: no registered query's plan or values changed so far — the
-# r11 changes (users_bass_diffusion, events_hourly_autocorr24,
-# events_cusum_changepoint) all carry hash-green CORRECTNESS_r11 rows,
-# so re-listing them would only re-spend window slots on fresh-green
-# evidence. The r12 window is therefore purely computed: the 32
-# never-driver-checked names lead, then stalest-green re-proofs
-# (verify with `python scripts/window_queue.py`).
-CHANGED_THIS_ROUND: list[str] = []
+# Round 12: the r11 changes (users_bass_diffusion,
+# events_hourly_autocorr24, events_cusum_changepoint) all carry
+# hash-green CORRECTNESS_r11 rows, so re-listing them would only
+# re-spend window slots on fresh-green evidence.
+# events_hourly_profile_jsd's arithmetic past the hourly census moved
+# into the shared profile_jsd_from_hourly helper (values identical,
+# oracle untouched and hash-verified; plan fingerprint byte-identical)
+# so the new streaming rhythm-JSD twin (streaming/profile_jsd.py)
+# finalizes through the IDENTICAL code path; the helper gained the
+# memory-sink fresh-exprId aliases (no-op Projects in the batch plan).
+# The name was already in the window (never-checked) — listing it here
+# moves it to the front, costing no extra slot. The rest of the window
+# is purely computed: the remaining never-driver-checked names lead,
+# then stalest-green re-proofs (verify with
+# `python scripts/window_queue.py`).
+CHANGED_THIS_ROUND: list[str] = ["events_hourly_profile_jsd"]
 
 from ..registry import registered_names  # noqa: E402
 from ..window import computed_window  # noqa: E402

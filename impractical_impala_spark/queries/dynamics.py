@@ -370,34 +370,34 @@ FROM per_g ORDER BY dominant_type
 
 
 # ------------------------------------------- hourly-profile JSD
-def events_hourly_profile_jsd(spark: SparkSession,
-                              sf_dir: str) -> DataFrame:
-    """Pairwise Jensen-Shannon divergence between event types'
-    hour-of-day profiles — which behaviors share a daily rhythm (a
-    near-zero pair is a candidate for shared capacity planning and
-    shared anomaly baselines; a high pair must not share either).
-    The domain is the FIXED 24-hour spine, zero-filled per type, so
-    the pair join is (types^2 x 24)-bounded with term-wise zero
-    handling (a silent hour on one side contributes only the other
-    side's half-ln2 mass, cell by cell — no closed-form split
-    needed at 24 cells); each cell term quantizes to nano before the
-    per-pair integer sum. Output: all unordered pairs ascending by
-    divergence."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.expr("(ts_ns div 3600000000000) % 24").alias("h"))
-    cen = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("c"))
-    types = ev.select("event_type").distinct()
+def profile_jsd_from_hourly(cen: DataFrame) -> DataFrame:
+    """Pairwise hourly-rhythm JSD from (event_type, h, c) hour-of-day
+    counts (h in 0..23, c > 0 — zero cells are implied and re-filled
+    on the fixed 24-bin spine here). Shared by the batch query below
+    and the streaming twin's finalizer (streaming/profile_jsd.py) so
+    the streamed divergence matrix is bit-equal to the batch one by
+    construction — the autocorr24_from_hourly / cusum_frame
+    discipline."""
+    # fresh-exprId aliases (same-name column-level selects) at every
+    # point a lineage is referenced twice — the memory-sink gotcha;
+    # no-op Projects in the batch plan, required now that the
+    # streaming twin finalizes through this same helper
+    types = (cen.select(F.col("event_type").alias("event_type"))
+             .distinct())
     spine = (types.crossJoin(F.broadcast(
-        ev.sparkSession.range(24).select(F.col("id").alias("h")))))
+        cen.sparkSession.range(24).select(F.col("id").alias("h")))))
     filled = (spine.join(cen, ["event_type", "h"], "left")
               .select("event_type", "h",
                       F.coalesce("c", F.lit(0)).alias("c")))
-    tot = filled.groupBy("event_type").agg(F.sum("c").alias("n"))
+    tot = (filled.groupBy("event_type").agg(F.sum("c").alias("n"))
+           .select(F.col("event_type").alias("event_type"),
+                   F.col("n").alias("n")))
     full = filled.join(tot, "event_type")
-    a = full.select(F.col("event_type").alias("t1"), "h",
+    a = full.select(F.col("event_type").alias("t1"),
+                    F.col("h").alias("h"),
                     F.col("c").alias("c1"), F.col("n").alias("n1"))
-    b = full.select(F.col("event_type").alias("t2"), "h",
+    b = full.select(F.col("event_type").alias("t2"),
+                    F.col("h").alias("h"),
                     F.col("c").alias("c2"), F.col("n").alias("n2"))
     term = _ha(
         "1e9 * (case when c1 > 0 then"
@@ -416,6 +416,30 @@ def events_hourly_profile_jsd(spark: SparkSession,
             .groupBy("t1", "t2")
             .agg(F.expr("sum(t_nano) div 1000").alias("jsd_micro"))
             .orderBy("jsd_micro", "t1", "t2"))
+
+
+def events_hourly_profile_jsd(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between event types'
+    hour-of-day profiles — which behaviors share a daily rhythm (a
+    near-zero pair is a candidate for shared capacity planning and
+    shared anomaly baselines; a high pair must not share either).
+    The domain is the FIXED 24-hour spine, zero-filled per type, so
+    the pair join is (types^2 x 24)-bounded with term-wise zero
+    handling (a silent hour on one side contributes only the other
+    side's half-ln2 mass, cell by cell — no closed-form split
+    needed at 24 cells); each cell term quantizes to nano before the
+    per-pair integer sum. Output: all unordered pairs ascending by
+    divergence. The arithmetic past the hourly census lives in
+    profile_jsd_from_hourly (shared with the streaming twin); the
+    type spine now derives from the CENSUS rather than the raw
+    column, so the second events pass aggregates before its shuffle
+    (types x 24 rows instead of the full type column)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("(ts_ns div 3600000000000) % 24").alias("h"))
+    cen = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("c"))
+    return profile_jsd_from_hourly(cen)
 
 
 _HP_TERM = _ha(
