@@ -607,12 +607,18 @@ _EVICTED_TO_R10 = _FILL_QUEUE_R9[_n_fill:]
 # so the new streaming rhythm-JSD twin (streaming/profile_jsd.py)
 # finalizes through the IDENTICAL code path; the helper gained the
 # memory-sink fresh-exprId aliases (no-op Projects in the batch plan).
-# The name was already in the window (never-checked) — listing it here
-# moves it to the front, costing no extra slot. The rest of the window
-# is purely computed: the remaining never-driver-checked names lead,
-# then stalest-green re-proofs (verify with
-# `python scripts/window_queue.py`).
-CHANGED_THIS_ROUND: list[str] = ["events_hourly_profile_jsd"]
+# events_peak_load_ratio likewise routes through the extracted
+# peak_load_from_hourly helper (values identical, oracle untouched and
+# hash-verified; fingerprint byte-identical; the hour range now derives
+# from the counts, never the fact table) so the peak-load twin
+# (streaming/peak_load.py) is the FOURTH finalizer over the shared
+# hourly-count state. Both names were already in the window
+# (never-checked) — listing them here moves them to the front, costing
+# no extra slots. The rest of the window is purely computed: the
+# remaining never-driver-checked names lead, then stalest-green
+# re-proofs (verify with `python scripts/window_queue.py`).
+CHANGED_THIS_ROUND: list[str] = ["events_hourly_profile_jsd",
+                                 "events_peak_load_ratio"]
 
 from ..registry import registered_names  # noqa: E402
 from ..window import computed_window  # noqa: E402

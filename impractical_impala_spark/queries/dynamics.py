@@ -498,12 +498,31 @@ def events_peak_load_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.expr("ts_ns div 3600000000000").alias("t"))
     cnt = ev.groupBy("event_type", "t").agg(F.count(F.lit(1)).alias("c"))
-    rng = ev.agg(F.expr("max(t) - min(t) + 1").alias("hh"))
+    return peak_load_from_hourly(cnt)
+
+
+def peak_load_from_hourly(cnt: DataFrame) -> DataFrame:
+    """Core of events_peak_load_ratio over any (event_type, t, c)
+    hourly-count frame (c > 0; silent hours re-enter through the
+    closed-form zero row). Shared by the batch query above and the
+    streaming twin's finalizer (streaming/peak_load.py) — the
+    autocorr/cusum/profile-JSD discipline. The global hour range now
+    derives from the COUNTS (min/max over t is identical there, since
+    every event lands in exactly one cell), so the helper never needs
+    the fact table; fresh-exprId same-name aliases guard every
+    re-referenced lineage (the memory-sink gotcha — no-op Projects in
+    the batch plan)."""
+    rng = cnt.agg(F.expr("max(t) - min(t) + 1").alias("hh"))
     census = (cnt.groupBy("event_type", "c")
-              .agg(F.count(F.lit(1)).alias("nd")))
-    act = census.groupBy("event_type").agg(
+              .agg(F.count(F.lit(1)).alias("nd"))
+              .select(F.col("event_type").alias("event_type"),
+                      F.col("c").alias("c"), F.col("nd").alias("nd")))
+    act = (census.groupBy("event_type").agg(
         F.sum("nd").alias("n_active"),
         F.sum(F.expr("c * nd")).alias("s"), F.max("c").alias("mx"))
+        .select(F.col("event_type").alias("event_type"),
+                F.col("n_active").alias("n_active"),
+                F.col("s").alias("s"), F.col("mx").alias("mx")))
     zrow = (act.crossJoin(F.broadcast(rng))
             .filter(F.expr("hh - n_active > 0"))
             .select("event_type", F.lit(0).cast("long").alias("c"),
@@ -512,10 +531,12 @@ def events_peak_load_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = (Window.partitionBy("event_type").orderBy("c")
           .rowsBetween(Window.unboundedPreceding, 0))
     cum = (full.withColumn("cum", F.sum("nd").over(wc))
-           .crossJoin(F.broadcast(rng)))
+           .crossJoin(F.broadcast(
+               rng.select(F.col("hh").alias("hh")))))
     p95 = (cum.filter(F.expr("cum * 100 >= 95 * hh"))
            .groupBy("event_type").agg(F.min("c").alias("p95")))
-    return (act.join(p95, "event_type").crossJoin(F.broadcast(rng))
+    return (act.join(p95, "event_type").crossJoin(F.broadcast(
+                rng.select(F.col("hh").alias("hh"))))
             .select("event_type",
                     F.col("hh").cast("long").alias("n_hours"),
                     F.expr("s * 1000 div hh").alias("mean_milli"),
