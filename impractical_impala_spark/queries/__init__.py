@@ -612,13 +612,16 @@ _EVICTED_TO_R10 = _FILL_QUEUE_R9[_n_fill:]
 # hash-verified; fingerprint byte-identical; the hour range now derives
 # from the counts, never the fact table) so the peak-load twin
 # (streaming/peak_load.py) is the FOURTH finalizer over the shared
-# hourly-count state. Both names were already in the window
-# (never-checked) — listing them here moves them to the front, costing
-# no extra slots. The rest of the window is purely computed: the
-# remaining never-driver-checked names lead, then stalest-green
-# re-proofs (verify with `python scripts/window_queue.py`).
+# hourly-count state; events_fano_burstiness routes through
+# fano_from_hourly for the FIFTH (streaming/fano.py; same guarantees,
+# fingerprint byte-identical). The first two names were already in the
+# window (never-checked) — zero slot cost; fano is an r6-green re-proof
+# slot, the price of the plan change. The rest of the window is purely
+# computed: the remaining never-driver-checked names lead, then
+# stalest-green re-proofs (verify with `python scripts/window_queue.py`).
 CHANGED_THIS_ROUND: list[str] = ["events_hourly_profile_jsd",
-                                 "events_peak_load_ratio"]
+                                 "events_peak_load_ratio",
+                                 "events_fano_burstiness"]
 
 from ..registry import registered_names  # noqa: E402
 from ..window import computed_window  # noqa: E402
