@@ -619,9 +619,20 @@ _EVICTED_TO_R10 = _FILL_QUEUE_R9[_n_fill:]
 # slot, the price of the plan change. The rest of the window is purely
 # computed: the remaining never-driver-checked names lead, then
 # stalest-green re-proofs (verify with `python scripts/window_queue.py`).
+# Four more monitors routed through extracted *_from_hourly helpers
+# (identical guarantees: values hash-verified, oracles untouched,
+# fingerprints byte-identical) so the streaming fleet finalizes
+# through the batch code paths: events_ewma_hourly (streaming/ewma.py,
+# 6th finalizer), events_cusum_binseg (binseg.py, 7th), events_pacf
+# (pacf.py, 8th), events_burst_viterbi (burst.py, 9th). Each is an
+# old-green re-proof slot — the price of the plan-adjacent change.
 CHANGED_THIS_ROUND: list[str] = ["events_hourly_profile_jsd",
                                  "events_peak_load_ratio",
-                                 "events_fano_burstiness"]
+                                 "events_fano_burstiness",
+                                 "events_ewma_hourly",
+                                 "events_cusum_binseg",
+                                 "events_pacf",
+                                 "events_burst_viterbi"]
 
 from ..registry import registered_names  # noqa: E402
 from ..window import computed_window  # noqa: E402

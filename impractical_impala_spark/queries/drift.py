@@ -325,11 +325,25 @@ def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.expr(f"ts_ns div {HOUR_NS}").alias("hr"))
     hourly = ev.groupBy("event_type", "hr").agg(
         F.count(F.lit(1)).alias("cnt"))
+    return ewma_from_hourly(hourly)
+
+
+def ewma_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Core of events_ewma_hourly over any (event_type, hr, cnt)
+    hourly-count frame — shared with the streaming twin's finalizer
+    (streaming/ewma.py), the fano/cusum/autocorr discipline, so the
+    streamed EWMA series is bit-equal to the batch one by
+    construction. Fresh-exprId same-name aliases on the spine-join's
+    right side (the memory-sink gotcha; no-op Project in the batch
+    plan)."""
     bounds = hourly.groupBy("event_type").agg(
         F.min("hr").alias("h0"), F.max("hr").alias("h1"))
     spine = bounds.select(
         "event_type", F.explode(F.expr("sequence(h0, h1)")).alias("hr"))
-    dense = (spine.join(hourly, ["event_type", "hr"], "left")
+    right = hourly.select(F.col("event_type").alias("event_type"),
+                          F.col("hr").alias("hr"),
+                          F.col("cnt").alias("cnt"))
+    dense = (spine.join(right, ["event_type", "hr"], "left")
              .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0))))
     return (dense
             .select("event_type", "hr", F.col("cnt").alias("n_events"),
@@ -1182,27 +1196,48 @@ def events_cusum_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.expr(f"ts_ns div {HOUR_NS}").alias("hr"))
     hourly = ev.groupBy("event_type", "hr").agg(
         F.count(F.lit(1)).alias("cnt"))
+    return binseg_from_hourly(hourly)
+
+
+def binseg_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Core of events_cusum_binseg over any (event_type, hr, cnt)
+    hourly-count frame — shared with the streaming twin's finalizer
+    (streaming/binseg.py), the fano/cusum/autocorr discipline, so the
+    streamed segmentation is bit-equal to the batch one by
+    construction. Fresh-exprId same-name aliases guard every
+    re-referenced lineage (dense-join right side, the scan's tot/peak
+    join-backs — the memory-sink gotcha; no-op Projects in the batch
+    plan)."""
     bounds = hourly.groupBy("event_type").agg(
         F.min("hr").alias("h0"), F.max("hr").alias("h1"))
     spine = bounds.select(
         "event_type", F.explode(F.expr("sequence(h0, h1)")).alias("hr"))
-    dense = (spine.join(hourly, ["event_type", "hr"], "left")
+    right = hourly.select(F.col("event_type").alias("event_type"),
+                          F.col("hr").alias("hr"),
+                          F.col("cnt").alias("cnt"))
+    dense = (spine.join(right, ["event_type", "hr"], "left")
              .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
              .cache())
 
     def scan(df, part_cols):
         w = Window.partitionBy(*part_cols).orderBy("hr")
-        tot = df.groupBy(*part_cols).agg(
+        tot = (df.groupBy(*part_cols).agg(
             F.count(F.lit(1)).alias("n_seg"), F.sum("cnt").alias("tot_seg"),
             F.min("hr").alias("seg_start_hr"))
+            .select(*[F.col(c).alias(c) for c in part_cols],
+                    F.col("n_seg").alias("n_seg"),
+                    F.col("tot_seg").alias("tot_seg"),
+                    F.col("seg_start_hr").alias("seg_start_hr")))
         scanned = (df.withColumn("cum", F.sum("cnt").over(w))
                    .withColumn("t", F.row_number().over(w))
                    .join(F.broadcast(tot), list(part_cols))
                    .withColumn("s_abs", F.abs(
                        F.col("n_seg") * F.col("cum")
                        - F.col("t") * F.col("tot_seg"))))
-        peak = scanned.groupBy(*part_cols).agg(
+        peak = (scanned.groupBy(*part_cols).agg(
             F.max("s_abs").alias("cusum_scaled"))
+            .select(*[F.col(c).alias(c) for c in part_cols],
+                    F.col("cusum_scaled").alias("cusum_scaled")))
         return (scanned.join(F.broadcast(peak), list(part_cols))
                 .filter(F.col("s_abs") == F.col("cusum_scaled"))
                 .groupBy(*part_cols)
@@ -1214,7 +1249,8 @@ def events_cusum_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lvl1 = scan(dense, ("event_type",))
     seg = (dense.join(F.broadcast(lvl1.select(
-        "event_type", F.col("cp_hr").alias("cp1"))), "event_type")
+        F.col("event_type").alias("event_type"),
+        F.col("cp_hr").alias("cp1"))), "event_type")
         .withColumn("seg_id", F.expr(
             "CASE WHEN hr <= cp1 THEN 0 ELSE 1 END")))
     lvl2 = scan(seg.select("event_type", "seg_id", "hr", "cnt"),

@@ -263,11 +263,24 @@ def events_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.expr(f"ts_ns div {HOUR_NS}").alias("hr"))
     hourly = ev.groupBy("event_type", "hr").agg(
         F.count(F.lit(1)).alias("cnt"))
+    return pacf_from_hourly(hourly)
+
+
+def pacf_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Core of events_pacf over any (event_type, hr, cnt) hourly-count
+    frame — shared with the streaming twin's finalizer
+    (streaming/pacf.py), the fano/cusum/autocorr discipline, so the
+    streamed PACF panel is bit-equal to the batch one by construction.
+    Fresh-exprId same-name aliases on the spine-join's right side (the
+    memory-sink gotcha; no-op Project in the batch plan)."""
     bounds = hourly.groupBy("event_type").agg(
         F.min("hr").alias("h0"), F.max("hr").alias("h1"))
     spine = bounds.select(
         "event_type", F.explode(F.expr("sequence(h0, h1)")).alias("hr"))
-    dense = (spine.join(hourly, ["event_type", "hr"], "left")
+    right = hourly.select(F.col("event_type").alias("event_type"),
+                          F.col("hr").alias("hr"),
+                          F.col("cnt").alias("cnt"))
+    dense = (spine.join(right, ["event_type", "hr"], "left")
              .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0))))
     wl = Window.partitionBy("event_type").orderBy("hr")
     lagged = dense

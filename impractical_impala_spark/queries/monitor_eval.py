@@ -380,18 +380,32 @@ def events_burst_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossings localize burst onsets. int64 ladder: |c| <=
     n·(rate + x·|lr|)·1e6 — safe to ~1e5 hours at 1e6 events/hour;
     past that the registers widen to DECIMAL(38,0)."""
-    import pandas as pd
-
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.expr(f"ts_ns div {HOUR_NS}").alias("hr"))
     hourly = ev.groupBy("event_type", "hr").agg(
         F.count(F.lit(1)).alias("cnt"))
+    return burst_viterbi_from_hourly(hourly)
+
+
+def burst_viterbi_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Core of events_burst_viterbi over any (event_type, hr, cnt)
+    hourly-count frame — shared with the streaming twin's finalizer
+    (streaming/burst.py), the fano/cusum/autocorr discipline, so the
+    streamed burst trellis is bit-equal to the batch one by
+    construction. Fresh-exprId same-name aliases on the spine-join's
+    right side (the memory-sink gotcha; no-op Project in the batch
+    plan)."""
+    import pandas as pd
+
     bounds = hourly.groupBy("event_type").agg(
         F.min("hr").alias("h0"), F.max("hr").alias("h1"))
     spine = bounds.select(
         "event_type", "h0",
         F.explode(F.expr("sequence(h0, h1)")).alias("hr"))
-    dense = (spine.join(hourly, ["event_type", "hr"], "left")
+    right = hourly.select(F.col("event_type").alias("event_type"),
+                          F.col("hr").alias("hr"),
+                          F.col("cnt").alias("cnt"))
+    dense = (spine.join(right, ["event_type", "hr"], "left")
              .select("event_type", (F.col("hr") - F.col("h0")).alias("t"),
                      F.coalesce("cnt", F.lit(0)).alias("y")))
 
