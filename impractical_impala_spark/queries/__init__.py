@@ -626,13 +626,24 @@ _EVICTED_TO_R10 = _FILL_QUEUE_R9[_n_fill:]
 # 6th finalizer), events_cusum_binseg (binseg.py, 7th), events_pacf
 # (pacf.py, 8th), events_burst_viterbi (burst.py, 9th). Each is an
 # old-green re-proof slot — the price of the plan-adjacent change.
+# The daily family joined the fleet the same way (helpers
+# te_from_daily / granger_from_daily / dow_anova_from_daily /
+# hurst_from_daily; daily counts fold from the SAME hourly state via
+# hr div 24 — streaming/dailyfold.py): events_transfer_entropy (10th
+# finalizer), events_granger_causality (11th), events_dow_anova
+# (12th), events_hurst_exponent (13th). All four fingerprints
+# byte-identical, oracles untouched, hash-verified.
 CHANGED_THIS_ROUND: list[str] = ["events_hourly_profile_jsd",
                                  "events_peak_load_ratio",
                                  "events_fano_burstiness",
                                  "events_ewma_hourly",
                                  "events_cusum_binseg",
                                  "events_pacf",
-                                 "events_burst_viterbi"]
+                                 "events_burst_viterbi",
+                                 "events_transfer_entropy",
+                                 "events_granger_causality",
+                                 "events_dow_anova",
+                                 "events_hurst_exponent"]
 
 from ..registry import registered_names  # noqa: E402
 from ..window import computed_window  # noqa: E402

@@ -157,22 +157,39 @@ def events_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact reduction."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.expr(f"ts_ns div {DAY_NS}").alias("d"))
-    cnt = (ev.filter(F.col("event_type").isin(
+    daily = ev.groupBy("d", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    return te_from_daily(daily)
+
+
+def te_from_daily(daily: DataFrame) -> DataFrame:
+    """Core of events_transfer_entropy over any (d, event_type, c)
+    daily-count frame covering ALL types (the day range derives from
+    the counts — identical to the raw-event range, since every event
+    lands in exactly one cell). Shared with the streaming twin's
+    finalizer (streaming/transfer_entropy.py): the hourly-count state
+    folds hr div 24 with exact integer sums, so the streamed TE is
+    bit-equal to the batch one by construction. Fresh-exprId same-name
+    aliases guard every re-referenced lineage (the memory-sink
+    gotcha; no-op Projects in the batch plan)."""
+    cnt = daily.filter(F.col("event_type").isin(
         *{t for pair in TE_PAIRS for t in pair}))
-        .groupBy("d", "event_type").agg(F.count(F.lit(1)).alias("c")))
-    rng = ev.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    rng = daily.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
     spine = rng.select(F.explode(F.expr("sequence(dmin, dmax)")).alias("d"))
     out = None
     for x_t, y_t in TE_PAIRS:
-        wide = (spine
+        wide = (spine.select(F.col("d").alias("d"))
                 .join(cnt.filter(F.col("event_type") == x_t)
-                      .select("d", F.col("c").alias("xc")), "d", "left")
+                      .select(F.col("d").alias("d"),
+                              F.col("c").alias("xc")), "d", "left")
                 .join(cnt.filter(F.col("event_type") == y_t)
-                      .select("d", F.col("c").alias("yc")), "d", "left")
+                      .select(F.col("d").alias("d"),
+                              F.col("c").alias("yc")), "d", "left")
                 .select("d", F.coalesce("xc", F.lit(0)).alias("xc"),
                         F.coalesce("yc", F.lit(0)).alias("yc")))
-        tots = wide.agg(F.count(F.lit(1)).alias("n"),
-                        F.sum("xc").alias("sx"), F.sum("yc").alias("sy"))
+        tots = (wide.agg(F.count(F.lit(1)).alias("n"),
+                         F.sum("xc").alias("sx"), F.sum("yc").alias("sy"))
+                .select(F.col("n").alias("n"), F.col("sx").alias("sx"),
+                        F.col("sy").alias("sy")))
         wd = Window.orderBy("d")
         bits = (wide.crossJoin(F.broadcast(tots))
                 .select("d",

@@ -648,8 +648,23 @@ def events_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.expr(f"ts_ns div {DAY_NS}").alias("d"))
     cnt = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("c"))
-    rng = ev.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
-    types = ev.select("event_type").distinct()
+    return dow_anova_from_daily(cnt)
+
+
+def dow_anova_from_daily(cnt: DataFrame) -> DataFrame:
+    """Core of events_dow_anova over any (event_type, d, c) daily-count
+    frame (the type set and day range derive from the counts —
+    identical to the raw-event versions). Shared with the streaming
+    twin's finalizer (streaming/dow_anova.py): the hourly-count state
+    folds hr div 24 with exact integer sums, so the streamed F panel
+    is bit-equal to the batch one by construction. Fresh-exprId
+    same-name aliases guard every re-referenced lineage (the
+    memory-sink gotcha; no-op Projects in the batch plan)."""
+    rng = (cnt.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+           .select(F.col("dmin").alias("dmin"),
+                   F.col("dmax").alias("dmax")))
+    types = (cnt.select(F.col("event_type").alias("event_type"))
+             .distinct())
     spine = (types.crossJoin(F.broadcast(rng))
              .select("event_type",
                      F.explode(F.expr("sequence(dmin, dmax)")).alias("d")))

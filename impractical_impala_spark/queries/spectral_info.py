@@ -538,18 +538,32 @@ def events_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-spine cardinality."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.expr("ts_ns div 86400000000000").alias("d"))
-    cnt = (ev.filter(F.col("event_type").isin(
+    daily = ev.groupBy("d", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    return granger_from_daily(daily)
+
+
+def granger_from_daily(daily: DataFrame) -> DataFrame:
+    """Core of events_granger_causality over any (d, event_type, c)
+    daily-count frame covering ALL types (the day range derives from
+    the counts — identical to the raw-event range). Shared with the
+    streaming twin's finalizer (streaming/granger.py): the
+    hourly-count state folds hr div 24 with exact integer sums, so the
+    streamed F panel is bit-equal to the batch one by construction.
+    Fresh-exprId same-name aliases guard every re-referenced lineage
+    (the memory-sink gotcha; no-op Projects in the batch plan)."""
+    cnt = daily.filter(F.col("event_type").isin(
         *{t for pair in GC_PAIRS for t in pair}))
-        .groupBy("d", "event_type").agg(F.count(F.lit(1)).alias("c")))
-    rng = ev.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    rng = daily.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
     spine = rng.select(F.explode(F.expr("sequence(dmin, dmax)")).alias("d"))
     out = None
     for x_t, y_t in GC_PAIRS:
-        wide = (spine
+        wide = (spine.select(F.col("d").alias("d"))
                 .join(cnt.filter(F.col("event_type") == x_t)
-                      .select("d", F.col("c").alias("xc")), "d", "left")
+                      .select(F.col("d").alias("d"),
+                              F.col("c").alias("xc")), "d", "left")
                 .join(cnt.filter(F.col("event_type") == y_t)
-                      .select("d", F.col("c").alias("yc")), "d", "left")
+                      .select(F.col("d").alias("d"),
+                              F.col("c").alias("yc")), "d", "left")
                 .select("d", F.coalesce("xc", F.lit(0)).alias("xc"),
                         F.coalesce("yc", F.lit(0)).alias("yc")))
         w = Window.orderBy("d")
@@ -680,11 +694,25 @@ def events_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.expr("ts_ns div 86400000000000").alias("d"))
     cnt = ev.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
-    rng = ev.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    return hurst_from_daily(cnt)
+
+
+def hurst_from_daily(cnt: DataFrame) -> DataFrame:
+    """Core of events_hurst_exponent over any global (d, c) daily-count
+    frame (the day range derives from the counts — identical to the
+    raw-event range). Shared with the streaming twin's finalizer
+    (streaming/hurst.py): the hourly-count state folds hr div 24
+    summed over all types with exact integer sums, so the streamed
+    Hurst estimate is bit-equal to the batch one by construction.
+    Fresh-exprId same-name aliases guard the re-referenced count
+    lineage (the memory-sink gotcha; no-op Projects in the batch
+    plan)."""
+    rng = cnt.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    right = cnt.select(F.col("d").alias("d"), F.col("c").alias("c"))
     spine = (rng.select(
         F.explode(F.expr("sequence(dmin, dmax)")).alias("d"), "dmin",
         F.expr("dmax - dmin + 1").alias("n"))
-        .join(cnt, "d", "left")
+        .join(right, "d", "left")
         .select(F.expr("d - dmin").alias("i"), "n",
                 F.coalesce("c", F.lit(0)).alias("x")))
     ms = ", ".join(str(m) for m in HURST_MS)

@@ -1,0 +1,172 @@
+"""The daily-family streaming twins (transfer entropy, Granger,
+day-of-week ANOVA, Hurst) must finalize to EXACTLY their batch queries
+— AvailableNow, chunked replay, and a crash/restart through the same
+checkpoint. The daily counts fold from the SAME hourly-count state the
+nine hourly monitors read (hr div 24, exact integer sums); the closing
+test pins the full THIRTEEN-finalizer fleet over one state stream."""
+
+import time
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+from impractical_impala_spark.registry import all_queries
+from impractical_impala_spark.sources import load_table
+from impractical_impala_spark.streaming import autocorr as AC
+from impractical_impala_spark.streaming import binseg as BS
+from impractical_impala_spark.streaming import burst as BU
+from impractical_impala_spark.streaming import cusum as CU
+from impractical_impala_spark.streaming import dow_anova as DW
+from impractical_impala_spark.streaming import ewma as EW
+from impractical_impala_spark.streaming import fano as FA
+from impractical_impala_spark.streaming import granger as GR
+from impractical_impala_spark.streaming import hurst as HU
+from impractical_impala_spark.streaming import pacf as PC
+from impractical_impala_spark.streaming import peak_load as PL
+from impractical_impala_spark.streaming import profile_jsd as PJ
+from impractical_impala_spark.streaming import transfer_entropy as TE
+
+_Q = all_queries()
+
+TWINS = {
+    "te": (TE, "events_transfer_entropy",
+           ["direction", "n_steps", "te_micro"]),
+    "granger": (GR, "events_granger_causality",
+                ["direction", "n_days", "f_micro", "causal"]),
+    "dow_anova": (DW, "events_dow_anova",
+                  ["event_type", "n_days", "f_micro", "dow_effect"]),
+    "hurst": (HU, "events_hurst_exponent",
+              ["n_days", "slope_micro", "hurst_micro"]),
+}
+
+HOURLY = [
+    (AC, "events_hourly_autocorr24", ["event_type", "n", "r24"]),
+    (CU, "events_cusum_changepoint",
+     ["event_type", "n_hours", "total_events", "cusum_scaled",
+      "cp_hr"]),
+    (PJ, "events_hourly_profile_jsd", ["t1", "t2", "jsd_micro"]),
+    (PL, "events_peak_load_ratio",
+     ["event_type", "n_hours", "mean_milli", "p95_load", "max_load",
+      "par_ppm", "p95_ratio_ppm"]),
+    (FA, "events_fano_burstiness",
+     ["event_type", "n_hours", "n_events", "fano_milli"]),
+    (EW, "events_ewma_hourly",
+     ["event_type", "hr", "n_events", "ewma_milli"]),
+    (BS, "events_cusum_binseg",
+     ["event_type", "level", "seg_id", "seg_start_hr", "seg_n_hours",
+      "seg_total", "cusum_scaled", "cp_hr"]),
+    (PC, "events_pacf",
+     ["event_type", "n_hours", "acf1", "acf2", "acf3", "pacf1",
+      "pacf2", "pacf3"]),
+    (BU, "events_burst_viterbi",
+     ["event_type", "t", "y", "state", "margin_micro"]),
+]
+
+
+def _want(spark, sf_small, qname, cols) -> pd.DataFrame:
+    return (_Q[qname].build(spark, sf_small).toPandas()[cols]
+            .sort_values(cols).reset_index(drop=True))
+
+
+def _got(spark, mod, rows, cols) -> pd.DataFrame:
+    return (mod.finalize(mod.latest_state(rows)).toPandas()[cols]
+            .sort_values(cols).reset_index(drop=True))
+
+
+@pytest.fixture()
+def split_dir(spark, sf_small, tmp_path):
+    out = str(tmp_path / "ev_split")
+    (load_table(spark, sf_small, "events")
+     .select("event_id", "event_type", "ts_ns")
+     .repartition(8)
+     .write.mode("overwrite").parquet(out))
+    return out
+
+
+def _stream_state(spark, data_dir, max_files):
+    schema = spark.read.parquet(data_dir).schema
+    raw = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", max_files)
+           .parquet(data_dir))
+    return AC.streaming_autocorr24_state(raw)
+
+
+@pytest.mark.parametrize("twin", sorted(TWINS))
+def test_daily_twin_availablenow(twin, spark, split_dir, sf_small):
+    mod, qname, cols = TWINS[twin]
+    q = (_stream_state(spark, split_dir, max_files=100)
+         .writeStream.format("memory").queryName(f"t_{twin}_an")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.table(f"t_{twin}_an")
+    pd.testing.assert_frame_equal(_got(spark, mod, rows, cols),
+                                  _want(spark, sf_small, qname, cols))
+
+
+@pytest.mark.parametrize("twin", sorted(TWINS))
+def test_daily_twin_chunked_replay(twin, spark, split_dir, tmp_path,
+                                   sf_small):
+    mod, qname, cols = TWINS[twin]
+    q = (_stream_state(spark, split_dir, max_files=1)
+         .writeStream.format("memory").queryName(f"t_{twin}_ck")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.table(f"t_{twin}_ck")
+    pd.testing.assert_frame_equal(_got(spark, mod, rows, cols),
+                                  _want(spark, sf_small, qname, cols))
+
+
+def test_daily_twin_restart_from_checkpoint(spark, split_dir, tmp_path,
+                                            sf_small):
+    """One restart run shared by the four daily twins (the state
+    operator is identical; all four read the same recovered rows)."""
+    ckpt = str(tmp_path / "ckpt2")
+    sink = str(tmp_path / "state_rows")
+
+    def write_batch(df, batch_id):
+        df.write.mode("overwrite").parquet(f"{sink}/batch={batch_id}")
+
+    q1 = (_stream_state(spark, split_dir, max_files=1)
+          .writeStream.foreachBatch(write_batch)
+          .outputMode("update").option("checkpointLocation", ckpt)
+          .start())
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        lp = q1.lastProgress
+        if lp and lp.get("numInputRows", 0) > 0:
+            break
+        time.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination()
+    q2 = (_stream_state(spark, split_dir, max_files=1)
+          .writeStream.foreachBatch(write_batch)
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination()
+    rows = spark.read.parquet(
+        *[str(p) for p in Path(sink).glob("batch=*")])
+    for twin in sorted(TWINS):
+        mod, qname, cols = TWINS[twin]
+        pd.testing.assert_frame_equal(
+            _got(spark, mod, rows, cols),
+            _want(spark, sf_small, qname, cols))
+
+
+def test_one_state_stream_feeds_thirteen_finalizers(spark, split_dir,
+                                                    sf_small):
+    """The shared hourly-count state serves THIRTEEN monitors (nine
+    hourly + four daily) — one AvailableNow pass, thirteen finalizes,
+    thirteen batch matches."""
+    q = (_stream_state(spark, split_dir, max_files=100)
+         .writeStream.format("memory").queryName("t_thirteen_state")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.table("t_thirteen_state")
+    for mod, qname, cols in HOURLY + [TWINS[t] for t in sorted(TWINS)]:
+        got = _got(spark, mod, rows, cols)
+        want = _want(spark, sf_small, qname, cols)
+        pd.testing.assert_frame_equal(got, want)
