@@ -643,7 +643,8 @@ CHANGED_THIS_ROUND: list[str] = ["events_hourly_profile_jsd",
                                  "events_transfer_entropy",
                                  "events_granger_causality",
                                  "events_dow_anova",
-                                 "events_hurst_exponent"]
+                                 "events_hurst_exponent",
+                                 "events_pettitt_test"]
 
 from ..registry import registered_names  # noqa: E402
 from ..window import computed_window  # noqa: E402

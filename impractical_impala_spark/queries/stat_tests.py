@@ -933,8 +933,24 @@ def events_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.expr(f"ts_ns div {DAY_NS}").alias("d"))
     cnt = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("c"))
-    rng = ev.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
-    types = ev.select("event_type").distinct()
+    return pettitt_from_daily(cnt)
+
+
+def pettitt_from_daily(cnt: DataFrame) -> DataFrame:
+    """Core of events_pettitt_test over any (event_type, d, c)
+    daily-count frame (the type set and day range derive from the
+    counts — identical to the raw-event versions). Shared with the
+    streaming twin's finalizer (streaming/pettitt.py): the
+    hourly-count state folds hr div 24 with exact integer sums, so the
+    streamed change-point panel is bit-equal to the batch one by
+    construction. Fresh-exprId same-name aliases guard every
+    re-referenced lineage (the memory-sink gotcha; no-op Projects in
+    the batch plan)."""
+    rng = (cnt.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+           .select(F.col("dmin").alias("dmin"),
+                   F.col("dmax").alias("dmax")))
+    types = (cnt.select(F.col("event_type").alias("event_type"))
+             .distinct())
     spine = (types.crossJoin(F.broadcast(rng))
              .select("event_type", "dmin", "dmax",
                      F.explode(F.expr("sequence(dmin, dmax)")).alias("d")))
@@ -947,7 +963,10 @@ def events_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
           .rowsBetween(Window.unboundedPreceding, -1))
     ranked = (vals.withColumn(
         "cless", F.coalesce(F.sum("ceq").over(wv), F.lit(0)))
-        .withColumn("r2", F.expr("2 * cless + ceq + 1")))
+        .withColumn("r2", F.expr("2 * cless + ceq + 1"))
+        .select(F.col("event_type").alias("event_type"),
+                F.col("x").alias("x"), F.col("ceq").alias("ceq"),
+                F.col("cless").alias("cless"), F.col("r2").alias("r2")))
     wd = Window.partitionBy("event_type").orderBy("d")
     seq = (filled.join(ranked, ["event_type", "x"])
            .withColumn("t", F.expr("d - dmin + 1"))
