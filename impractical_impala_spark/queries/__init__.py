@@ -644,7 +644,8 @@ CHANGED_THIS_ROUND: list[str] = ["events_hourly_profile_jsd",
                                  "events_granger_causality",
                                  "events_dow_anova",
                                  "events_hurst_exponent",
-                                 "events_pettitt_test"]
+                                 "events_pettitt_test",
+                                 "events_sprt_sequential"]
 
 from ..registry import registered_names  # noqa: E402
 from ..window import computed_window  # noqa: E402

@@ -512,7 +512,24 @@ def events_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.sum(F.expr("cast(event_type = 'purchase' as int)"))
                     .alias("x"),
                     F.count(F.lit(1)).alias("n")))
-    rng = per_day.agg(F.min("d").alias("d0"))
+    return sprt_from_per_day(per_day)
+
+
+def sprt_from_per_day(per_day: DataFrame) -> DataFrame:
+    """Core of events_sprt_sequential over any (d, x, n) per-day frame
+    (x = successes, n = trials; days with zero trials are absent, as
+    in the batch census). The walk arithmetic is shared with the
+    streaming twin's finalizer (streaming/sprt.py), which derives the
+    same per-day frame from the hourly-count state (hr div 24 exact
+    integer sums), so the streamed LLR walk is bit-equal to the batch
+    one by construction. The batch query keeps its original
+    one-aggregation plan — only the arithmetic PAST the census is
+    shared, so the strategy-time fingerprint is unchanged.
+    Fresh-exprId same-name aliases guard the re-referenced per-day
+    lineage (the memory-sink gotcha; no-op Projects in the batch
+    plan)."""
+    rng = (per_day.agg(F.min("d").alias("d0"))
+           .select(F.col("d0").alias("d0")))
     w = Window.orderBy("d_idx")
     walk = (per_day.crossJoin(F.broadcast(rng))
             .select((F.col("d") - F.col("d0")).alias("d_idx"), "x", "n",

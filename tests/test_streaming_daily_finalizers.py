@@ -1,9 +1,9 @@
 """The daily-family streaming twins (transfer entropy, Granger,
-day-of-week ANOVA, Hurst, Pettitt) must finalize to EXACTLY their batch queries
+day-of-week ANOVA, Hurst, Pettitt, SPRT) must finalize to EXACTLY their batch queries
 — AvailableNow, chunked replay, and a crash/restart through the same
 checkpoint. The daily counts fold from the SAME hourly-count state the
 nine hourly monitors read (hr div 24, exact integer sums); the closing
-test pins the full FOURTEEN-finalizer fleet over one state stream."""
+test pins the full FIFTEEN-finalizer fleet over one state stream."""
 
 import time
 from pathlib import Path
@@ -26,6 +26,7 @@ from impractical_impala_spark.streaming import pacf as PC
 from impractical_impala_spark.streaming import peak_load as PL
 from impractical_impala_spark.streaming import pettitt as PT
 from impractical_impala_spark.streaming import profile_jsd as PJ
+from impractical_impala_spark.streaming import sprt as SP
 from impractical_impala_spark.streaming import transfer_entropy as TE
 
 _Q = all_queries()
@@ -42,6 +43,9 @@ TWINS = {
     "pettitt": (PT, "events_pettitt_test",
                 ["event_type", "n_days", "k_stat", "t_star", "p_micro",
                  "significant"]),
+    "sprt": (SP, "events_sprt_sequential",
+             ["d_idx", "x", "n", "llr_micro", "hit_upper", "hit_lower",
+              "state"]),
 }
 
 HOURLY = [
@@ -125,8 +129,8 @@ def test_daily_twin_chunked_replay(twin, spark, split_dir, tmp_path,
 
 def test_daily_twin_restart_from_checkpoint(spark, split_dir, tmp_path,
                                             sf_small):
-    """One restart run shared by the five daily twins (the state
-    operator is identical; all five read the same recovered rows)."""
+    """One restart run shared by the six daily twins (the state
+    operator is identical; all six read the same recovered rows)."""
     ckpt = str(tmp_path / "ckpt2")
     sink = str(tmp_path / "state_rows")
 
@@ -160,16 +164,16 @@ def test_daily_twin_restart_from_checkpoint(spark, split_dir, tmp_path,
             _want(spark, sf_small, qname, cols))
 
 
-def test_one_state_stream_feeds_fourteen_finalizers(spark, split_dir,
+def test_one_state_stream_feeds_fifteen_finalizers(spark, split_dir,
                                                     sf_small):
-    """The shared hourly-count state serves FOURTEEN monitors (nine
-    hourly + five daily) — one AvailableNow pass, fourteen finalizes,
-    fourteen batch matches."""
+    """The shared hourly-count state serves FIFTEEN monitors (nine
+    hourly + six daily) — one AvailableNow pass, fifteen finalizes,
+    fifteen batch matches."""
     q = (_stream_state(spark, split_dir, max_files=100)
-         .writeStream.format("memory").queryName("t_fourteen_state")
+         .writeStream.format("memory").queryName("t_fifteen_state")
          .outputMode("update").trigger(availableNow=True).start())
     q.awaitTermination()
-    rows = spark.table("t_fourteen_state")
+    rows = spark.table("t_fifteen_state")
     for mod, qname, cols in HOURLY + [TWINS[t] for t in sorted(TWINS)]:
         got = _got(spark, mod, rows, cols)
         want = _want(spark, sf_small, qname, cols)
