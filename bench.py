@@ -710,8 +710,12 @@ def main() -> None:
         "detail": "BENCH_DETAIL.json",
     }
     if anchor:
+        # RECORDED at anchor time by scripts/bench_anchor.py, NOT a
+        # per-run measurement (VERDICT r12 "what's wrong" #2: the old
+        # name anchor_drift read like a fresh number while repeating
+        # the same committed value every round).
         line["anchor_commit"] = anchor.get("anchor_commit")
-        line["anchor_drift"] = anchor.get("drift_ratio")
+        line["anchor_drift_recorded"] = anchor.get("drift_ratio")
     print(json.dumps(line))
     spark.stop()
 

@@ -633,19 +633,28 @@ _EVICTED_TO_R10 = _FILL_QUEUE_R9[_n_fill:]
 # finalizer), events_granger_causality (11th), events_dow_anova
 # (12th), events_hurst_exponent (13th). All four fingerprints
 # byte-identical, oracles untouched, hash-verified.
-CHANGED_THIS_ROUND: list[str] = ["events_hourly_profile_jsd",
-                                 "events_peak_load_ratio",
-                                 "events_fano_burstiness",
-                                 "events_ewma_hourly",
-                                 "events_cusum_binseg",
-                                 "events_pacf",
-                                 "events_burst_viterbi",
-                                 "events_transfer_entropy",
-                                 "events_granger_causality",
-                                 "events_dow_anova",
-                                 "events_hurst_exponent",
-                                 "events_pettitt_test",
-                                 "events_sprt_sequential"]
+# Round 13 (VERDICT r12 "what's wrong" #1): CHANGED_THIS_ROUND now maps
+# each changed name to the newest committed CORRECTNESS round at change
+# time; window.computed_window DROPS a name automatically once a green
+# driver row postdates that round, so the list self-retires — the 13
+# r12 monitor refactors below (as-of 11) all carry hash-green
+# CORRECTNESS_r12 rows and no longer lead the window. They stay listed
+# as documentation until the next registry edit touches this block.
+CHANGED_THIS_ROUND: dict[str, int] = {
+    "events_hourly_profile_jsd": 11,
+    "events_peak_load_ratio": 11,
+    "events_fano_burstiness": 11,
+    "events_ewma_hourly": 11,
+    "events_cusum_binseg": 11,
+    "events_pacf": 11,
+    "events_burst_viterbi": 11,
+    "events_transfer_entropy": 11,
+    "events_granger_causality": 11,
+    "events_dow_anova": 11,
+    "events_hurst_exponent": 11,
+    "events_pettitt_test": 11,
+    "events_sprt_sequential": 11,
+}
 
 from ..registry import registered_names  # noqa: E402
 from ..window import computed_window  # noqa: E402

@@ -19,7 +19,6 @@ day-spine cardinality work, independent of event volume.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-
 from pyspark.sql import functions as F
 
 from ..queries.monitor_eval import sprt_from_per_day

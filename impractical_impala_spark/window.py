@@ -11,7 +11,12 @@ the repo root), so even an idle round drains the evidence queue:
 
 1. names whose implementation changed this round — the only input the
    history cannot know; hand-declared per round in
-   ``queries/__init__.py::CHANGED_THIS_ROUND``;
+   ``queries/__init__.py::CHANGED_THIS_ROUND`` as ``name -> as-of
+   round`` (the newest committed CORRECTNESS round at the moment the
+   change landed). A changed name drops out of the lead AUTOMATICALLY
+   once a green driver row POSTDATES the change (VERDICT r12 "what's
+   wrong" #1: a hand list left over from the previous round must not
+   re-spend window slots on names whose change is already proven);
 2. names with NO driver row in any committed round, registration order
    (first-exposure evidence is the gap every verdict ranks first);
 3. names whose LATEST driver row is not green (error or mismatch) —
@@ -79,19 +84,50 @@ def driver_history(root: Path | None = None) -> dict[str, tuple[int, bool]]:
     return hist
 
 
-def computed_window(registered: list[str], changed: list[str] = (),
+def changed_lead(registered: list[str],
+                 changed: "dict[str, int] | list[str]",
+                 hist: dict[str, tuple[int, bool]]) -> list[str]:
+    """The still-ACTIVE changed names (window priority 1), in
+    declaration order: registered, and not yet proven by a green driver
+    row from a round strictly newer than the change's as-of round. A
+    plain list means as-of = the newest round in ``hist`` (legacy
+    "always lead" semantics — nothing can postdate it)."""
+    reg = set(registered)
+    newest = max((r for r, _ in hist.values()), default=0)
+    as_of = (dict(changed) if isinstance(changed, dict)
+             else {n: newest for n in changed})
+    return [n for n in as_of
+            if n in reg and not (
+                n in hist and hist[n][1] and hist[n][0] > as_of[n])]
+
+
+def computed_window(registered: list[str],
+                    changed: "dict[str, int] | list[str]" = (),
                     slots: int = WINDOW_SLOTS,
-                    root: Path | None = None) -> list[str]:
+                    root: Path | None = None,
+                    history: dict[str, tuple[int, bool]] | None = None,
+                    ) -> list[str]:
     """The driver window: ``slots`` names in checking-priority order.
 
     ``registered`` is the registry's insertion order (ties break on it);
-    ``changed`` is this round's changed-implementation list (unknown
-    names are ignored so a stale entry cannot crash the import — the
-    registry itself raises on unknown WINDOW names later anyway).
+    ``changed`` maps this round's changed-implementation names to the
+    newest committed CORRECTNESS round at change time (unknown names are
+    ignored so a stale entry cannot crash the import — the registry
+    itself raises on unknown WINDOW names later anyway). A changed name
+    whose latest history row is GREEN and NEWER than its as-of round is
+    already proven and falls through to ordinary green priority — the
+    hand list self-retires without a round-open edit. A plain list is
+    accepted for synthetic-history tests and means "always lead"
+    (as-of = newest round in the history, so nothing can postdate it).
+
+    ``history`` lets callers inject a synthetic evidence dict (ADVICE
+    r12: scripts/window_queue.py's next-window prediction must reuse
+    THIS ordering, not re-implement it); defaults to
+    ``driver_history(root)``.
     """
-    hist = driver_history(root)
+    hist = history if history is not None else driver_history(root)
     pos = {n: i for i, n in enumerate(registered)}
-    lead = [n for n in changed if n in pos]
+    lead = changed_lead(registered, changed, hist)
     lead_set = set(lead)
     rest = [n for n in registered if n not in lead_set]
     never = [n for n in rest if n not in hist]

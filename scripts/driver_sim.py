@@ -2,7 +2,15 @@
 """Pre-verify queries exactly the way the correctness driver does:
 through ``__spark_entry__.queries()`` / ``oracle_sql()`` (NOT the
 registry or pytest), comparing each Spark result against its DuckDB
-oracle at sf0.01 and emitting CORRECTNESS-style rows.
+oracle at sf0.01 and emitting CORRECTNESS-SHAPED rows.
+
+The value comparison here is rtol/atol 1e-9, so the field is named
+``values_match`` — NOT ``hash_match`` — because the real driver's
+hash_match is an exact-content check (ADVICE r12: sim rows must never
+be confusable with driver hash evidence; window.py reads only
+CORRECTNESS_r*.json, and these rows carry no hash_match key at all).
+``values_exact`` reports the strict no-tolerance comparison as a
+secondary signal.
 
 Usage:
     python scripts/driver_sim.py                # the computed window
@@ -51,8 +59,8 @@ def main() -> int:
     bad: list[str] = []
     for i, name in enumerate(names, 1):
         row = {"rows_match": None, "schema_match": None,
-               "hash_match": None, "spark_rows": None,
-               "oracle_rows": None, "err": None}
+               "values_match": None, "values_exact": None,
+               "spark_rows": None, "oracle_rows": None, "err": None}
         try:
             got = qs[name](spark, sf).toPandas()
             row["spark_rows"] = len(got)
@@ -66,13 +74,16 @@ def main() -> int:
                     want.columns)
                 if row["rows_match"] and row["schema_match"]:
                     g, w = _normalize(got), _normalize(want)
-                    row["hash_match"] = _values_equal(g, w)
+                    row["values_match"] = _values_equal(g, w)
+                    row["values_exact"] = _values_equal(
+                        g, w, rtol=0.0, atol=0.0)
                 else:
-                    row["hash_match"] = False
+                    row["values_match"] = False
+                    row["values_exact"] = False
         except Exception as exc:  # noqa: BLE001 — driver records errors
             row["err"] = f"{type(exc).__name__}: {exc}"[:300]
         out[name] = row
-        green = row["hash_match"] is True
+        green = row["values_match"] is True
         if not green:
             bad.append(name)
         print(f"[{i:3d}/{len(names)}] {'PASS' if green else 'FAIL'} {name}",
@@ -84,7 +95,7 @@ def main() -> int:
     if bad:
         print(f"NOT GREEN ({len(bad)}): {bad}", file=sys.stderr)
         return 1
-    print(f"all {len(names)} hash-green at {sf}", file=sys.stderr)
+    print(f"all {len(names)} values-green at {sf}", file=sys.stderr)
     return 0
 
 

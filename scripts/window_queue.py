@@ -24,7 +24,7 @@ sys.path.insert(0, str(REPO))
 from impractical_impala_spark.queries import CHANGED_THIS_ROUND  # noqa: E402
 from impractical_impala_spark.registry import registered_names  # noqa: E402
 from impractical_impala_spark.window import (  # noqa: E402
-    WINDOW_SLOTS, computed_window, driver_history)
+    changed_lead, computed_window, driver_history)
 
 
 def queue_state(root: Path = REPO) -> dict:
@@ -35,26 +35,28 @@ def queue_state(root: Path = REPO) -> dict:
     window = computed_window(names, CHANGED_THIS_ROUND, root=root)
 
     # predicted next window: every current-window name gets a green row
-    # in a synthetic round newer than anything in the history
+    # in a synthetic round newer than anything in the history, then the
+    # SAME ordering implementation recomputes (ADVICE r12: inject the
+    # synthetic history into computed_window instead of re-implementing
+    # the priority rules here).
     nxt_round = 1 + max(
         (r for r, _ in hist.values()), default=0)
     synth = dict(hist)
     for n in window:
         synth[n] = (nxt_round, True)
-    pos = {n: i for i, n in enumerate(names)}
-    still_never = [n for n in names if n not in synth]
-    still_failed = [n for n in names if n in synth and not synth[n][1]]
-    green = sorted(
-        (n for n in names if n in synth and synth[n][1]),
-        key=lambda n: (synth[n][0], pos[n]))
-    predicted = (still_never + still_failed + green)[:WINDOW_SLOTS]
+    predicted = computed_window(
+        names, CHANGED_THIS_ROUND, root=root, history=synth)
 
     return {
         "registry": len(names),
         "never_checked": never,
         "never_checked_count": len(never),
         "latest_row_failed": failed,
-        "changed_this_round": list(CHANGED_THIS_ROUND),
+        "changed_this_round": (dict(CHANGED_THIS_ROUND)
+                               if isinstance(CHANGED_THIS_ROUND, dict)
+                               else list(CHANGED_THIS_ROUND)),
+        "changed_still_leading": changed_lead(
+            names, CHANGED_THIS_ROUND, hist),
         "window": window,
         "predicted_next_window": predicted,
         "predicted_next_window_stalest_round": (

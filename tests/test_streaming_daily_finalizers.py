@@ -178,3 +178,43 @@ def test_one_state_stream_feeds_fifteen_finalizers(spark, split_dir,
         got = _got(spark, mod, rows, cols)
         want = _want(spark, sf_small, qname, cols)
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_daily_fold_truncation_composes_for_negative_hours(spark):
+    """ADVICE r12 (dailyfold sign-safety), resolved by proof instead of
+    a floor rewrite: both the fold (hr div 24, hr = ts_ns div HOUR_NS)
+    and the batch spine (ts_ns div DAY_NS) are Spark truncating div,
+    and trunc-div COMPOSES for positive divisors whatever the sign —
+    trunc(trunc(x/a)/b) == trunc(x/(a*b)). Floor semantics in the fold
+    would DISAGREE with the batch spine on pre-epoch timestamps (e.g.
+    hr=-25: trunc(-25/24)=-1 but floor(-25/24)=-2). This pins the fold
+    against a batch-identical spine over hour indices of both signs."""
+    from impractical_impala_spark.streaming.dailyfold import (
+        daily_counts_by_type, daily_counts_global)
+
+    HOUR_NS = 3_600_000_000_000
+    DAY_NS = 24 * HOUR_NS
+    # hour indices straddling zero, incl. exact day boundaries
+    hrs = [-49, -48, -25, -24, -23, -1, 0, 1, 23, 24, 25, 47, 48]
+    ev = spark.createDataFrame(
+        [("a", h * HOUR_NS + 1, 2) for h in hrs]
+        + [("b", h * HOUR_NS, 3) for h in hrs],
+        "event_type string, ts_ns long, c long")
+    state = ev.selectExpr(
+        "event_type", f"ts_ns div {HOUR_NS} as hr", "c")
+    batch_by_type = (ev.selectExpr(
+        "event_type", f"ts_ns div {DAY_NS} as d", "c")
+        .groupBy("d", "event_type").agg({"c": "sum"})
+        .withColumnRenamed("sum(c)", "c"))
+    got = daily_counts_by_type(state).toPandas().sort_values(
+        ["d", "event_type"]).reset_index(drop=True)
+    want = batch_by_type.toPandas().sort_values(
+        ["d", "event_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    got_g = daily_counts_global(state).toPandas().sort_values(
+        "d").reset_index(drop=True)
+    want_g = (ev.selectExpr(f"ts_ns div {DAY_NS} as d", "c")
+              .groupBy("d").agg({"c": "sum"})
+              .withColumnRenamed("sum(c)", "c")
+              .toPandas().sort_values("d").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_g, want_g)

@@ -15,7 +15,7 @@ from pathlib import Path
 from impractical_impala_spark.queries import CHANGED_THIS_ROUND, WINDOW
 from impractical_impala_spark.registry import all_queries, registered_names
 from impractical_impala_spark.window import (
-    WINDOW_SLOTS, computed_window, driver_history)
+    WINDOW_SLOTS, changed_lead, computed_window, driver_history)
 
 
 # ------------------------------------------------------- live window
@@ -31,16 +31,17 @@ def test_live_window_shape():
 
 def test_live_window_prioritizes_never_checked():
     """While the never-checked queue holds >= 50 names, every window
-    slot (past CHANGED_THIS_ROUND) must be a never-checked name; once
-    the queue drains below 50, the remainder must be failed-then-
-    stalest-green. This is the idle-round-proof property: re-importing
-    after the driver commits a new CORRECTNESS file advances the
-    window automatically."""
+    slot (past the still-ACTIVE changed names) must be a never-checked
+    name; once the queue drains below 50, the remainder must be
+    failed-then-stalest-green. This is the idle-round-proof property:
+    re-importing after the driver commits a new CORRECTNESS file
+    advances the window automatically."""
     hist = driver_history()
     names = registered_names()
+    lead = changed_lead(names, CHANGED_THIS_ROUND, hist)
     never = [n for n in names
-             if n not in hist and n not in CHANGED_THIS_ROUND]
-    tail = WINDOW[len(CHANGED_THIS_ROUND):]
+             if n not in hist and n not in lead]
+    tail = WINDOW[len(lead):]
     if len(never) >= len(tail):
         assert tail == never[:len(tail)]
     else:
@@ -202,6 +203,62 @@ def test_rows_only_green_requires_absent_hash_evidence(tmp_path):
     # failed c, d (registration order) ahead of the rows-only greens
     assert computed_window(reg, [], slots=4, root=tmp_path) == \
         ["c", "d", "a", "b"]
+
+
+def test_changed_name_retires_once_green_postdates_change(tmp_path):
+    """VERDICT r12 ask #1: a CHANGED_THIS_ROUND entry (``name -> as-of
+    round``) must drop out of the window lead AUTOMATICALLY once the
+    driver lands a green row in a round strictly newer than the as-of —
+    no round-open hand edit. Until then (or after a non-green row) it
+    keeps leading."""
+    reg = ["a", "b", "c", "d"]
+    _write_round(tmp_path, 11, {
+        n: {"hash_match": True, "rows_match": True, "err": None}
+        for n in reg})
+    # change landed while r11 was the newest evidence -> leads
+    assert computed_window(reg, {"c": 11}, slots=4, root=tmp_path) == \
+        ["c", "a", "b", "d"]
+    # green r12 row postdates the change -> retired to ordinary green
+    # (freshest evidence, so it sorts LAST, not first)
+    _write_round(tmp_path, 12, {
+        "c": {"hash_match": True, "rows_match": True, "err": None}})
+    assert computed_window(reg, {"c": 11}, slots=4, root=tmp_path) == \
+        ["a", "b", "d", "c"]
+    # a NON-green newer row does not retire the change; priority-1 lead
+    # and priority-3 failure agree the name must be checked
+    _write_round(tmp_path, 13, {
+        "c": {"hash_match": False, "rows_match": True, "err": None}})
+    assert computed_window(reg, {"c": 12}, slots=4, root=tmp_path) == \
+        ["c", "a", "b", "d"]
+    # legacy list form still means "always lead"
+    assert computed_window(reg, ["a"], slots=4, root=tmp_path)[0] == "a"
+
+
+def test_reproof_failure_holds_the_window(tmp_path):
+    """VERDICT r12 ask #5, in r13's exact shape: the queue is fully
+    drained (every name green), the window is pure stalest-green
+    re-proof, and one re-proof comes back ``hash_match: false`` (the
+    fixture-drift residual risk). The next window must HOLD that name —
+    ahead of every green re-proof — until it is re-green."""
+    reg = [f"q{i:02d}" for i in range(8)]
+    _write_round(tmp_path, 3, {
+        n: {"hash_match": True, "rows_match": True, "err": None}
+        for n in reg[:4]})
+    _write_round(tmp_path, 12, {
+        n: {"hash_match": True, "rows_match": True, "err": None}
+        for n in reg[4:]})
+    # r13 window = stalest-green re-proofs, registration order
+    assert computed_window(reg, {}, slots=4, root=tmp_path) == reg[:4]
+    # the driver re-proves them; q01 regresses (equal rows, wrong hash)
+    _write_round(tmp_path, 13, {
+        "q00": {"hash_match": True, "rows_match": True, "err": None},
+        "q01": {"hash_match": False, "rows_match": True, "err": None},
+        "q02": {"hash_match": True, "rows_match": True, "err": None},
+        "q03": {"hash_match": True, "rows_match": True, "err": None},
+    })
+    nxt = computed_window(reg, {}, slots=4, root=tmp_path)
+    assert nxt[0] == "q01", "failed re-proof must lead the next window"
+    assert nxt == ["q01", "q04", "q05", "q06"]
 
 
 def test_unknown_changed_names_are_ignored(tmp_path):
