@@ -498,6 +498,11 @@ HEADLINE = [
     "q_recursive_streaks",
     "udtf_char_chunks",
     "aqp_block_sample",
+    # round 13 (append-only): the registry unfroze once the evidence
+    # queue drained (VERDICT r12 ask #4) — multi-probe LSH and the
+    # grouped Holt-Winters enter with their debut priors.
+    "ann_lsh_multiprobe",
+    "orders_holt_winters_nation",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

@@ -636,24 +636,24 @@ _EVICTED_TO_R10 = _FILL_QUEUE_R9[_n_fill:]
 # Round 13 (VERDICT r12 "what's wrong" #1): CHANGED_THIS_ROUND now maps
 # each changed name to the newest committed CORRECTNESS round at change
 # time; window.computed_window DROPS a name automatically once a green
-# driver row postdates that round, so the list self-retires — the 13
-# r12 monitor refactors below (as-of 11) all carry hash-green
-# CORRECTNESS_r12 rows and no longer lead the window. They stay listed
-# as documentation until the next registry edit touches this block.
+# driver row postdates that round, so the list self-retires without a
+# round-open hand edit. (The 13 r12 monitor refactors, as-of 11, all
+# retired against their hash-green CORRECTNESS_r12 rows and were
+# removed when this round's entries landed.)
+#
+# Round 13 changes (as-of 12 — CORRECTNESS_r12 was the newest committed
+# evidence when they landed): events_gapfill_locf and
+# events_time_rollup switched their hourly value sums from float
+# ROUND(SUM(value), 4) to EXACT micro fixed-point integers (sum of
+# floor(value * 10000) per event; one final division renders the
+# double) so both could join the shared hourly-state streaming fleet
+# as its first value-weighted finalizers (streaming/gapfill.py,
+# streaming/time_rollup.py — VERDICT r12 asks #4 and #6). Values and
+# oracles CHANGED (associative integer sums replace order-dependent
+# float sums); both re-verified hash-green at sf0.001/0.01 in-round.
 CHANGED_THIS_ROUND: dict[str, int] = {
-    "events_hourly_profile_jsd": 11,
-    "events_peak_load_ratio": 11,
-    "events_fano_burstiness": 11,
-    "events_ewma_hourly": 11,
-    "events_cusum_binseg": 11,
-    "events_pacf": 11,
-    "events_burst_viterbi": 11,
-    "events_transfer_entropy": 11,
-    "events_granger_causality": 11,
-    "events_dow_anova": 11,
-    "events_hurst_exponent": 11,
-    "events_pettitt_test": 11,
-    "events_sprt_sequential": 11,
+    "events_gapfill_locf": 12,
+    "events_time_rollup": 12,
 }
 
 from ..registry import registered_names  # noqa: E402

@@ -159,6 +159,32 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -------------------------------------------------- gap-fill + LOCF
+def gapfill_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Dense-spine LOCF from a per-(type, hour) frame carrying the
+    event count ``cnt`` and the micro-quantized value sum ``s`` (sum of
+    floor(value * 10000) per event). Shared verbatim by the batch query
+    below and the streaming twin (``streaming/gapfill.py``), so the
+    streamed fill is bit-equal to batch by construction — the
+    *_from_hourly fleet seam (r12 pattern)."""
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+        .select(F.col("event_type").alias("event_type"),
+                F.explode(F.sequence("h0", "h1")).alias("hr")))
+    w = (Window.partitionBy("event_type").orderBy("hr")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        spine.join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type", "hr",
+            F.coalesce("cnt", F.lit(0).cast("long")).alias("n_events"),
+            (F.last("s", ignorenulls=True).over(w) / 10000.0)
+            .alias("sum_value_locf"),
+            F.col("cnt").isNull().cast("int").alias("is_gap"),
+        )
+    )
+
+
 def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly rollup per event_type on a *dense* hour spine: hours with
     no events appear with n_events=0 and the last observed hourly sum
@@ -173,39 +199,29 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     warranted: spine cardinality is #series × #hours, bounded by
     calendar time. The spine starts at each series' first observed
     hour, so no partition has leading nulls and the fill is total.
-    Sums are rounded *before* the fill so carried values hash
-    identically on both engines.
+
+    Hourly value sums are EXACT fixed-point integers (sum of
+    floor(value * 10000) per event — one IEEE multiply + floor each,
+    identical on both engines; integer addition is associative), then a
+    single division converts the carried value back to a double. This
+    is what lets the streaming twin accumulate the same sum over ANY
+    chunking of the input (r13: the value-weighted hourly state) —
+    a float running sum would be arrival-order-dependent.
     """
     ev = load_table(spark, sf_dir, "events")
-    obs = (
+    hourly = (
         ev.select("event_type", F.expr("ts_ns div 3600000000000").alias("hr"),
-                  "value")
+                  F.floor(F.col("value") * 10000).cast("long").alias("m"))
         .groupBy("event_type", "hr")
-        .agg(F.round(F.sum("value"), 4).alias("sum_value"),
-             F.count(F.lit(1)).alias("n_obs")))
-    spine = (
-        obs.groupBy("event_type")
-        .agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
-        .select("event_type",
-                F.explode(F.sequence("h0", "h1")).alias("hr")))
-    w = (Window.partitionBy("event_type").orderBy("hr")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    return (
-        spine.join(obs, ["event_type", "hr"], "left")
-        .select(
-            "event_type", "hr",
-            F.coalesce("n_obs", F.lit(0).cast("long")).alias("n_events"),
-            F.last("sum_value", ignorenulls=True).over(w)
-            .alias("sum_value_locf"),
-            F.col("n_obs").isNull().cast("int").alias("is_gap"),
-        )
-    )
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("m").alias("s")))
+    return gapfill_from_hourly(hourly)
 
 
 register("events_gapfill_locf", events_gapfill_locf, """
 WITH obs AS (
     SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
-           ROUND(SUM(value), 4) AS sum_value, COUNT(*) AS n_obs
+           COUNT(*) AS n_obs,
+           CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT) AS s
     FROM events GROUP BY event_type, hr
 ), bounds AS (
     SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1 FROM obs
@@ -215,9 +231,10 @@ WITH obs AS (
 )
 SELECT s.event_type, s.hr,
        COALESCE(o.n_obs, 0) AS n_events,
-       LAST_VALUE(o.sum_value IGNORE NULLS)
+       LAST_VALUE(o.s IGNORE NULLS)
            OVER (PARTITION BY s.event_type ORDER BY s.hr
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / 10000.0
            AS sum_value_locf,
        CAST(o.hr IS NULL AS INTEGER) AS is_gap
 FROM spine s LEFT JOIN obs o ON s.event_type = o.event_type AND s.hr = o.hr

@@ -207,6 +207,153 @@ register("ann_lsh_bucketed", ann_lsh_bucketed, _lsh_oracle(),
          "random-hyperplane LSH bucketed nearest neighbor")
 
 
+# ------------------------------------------------- multi-probe LSH
+MP_BITS = 12  # one 12-bit table; probes = exact bucket + 12 bit flips
+
+
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH (Lv et al., VLDB'07): ONE 12-bit hyperplane
+    table (4096 buckets — far more selective than ann_lsh_bucketed's
+    three 4-bit tables) whose recall is recovered by PROBING the
+    neighboring buckets: each vector also looks in the 12 buckets at
+    Hamming distance 1 from its own signature. Emits the probe-count /
+    recall tradeoff directly — one row per probe level (1 = exact
+    bucket only, 13 = exact + single-bit flips) with the candidate-pair
+    count, how many vectors found any neighbor, and the exact-integer
+    sum of their top-1 cosines (micro fixed-point, so the aggregate
+    hashes bit-identically — a float AVG would be summation-order-
+    dependent).
+
+    Scale shape: candidates meet ONLY on probe-key equality (a hash
+    join on the signature — never all-pairs); the probe fan-out is a
+    single executor-side explode (13 structs per vector, ids only —
+    vectors are fetched back by id after the bucket join, size-gated
+    broadcast). Multi-probe is the lake path when memory bounds the
+    table count: 13 probes of one table do the recall work of ~13
+    tables at 1/13th the signature storage. More bits per table (not
+    more probes) is the knob when the corpus grows 100x.
+
+    VERDICT r12 ask #4 (sanctioned growth: "multi-probe LSH closes the
+    probe-count/recall gap of ann_lsh_bucketed").
+    """
+    emb = _emb(spark, sf_dir)
+    planes = _planes()
+    terms = []
+    for r in range(MP_BITS):
+        plane = planes[r]
+        arr = "array(" + ", ".join(f"cast({s} as double)" for s in plane) + ")"
+        proj = (f"aggregate(zip_with(v, {arr}, (x, s) -> x * s),"
+                " cast(0.0 as double), (acc, x) -> acc + x)")
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << r} ELSE 0 END)")
+    emb = emb.withColumn("sig", F.expr(" + ".join(terms)).cast("bigint"))
+    emb = emb.cache()
+    sigs = emb.select("vec_id", "sig")
+    # 13 probe keys per vector, ids only — one Generate, no 13-way union
+    probe_structs = ", ".join(
+        ["named_struct('key', sig, 'rad', 0)"]
+        + [f"named_struct('key', sig ^ {1 << r}, 'rad', 1)"
+           for r in range(MP_BITS)])
+    probes = sigs.select(
+        "vec_id", F.expr(f"explode(array({probe_structs}))").alias("p")
+    ).select("vec_id", F.col("p.key").alias("key"),
+             F.col("p.rad").alias("rad"))
+    cand = (
+        probes.join(sigs.select(F.col("vec_id").alias("neighbor_id"),
+                                F.col("sig").alias("nsig")),
+                    (F.col("key") == F.col("nsig"))
+                    & (F.col("vec_id") != F.col("neighbor_id")))
+        .select("vec_id", "neighbor_id", "rad"))
+    # fetch vectors back by id — size-gated broadcast, as in
+    # ann_lsh_bucketed (ids shuffle through the bucket join, not arrays)
+    va = emb.select(F.col("vec_id").alias("vec_id"), F.col("v").alias("va"),
+                    F.col("norm").alias("na"))
+    vb = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    cand = cand.join(maybe_broadcast(va, sf_dir, "embeddings"), "vec_id") \
+               .join(maybe_broadcast(vb, sf_dir, "embeddings"), "neighbor_id")
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double),"
+        " (acc, x) -> acc + x)")
+    scored = cand.select(
+        "vec_id", "neighbor_id", "rad",
+        (dot / (F.col("na") * F.col("nb"))).alias("cos"))
+    # probe levels: 0 = exact bucket (1 probe), 1 = + bit flips (13)
+    lv = scored.select(
+        "*", F.explode(F.array(F.lit(0), F.lit(1))).alias("lvl")
+    ).filter(F.col("rad") <= F.col("lvl"))
+    w = Window.partitionBy("lvl", "vec_id").orderBy(
+        F.col("cos").desc(), "neighbor_id")
+    ranked = lv.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("lvl")
+        .agg(F.count(F.lit(1)).alias("n_cand_pairs"),
+             F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+             .cast("long").alias("matched_vectors"),
+             F.sum(F.when(F.col("rn") == 1,
+                          F.floor(F.col("cos") * 1000000.0).cast("long")))
+             .cast("long").alias("sum_top1_cos_micro"))
+        .select(F.when(F.col("lvl") == 0, 1).otherwise(1 + MP_BITS)
+                .cast("int").alias("n_probes"),
+                "n_cand_pairs", "matched_vectors", "sum_top1_cos_micro"))
+
+
+def _multiprobe_oracle() -> str:
+    planes = _planes()
+    terms = []
+    for r in range(MP_BITS):
+        plane = planes[r]
+        arr = "[" + ", ".join(f"CAST({s} AS DOUBLE)" for s in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) > 0 THEN {1 << r}"
+            " ELSE 0 END)")
+    probe_union = "\n    UNION ALL\n".join(
+        ["    SELECT vec_id, sig AS key, 0 AS rad FROM sig"]
+        + [f"    SELECT vec_id, xor(sig, {1 << r}), 1 FROM sig"
+           for r in range(MP_BITS)])
+    return f"""
+WITH emb AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), sig AS (
+    SELECT vec_id, v, CAST({' + '.join(terms)} AS BIGINT) AS sig FROM emb
+), probes AS (
+{probe_union}
+), cand AS (
+    SELECT p.vec_id, b.vec_id AS neighbor_id, p.rad, a.v AS va, b.v AS vb
+    FROM probes p
+    JOIN sig b ON p.key = b.sig AND p.vec_id <> b.vec_id
+    JOIN sig a ON a.vec_id = p.vec_id
+), scored AS (
+    SELECT vec_id, neighbor_id, rad,
+           list_dot_product(va, vb)
+           / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
+               AS cos
+    FROM cand
+), lv AS (
+    SELECT 0 AS lvl UNION ALL SELECT 1
+), pairs_lv AS (
+    SELECT s.*, lv.lvl FROM scored s, lv WHERE s.rad <= lv.lvl
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY lvl, vec_id
+                                 ORDER BY cos DESC, neighbor_id) AS rn
+    FROM pairs_lv
+)
+SELECT CAST(CASE WHEN lvl = 0 THEN 1 ELSE {1 + MP_BITS} END AS INTEGER)
+           AS n_probes,
+       COUNT(*) AS n_cand_pairs,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS matched_vectors,
+       CAST(SUM(CASE WHEN rn = 1
+                     THEN CAST(FLOOR(cos * 1000000.0) AS BIGINT) END)
+            AS BIGINT) AS sum_top1_cos_micro
+FROM ranked GROUP BY lvl
+"""
+
+
+register("ann_lsh_multiprobe", ann_lsh_multiprobe, _multiprobe_oracle(),
+         "multi-probe LSH probe-count/recall tradeoff (1 vs 13 probes)")
+
+
 # ----------------------------------------------------------------- IVF
 N_CELLS, N_PROBE = 16, 2
 

@@ -37,34 +37,34 @@ from .lakehouse import CUT_US
 
 
 # ------------------------------------------------- cascade time rollup
-def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hour → day → week rollup of event counts and value sums in one
-    corpus pass: the day grain re-aggregates the hour frame, the week
-    grain the day frame (both model-size). GROUPING SETS would Expand
-    every corpus row ×3 before its shuffle; the cascade shuffles the
-    corpus once at the finest grain only."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.expr("ts_ns div 3600000000000").alias("hr"), "value")
-    # cache the finest grain: it is model-size (#types × #hours) and all
-    # three output branches read it — without the cache the union
-    # re-expands the corpus-scan subtree per grain (measured: 3 parquet
-    # scans in the plan, only one recovered by runtime exchange reuse)
-    hour = (ev.groupBy("event_type", "hr")
-            .agg(F.sum("value").alias("sv"), F.count(F.lit(1)).alias("n"))
-            .cache())
+def time_rollup_from_hourly(hour: DataFrame) -> DataFrame:
+    """Hour → day → week cascade from a per-(type, hour) frame carrying
+    the event count ``n`` and the micro-quantized value sum ``s`` (sum
+    of floor(value * 10000) per event). Integer sums all the way up —
+    exact and associative, so the streaming twin
+    (``streaming/time_rollup.py``) folds the SAME cascade from the
+    shared hourly-count state bit-equally over any chunking; one final
+    division renders each grain's double. The day and week folds are
+    truncating div, which composes with the hourly spine's truncating
+    div for either sign (the dailyfold proof). Caches the hour frame:
+    it is model-size (#types × #hours) and all three branches read it —
+    without the cache the union re-expands the upstream subtree per
+    grain (measured on the batch query: 3 parquet scans in the plan,
+    only one recovered by runtime exchange reuse)."""
+    hour = hour.cache()
     day = (hour.withColumn("d", F.expr("hr div 24"))
            .groupBy("event_type", "d")
-           .agg(F.sum("sv").alias("sv"), F.sum("n").alias("n")))
+           .agg(F.sum("s").alias("s"), F.sum("n").alias("n")))
     week = (day.withColumn("wk", F.expr("d div 7"))
             .groupBy("event_type", "wk")
-            .agg(F.sum("sv").alias("sv"), F.sum("n").alias("n")))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n")))
 
     def out(df, grain, bucket):
         return df.select(
             F.lit(grain).alias("grain"), "event_type",
             F.col(bucket).cast("long").alias("bucket"),
             F.col("n").cast("long").alias("n_events"),
-            F.round("sv", 4).alias("sum_value"))
+            (F.col("s") / 10000.0).alias("sum_value"))
 
     return (
         out(hour, "hour", "hr")
@@ -73,20 +73,41 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour → day → week rollup of event counts and value sums in one
+    corpus pass: the day grain re-aggregates the hour frame, the week
+    grain the day frame (both model-size). GROUPING SETS would Expand
+    every corpus row ×3 before its shuffle; the cascade shuffles the
+    corpus once at the finest grain only. Value sums are exact
+    fixed-point integers at every grain (see time_rollup_from_hourly),
+    which is what lets the weekly rollup streaming twin reuse the
+    dailyfold exact-integer-sum argument one level up (VERDICT r12
+    ask #6)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts_ns div 3600000000000").alias("hr"),
+        F.floor(F.col("value") * 10000).cast("long").alias("m"))
+    hour = (ev.groupBy("event_type", "hr")
+            .agg(F.sum("m").alias("s"), F.count(F.lit(1)).alias("n")))
+    return time_rollup_from_hourly(hour)
+
+
 register("events_time_rollup", events_time_rollup, """
 WITH ev AS (
-    SELECT event_type, epoch_us(ts) // 3600000000 AS hr, value FROM events
+    SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+           CAST(FLOOR(value * 10000) AS BIGINT) AS m
+    FROM events
 )
 SELECT 'hour' AS grain, event_type, hr AS bucket,
-       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+       COUNT(*) AS n_events,
+       CAST(SUM(m) AS BIGINT) / 10000.0 AS sum_value
 FROM ev GROUP BY event_type, hr
 UNION ALL
 SELECT 'day', event_type, hr // 24,
-       COUNT(*), ROUND(SUM(value), 4)
+       COUNT(*), CAST(SUM(m) AS BIGINT) / 10000.0
 FROM ev GROUP BY event_type, hr // 24
 UNION ALL
 SELECT 'week', event_type, (hr // 24) // 7,
-       COUNT(*), ROUND(SUM(value), 4)
+       COUNT(*), CAST(SUM(m) AS BIGINT) / 10000.0
 FROM ev GROUP BY event_type, (hr // 24) // 7
 """, "hour/day/week rollup as a cascade (one corpus shuffle, no Expand)")
 

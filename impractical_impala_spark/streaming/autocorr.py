@@ -2,16 +2,23 @@
 ``queries/drift.py::events_hourly_autocorr24`` (driver hash-green since
 round 6).
 
-Per (event_type, hour-index) the state is ONE integer count. The state
+Per (event_type, hour-index) the state is TWO integers: the event
+count and the micro-quantized value sum (sum of floor(value * 10000)
+per event — each term is one IEEE multiply + floor, identical on every
+engine, and integer addition is associative, so the accumulated sum is
+chunking-proof where a float running sum would not be). The state
 grows with the calendar, never with event volume — the p-chart/SAX
-state class: types x hours-elapsed integers, ~8.8k longs per type per
-year, trivially bounded for any retention horizon (and evictable below
-a watermark if the horizon must be finite). Each micro-batch emits the
-refreshed hour rows it touched; ``finalize`` feeds the accumulated
-sparse (type, hr, cnt) table through the IDENTICAL shared arithmetic
-as the batch query (``queries.drift.autocorr24_from_hourly`` — dense
-spine, lag 24, five integer sufficient statistics), so the streamed
-r24 is bit-equal to the batch one over any chunking of the input.
+state class: types x hours-elapsed integer pairs, ~8.8k pairs per type
+per year, trivially bounded for any retention horizon (and evictable
+below a watermark if the horizon must be finite). Each micro-batch
+emits the refreshed hour rows it touched; ``finalize`` feeds the
+accumulated sparse (type, hr, cnt) table through the IDENTICAL shared
+arithmetic as the batch query (``queries.drift.autocorr24_from_hourly``
+— dense spine, lag 24, five integer sufficient statistics), so the
+streamed r24 is bit-equal to the batch one over any chunking of the
+input. The value sum serves the VALUE-WEIGHTED finalizers
+(``streaming/gapfill.py``, ``streaming/time_rollup.py`` — VERDICT r12
+ask #4); the count-only monitors simply never read it.
 
 Scale shape: the stateful operator shuffles once on (event_type, hr) —
 a uniform key (hash of a composite including time) with per-key state
@@ -32,29 +39,35 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..queries.drift import autocorr24_from_hourly
 
 HOUR_NS = 3_600_000_000_000
+VALUE_MICRO = 10_000  # fixed-point quantum for the per-hour value sum
 
-STATE_SCHEMA = "c LONG"
+STATE_SCHEMA = "c LONG, s LONG"
 OUTPUT_SCHEMA = T.StructType([
     T.StructField("event_type", T.StringType()),
     T.StructField("hr", T.LongType()),
     T.StructField("c", T.LongType()),
+    T.StructField("s", T.LongType()),
 ])
 
 
 def _update(key: tuple, pdfs: Iterator[pd.DataFrame],
             state: GroupState) -> Iterator[pd.DataFrame]:
     et, hr = key
-    (c,) = state.get if state.exists else (0,)
+    (c, s) = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         c += len(pdf)
-    state.update((c,))
-    yield pd.DataFrame({"event_type": [et], "hr": [hr], "c": [c]})
+        s += int(pdf["m"].sum())
+    state.update((c, s))
+    yield pd.DataFrame({"event_type": [et], "hr": [hr], "c": [c], "s": [s]})
 
 
 def streaming_autocorr24_state(ev: DataFrame) -> DataFrame:
-    """``ev`` must carry event_type and ts_ns (the load_table form)."""
+    """``ev`` must carry event_type, ts_ns and value (the load_table
+    form). ``m`` is the per-event micro value — floor(value * 10000),
+    exact on both engines — accumulated alongside the count."""
     keyed = ev.select(
-        "event_type", F.expr(f"ts_ns div {HOUR_NS}").alias("hr"))
+        "event_type", F.expr(f"ts_ns div {HOUR_NS}").alias("hr"),
+        F.floor(F.col("value") * VALUE_MICRO).cast("long").alias("m"))
     return (keyed.groupBy("event_type", "hr")
             .applyInPandasWithState(
                 _update, OUTPUT_SCHEMA, STATE_SCHEMA,

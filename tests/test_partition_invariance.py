@@ -25,11 +25,13 @@ _Q = all_queries()
 # one representative per risk class: window ranking, floating-point agg,
 # pair-generation self-join, LOCF as-of carry, multi-reduce + join
 # (cohort: first-touch min, distinct, and a user-keyed join — all
-# integer outputs, so bit-exact), spine-generation + LOCF fill (the
-# carried value is a rounded float sum, so tolerance class)
+# integer outputs, so bit-exact), spine-generation + LOCF fill (since
+# the r13 micro refactor the carried value is an associative INTEGER
+# sum divided once, so the fill moved to the exact class — that
+# associativity is what admits it to the streaming fleet)
 EXACT_CASES = ["w3_top1_per_group", "dedup_minhash_lsh", "q_asof_attribution",
-               "events_cohort_retention"]
-FLOAT_CASES = ["q5_revenue_by_nation", "events_gapfill_locf"]
+               "events_cohort_retention", "events_gapfill_locf"]
+FLOAT_CASES = ["q5_revenue_by_nation"]
 FLOAT_RTOL = 1e-9
 
 

@@ -35,7 +35,7 @@ def _got(spark, rows) -> pd.DataFrame:
 def split_dir(spark, sf_small, tmp_path):
     out = str(tmp_path / "ev_split")
     (load_table(spark, sf_small, "events")
-     .select("event_id", "event_type", "ts_ns")
+     .select("event_id", "event_type", "ts_ns", "value")
      .repartition(8)
      .write.mode("overwrite").parquet(out))
     return out

@@ -20,6 +20,7 @@ from impractical_impala_spark.streaming import cusum as CU
 from impractical_impala_spark.streaming import dow_anova as DW
 from impractical_impala_spark.streaming import ewma as EW
 from impractical_impala_spark.streaming import fano as FA
+from impractical_impala_spark.streaming import gapfill as GF
 from impractical_impala_spark.streaming import granger as GR
 from impractical_impala_spark.streaming import hurst as HU
 from impractical_impala_spark.streaming import pacf as PC
@@ -27,6 +28,7 @@ from impractical_impala_spark.streaming import peak_load as PL
 from impractical_impala_spark.streaming import pettitt as PT
 from impractical_impala_spark.streaming import profile_jsd as PJ
 from impractical_impala_spark.streaming import sprt as SP
+from impractical_impala_spark.streaming import time_rollup as TR
 from impractical_impala_spark.streaming import transfer_entropy as TE
 
 _Q = all_queries()
@@ -69,6 +71,10 @@ HOURLY = [
       "pacf2", "pacf3"]),
     (BU, "events_burst_viterbi",
      ["event_type", "t", "y", "state", "margin_micro"]),
+    (GF, "events_gapfill_locf",
+     ["event_type", "hr", "n_events", "sum_value_locf", "is_gap"]),
+    (TR, "events_time_rollup",
+     ["grain", "event_type", "bucket", "n_events", "sum_value"]),
 ]
 
 
@@ -86,7 +92,7 @@ def _got(spark, mod, rows, cols) -> pd.DataFrame:
 def split_dir(spark, sf_small, tmp_path):
     out = str(tmp_path / "ev_split")
     (load_table(spark, sf_small, "events")
-     .select("event_id", "event_type", "ts_ns")
+     .select("event_id", "event_type", "ts_ns", "value")
      .repartition(8)
      .write.mode("overwrite").parquet(out))
     return out
@@ -164,16 +170,17 @@ def test_daily_twin_restart_from_checkpoint(spark, split_dir, tmp_path,
             _want(spark, sf_small, qname, cols))
 
 
-def test_one_state_stream_feeds_fifteen_finalizers(spark, split_dir,
-                                                    sf_small):
-    """The shared hourly-count state serves FIFTEEN monitors (nine
-    hourly + six daily) — one AvailableNow pass, fifteen finalizes,
-    fifteen batch matches."""
+def test_one_state_stream_feeds_seventeen_finalizers(spark, split_dir,
+                                                      sf_small):
+    """The shared hourly state serves SEVENTEEN finalizers (nine
+    count-only hourly + the two value-weighted r13 twins + six daily)
+    — one AvailableNow pass, seventeen finalizes, seventeen batch
+    matches."""
     q = (_stream_state(spark, split_dir, max_files=100)
-         .writeStream.format("memory").queryName("t_fifteen_state")
+         .writeStream.format("memory").queryName("t_seventeen_state")
          .outputMode("update").trigger(availableNow=True).start())
     q.awaitTermination()
-    rows = spark.table("t_fifteen_state")
+    rows = spark.table("t_seventeen_state")
     for mod, qname, cols in HOURLY + [TWINS[t] for t in sorted(TWINS)]:
         got = _got(spark, mod, rows, cols)
         want = _want(spark, sf_small, qname, cols)

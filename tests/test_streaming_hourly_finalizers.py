@@ -1,8 +1,10 @@
-"""The binseg / PACF / burst-Viterbi streaming twins must finalize to
-EXACTLY their batch queries — AvailableNow, chunked replay, and a
-crash/restart through the same checkpoint, parametrized over the three
-twins (the shared hourly-state test shape). The closing test pins the
-full NINE-finalizer fleet over one state stream."""
+"""The binseg / PACF / burst-Viterbi / gap-fill / time-rollup
+streaming twins must finalize to EXACTLY their batch queries —
+AvailableNow, chunked replay, and a crash/restart through the same
+checkpoint, parametrized over the twins (the shared hourly-state test
+shape; gap-fill and time-rollup are the value-weighted r13 additions).
+The closing test pins the full ELEVEN-finalizer hourly fleet over one
+state stream."""
 
 import time
 from pathlib import Path
@@ -18,9 +20,11 @@ from impractical_impala_spark.streaming import burst as BU
 from impractical_impala_spark.streaming import cusum as CU
 from impractical_impala_spark.streaming import ewma as EW
 from impractical_impala_spark.streaming import fano as FA
+from impractical_impala_spark.streaming import gapfill as GF
 from impractical_impala_spark.streaming import pacf as PC
 from impractical_impala_spark.streaming import peak_load as PL
 from impractical_impala_spark.streaming import profile_jsd as PJ
+from impractical_impala_spark.streaming import time_rollup as TR
 
 _Q = all_queries()
 
@@ -33,6 +37,14 @@ TWINS = {
               "pacf1", "pacf2", "pacf3"]),
     "burst": (BU, "events_burst_viterbi",
               ["event_type", "t", "y", "state", "margin_micro"]),
+    # the value-weighted finalizers (r13): these read the state's micro
+    # value sum s, not just the count
+    "gapfill": (GF, "events_gapfill_locf",
+                ["event_type", "hr", "n_events", "sum_value_locf",
+                 "is_gap"]),
+    "time_rollup": (TR, "events_time_rollup",
+                    ["grain", "event_type", "bucket", "n_events",
+                     "sum_value"]),
 }
 
 
@@ -50,7 +62,7 @@ def _got(spark, mod, rows, cols) -> pd.DataFrame:
 def split_dir(spark, sf_small, tmp_path):
     out = str(tmp_path / "ev_split")
     (load_table(spark, sf_small, "events")
-     .select("event_id", "event_type", "ts_ns")
+     .select("event_id", "event_type", "ts_ns", "value")
      .repartition(8)
      .write.mode("overwrite").parquet(out))
     return out
@@ -128,15 +140,16 @@ def test_twin_restart_from_checkpoint(spark, split_dir, tmp_path,
             _want(spark, sf_small, qname, cols))
 
 
-def test_one_state_stream_feeds_nine_finalizers(spark, split_dir,
-                                                sf_small):
-    """The shared hourly-count state serves NINE monitors — one
-    AvailableNow pass, nine finalizes, nine batch matches."""
+def test_one_state_stream_feeds_eleven_finalizers(spark, split_dir,
+                                                  sf_small):
+    """The shared hourly state serves ELEVEN hourly finalizers (nine
+    count-only monitors + the two value-weighted r13 twins) — one
+    AvailableNow pass, eleven finalizes, eleven batch matches."""
     q = (_stream_state(spark, split_dir, max_files=100)
-         .writeStream.format("memory").queryName("t_nine_state")
+         .writeStream.format("memory").queryName("t_eleven_state")
          .outputMode("update").trigger(availableNow=True).start())
     q.awaitTermination()
-    rows = spark.table("t_nine_state")
+    rows = spark.table("t_eleven_state")
     checks = [
         (AC, "events_hourly_autocorr24", ["event_type", "n", "r24"]),
         (CU, "events_cusum_changepoint",
