@@ -503,6 +503,13 @@ HEADLINE = [
     # grouped Holt-Winters enter with their debut priors.
     "ann_lsh_multiprobe",
     "orders_holt_winters_nation",
+    # round 13, second growth wave (append-only): the calendar-month
+    # grain, the value-weighted EWMA, the trained-quantizer probe
+    # sweep, and the HW forecast bands enter with their debut priors.
+    "events_monthly_rollup",
+    "events_value_ewma_hourly",
+    "ann_ivf_trained_sweep",
+    "orders_hw_band_nation",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

@@ -651,9 +651,16 @@ _EVICTED_TO_R10 = _FILL_QUEUE_R9[_n_fill:]
 # streaming/time_rollup.py — VERDICT r12 asks #4 and #6). Values and
 # oracles CHANGED (associative integer sums replace order-dependent
 # float sums); both re-verified hash-green at sf0.001/0.01 in-round.
+# Later in round 13: ann_ivf_nprobe_sweep's body moved into the shared
+# _nprobe_sweep helper so the new trained-quantizer sweep
+# (ann_ivf_trained_sweep) runs the IDENTICAL sweep arithmetic — plan
+# fingerprint verified byte-identical, oracle untouched, values
+# re-proven exact at sf0.001/0.01 in-round; listed as the price of the
+# code-path change, same rule as the r12 monitor extractions.
 CHANGED_THIS_ROUND: dict[str, int] = {
     "events_gapfill_locf": 12,
     "events_time_rollup": 12,
+    "ann_ivf_nprobe_sweep": 12,
 }
 
 from ..registry import registered_names  # noqa: E402

@@ -375,6 +375,86 @@ FROM dense ORDER BY event_type, hr
 """, "integer-exact alpha=1/2 EWMA on a dense hourly spine (2^-k lags)")
 
 
+# -------------------------- value-weighted integer-exact EWMA
+def value_ewma_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Core of events_value_ewma_hourly over any (event_type, hr, s)
+    frame where ``s`` is the hour's micro-quantized value sum (sum of
+    floor(value * 10000) per event) — the VALUE-weighted sibling of
+    ewma_from_hourly, shared with the streaming twin's finalizer
+    (streaming/value_ewma.py) so the streamed series is bit-equal to
+    batch by construction. The identical 16-term power-of-two lag
+    polynomial runs over the micro sums: scaled = sum(s_{t-k} *
+    2^(15-k)) stays exact int64 while the per-hour micro sum is below
+    ~1.4e11 (value sums of ~1.4e7 per type-hour — far past any fixture;
+    at 100 TB rescale the quantum before this bound, the same dial as
+    the state row's). Emitted vewma_milli is the fixed-point integer
+    scaled*1000 div norm — milli-micro units, i.e. value*1e7. The lag
+    polynomial's column is named ``cnt`` because _SCALED_SQL/_NORM_SQL
+    are shared verbatim with the count EWMA (same text on both
+    engines); here it carries the micro sum. One convention boundary
+    the count EWMA cannot hit: counts are structurally >= 0, while a
+    NEGATIVE per-hour value sum would make the final division diverge
+    between Spark's truncating ``div`` and the oracle's flooring ``//``
+    — the standing batch-vs-oracle convention (dailyfold note), moot on
+    the fixtures (value >= 0) and irrelevant to the streaming twin,
+    which runs this exact helper on both sides."""
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    spine = bounds.select(
+        "event_type", F.explode(F.expr("sequence(h0, h1)")).alias("hr"))
+    right = hourly.select(F.col("event_type").alias("event_type"),
+                          F.col("hr").alias("hr"),
+                          F.col("s").alias("cnt"))
+    dense = (spine.join(right, ["event_type", "hr"], "left")
+             .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0))))
+    return (dense
+            .select("event_type", "hr", F.col("cnt").alias("value_micro"),
+                    F.expr(f"CAST(({_SCALED_SQL}) * 1000"
+                           f" div ({_NORM_SQL}) AS BIGINT)")
+                    .alias("vewma_milli"))
+            .orderBy("event_type", "hr"))
+
+
+def events_value_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha=1/2 EWMA of hourly VALUE throughput per event type — the
+    value-weighted member of the EWMA family (ROADMAP r14 candidate
+    surface): where events_ewma_hourly smooths the event count, this
+    smooths the per-hour micro-quantized value sum, in the same exact
+    integer arithmetic (power-of-two weights, one truncating division),
+    so both engines agree bit-for-bit and the streaming twin can fold
+    the identical series from the shared value-weighted hourly state.
+    Dense spine discipline as the count EWMA: a 23-hour gap decays the
+    smoothed throughput by 2^-23 instead of being skipped."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts_ns div {HOUR_NS}").alias("hr"),
+        F.floor(F.col("value") * 10000).cast("long").alias("m"))
+    hourly = ev.groupBy("event_type", "hr").agg(F.sum("m").alias("s"))
+    return value_ewma_from_hourly(hourly)
+
+
+register("events_value_ewma_hourly", events_value_ewma_hourly, f"""
+WITH hourly AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) AS BIGINT) // {HOUR_US} AS hr,
+           CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT) AS s
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1 FROM hourly
+    GROUP BY event_type
+), spine AS (
+    SELECT event_type, UNNEST(range(h0, h1 + 1)) AS hr FROM bounds
+), dense AS (
+    SELECT s.event_type, s.hr, COALESCE(h.s, 0) AS cnt
+    FROM spine s LEFT JOIN hourly h
+      ON s.event_type = h.event_type AND s.hr = h.hr
+)
+SELECT event_type, hr, cnt AS value_micro,
+       CAST(({_SCALED_SQL}) * 1000 // ({_NORM_SQL}) AS BIGINT)
+           AS vewma_milli
+FROM dense ORDER BY event_type, hr
+""", "integer-exact alpha=1/2 EWMA of hourly value throughput (micro sums)")
+
+
 # --------------------------------- chi-square independence test
 def events_chi2_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence scan of event_type x daypart (6-hour

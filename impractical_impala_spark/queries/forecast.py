@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..registry import register
+from ..registry import oracle_sql_of, register
 from ..sources import load_table
 
 DAY_NS = 86_400_000_000_000
@@ -279,6 +279,98 @@ SELECT n_name, t, y AS y_centi, l AS level_centi, b AS trend_centi,
 FROM rec WHERE t >= {HW_WEEKS}
 ORDER BY n_name, t
 """, "grouped (per-nation) Holt-Winters, weekly grain, annual season")
+
+
+# ------------------------------- per-nation HW forecast intervals
+def orders_hw_band_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation one-step-ahead Holt-Winters FORECAST with residual-sd
+    bands — the interval layer over orders_holt_winters_nation (ROADMAP
+    r14 candidate surface): the point forecast for week T+1 is
+    l_T + b_T + s_{T+1-52} (the level/trend at the last observed week
+    plus the seasonal state set 52 weeks before the target), and the
+    band is +-2 residual standard deviations, where the residuals are
+    the in-sample one-step errors y_t - fitted_t for t >= 52.
+
+    Exactness: residuals are exact centi integers from the fixed-point
+    recursion, so the sd comes from exact integer sufficient statistics
+    — n, sum(r) (int64), sum(r^2) accumulated in DECIMAL(38,0) /
+    HUGEINT (r^2 alone can pass 2^63 at scale: weekly national revenue
+    of ~1e9 centi gives r^2 ~ 1e18) — then ONE double conversion and
+    the identical variance expression text on both engines, so the
+    rounded sd and the integer band edges are bit-equal. max_by picks
+    the last level/trend (t is unique per nation); the seasonal state
+    for T+1 joins the emitted row at t = T-51, present whenever a
+    nation spans >= 104 weeks (all fixtures; a shorter series emits
+    null forecast/band on both engines alike).
+
+    Scale shape: everything past the HW query itself is model-size —
+    one aggregate over #nations x #weeks rows, one self-join on
+    (nation, week)."""
+    hw = orders_holt_winters_nation(spark, sf_dir)
+    r = hw.select(
+        "n_name", "t", "level_centi", "trend_centi",
+        (F.col("y_centi") - F.col("fitted_centi")).alias("r"))
+    stats = (r.groupBy("n_name")
+             .agg(F.count(F.lit(1)).alias("n_resid"),
+                  F.sum("r").alias("resid_sum_centi"),
+                  F.sum(F.col("r").cast("decimal(19,0)")
+                        * F.col("r").cast("decimal(19,0)"))
+                  .cast("double").alias("s2"),
+                  F.max("t").alias("tmax"),
+                  F.max_by("level_centi", "t").alias("last_level"),
+                  F.max_by("trend_centi", "t").alias("last_trend")))
+    season = hw.select(F.col("n_name").alias("s_name"),
+                       F.col("t").alias("s_t"),
+                       F.col("season_centi").alias("s_next"))
+    sd_raw = F.sqrt(
+        (F.col("s2")
+         - F.col("resid_sum_centi").cast("double")
+         * F.col("resid_sum_centi") / F.col("n_resid"))
+        / (F.col("n_resid") - 1))
+    half = F.round(F.lit(2) * sd_raw).cast("long")
+    fc = F.col("last_level") + F.col("last_trend") + F.col("s_next")
+    return (stats
+            .join(season, (F.col("n_name") == F.col("s_name"))
+                  & (F.col("s_t") == F.col("tmax") - (HW_WEEKS - 1)),
+                  "left")
+            .select("n_name", "n_resid", "resid_sum_centi",
+                    F.round(sd_raw, 4).alias("resid_sd_centi"),
+                    fc.alias("forecast_centi"),
+                    (fc - half).alias("band_lo_centi"),
+                    (fc + half).alias("band_hi_centi"))
+            .orderBy("n_name"))
+
+
+register("orders_hw_band_nation", orders_hw_band_nation, f"""
+WITH hw AS (SELECT * FROM ({{hw_sql}}) h0),
+stats AS (
+    SELECT n_name, COUNT(*) AS n_resid,
+           CAST(SUM(y_centi - fitted_centi) AS BIGINT) AS resid_sum_centi,
+           CAST(SUM(CAST(y_centi - fitted_centi AS HUGEINT)
+                    * (y_centi - fitted_centi)) AS DOUBLE) AS s2,
+           MAX(t) AS tmax,
+           max_by(level_centi, t) AS last_level,
+           max_by(trend_centi, t) AS last_trend
+    FROM hw GROUP BY n_name
+),
+enriched AS (
+    SELECT s.*, h.season_centi AS s_next,
+           SQRT((s.s2 - CAST(s.resid_sum_centi AS DOUBLE)
+                 * s.resid_sum_centi / s.n_resid)
+                / (s.n_resid - 1)) AS sd_raw
+    FROM stats s LEFT JOIN hw h
+      ON h.n_name = s.n_name AND h.t = s.tmax - {HW_WEEKS - 1}
+)
+SELECT n_name, n_resid, resid_sum_centi,
+       ROUND(sd_raw, 4) AS resid_sd_centi,
+       last_level + last_trend + s_next AS forecast_centi,
+       last_level + last_trend + s_next
+           - CAST(ROUND(2 * sd_raw) AS BIGINT) AS band_lo_centi,
+       last_level + last_trend + s_next
+           + CAST(ROUND(2 * sd_raw) AS BIGINT) AS band_hi_centi
+FROM enriched ORDER BY n_name
+""".format(hw_sql=oracle_sql_of("orders_holt_winters_nation")),
+    "per-nation HW one-step forecast with +-2 residual-sd bands")
 
 
 # ---------------------------------------------- SAX symbolic series

@@ -725,20 +725,16 @@ FROM per_q
 PROBE_SWEEP = (1, 2, 4)
 
 
-def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall-vs-nprobe curve for the IVF path: the tuning table an
-    index operator reads before picking a probe count — one row per
-    nprobe in {1, 2, 4} with recall@1 against the exact panel and the
-    summed micro-quantized cosine regret. Each sweep point reuses
-    _ivf_search unchanged (assignment computed per point; the cell
-    scoring is centroid-bounded so the sweep is ~3x one IVF search,
-    all panel-sized joins). Together with ann_recall_audit (LSH) this
-    closes the loop: every ANN family ships with its measured
-    accuracy/cost curve, not a vibes-based default."""
-    emb = _emb(spark, sf_dir).cache()
-    cent = emb.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"),
-        F.col("norm").alias("cnorm"))
+def _nprobe_sweep(spark: SparkSession, sf_dir: str,
+                  emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Shared recall-vs-nprobe sweep body over any centroid table in
+    the _ivf_search contract — one row per nprobe in PROBE_SWEEP with
+    recall@1 against the exact panel and the summed micro-quantized
+    cosine regret. Each sweep point reuses _ivf_search unchanged
+    (assignment computed per point; the cell scoring is
+    centroid-bounded so the sweep is ~|PROBE_SWEEP|x one IVF search,
+    all panel-sized joins). Used by ann_ivf_nprobe_sweep (seed
+    quantizer) and ann_ivf_trained_sweep (Lloyd-trained quantizer)."""
     exact1 = (ann_cosine_topk(spark, sf_dir)
               .filter(F.col("rn") == 1)
               .select("query_id",
@@ -769,7 +765,38 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("n_probe")
 
 
-def _sweep_oracle() -> str:
+def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-nprobe curve for the seed-quantizer IVF path: the
+    tuning table an index operator reads before picking a probe count.
+    Together with ann_recall_audit (LSH) this closes the loop: every
+    ANN family ships with its measured accuracy/cost curve, not a
+    vibes-based default. (Body shared with the trained-quantizer sweep
+    — _nprobe_sweep.)"""
+    emb = _emb(spark, sf_dir).cache()
+    cent = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"))
+    return _nprobe_sweep(spark, sf_dir, emb, cent)
+
+
+def ann_ivf_trained_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-nprobe curve over the LLOYD-TRAINED coarse quantizer —
+    the multiprobe-over-trained-centroids composition (ROADMAP r14
+    candidate surface): ann_ivf_trained fixes nprobe=2 on the trained
+    cells; this emits the measured recall@1 / cosine-regret tradeoff at
+    nprobe in {1, 2, 4} against the exact panel, so the probe count for
+    the PRODUCTION quantizer is a read-off, not a default. Training
+    runs ONCE (bounded deterministic sample, exact integer Lloyd —
+    train_ivf_centroids' contract); each sweep point reuses _ivf_search
+    unchanged against the same centroid model. The oracle re-derives
+    the identical trained model per sweep point via the unrolled Lloyd
+    CTEs (_trained_ivf_pre), the ann_ivf_trained precedent."""
+    emb = _emb(spark, sf_dir).cache()
+    cent = train_ivf_centroids(spark, ivf_training_sample(emb))
+    return _nprobe_sweep(spark, sf_dir, emb, cent)
+
+
+def _sweep_oracle(pre: str = "", cent_sql: str = "") -> str:
     from ..registry import oracle_sql_of
 
     blocks, selects = [], []
@@ -777,7 +804,7 @@ def _sweep_oracle() -> str:
                   f" cos AS exact_cos FROM"
                   f" ({oracle_sql_of('ann_cosine_topk')}) e WHERE rn = 1)")
     for p in PROBE_SWEEP:
-        blocks.append(f"ivf{p} AS ({_ivf_oracle(p)})")
+        blocks.append(f"ivf{p} AS ({_ivf_oracle(p, pre=pre, cent_sql=cent_sql)})")
         selects.append(f"""
 SELECT {p} AS n_probe,
        CAST(COUNT(*) AS BIGINT) AS n_queries,
@@ -798,6 +825,15 @@ FROM exact e LEFT JOIN ivf{p} i USING (query_id)""")
 
 register("ann_ivf_nprobe_sweep", ann_ivf_nprobe_sweep, _sweep_oracle(),
          "IVF recall@1 / cosine-regret curve across nprobe in {1,2,4}")
+
+register(
+    "ann_ivf_trained_sweep", ann_ivf_trained_sweep,
+    _sweep_oracle(
+        pre=_trained_ivf_pre(),
+        cent_sql=(f"SELECT cell_id, "
+                  f"list_transform(cq, c -> c / {Q_SCALE}.0) AS cv "
+                  f"FROM tcent{N_ITERS}")),
+    "recall/nprobe sweep over the Lloyd-trained IVF quantizer")
 
 
 # ---------------------------------------------- IVF-PQ composition

@@ -112,6 +112,79 @@ FROM ev GROUP BY event_type, (hr // 24) // 7
 """, "hour/day/week rollup as a cascade (one corpus shuffle, no Expand)")
 
 
+# --------------------------------------------- calendar-month rollup
+def monthly_rollup_from_hourly(hour: DataFrame) -> DataFrame:
+    """CALENDAR-month rollup from a per-(type, hour) frame carrying the
+    event count ``n`` and the micro-quantized value sum ``s`` — the
+    day-spine extension one grain past the week fold (ROADMAP r14
+    candidate surface): hr → day is truncating div (composes with the
+    hourly spine's truncating div — the dailyfold proof), and day →
+    month maps the day index through real Gregorian date arithmetic
+    (``date_add(DATE '1970-01-01', d)`` then 'yyyy-MM'), which both
+    engines compute identically for the proleptic Gregorian calendar —
+    months are NOT a fixed divisor, so this is the grain the div
+    cascade cannot express. Integer sums all the way up (exact,
+    associative), so the streaming twin (``streaming/monthly.py``)
+    folds the SAME cascade from the shared hourly state bit-equally
+    over any chunking; one final division renders the double.
+    ``n_active_days`` counts spine days with >= 1 event — exact from
+    the day frame, since hour/state rows exist only for hours that saw
+    an event. Day and month frames are model-size (#types x calendar),
+    so the two re-aggregations after the hourly reduce are free at any
+    corpus scale."""
+    day = (hour.withColumn("d", F.expr("hr div 24"))
+           .groupBy("event_type", "d")
+           .agg(F.sum("s").alias("s"), F.sum("n").alias("n")))
+    return (day
+            .withColumn("month", F.date_format(
+                F.expr("date_add(DATE '1970-01-01', cast(d as int))"),
+                "yyyy-MM"))
+            .groupBy("event_type", "month")
+            .agg(F.sum("n").cast("long").alias("n_events"),
+                 F.count(F.lit(1)).alias("n_active_days"),
+                 (F.sum("s") / 10000.0).alias("sum_value"))
+            .orderBy("event_type", "month"))
+
+
+def events_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month rollup of event counts and exact fixed-point
+    value sums: the warehouse grain GROUPING SETS and the div cascade
+    both miss — month lengths vary, so the bucket is real date
+    arithmetic over the day spine, not a divisor. One corpus shuffle at
+    the hourly grain, then model-size folds (see
+    monthly_rollup_from_hourly); 18th finalizer seam for the shared
+    hourly-state streaming fleet."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts_ns div 3600000000000").alias("hr"),
+        F.floor(F.col("value") * 10000).cast("long").alias("m"))
+    hour = (ev.groupBy("event_type", "hr")
+            .agg(F.sum("m").alias("s"), F.count(F.lit(1)).alias("n")))
+    return monthly_rollup_from_hourly(hour)
+
+
+register("events_monthly_rollup", events_monthly_rollup, """
+WITH ev AS (
+    SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+           CAST(FLOOR(value * 10000) AS BIGINT) AS m
+    FROM events
+), hour AS (
+    SELECT event_type, hr, CAST(SUM(m) AS BIGINT) AS s, COUNT(*) AS n
+    FROM ev GROUP BY event_type, hr
+), day AS (
+    SELECT event_type, hr // 24 AS d,
+           CAST(SUM(s) AS BIGINT) AS s, CAST(SUM(n) AS BIGINT) AS n
+    FROM hour GROUP BY event_type, hr // 24
+)
+SELECT event_type,
+       strftime(DATE '1970-01-01' + CAST(d AS INTEGER), '%Y-%m') AS month,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       COUNT(*) AS n_active_days,
+       CAST(SUM(s) AS BIGINT) / 10000.0 AS sum_value
+FROM day GROUP BY event_type, strftime(DATE '1970-01-01' + CAST(d AS INTEGER), '%Y-%m')
+ORDER BY event_type, month
+""", "calendar-month rollup via the day spine (exact micro value sums)")
+
+
 # --------------------------------------------------------- IVM merge
 def ivm_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-view maintenance: merge the partial aggregation

@@ -60,6 +60,9 @@ _BNLJ_BOUNDED = {
     "emb_mmr_diversify": re.compile(rf"vec_id#\d+L? < {MMR_QUERIES}"),
     "ann_recall_audit": re.compile(rf"vec_id#\d+L? < {N_QUERIES}"),
     "ann_ivf_nprobe_sweep": re.compile(rf"vec_id#\d+L? < {N_QUERIES}"),
+    # trained sweep: same exact-panel BNLJ (vec_id < N_QUERIES bound);
+    # its trained-centroid cross joins are hinted k-row local models
+    "ann_ivf_trained_sweep": re.compile(rf"vec_id#\d+L? < {N_QUERIES}"),
     "emb_knn_label_purity": re.compile(rf"vec_id#\d+L? < {N_QUERIES}"),
     "audience_overlap_matrix": re.compile(
         r"keys=\[(event_type|mask)#|keys=\[\]"),

@@ -1,0 +1,238 @@
+"""Round-13 second growth wave: determinism + independent-reference
+checks for events_monthly_rollup, events_value_ewma_hourly,
+ann_ivf_trained_sweep and orders_hw_band_nation — the same contracts
+as the first wave (tests/test_r13_wave.py): hostile splits must not
+move a value, session timezones must not move a bucket, every new
+kernel has an independent third implementation agreeing exactly, and
+compositions obey their monotonicity/consistency laws."""
+
+import math
+from datetime import date, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from impractical_impala_spark.registry import all_queries
+
+_Q = all_queries()
+
+R13W2_CASES = [
+    # integer sums / integer fixed-point divisions / one final double
+    # division of exact integers — hostile splits must be bit-exact
+    "events_monthly_rollup",
+    "events_value_ewma_hourly",
+    "ann_ivf_trained_sweep",
+    "orders_hw_band_nation",
+]
+
+
+@pytest.mark.parametrize("name", R13W2_CASES)
+def test_r13w2_partition_invariance(spark, sf_small, name):
+    """Narrow scan partitions, prime shuffle width, small Arrow batches
+    must not change a single output value. All four are in the EXACT
+    class: associative integer accumulation everywhere order can vary,
+    then order-free scalar float ops."""
+    base = sorted(map(tuple, _Q[name].build(spark, sf_small).collect()))
+    conf = [("spark.sql.files.maxPartitionBytes", "65536"),
+            ("spark.sql.shuffle.partitions", "7"),
+            ("spark.sql.execution.arrow.maxRecordsPerBatch", "37")]
+    old = {k: spark.conf.get(k) for k, _ in conf}
+    try:
+        for k, v in conf:
+            spark.conf.set(k, v)
+        skewed = sorted(map(tuple, _Q[name].build(spark, sf_small).collect()))
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert base == skewed
+
+
+@pytest.mark.parametrize("name", ["events_monthly_rollup",
+                                  "events_value_ewma_hourly",
+                                  "orders_hw_band_nation"])
+def test_r13w2_timezone_invariance(spark, sf_small, name):
+    """The time-bearing queries bin on the lossless ts_ns epoch
+    (events) or the NTZ o_orderdate (orders), and the month label is
+    date arithmetic on an epoch-day integer — a UTC+14 session zone
+    must not move any bucket or label."""
+    base = sorted(map(tuple, _Q[name].build(spark, sf_small).collect()))
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+        hostile = sorted(map(tuple,
+                             _Q[name].build(spark, sf_small).collect()))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    assert base == hostile
+
+
+def test_monthly_rollup_pandas_reference(spark, sf_small):
+    """Independent third implementation: recompute the calendar-month
+    rollup straight from parquet with pandas + Python date arithmetic
+    (no Spark, no DuckDB) and require exact equality — counts, active
+    days and micro sums."""
+    import pandas as pd
+
+    df = pd.read_parquet(f"{sf_small}/events.parquet")
+    ts_ns = df["ts"].values.astype("datetime64[ns]").astype("int64")
+    hr = ts_ns // 3_600_000_000_000
+    d = hr // 24
+    micro = [int(math.floor(v * 10000)) for v in df["value"]]
+    month = [(date(1970, 1, 1) + timedelta(days=int(x))).strftime("%Y-%m")
+             for x in d]
+    g = pd.DataFrame({"event_type": df["event_type"], "d": d,
+                      "month": month, "m": micro})
+    day = g.groupby(["event_type", "d", "month"], as_index=False).agg(
+        n=("m", "size"), s=("m", "sum"))
+    mon = day.groupby(["event_type", "month"]).agg(
+        n_events=("n", "sum"), n_active_days=("d", "nunique"),
+        s=("s", "sum"))
+    rows = _Q["events_monthly_rollup"].build(spark, sf_small).collect()
+    assert len(rows) == len(mon)
+    for r in rows:
+        e = mon.loc[(r.event_type, r.month)]
+        assert r.n_events == int(e["n_events"])
+        assert r.n_active_days == int(e["n_active_days"])
+        assert round(r.sum_value * 10000) == int(e["s"])
+
+
+def test_monthly_vs_time_rollup_consistency(spark, sf_small):
+    """Cross-query law: folding events_time_rollup's DAY grain through
+    the same epoch-day → calendar-month map must reproduce
+    events_monthly_rollup exactly (both cascades share the hourly
+    reduce, so any divergence is in the month fold itself)."""
+    days = [r for r in _Q["events_time_rollup"].build(
+        spark, sf_small).collect() if r.grain == "day"]
+    agg = {}
+    for r in days:
+        key = (r.event_type,
+               (date(1970, 1, 1)
+                + timedelta(days=int(r.bucket))).strftime("%Y-%m"))
+        n, s, nd = agg.get(key, (0, 0, 0))
+        agg[key] = (n + r.n_events, s + round(r.sum_value * 10000), nd + 1)
+    rows = _Q["events_monthly_rollup"].build(spark, sf_small).collect()
+    assert {(r.event_type, r.month) for r in rows} == set(agg)
+    for r in rows:
+        n, s, nd = agg[(r.event_type, r.month)]
+        assert (r.n_events, round(r.sum_value * 10000),
+                r.n_active_days) == (n, s, nd)
+
+
+def test_value_ewma_python_reference(spark, sf_small):
+    """Independent third implementation: dense per-type hourly micro
+    sums rebuilt with pandas, then the 16-term power-of-two lag
+    polynomial evaluated in plain Python integers — exact equality with
+    the Spark query, including gap hours (cnt 0 contributes weight but
+    no mass) and the <16-term warmup normalization."""
+    import pandas as pd
+
+    df = pd.read_parquet(f"{sf_small}/events.parquet")
+    ts_ns = df["ts"].values.astype("datetime64[ns]").astype("int64")
+    g = pd.DataFrame({
+        "event_type": df["event_type"],
+        "hr": ts_ns // 3_600_000_000_000,
+        "m": [int(math.floor(v * 10000)) for v in df["value"]]})
+    hourly = g.groupby(["event_type", "hr"])["m"].sum()
+    expect = {}
+    for et in sorted(set(g["event_type"])):
+        sub = hourly.loc[et]
+        h0, h1 = int(sub.index.min()), int(sub.index.max())
+        ys = [int(sub.get(h, 0)) for h in range(h0, h1 + 1)]
+        for i, hr in enumerate(range(h0, h1 + 1)):
+            scaled = norm = 0
+            for k in range(16):
+                if i - k < 0:
+                    break
+                w = 1 << (15 - k)
+                scaled += ys[i - k] * w
+                norm += w
+            expect[(et, hr)] = (ys[i], (scaled * 1000) // norm)
+    rows = _Q["events_value_ewma_hourly"].build(spark, sf_small).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert expect[(r.event_type, r.hr)] == (
+            r.value_micro, r.vewma_milli), (r.event_type, r.hr)
+
+
+def test_trained_sweep_monotone_in_nprobe(spark, sf_small):
+    """Candidate sets grow with n_probe (probe keys are nested), so
+    n_answered and recall@1 must be non-decreasing and the summed
+    cosine regret non-increasing; and the n_probe=2 point must agree
+    with what ann_ivf_trained's fixed probe-2 search would measure —
+    here checked as regret >= 0 and recall bounded by answered."""
+    rows = sorted(_Q["ann_ivf_trained_sweep"].build(
+        spark, sf_small).collect(), key=lambda r: r.n_probe)
+    assert [r.n_probe for r in rows] == [1, 2, 4]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_answered >= a.n_answered
+        assert b.n_hit1 >= a.n_hit1
+        assert b.cos_gap_micro <= a.cos_gap_micro
+    for r in rows:
+        assert 0 <= r.n_hit1 <= r.n_answered <= r.n_queries
+        assert r.cos_gap_micro >= 0
+        assert r.recall1_ppm == r.n_hit1 * 1_000_000 // r.n_queries
+
+
+def test_hw_band_independent_recompute(spark, sf_small):
+    """Independent third implementation: rebuild each nation's dense
+    weekly cents series with pandas, run a FRESH inline Holt-Winters
+    recursion (not hw_fit), derive the residual sufficient statistics,
+    the T+1 point forecast and the +-2-sd band in plain Python, and
+    require exact equality with the Spark query."""
+    import pandas as pd
+
+    M = 52
+    orders = pd.read_parquet(f"{sf_small}/orders.parquet")
+    cust = pd.read_parquet(f"{sf_small}/customer.parquet")
+    nation = pd.read_parquet(f"{sf_small}/nation.parquet")
+    df = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    df = df.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    epoch_day = (df["o_orderdate"].values.astype("datetime64[D]")
+                 .astype("int64"))
+    df = df.assign(wk=epoch_day // 7,
+                   centi=(df["o_totalprice"] * 100).map(
+                       lambda x: int(math.floor(x))))
+
+    def trunc(a, b):
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    expect = {}
+    for nm, g in df.groupby("n_name"):
+        weekly = g.groupby("wk")["centi"].sum()
+        w0, w1 = int(weekly.index.min()), int(weekly.index.max())
+        ys = [int(weekly.get(w, 0)) for w in range(w0, w1 + 1)]
+        if len(ys) <= M:
+            continue
+        mean0 = trunc(sum(ys[:M]), M)
+        sw = [y - mean0 for y in ys[:M]]
+        lvl, b = mean0, 0
+        resid, seasons = [], {}
+        for t in range(M, len(ys)):
+            slag = sw[t % M]
+            resid.append(ys[t] - (lvl + b + slag))
+            nl = trunc(ys[t] - slag + lvl + b, 2)
+            nb = trunc(nl - lvl + 3 * b, 4)
+            ns = trunc(ys[t] - nl + 3 * slag, 4)
+            lvl, b = nl, nb
+            sw[t % M] = ns
+            seasons[t] = ns
+        tmax = len(ys) - 1
+        n = len(resid)
+        s1, s2 = sum(resid), sum(r * r for r in resid)
+        sd = math.sqrt((float(s2) - float(s1) * s1 / n) / (n - 1))
+        s_next = seasons.get(tmax - (M - 1))
+        fc = lvl + b + s_next if s_next is not None else None
+        half = int(round(2 * sd)) if fc is not None else None
+        expect[nm] = (n, s1, round(sd, 4), fc,
+                      None if fc is None else fc - half,
+                      None if fc is None else fc + half)
+
+    rows = _Q["orders_hw_band_nation"].build(spark, sf_small).collect()
+    assert rows and len(rows) == len(expect)
+    for r in rows:
+        n, s1, sd4, fc, lo, hi = expect[r.n_name]
+        assert (r.n_resid, r.resid_sum_centi) == (n, s1), r.n_name
+        assert r.resid_sd_centi == pytest.approx(sd4, abs=0), r.n_name
+        assert (r.forecast_centi, r.band_lo_centi, r.band_hi_centi) == (
+            fc, lo, hi), r.n_name

@@ -3,7 +3,7 @@ day-of-week ANOVA, Hurst, Pettitt, SPRT) must finalize to EXACTLY their batch qu
 — AvailableNow, chunked replay, and a crash/restart through the same
 checkpoint. The daily counts fold from the SAME hourly-count state the
 nine hourly monitors read (hr div 24, exact integer sums); the closing
-test pins the full FIFTEEN-finalizer fleet over one state stream."""
+test pins the full NINETEEN-finalizer fleet over one state stream."""
 
 import time
 from pathlib import Path
@@ -23,6 +23,7 @@ from impractical_impala_spark.streaming import fano as FA
 from impractical_impala_spark.streaming import gapfill as GF
 from impractical_impala_spark.streaming import granger as GR
 from impractical_impala_spark.streaming import hurst as HU
+from impractical_impala_spark.streaming import monthly as MO
 from impractical_impala_spark.streaming import pacf as PC
 from impractical_impala_spark.streaming import peak_load as PL
 from impractical_impala_spark.streaming import pettitt as PT
@@ -30,6 +31,7 @@ from impractical_impala_spark.streaming import profile_jsd as PJ
 from impractical_impala_spark.streaming import sprt as SP
 from impractical_impala_spark.streaming import time_rollup as TR
 from impractical_impala_spark.streaming import transfer_entropy as TE
+from impractical_impala_spark.streaming import value_ewma as VE
 
 _Q = all_queries()
 
@@ -75,6 +77,10 @@ HOURLY = [
      ["event_type", "hr", "n_events", "sum_value_locf", "is_gap"]),
     (TR, "events_time_rollup",
      ["grain", "event_type", "bucket", "n_events", "sum_value"]),
+    (MO, "events_monthly_rollup",
+     ["event_type", "month", "n_events", "n_active_days", "sum_value"]),
+    (VE, "events_value_ewma_hourly",
+     ["event_type", "hr", "value_micro", "vewma_milli"]),
 ]
 
 
@@ -170,17 +176,17 @@ def test_daily_twin_restart_from_checkpoint(spark, split_dir, tmp_path,
             _want(spark, sf_small, qname, cols))
 
 
-def test_one_state_stream_feeds_seventeen_finalizers(spark, split_dir,
-                                                      sf_small):
-    """The shared hourly state serves SEVENTEEN finalizers (nine
-    count-only hourly + the two value-weighted r13 twins + six daily)
-    — one AvailableNow pass, seventeen finalizes, seventeen batch
+def test_one_state_stream_feeds_nineteen_finalizers(spark, split_dir,
+                                                    sf_small):
+    """The shared hourly state serves NINETEEN finalizers (nine
+    count-only hourly + the four value-weighted r13 twins + six daily)
+    — one AvailableNow pass, nineteen finalizes, nineteen batch
     matches."""
     q = (_stream_state(spark, split_dir, max_files=100)
-         .writeStream.format("memory").queryName("t_seventeen_state")
+         .writeStream.format("memory").queryName("t_nineteen_state")
          .outputMode("update").trigger(availableNow=True).start())
     q.awaitTermination()
-    rows = spark.table("t_seventeen_state")
+    rows = spark.table("t_nineteen_state")
     for mod, qname, cols in HOURLY + [TWINS[t] for t in sorted(TWINS)]:
         got = _got(spark, mod, rows, cols)
         want = _want(spark, sf_small, qname, cols)

@@ -1,10 +1,11 @@
-"""The binseg / PACF / burst-Viterbi / gap-fill / time-rollup
-streaming twins must finalize to EXACTLY their batch queries —
-AvailableNow, chunked replay, and a crash/restart through the same
-checkpoint, parametrized over the twins (the shared hourly-state test
-shape; gap-fill and time-rollup are the value-weighted r13 additions).
-The closing test pins the full ELEVEN-finalizer hourly fleet over one
-state stream."""
+"""The binseg / PACF / burst-Viterbi / gap-fill / time-rollup /
+monthly-rollup / value-EWMA streaming twins must finalize to EXACTLY
+their batch queries — AvailableNow, chunked replay, and a
+crash/restart through the same checkpoint, parametrized over the twins
+(the shared hourly-state test shape; gap-fill, time-rollup, monthly
+and value-EWMA are the value-weighted r13 additions). The closing test
+pins the full THIRTEEN-finalizer hourly fleet over one state
+stream."""
 
 import time
 from pathlib import Path
@@ -21,10 +22,12 @@ from impractical_impala_spark.streaming import cusum as CU
 from impractical_impala_spark.streaming import ewma as EW
 from impractical_impala_spark.streaming import fano as FA
 from impractical_impala_spark.streaming import gapfill as GF
+from impractical_impala_spark.streaming import monthly as MO
 from impractical_impala_spark.streaming import pacf as PC
 from impractical_impala_spark.streaming import peak_load as PL
 from impractical_impala_spark.streaming import profile_jsd as PJ
 from impractical_impala_spark.streaming import time_rollup as TR
+from impractical_impala_spark.streaming import value_ewma as VE
 
 _Q = all_queries()
 
@@ -45,6 +48,11 @@ TWINS = {
     "time_rollup": (TR, "events_time_rollup",
                     ["grain", "event_type", "bucket", "n_events",
                      "sum_value"]),
+    "monthly": (MO, "events_monthly_rollup",
+                ["event_type", "month", "n_events", "n_active_days",
+                 "sum_value"]),
+    "value_ewma": (VE, "events_value_ewma_hourly",
+                   ["event_type", "hr", "value_micro", "vewma_milli"]),
 }
 
 
@@ -140,16 +148,16 @@ def test_twin_restart_from_checkpoint(spark, split_dir, tmp_path,
             _want(spark, sf_small, qname, cols))
 
 
-def test_one_state_stream_feeds_eleven_finalizers(spark, split_dir,
-                                                  sf_small):
-    """The shared hourly state serves ELEVEN hourly finalizers (nine
-    count-only monitors + the two value-weighted r13 twins) — one
-    AvailableNow pass, eleven finalizes, eleven batch matches."""
+def test_one_state_stream_feeds_thirteen_finalizers(spark, split_dir,
+                                                    sf_small):
+    """The shared hourly state serves THIRTEEN hourly finalizers (nine
+    count-only monitors + the four value-weighted r13 twins) — one
+    AvailableNow pass, thirteen finalizes, thirteen batch matches."""
     q = (_stream_state(spark, split_dir, max_files=100)
-         .writeStream.format("memory").queryName("t_eleven_state")
+         .writeStream.format("memory").queryName("t_thirteen_state")
          .outputMode("update").trigger(availableNow=True).start())
     q.awaitTermination()
-    rows = spark.table("t_eleven_state")
+    rows = spark.table("t_thirteen_state")
     checks = [
         (AC, "events_hourly_autocorr24", ["event_type", "n", "r24"]),
         (CU, "events_cusum_changepoint",
