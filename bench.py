@@ -510,6 +510,10 @@ HEADLINE = [
     "events_value_ewma_hourly",
     "ann_ivf_trained_sweep",
     "orders_hw_band_nation",
+    # round 13, third growth wave (append-only): the per-nation HW
+    # backtest and the minhash banding tuning curve.
+    "orders_hw_backtest_nation",
+    "dedup_banding_sweep",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

@@ -657,10 +657,16 @@ _EVICTED_TO_R10 = _FILL_QUEUE_R9[_n_fill:]
 # fingerprint verified byte-identical, oracle untouched, values
 # re-proven exact at sf0.001/0.01 in-round; listed as the price of the
 # code-path change, same rule as the r12 monitor extractions.
+# orders_holt_winters_nation's dense-weekly construction moved into the
+# shared _nation_weekly_dense helper (same rule; fingerprint verified
+# byte-identical, oracle untouched, values re-proven exact) so the new
+# per-nation backtest scores the IDENTICAL series — the name is still
+# never-driver-checked, so the listing costs no extra window slot.
 CHANGED_THIS_ROUND: dict[str, int] = {
     "events_gapfill_locf": 12,
     "events_time_rollup": 12,
     "ann_ivf_nprobe_sweep": 12,
+    "orders_holt_winters_nation": 12,
 }
 
 from ..registry import registered_names  # noqa: E402

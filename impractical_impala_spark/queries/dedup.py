@@ -1223,6 +1223,164 @@ register("dedup_threshold_sweep", dedup_threshold_sweep, _sweep_oracle(),
          "near-dup yield curve: pairs/docs removed per Jaccard threshold")
 
 
+# ---------------------------------------------- banding sweep
+# Banding configurations over the SAME 16-perm signature: b bands of
+# r = 16/b rows. Bands nest (an 8-row band is two adjacent 4-row
+# bands), so candidate sets are strictly ordered: a pair colliding at
+# b bands collides at 2b — cand(2) ⊆ cand(4) ⊆ cand(8). The sweep is
+# the dedup counterpart of ann_ivf_nprobe_sweep: the measured
+# candidate-volume/recall curve an operator reads before fixing (b, r)
+# for a corpus-wide dedup run.
+BAND_SWEEP = (2, 4, 8)
+JACCARD_T_PPM = round(JACCARD_T * 1_000_000)
+
+
+def dedup_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding tuning curve: for b bands x 16/b rows over
+    the shared 16-perm signatures, ONE row per configuration with the
+    candidate-pair volume, the exact-Jaccard-confirmed count (integer
+    ppm compare — inter*1e6 div union >= threshold, identical rule both
+    engines), and recall against the PLANTED mutated near-dups (every
+    3rd doc carries a shingle-mutated twin at +MUT_OFFSET — ground
+    truth by construction, not by a second pair join). More bands =
+    shorter band keys = more candidates and higher recall at more
+    confirm work; the nesting law (see BAND_SWEEP note) makes every
+    column monotone in b, pinned in tests/test_r13_wave2.py.
+
+    Scale shape: per configuration one band-key shuffle over (id, key)
+    rows and one pair-dedup — the dedup_minhash_lsh plan re-run 3x on
+    the cached signature frame; never an all-pairs comparison."""
+    ds = _spark_docsets(spark, sf_dir, mutated=True)
+    mh_cols = [
+        F.array_min(F.expr(
+            f"transform(dh, h -> ({a} * h + {b}) % {P})")).alias(f"mh{i}")
+        for i, (a, b) in enumerate(PERMS)
+    ]
+    sigs = ds.select("doc_id", "dh", *mh_cols).cache()
+    planted = (load_table(spark, sf_dir, "documents")
+               .filter(F.col("doc_id") % 3 == 0)
+               .agg(F.count(F.lit(1)).alias("n_planted")))
+    inter = F.size(F.array_intersect("dha", "dhb"))
+    union = F.size("dha") + F.size("dhb") - inter
+    jacc_ppm = F.expr(
+        "size(array_intersect(dha, dhb)) * 1000000"
+        " div (size(dha) + size(dhb) - size(array_intersect(dha, dhb)))")
+    out = None
+    for nb in BAND_SWEEP:
+        rpb = NUM_PERM // nb
+        band_structs = F.array(*[
+            F.struct(
+                F.lit(band).alias("band_idx"),
+                F.concat_ws("_", *[F.col(f"mh{band * rpb + r}")
+                                   for r in range(rpb)]).alias("bkey"))
+            for band in range(nb)
+        ])
+        buckets = (sigs.select("doc_id", F.explode(band_structs).alias("bb"))
+                   .select("doc_id", "bb.band_idx", "bb.bkey"))
+        ba, bb = buckets.alias("a"), buckets.alias("b")
+        pairs = (ba.join(
+            _maybe_broadcast(bb, sf_dir),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"]))
+        dha = sigs.select(F.col("doc_id").alias("doc_a"),
+                          F.col("dh").alias("dha"))
+        dhb = sigs.select(F.col("doc_id").alias("doc_b"),
+                          F.col("dh").alias("dhb"))
+        scored = (pairs.join(_maybe_broadcast(dha, sf_dir), "doc_a")
+                  .join(_maybe_broadcast(dhb, sf_dir), "doc_b")
+                  .select("doc_a", "doc_b", jacc_ppm.alias("jp")))
+        stat = scored.agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.sum(F.expr(f"cast(jp >= {JACCARD_T_PPM} as int)"))
+            .alias("n_confirmed"),
+            F.sum(F.expr(f"cast(doc_b - doc_a = {MUT_OFFSET}"
+                         f" and doc_a % 3 = 0 as int)"))
+            .alias("n_planted_hit"))
+        row = (stat.crossJoin(F.broadcast(planted)).select(
+            F.lit(nb).alias("n_bands"),
+            F.lit(rpb).alias("rows_per_band"),
+            F.col("n_cand").cast("long").alias("n_cand"),
+            F.col("n_confirmed").cast("long").alias("n_confirmed"),
+            F.col("n_planted_hit").cast("long").alias("n_planted_hit"),
+            "n_planted",
+            F.expr("n_planted_hit * 1000000 div n_planted")
+            .alias("recall_ppm"),
+            F.expr("case when n_cand = 0 then null"
+                   " else n_confirmed * 1000000 div n_cand end")
+            .alias("precision_ppm")))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_bands")
+
+
+def _banding_sweep_oracle() -> str:
+    mh = ",\n           ".join(
+        f"list_min(list_transform(dh, h -> ({a} * h + {b}) % {P})) AS mh{i}"
+        for i, (a, b) in enumerate(PERMS)
+    )
+    blocks = [f"""{_duck_docsets(mutated=True).lstrip()},
+sigs AS (
+    SELECT doc_id, dh,
+           {mh}
+    FROM docsets
+),
+planted AS (
+    SELECT COUNT(*) AS n_planted FROM documents WHERE doc_id % 3 = 0
+)"""]
+    selects = []
+    for nb in BAND_SWEEP:
+        rpb = NUM_PERM // nb
+        bands = "\n    UNION ALL\n".join(
+            f"    SELECT doc_id, dh, {band} AS band_idx, "
+            + " || '_' || ".join(
+                f"CAST(mh{band * rpb + r} AS VARCHAR)"
+                for r in range(rpb))
+            + " AS bkey FROM sigs"
+            for band in range(nb)
+        )
+        blocks.append(f""", buckets{nb} AS (
+{bands}
+), cand{nb} AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.dh AS dha, b.dh AS dhb
+    FROM buckets{nb} a JOIN buckets{nb} b
+      ON a.band_idx = b.band_idx AND a.bkey = b.bkey
+     AND a.doc_id < b.doc_id
+), stat{nb} AS (
+    SELECT {nb} AS n_bands, {rpb} AS rows_per_band,
+           CAST(COUNT(*) AS BIGINT) AS n_cand,
+           CAST(SUM(CASE WHEN len(list_intersect(dha, dhb)) * 1000000
+                    // (len(dha) + len(dhb) - len(list_intersect(dha, dhb)))
+                    >= {JACCARD_T_PPM} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_confirmed,
+           CAST(SUM(CASE WHEN doc_b - doc_a = {MUT_OFFSET}
+                    AND doc_a % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_planted_hit
+    FROM cand{nb}
+)""")
+        selects.append(f"SELECT * FROM stat{nb}")
+    u = "\nUNION ALL\n".join(selects)
+    return ("WITH " + "".join(blocks) + f"""
+SELECT s.n_bands, s.rows_per_band, s.n_cand, s.n_confirmed,
+       s.n_planted_hit, p.n_planted,
+       CAST(s.n_planted_hit * 1000000 // p.n_planted AS BIGINT)
+           AS recall_ppm,
+       CASE WHEN s.n_cand = 0 THEN NULL
+            ELSE CAST(s.n_confirmed * 1000000 // s.n_cand AS BIGINT) END
+           AS precision_ppm
+FROM ({u}) s CROSS JOIN planted p
+ORDER BY s.n_bands
+""")
+
+
+register("dedup_banding_sweep", dedup_banding_sweep,
+         _banding_sweep_oracle(),
+         "minhash banding (b x 16/b) candidate/recall tuning curve")
+
+
 # ---------------------------------------------- hamming spectrum
 def dedup_hamming_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash separability audit: the histogram of pairwise hamming

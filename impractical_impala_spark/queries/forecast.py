@@ -171,22 +171,12 @@ ORDER BY event_type, t
 HW_WEEKS = 52  # annual seasonality on the weekly grain
 
 
-def orders_holt_winters_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPED Holt-Winters — the forecast family's second member
-    (VERDICT r12 ask #4): the same exact integer recursion as
-    events_holt_winters, run per NATION over weekly order revenue with
-    ANNUAL seasonality (season length 52 on the week grain; week =
-    epoch-day div 7). The grouping column comes from a dimension join
-    (orders → customer → nation, both broadcast-size) rather than a
-    fact column — the shape a fleet of per-market forecasts takes.
-
-    Scale shape: the fact table reduces ONCE to the per-(nation, week)
-    integer cents frame; the dense weekly spine and the recursion are
-    dimension x calendar cardinality (25 nations x ~340 weeks here,
-    #groups x weeks-elapsed at any scale). The applyInPandas group is
-    one nation's calendar-bounded series — the events_holt_winters /
-    HP-filter kernel contract.
-    """
+def _nation_weekly_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-nation weekly revenue series (n_name, t, y): the fact
+    table reduces once to (nation, week) integer cents, then each
+    nation's calendar-bounded spine fills gaps with real zeros — shared
+    by the grouped Holt-Winters fit and its backtest so both score the
+    SAME series (week = epoch-day div 7; both dims broadcast-size)."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         F.expr("datediff(cast(o_orderdate as date), DATE '1970-01-01')"
@@ -204,9 +194,28 @@ def orders_holt_winters_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("wk").alias("w0"), F.max("wk").alias("w1"))
     spine = bounds.select(
         "n_name", "w0", F.explode(F.expr("sequence(w0, w1)")).alias("wk"))
-    dense = (spine.join(weekly, ["n_name", "wk"], "left")
-             .select("n_name", (F.col("wk") - F.col("w0")).alias("t"),
-                     F.coalesce("c", F.lit(0)).alias("y")))
+    return (spine.join(weekly, ["n_name", "wk"], "left")
+            .select("n_name", (F.col("wk") - F.col("w0")).alias("t"),
+                    F.coalesce("c", F.lit(0)).alias("y")))
+
+
+def orders_holt_winters_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED Holt-Winters — the forecast family's second member
+    (VERDICT r12 ask #4): the same exact integer recursion as
+    events_holt_winters, run per NATION over weekly order revenue with
+    ANNUAL seasonality (season length 52 on the week grain; week =
+    epoch-day div 7). The grouping column comes from a dimension join
+    (orders → customer → nation, both broadcast-size) rather than a
+    fact column — the shape a fleet of per-market forecasts takes.
+
+    Scale shape: the fact table reduces ONCE to the per-(nation, week)
+    integer cents frame; the dense weekly spine and the recursion are
+    dimension x calendar cardinality (25 nations x ~340 weeks here,
+    #groups x weeks-elapsed at any scale). The applyInPandas group is
+    one nation's calendar-bounded series — the events_holt_winters /
+    HP-filter kernel contract.
+    """
+    dense = _nation_weekly_dense(spark, sf_dir)
 
     def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
         g = pdf.sort_values("t")
@@ -371,6 +380,97 @@ SELECT n_name, n_resid, resid_sum_centi,
 FROM enriched ORDER BY n_name
 """.format(hw_sql=oracle_sql_of("orders_holt_winters_nation")),
     "per-nation HW one-step forecast with +-2 residual-sd bands")
+
+
+# ------------------------------- per-nation HW vs naive skill score
+def orders_hw_backtest_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-sample one-step backtest of the grouped Holt-Winters against
+    the two standard reference forecasters, per nation: over the scored
+    span (t >= 52) compare |y_t - fitted_t| with the naive (y_{t-1})
+    and seasonal-naive (y_{t-52}) errors on the SAME dense weekly
+    series (the shared _nation_weekly_dense frame, so the comparison is
+    apples-to-apples by construction). hw_skill_ppm = HW error as ppm
+    of the seasonal-naive error — the MASE-style "is the model worth
+    running per market" read-off; < 1e6 means HW beats the seasonal
+    benchmark for that nation. All error sums are exact centi integers
+    (|err| ~ 1e8 x ~300 weeks << 2^63); the ratios are integer ppm/
+    milli divisions, guarded for the zero-denominator corner so both
+    engines emit the same NULL instead of one erroring.
+
+    Scale shape: one fact reduce (shared), one lag window and one
+    (nation, week) equi join on the model-size weekly frame, then a
+    #nations-row aggregate."""
+    dense = _nation_weekly_dense(spark, sf_dir)
+    w = Window.partitionBy("n_name").orderBy("t")
+    preds = dense.select(
+        "n_name", "t", "y",
+        F.lag("y", 1).over(w).alias("p_naive"),
+        F.lag("y", HW_WEEKS).over(w).alias("p_snaive"))
+    fitted = orders_holt_winters_nation(spark, sf_dir).select(
+        F.col("n_name").alias("h_name"), F.col("t").alias("h_t"),
+        "fitted_centi")
+    j = preds.join(fitted, (F.col("n_name") == F.col("h_name"))
+                   & (F.col("t") == F.col("h_t")))
+    agg = j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.sum(F.abs(F.col("y") - F.col("fitted_centi"))).alias("hw_err"),
+        F.sum(F.abs(F.col("y") - F.col("p_naive"))).alias("naive_err"),
+        F.sum(F.abs(F.col("y") - F.col("p_snaive"))).alias("snaive_err"))
+    return (agg.select(
+        "n_name", "n_weeks",
+        F.expr("hw_err * 1000 div n_weeks").alias("hw_mae_milli"),
+        F.expr("naive_err * 1000 div n_weeks").alias("naive_mae_milli"),
+        F.expr("snaive_err * 1000 div n_weeks").alias("snaive_mae_milli"),
+        F.expr("case when snaive_err = 0 then null"
+               " else hw_err * 1000000 div snaive_err end")
+        .alias("hw_skill_ppm"))
+        .orderBy("n_name"))
+
+
+register("orders_hw_backtest_nation", orders_hw_backtest_nation, f"""
+WITH hw AS (SELECT * FROM ({{hw_sql}}) h0),
+weekly AS (
+    SELECT n.n_name,
+           (CAST(o.o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS wk,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS c
+    FROM orders o
+    JOIN customer cu ON o.o_custkey = cu.c_custkey
+    JOIN nation n ON cu.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+), bounds AS (
+    SELECT n_name, MIN(wk) AS w0, MAX(wk) AS w1 FROM weekly GROUP BY 1
+), spine AS (
+    SELECT b.n_name, b.w0, UNNEST(range(b.w0, b.w1 + 1)) AS wk
+    FROM bounds b
+), dense AS (
+    SELECT s.n_name, s.wk - s.w0 AS t, COALESCE(w.c, 0) AS y
+    FROM spine s LEFT JOIN weekly w
+      ON s.n_name = w.n_name AND s.wk = w.wk
+), preds AS (
+    SELECT n_name, t, y,
+           LAG(y, 1) OVER (PARTITION BY n_name ORDER BY t) AS p_naive,
+           LAG(y, {HW_WEEKS}) OVER (PARTITION BY n_name ORDER BY t)
+               AS p_snaive
+    FROM dense
+), agg AS (
+    SELECT p.n_name, COUNT(*) AS n_weeks,
+           CAST(SUM(ABS(p.y - h.fitted_centi)) AS BIGINT) AS hw_err,
+           CAST(SUM(ABS(p.y - p.p_naive)) AS BIGINT) AS naive_err,
+           CAST(SUM(ABS(p.y - p.p_snaive)) AS BIGINT) AS snaive_err
+    FROM preds p JOIN hw h ON p.n_name = h.n_name AND p.t = h.t
+    GROUP BY p.n_name
+)
+SELECT n_name, n_weeks,
+       CAST(hw_err * 1000 // n_weeks AS BIGINT) AS hw_mae_milli,
+       CAST(naive_err * 1000 // n_weeks AS BIGINT) AS naive_mae_milli,
+       CAST(snaive_err * 1000 // n_weeks AS BIGINT) AS snaive_mae_milli,
+       CASE WHEN snaive_err = 0 THEN NULL
+            ELSE CAST(hw_err * 1000000 // snaive_err AS BIGINT) END
+           AS hw_skill_ppm
+FROM agg ORDER BY n_name
+""".format(hw_sql=oracle_sql_of("orders_holt_winters_nation")),
+    "per-nation HW vs naive/seasonal-naive one-step backtest (MASE-style)")
 
 
 # ---------------------------------------------- SAX symbolic series

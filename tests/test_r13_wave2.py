@@ -236,3 +236,169 @@ def test_hw_band_independent_recompute(spark, sf_small):
         assert r.resid_sd_centi == pytest.approx(sd4, abs=0), r.n_name
         assert (r.forecast_centi, r.band_lo_centi, r.band_hi_centi) == (
             fc, lo, hi), r.n_name
+
+
+# ---------------------------------------------------- wave 3 additions
+
+@pytest.mark.parametrize("name", ["orders_hw_backtest_nation",
+                                  "dedup_banding_sweep"])
+def test_r13w3_partition_invariance(spark, sf_small, name):
+    """Wave-3 queries are in the EXACT class too: integer error sums /
+    pair counts, integer ppm divisions."""
+    base = sorted(map(tuple, _Q[name].build(spark, sf_small).collect()))
+    conf = [("spark.sql.files.maxPartitionBytes", "65536"),
+            ("spark.sql.shuffle.partitions", "7"),
+            ("spark.sql.execution.arrow.maxRecordsPerBatch", "37")]
+    old = {k: spark.conf.get(k) for k, _ in conf}
+    try:
+        for k, v in conf:
+            spark.conf.set(k, v)
+        skewed = sorted(map(tuple, _Q[name].build(spark, sf_small).collect()))
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert base == skewed
+
+
+def test_hw_backtest_timezone_invariance(spark, sf_small):
+    base = sorted(map(tuple, _Q["orders_hw_backtest_nation"]
+                      .build(spark, sf_small).collect()))
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+        hostile = sorted(map(tuple, _Q["orders_hw_backtest_nation"]
+                             .build(spark, sf_small).collect()))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    assert base == hostile
+
+
+def test_hw_backtest_independent_recompute(spark, sf_small):
+    """Independent third implementation: the same fresh inline HW
+    recursion as the band test, extended with naive / seasonal-naive
+    one-step errors over the dense weekly series, all in plain Python
+    integers — exact equality with the Spark query per nation."""
+    import pandas as pd
+
+    M = 52
+    orders = pd.read_parquet(f"{sf_small}/orders.parquet")
+    cust = pd.read_parquet(f"{sf_small}/customer.parquet")
+    nation = pd.read_parquet(f"{sf_small}/nation.parquet")
+    df = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    df = df.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    epoch_day = (df["o_orderdate"].values.astype("datetime64[D]")
+                 .astype("int64"))
+    df = df.assign(wk=epoch_day // 7,
+                   centi=(df["o_totalprice"] * 100).map(
+                       lambda x: int(math.floor(x))))
+
+    def trunc(a, b):
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    expect = {}
+    for nm, g in df.groupby("n_name"):
+        weekly = g.groupby("wk")["centi"].sum()
+        w0, w1 = int(weekly.index.min()), int(weekly.index.max())
+        ys = [int(weekly.get(w, 0)) for w in range(w0, w1 + 1)]
+        if len(ys) <= M:
+            continue
+        mean0 = trunc(sum(ys[:M]), M)
+        sw = [y - mean0 for y in ys[:M]]
+        lvl, b = mean0, 0
+        hw_e = naive_e = snaive_e = n = 0
+        for t in range(M, len(ys)):
+            slag = sw[t % M]
+            hw_e += abs(ys[t] - (lvl + b + slag))
+            naive_e += abs(ys[t] - ys[t - 1])
+            snaive_e += abs(ys[t] - ys[t - M])
+            n += 1
+            nl = trunc(ys[t] - slag + lvl + b, 2)
+            nb = trunc(nl - lvl + 3 * b, 4)
+            ns = trunc(ys[t] - nl + 3 * slag, 4)
+            lvl, b = nl, nb
+            sw[t % M] = ns
+        expect[nm] = (
+            n, trunc(hw_e * 1000, n), trunc(naive_e * 1000, n),
+            trunc(snaive_e * 1000, n),
+            None if snaive_e == 0 else trunc(hw_e * 1_000_000, snaive_e))
+
+    rows = _Q["orders_hw_backtest_nation"].build(spark, sf_small).collect()
+    assert rows and len(rows) == len(expect)
+    for r in rows:
+        assert expect[r.n_name] == (
+            r.n_weeks, r.hw_mae_milli, r.naive_mae_milli,
+            r.snaive_mae_milli, r.hw_skill_ppm), r.n_name
+
+
+def test_banding_sweep_python_reference_and_nesting(spark, sf_small):
+    """Independent recompute of the banding sweep from the Spark-side
+    shingle-hash sets (the sweep's own input frame): pure-Python minhash
+    perms, nested band keys, candidate/confirm/planted counts — exact
+    equality on every column, plus the nesting law cand(2) ⊆ cand(4) ⊆
+    cand(8) checked on the actual pair sets."""
+    from impractical_impala_spark.queries.dedup import (
+        BAND_SWEEP, JACCARD_T_PPM, MUT_OFFSET, NUM_PERM, P, PERMS,
+        _spark_docsets)
+
+    rows = {r.doc_id: list(r.dh)
+            for r in _spark_docsets(spark, sf_small, mutated=True).collect()}
+    sigs = {}
+    for did, dh in rows.items():
+        sigs[did] = [min((a * h + b) % P for h in dh) for a, b in PERMS]
+
+    def cand_set(nb):
+        rpb = NUM_PERM // nb
+        buckets = {}
+        for did, mh in sigs.items():
+            for band in range(nb):
+                key = (band, tuple(mh[band * rpb:(band + 1) * rpb]))
+                buckets.setdefault(key, []).append(did)
+        pairs = set()
+        for ids in buckets.values():
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    pairs.add((ids[i], ids[j]))
+        return pairs
+
+    import pandas as pd
+    n_planted = int((pd.read_parquet(
+        f"{sf_small}/documents.parquet", columns=["doc_id"])["doc_id"]
+        % 3 == 0).sum())
+
+    got = {r.n_bands: r for r in
+           _Q["dedup_banding_sweep"].build(spark, sf_small).collect()}
+    prev = set()
+    for nb in BAND_SWEEP:
+        cand = cand_set(nb)
+        assert prev <= cand, f"banding candidates not nested at b={nb}"
+        prev = cand
+        n_conf = n_hit = 0
+        for da, db in cand:
+            sa, sb = set(rows[da]), set(rows[db])
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if inter * 1_000_000 // union >= JACCARD_T_PPM:
+                n_conf += 1
+            if db - da == MUT_OFFSET and da % 3 == 0:
+                n_hit += 1
+        r = got[nb]
+        assert (r.rows_per_band, r.n_cand, r.n_confirmed,
+                r.n_planted_hit, r.n_planted) == (
+            NUM_PERM // nb, len(cand), n_conf, n_hit, n_planted), nb
+        assert r.recall_ppm == n_hit * 1_000_000 // n_planted
+        assert r.precision_ppm == (
+            None if not cand else n_conf * 1_000_000 // len(cand))
+
+
+def test_banding_sweep_b4_matches_minhash_lsh(spark, sf_small):
+    """Cross-query law: the b=4 sweep point IS the registered
+    dedup_minhash_lsh configuration, and the integer-ppm threshold
+    compare is exactly equivalent to the double compare (floor(x) >= k
+    ⟺ x >= k for integer k), so n_confirmed(b=4) must equal the
+    pipeline's confirmed-pair count."""
+    n_lsh = _Q["dedup_minhash_lsh"].build(spark, sf_small).count()
+    r4 = [r for r in _Q["dedup_banding_sweep"].build(
+        spark, sf_small).collect() if r.n_bands == 4][0]
+    assert r4.n_confirmed == n_lsh
