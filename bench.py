@@ -514,6 +514,10 @@ HEADLINE = [
     # backtest and the minhash banding tuning curve.
     "orders_hw_backtest_nation",
     "dedup_banding_sweep",
+    # round 13, fourth growth wave (append-only): the quality-gate
+    # ablation and the LSH table-count sweep.
+    "quality_gate_ablation",
+    "ann_lsh_tables_sweep",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

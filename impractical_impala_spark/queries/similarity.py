@@ -207,6 +207,176 @@ register("ann_lsh_bucketed", ann_lsh_bucketed, _lsh_oracle(),
          "random-hyperplane LSH bucketed nearest neighbor")
 
 
+# ------------------------------------------------- LSH tables sweep
+TABLE_SWEEP = (1, 2, 3)
+
+
+def ann_lsh_tables_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-table-count curve for multi-table hyperplane LSH: one
+    row per T in {1, 2, 3} tables (each the FIRST T of
+    ann_lsh_bucketed's three 4-bit tables, so candidate sets are nested
+    unions and every column is monotone in T) with the corpus-wide
+    candidate-pair volume, panel recall@1 against the exact baseline,
+    and the summed micro-quantized cosine regret. This is the third
+    tuning axis of the LSH family — tables (this sweep) x probes
+    (ann_lsh_multiprobe) x banding (dedup_banding_sweep) — answering
+    "was 3 tables the right call" with a measured curve instead of a
+    default. Signatures compute once (cached); per sweep point one
+    bucket-key equi join on (id, bucket) rows and panel-sized scoring
+    joins — never all-pairs."""
+    emb = _emb(spark, sf_dir)
+    planes = _planes()
+    for t in range(N_TABLES):
+        terms = []
+        for r in range(BITS_PER_TABLE):
+            plane = planes[t * BITS_PER_TABLE + r]
+            arr = ("array(" + ", ".join(f"cast({s} as double)"
+                                        for s in plane) + ")")
+            proj = (f"aggregate(zip_with(v, {arr}, (x, s) -> x * s),"
+                    " cast(0.0 as double), (acc, x) -> acc + x)")
+            terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << r} ELSE 0 END)")
+        emb = emb.withColumn(f"bucket{t}",
+                             F.expr(" + ".join(terms)).cast("bigint"))
+    emb = emb.cache()
+    exact1 = (ann_cosine_topk(spark, sf_dir)
+              .filter(F.col("rn") == 1)
+              .select("query_id",
+                      F.col("neighbor_id").alias("exact_nn"),
+                      F.col("cos").alias("exact_cos")))
+    va = emb.select(F.col("vec_id").alias("vec_id"), F.col("v").alias("va"),
+                    F.col("norm").alias("na"))
+    vb = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y),"
+                 " cast(0.0 as double), (acc, x) -> acc + x)")
+    out = None
+    for nt in TABLE_SWEEP:
+        tables = None
+        for t in range(nt):
+            part = emb.select("vec_id", F.lit(t).alias("tbl"),
+                              F.col(f"bucket{t}").alias("bucket"))
+            tables = part if tables is None else tables.unionByName(part)
+        a, b = tables.alias("a"), tables.alias("b")
+        cand = (a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+                       & (F.col("a.bucket") == F.col("b.bucket"))
+                       & (F.col("a.vec_id") != F.col("b.vec_id")))
+                .select(F.col("a.vec_id").alias("vec_id"),
+                        F.col("b.vec_id").alias("neighbor_id"))
+                .dropDuplicates(["vec_id", "neighbor_id"]))
+        vol = cand.agg(
+            F.coalesce(F.sum(F.expr(
+                "cast(vec_id < neighbor_id as int)")), F.lit(0))
+            .cast("long").alias("n_cand_pairs"))
+        scored = (cand.filter(F.col("vec_id") < N_QUERIES)
+                  .join(maybe_broadcast(va, sf_dir, "embeddings"), "vec_id")
+                  .join(maybe_broadcast(vb, sf_dir, "embeddings"),
+                        "neighbor_id")
+                  .select(F.col("vec_id").alias("query_id"), "neighbor_id",
+                          (dot / (F.col("na") * F.col("nb"))).alias("cos")))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), "neighbor_id")
+        top1 = (scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("query_id", F.col("neighbor_id").alias("lsh_nn"),
+                        F.round("cos", 6).alias("lsh_cos")))
+        stat = (exact1.join(top1, "query_id", "left")
+                .agg(F.count(F.lit(1)).alias("n_queries"),
+                     F.sum(F.when(F.col("lsh_nn").isNotNull(), 1)
+                           .otherwise(0)).alias("n_answered"),
+                     F.sum(F.when(F.col("lsh_nn") == F.col("exact_nn"), 1)
+                           .otherwise(0)).alias("n_hit1"),
+                     F.sum(F.when(F.col("lsh_nn").isNotNull(),
+                                  F.round((F.col("exact_cos")
+                                           - F.col("lsh_cos"))
+                                          * 1_000_000).cast("long"))
+                           .otherwise(0)).alias("cos_gap_micro")))
+        row = (stat.crossJoin(F.broadcast(vol))
+               .select(F.lit(nt).alias("n_tables"), "n_cand_pairs",
+                       "n_queries", "n_answered", "n_hit1",
+                       F.expr("n_hit1 * 1000000 div n_queries")
+                       .alias("recall1_ppm"),
+                       "cos_gap_micro"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_tables")
+
+
+def _tables_sweep_oracle() -> str:
+    from ..registry import oracle_sql_of
+
+    planes = _planes()
+    sig_cols = []
+    for t in range(N_TABLES):
+        terms = []
+        for r in range(BITS_PER_TABLE):
+            plane = planes[t * BITS_PER_TABLE + r]
+            arr = "[" + ", ".join(f"CAST({s} AS DOUBLE)" for s in plane) + "]"
+            terms.append(f"(CASE WHEN list_dot_product(v, {arr}) > 0"
+                         f" THEN {1 << r} ELSE 0 END)")
+        sig_cols.append(
+            f"CAST({' + '.join(terms)} AS BIGINT) AS bucket{t}")
+    blocks = [f"""exact AS (
+    SELECT query_id, neighbor_id AS exact_nn, cos AS exact_cos
+    FROM ({oracle_sql_of('ann_cosine_topk')}) e WHERE rn = 1
+), emb AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), sig AS (
+    SELECT vec_id, v, {', '.join(sig_cols)} FROM emb
+)"""]
+    selects = []
+    for nt in TABLE_SWEEP:
+        tables_union = "\n    UNION ALL\n".join(
+            f"    SELECT vec_id, v, {t} AS tbl, bucket{t} AS bucket FROM sig"
+            for t in range(nt))
+        blocks.append(f""", tables{nt} AS (
+{tables_union}
+), cand{nt} AS (
+    SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+           a.v AS va, b.v AS vb
+    FROM tables{nt} a JOIN tables{nt} b
+      ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+), top{nt} AS (
+    SELECT query_id, neighbor_id AS lsh_nn, ROUND(cos, 6) AS lsh_cos
+    FROM (SELECT vec_id AS query_id, neighbor_id,
+                 list_dot_product(va, vb)
+                 / (sqrt(list_dot_product(va, va))
+                    * sqrt(list_dot_product(vb, vb))) AS cos,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY vec_id
+                     ORDER BY list_dot_product(va, vb)
+                              / (sqrt(list_dot_product(va, va))
+                                 * sqrt(list_dot_product(vb, vb))) DESC,
+                              neighbor_id) AS rn
+          FROM cand{nt} WHERE vec_id < {N_QUERIES})
+    WHERE rn = 1
+)""")
+        selects.append(f"""
+SELECT {nt} AS n_tables,
+       (SELECT CAST(COALESCE(SUM(CASE WHEN vec_id < neighbor_id
+                             THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM cand{nt}) AS n_cand_pairs,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN l.lsh_nn IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_answered,
+       CAST(SUM(CASE WHEN l.lsh_nn = e.exact_nn THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit1,
+       CAST(SUM(CASE WHEN l.lsh_nn = e.exact_nn THEN 1 ELSE 0 END)
+            AS BIGINT) * 1000000 // COUNT(*) AS recall1_ppm,
+       CAST(SUM(CASE WHEN l.lsh_nn IS NOT NULL
+                THEN CAST(ROUND((e.exact_cos - l.lsh_cos) * 1000000)
+                          AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS cos_gap_micro
+FROM exact e LEFT JOIN top{nt} l USING (query_id)""")
+    u = "\nUNION ALL\n".join(selects)
+    return ("WITH " + "".join(blocks)
+            + f"\nSELECT * FROM (\n{u}\n) ORDER BY n_tables")
+
+
+register("ann_lsh_tables_sweep", ann_lsh_tables_sweep,
+         _tables_sweep_oracle(),
+         "multi-table LSH recall@1 / candidate-volume curve, T in {1,2,3}")
+
+
 # ------------------------------------------------- multi-probe LSH
 MP_BITS = 12  # one 12-bit table; probes = exact bucket + 12 bit flips
 

@@ -255,6 +255,115 @@ ORDER BY lang, source
 """, "length/word-shape/stopword quality funnel pass rates")
 
 
+# ---------------------------------------------- quality gate ablation
+_DUCK_WORDS_QG = "string_split(lower(text), ' ')"
+
+
+def quality_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-gate ablation of the quality funnel: for each of the three
+    gates (word count, mean word length, stopword ratio) — the SAME
+    thresholds as quality_gate_survivors — how many documents fail it
+    at all (n_fail) and how many fail it ALONE (n_sole_fail: the docs
+    that gate, and only that gate, removes), plus an 'any' row with the
+    combined rejection. sole-fail is the number a curation review
+    actually argues about: a gate with high n_fail but zero n_sole_fail
+    is redundant with the others, a gate with high n_sole_fail is the
+    binding constraint. Exact integer counts and integer-ppm rates.
+
+    Scale shape: one corpus scan computes the three boolean flags
+    (pure expressions), ONE global aggregate reduces them to seven
+    integers, and the four output rows unpivot from that single
+    aggregate row via stack — model-size everywhere after the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    scored = docs.select(
+        F.expr(f"size({_SPARK_WORDS})").alias("n_words"),
+        F.expr(f"cast(length(replace(text, ' ', '')) as double)"
+               f" / size({_SPARK_WORDS})").alias("avg_wlen"),
+        F.expr(f"cast(size(filter({_SPARK_WORDS}, w -> w IN ({stop_list})))"
+               f" as double) / size({_SPARK_WORDS})").alias("stop_ratio"),
+    ).select(
+        (~F.col("n_words").between(MIN_WORDS, MAX_WORDS))
+        .cast("int").alias("f_words"),
+        (~F.col("avg_wlen").between(MIN_AVG_WLEN, MAX_AVG_WLEN))
+        .cast("int").alias("f_wlen"),
+        (F.col("stop_ratio") > MAX_STOP_RATIO).cast("int").alias("f_stop"),
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f_words").alias("fw"),
+        F.sum("f_wlen").alias("fl"),
+        F.sum("f_stop").alias("fs"),
+        F.sum(F.expr("cast(f_words = 1 and f_wlen = 0 and f_stop = 0"
+                     " as int)")).alias("sw"),
+        F.sum(F.expr("cast(f_wlen = 1 and f_words = 0 and f_stop = 0"
+                     " as int)")).alias("sl"),
+        F.sum(F.expr("cast(f_stop = 1 and f_words = 0 and f_wlen = 0"
+                     " as int)")).alias("ss"),
+        F.sum(F.expr("cast(f_words + f_wlen + f_stop > 0 as int)"))
+        .alias("fa"),
+    )
+    return (agg.select(
+        "n_docs",
+        F.expr("stack(4,"
+               " 'word_count', fw, sw,"
+               " 'avg_word_len', fl, sl,"
+               " 'stopword_ratio', fs, ss,"
+               " 'any', fa, fa) AS (gate, n_fail, n_sole_fail)"))
+        .select("gate", "n_docs",
+                F.col("n_fail").cast("long").alias("n_fail"),
+                F.col("n_sole_fail").cast("long").alias("n_sole_fail"),
+                F.expr("n_fail * 1000000 div n_docs").alias("fail_ppm"),
+                F.expr("n_sole_fail * 1000000 div n_docs")
+                .alias("sole_fail_ppm"))
+        .orderBy("gate"))
+
+
+register("quality_gate_ablation", quality_gate_ablation, f"""
+WITH scored AS (
+    SELECT CASE WHEN len({_DUCK_WORDS_QG})
+                BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+           THEN 0 ELSE 1 END AS f_words,
+           CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / len({_DUCK_WORDS_QG})
+                BETWEEN {MIN_AVG_WLEN} AND {MAX_AVG_WLEN}
+           THEN 0 ELSE 1 END AS f_wlen,
+           CASE WHEN CAST(len(list_filter({_DUCK_WORDS_QG},
+                     w -> w IN ({', '.join(f"'{s}'" for s in _STOPWORDS)})))
+                     AS DOUBLE) / len({_DUCK_WORDS_QG}) > {MAX_STOP_RATIO}
+           THEN 1 ELSE 0 END AS f_stop
+    FROM documents
+), agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(f_words) AS BIGINT) AS fw,
+           CAST(SUM(f_wlen) AS BIGINT) AS fl,
+           CAST(SUM(f_stop) AS BIGINT) AS fs,
+           CAST(SUM(CASE WHEN f_words = 1 AND f_wlen = 0 AND f_stop = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS sw,
+           CAST(SUM(CASE WHEN f_wlen = 1 AND f_words = 0 AND f_stop = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS sl,
+           CAST(SUM(CASE WHEN f_stop = 1 AND f_words = 0 AND f_wlen = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS ss,
+           CAST(SUM(CASE WHEN f_words + f_wlen + f_stop > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fa
+    FROM scored
+), rows_out AS (
+    SELECT 'word_count' AS gate, n_docs, fw AS n_fail, sw AS n_sole_fail
+    FROM agg
+    UNION ALL
+    SELECT 'avg_word_len', n_docs, fl, sl FROM agg
+    UNION ALL
+    SELECT 'stopword_ratio', n_docs, fs, ss FROM agg
+    UNION ALL
+    SELECT 'any', n_docs, fa, fa FROM agg
+)
+SELECT gate, n_docs, n_fail, n_sole_fail,
+       CAST(n_fail * 1000000 // n_docs AS BIGINT) AS fail_ppm,
+       CAST(n_sole_fail * 1000000 // n_docs AS BIGINT) AS sole_fail_ppm
+FROM rows_out ORDER BY gate
+""", "per-gate fail / sole-fail ablation of the quality funnel")
+
+
 # --------------------------------------------- composed training manifest
 def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end curation artifact, one query = the whole funnel:

@@ -63,6 +63,10 @@ _BNLJ_BOUNDED = {
     # trained sweep: same exact-panel BNLJ (vec_id < N_QUERIES bound);
     # its trained-centroid cross joins are hinted k-row local models
     "ann_ivf_trained_sweep": re.compile(rf"vec_id#\d+L? < {N_QUERIES}"),
+    # tables sweep: the ann_cosine_topk panel bound PLUS the 1-row
+    # candidate-volume aggregate (keys=[]) that attaches by cross join
+    "ann_lsh_tables_sweep": re.compile(
+        rf"vec_id#\d+L? < {N_QUERIES}|keys=\[\]"),
     "emb_knn_label_purity": re.compile(rf"vec_id#\d+L? < {N_QUERIES}"),
     "audience_overlap_matrix": re.compile(
         r"keys=\[(event_type|mask)#|keys=\[\]"),

@@ -402,3 +402,178 @@ def test_banding_sweep_b4_matches_minhash_lsh(spark, sf_small):
     r4 = [r for r in _Q["dedup_banding_sweep"].build(
         spark, sf_small).collect() if r.n_bands == 4][0]
     assert r4.n_confirmed == n_lsh
+
+
+# ---------------------------------------------------- wave 4 additions
+
+@pytest.mark.parametrize("name", ["quality_gate_ablation",
+                                  "ann_lsh_tables_sweep"])
+def test_r13w4_partition_invariance(spark, sf_small, name):
+    """Wave-4 queries: exact integer counts and integer-ppm rates."""
+    base = sorted(map(tuple, _Q[name].build(spark, sf_small).collect()))
+    conf = [("spark.sql.files.maxPartitionBytes", "65536"),
+            ("spark.sql.shuffle.partitions", "7"),
+            ("spark.sql.execution.arrow.maxRecordsPerBatch", "37")]
+    old = {k: spark.conf.get(k) for k, _ in conf}
+    try:
+        for k, v in conf:
+            spark.conf.set(k, v)
+        skewed = sorted(map(tuple, _Q[name].build(spark, sf_small).collect()))
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert base == skewed
+
+
+def test_gate_ablation_cross_laws(spark, sf_small):
+    """Cross-query law vs quality_gate_survivors: the ablation's 'any'
+    row must equal total docs minus total passes, and sole-fail counts
+    can never exceed fail counts nor their sum exceed 'any'."""
+    surv = _Q["quality_gate_survivors"].build(spark, sf_small).collect()
+    n_docs = sum(r.n_docs for r in surv)
+    n_pass = sum(r.n_pass for r in surv)
+    rows = {r.gate: r for r in
+            _Q["quality_gate_ablation"].build(spark, sf_small).collect()}
+    assert set(rows) == {"any", "word_count", "avg_word_len",
+                         "stopword_ratio"}
+    any_row = rows["any"]
+    assert any_row.n_docs == n_docs
+    assert any_row.n_fail == n_docs - n_pass
+    assert any_row.n_sole_fail == any_row.n_fail
+    gates = [rows[g] for g in ("word_count", "avg_word_len",
+                               "stopword_ratio")]
+    for g in gates:
+        assert 0 <= g.n_sole_fail <= g.n_fail <= any_row.n_fail
+        assert g.fail_ppm == g.n_fail * 1_000_000 // n_docs
+    # sole-failures are disjoint doc sets, so they sum under 'any'
+    assert sum(g.n_sole_fail for g in gates) <= any_row.n_fail
+    # inclusion-exclusion upper bound: any <= sum of fails
+    assert any_row.n_fail <= sum(g.n_fail for g in gates)
+
+
+def test_gate_ablation_pandas_reference(spark, sf_small):
+    """Independent third implementation: recompute all four ablation
+    rows from parquet with pandas + plain Python and require exact
+    equality."""
+    import pandas as pd
+
+    from impractical_impala_spark.queries.training_ops import (
+        MAX_STOP_RATIO, MAX_WORDS, MAX_AVG_WLEN, MIN_AVG_WLEN, MIN_WORDS,
+        _STOPWORDS)
+
+    docs = pd.read_parquet(f"{sf_small}/documents.parquet",
+                           columns=["text"])
+    fw = fl = fs = sw = sl = ss = fa = 0
+    for text in docs["text"]:
+        words = text.lower().split(" ")
+        n = len(words)
+        wlen = len(text.replace(" ", "")) / n
+        stop = sum(1 for w in words if w in _STOPWORDS) / n
+        f1 = not (MIN_WORDS <= n <= MAX_WORDS)
+        f2 = not (MIN_AVG_WLEN <= wlen <= MAX_AVG_WLEN)
+        f3 = stop > MAX_STOP_RATIO
+        fw += f1; fl += f2; fs += f3
+        sw += f1 and not f2 and not f3
+        sl += f2 and not f1 and not f3
+        ss += f3 and not f1 and not f2
+        fa += f1 or f2 or f3
+    n_docs = len(docs)
+    want = {
+        "word_count": (fw, sw), "avg_word_len": (fl, sl),
+        "stopword_ratio": (fs, ss), "any": (fa, fa)}
+    rows = _Q["quality_gate_ablation"].build(spark, sf_small).collect()
+    assert len(rows) == 4
+    for r in rows:
+        f, s = want[r.gate]
+        assert (r.n_docs, r.n_fail, r.n_sole_fail) == (n_docs, f, s), r.gate
+        assert r.fail_ppm == f * 1_000_000 // n_docs
+        assert r.sole_fail_ppm == s * 1_000_000 // n_docs
+
+
+def test_tables_sweep_monotone_and_t3_matches_audit(spark, sf_small):
+    """Nesting law: candidate unions grow with T, so volume, answered,
+    recall are non-decreasing and regret non-increasing; and the T=3
+    point IS ann_lsh_bucketed's configuration, so its n_hit1 must equal
+    ann_recall_audit's."""
+    rows = sorted(_Q["ann_lsh_tables_sweep"].build(
+        spark, sf_small).collect(), key=lambda r: r.n_tables)
+    assert [r.n_tables for r in rows] == [1, 2, 3]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_cand_pairs >= a.n_cand_pairs
+        assert b.n_answered >= a.n_answered
+        assert b.n_hit1 >= a.n_hit1
+        assert b.cos_gap_micro <= a.cos_gap_micro
+    audit = _Q["ann_recall_audit"].build(spark, sf_small).collect()[0]
+    t3 = rows[2]
+    assert (t3.n_queries, t3.n_answered, t3.n_hit1) == (
+        audit.n_queries, audit.n_answered, audit.n_hit1)
+    assert t3.cos_gap_micro == audit.cos_gap_micro
+
+
+def test_tables_sweep_numpy_reference(spark, sf_small):
+    """Independent third implementation: signatures, per-table buckets,
+    nested candidate unions, panel top-1 and all sweep columns
+    recomputed with numpy + plain Python — exact equality."""
+    import numpy as np
+
+    from impractical_impala_spark.queries.similarity import (
+        BITS_PER_TABLE, N_QUERIES, N_TABLES, TABLE_SWEEP, _plane_sign)
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in emb}
+    dim = len(next(iter(vecs.values())))
+    planes = np.array([[_plane_sign(p, j) for j in range(dim)]
+                       for p in range(N_TABLES * BITS_PER_TABLE)],
+                      dtype=np.float64)
+    sig = {}
+    for vid, v in vecs.items():
+        proj = planes @ v
+        sig[vid] = [sum((1 << r) for r in range(BITS_PER_TABLE)
+                        if proj[t * BITS_PER_TABLE + r] > 0)
+                    for t in range(N_TABLES)]
+    norms = {vid: float(np.sqrt(v @ v)) for vid, v in vecs.items()}
+    exact = {}
+    for q in [v for v in vecs if v < N_QUERIES]:
+        best = None
+        for c in vecs:
+            if c == q:
+                continue
+            cos = float(vecs[q] @ vecs[c]) / (norms[q] * norms[c])
+            if (best is None or cos > best[0]
+                    or (cos == best[0] and c < best[1])):
+                best = (cos, c)
+        exact[q] = best
+
+    got = {r.n_tables: r for r in _Q["ann_lsh_tables_sweep"].build(
+        spark, sf_small).collect()}
+    for nt in TABLE_SWEEP:
+        by_bucket = {}
+        for vid, s in sig.items():
+            for t in range(nt):
+                by_bucket.setdefault((t, s[t]), []).append(vid)
+        cand = set()
+        for ids in by_bucket.values():
+            for a in ids:
+                for b in ids:
+                    if a != b:
+                        cand.add((a, b))
+        n_pairs = sum(1 for a, b in cand if a < b)
+        top1, gap = {}, 0
+        for a, b in cand:
+            if a >= N_QUERIES:
+                continue
+            cos = float(vecs[a] @ vecs[b]) / (norms[a] * norms[b])
+            cur = top1.get(a)
+            if cur is None or cos > cur[0] or (cos == cur[0] and b < cur[1]):
+                top1[a] = (cos, b)
+        n_hit1 = sum(1 for q, (c, n) in top1.items()
+                     if n == exact[q][1])
+        for q, (c, n) in top1.items():
+            gap += int(np.round((round(exact[q][0], 6) - round(c, 6))
+                                * 1_000_000))
+        r = got[nt]
+        assert (r.n_cand_pairs, r.n_answered, r.n_hit1) == (
+            n_pairs, len(top1), n_hit1), nt
+        assert r.cos_gap_micro == gap, nt
+        assert r.recall1_ppm == n_hit1 * 1_000_000 // r.n_queries
