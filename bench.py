@@ -558,6 +558,42 @@ def detail_path_of() -> str:
                         "BENCH_DETAIL.json")
 
 
+def like_for_like(prior: dict[str, float],
+                  timings: dict[str, float]) -> dict | None:
+    """Self-interpreting headline (VERDICT r13 ask #2): the two numbers
+    the judge derives by hand every round — the like-for-like sum ratio
+    vs the previously committed BENCH_DETAIL over the COMMON query
+    names, and the count of >=2x movers (either direction) — computed
+    at bench time so the wall-clock headline carries its own
+    interpretation. Per the canary protocol: a sum ratio far from 1.0
+    with ~zero movers and a degraded cpu_ref_par_sec is uniform host
+    drift; specific movers while the canaries are flat is a code
+    regression. Returns None when there is no prior to compare against
+    (first run in a fresh repo)."""
+    common = sorted(n for n in timings
+                    if n in prior and prior[n] > 0 and timings[n] > 0)
+    if not common:
+        return None
+    sum_new = sum(timings[n] for n in common)
+    sum_prior = sum(prior[n] for n in common)
+    ratios = sorted(timings[n] / prior[n] for n in common)
+    mid = len(ratios) // 2
+    median = (ratios[mid] if len(ratios) % 2
+              else (ratios[mid - 1] + ratios[mid]) / 2.0)
+    movers = [n for n in common
+              if timings[n] / prior[n] >= MOVER_RATIO
+              or prior[n] / timings[n] >= MOVER_RATIO]
+    return {
+        "n_common": len(common),
+        "sum_new_sec": round(sum_new, 4),
+        "sum_prior_sec": round(sum_prior, 4),
+        "sum_ratio": round(sum_new / sum_prior, 4),
+        "median_query_ratio": round(median, 4),
+        "movers_ge_2x": len(movers),
+        "mover_names": sorted(movers),
+    }
+
+
 def _load_anchor() -> dict | None:
     """BENCH_ANCHOR.json (repo root, committed): a same-code re-bench
     of a prior round's commit under current host conditions, recorded
@@ -701,6 +737,9 @@ def main() -> None:
     ref_sec, ref_par_sec = cpu_ref_sec(), cpu_ref_par_sec()
     anchor = _load_anchor()
     detail_path = detail_path_of()
+    # prior still holds the PREVIOUS committed detail (read before the
+    # measurement loop); compare before overwriting the file
+    lfl = like_for_like(prior, timings)
     detail = {
         "metric": "headline_query_wall_sec",
         "value": round(total, 4),
@@ -716,6 +755,8 @@ def main() -> None:
         detail["anchor"] = anchor
     if remeasured:
         detail["remeasured_2x_movers"] = sorted(remeasured)
+    if lfl:
+        detail["like_for_like_vs_prior_detail"] = lfl
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
         f.write("\n")
@@ -736,6 +777,14 @@ def main() -> None:
         # the same committed value every round).
         line["anchor_commit"] = anchor.get("anchor_commit")
         line["anchor_drift_recorded"] = anchor.get("drift_ratio")
+    if lfl:
+        # measured THIS run vs the previously committed BENCH_DETAIL
+        # over common query names — the like-for-like ratio + mover
+        # count that make the wall-clock total self-interpreting
+        # (uniform ratio + zero movers = host drift; see canary pair)
+        line["like_for_like_vs_detail"] = lfl["sum_ratio"]
+        line["median_query_ratio"] = lfl["median_query_ratio"]
+        line["movers_ge_2x"] = lfl["movers_ge_2x"]
     print(json.dumps(line))
     spark.stop()
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..quantum import HOUR_NS, VALUE_MICRO
 from ..registry import register
 from ..sources import load_table
 
@@ -178,7 +179,7 @@ def gapfill_from_hourly(hourly: DataFrame) -> DataFrame:
         .select(
             "event_type", "hr",
             F.coalesce("cnt", F.lit(0).cast("long")).alias("n_events"),
-            (F.last("s", ignorenulls=True).over(w) / 10000.0)
+            (F.last("s", ignorenulls=True).over(w) / float(VALUE_MICRO))
             .alias("sum_value_locf"),
             F.col("cnt").isNull().cast("int").alias("is_gap"),
         )
@@ -210,18 +211,20 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     hourly = (
-        ev.select("event_type", F.expr("ts_ns div 3600000000000").alias("hr"),
-                  F.floor(F.col("value") * 10000).cast("long").alias("m"))
+        ev.select("event_type", F.expr(f"ts_ns div {HOUR_NS}").alias("hr"),
+                  F.floor(F.col("value") * VALUE_MICRO).cast("long")
+                  .alias("m"))
         .groupBy("event_type", "hr")
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("m").alias("s")))
     return gapfill_from_hourly(hourly)
 
 
-register("events_gapfill_locf", events_gapfill_locf, """
+register("events_gapfill_locf", events_gapfill_locf, f"""
 WITH obs AS (
-    SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+    SELECT event_type, epoch_us(ts) // {HOUR_NS // 1000} AS hr,
            COUNT(*) AS n_obs,
-           CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT) AS s
+           CAST(SUM(CAST(FLOOR(value * {VALUE_MICRO}) AS BIGINT)) AS BIGINT)
+               AS s
     FROM events GROUP BY event_type, hr
 ), bounds AS (
     SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1 FROM obs
@@ -234,7 +237,7 @@ SELECT s.event_type, s.hr,
        LAST_VALUE(o.s IGNORE NULLS)
            OVER (PARTITION BY s.event_type ORDER BY s.hr
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           / 10000.0
+           / {VALUE_MICRO}.0
            AS sum_value_locf,
        CAST(o.hr IS NULL AS INTEGER) AS is_gap
 FROM spine s LEFT JOIN obs o ON s.event_type = o.event_type AND s.hr = o.hr

@@ -1146,8 +1146,12 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.expr("size(array_intersect(a.dh, b.dh)) * 1000000"
-                   " div (size(a.dh) + size(b.dh)"
+            # BIGINT before the multiply — same 32-bit wraparound trap
+            # as dedup_banding_sweep's jacc_ppm (ADVICE r13 #2); the
+            # oracle computes in DuckDB BIGINT.
+            F.expr("cast(size(array_intersect(a.dh, b.dh)) as bigint)"
+                   " * 1000000"
+                   " div (cast(size(a.dh) as bigint) + size(b.dh)"
                    " - size(array_intersect(a.dh, b.dh)))")
             .alias("jacc_ppm")))
     ts = ", ".join(str(t) for t in SWEEP_T_PPM)
@@ -1260,11 +1264,14 @@ def dedup_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = (load_table(spark, sf_dir, "documents")
                .filter(F.col("doc_id") % 3 == 0)
                .agg(F.count(F.lit(1)).alias("n_planted")))
-    inter = F.size(F.array_intersect("dha", "dhb"))
-    union = F.size("dha") + F.size("dhb") - inter
+    # 64-bit BEFORE the multiply: size() is INT32, and in non-ANSI mode
+    # `int * 1000000` wraps silently for docs with >2147 shingles —
+    # the DuckDB oracle's len() is BIGINT, so the narrow form is a
+    # scale-dependent cross-engine divergence (ADVICE r13 #2).
     jacc_ppm = F.expr(
-        "size(array_intersect(dha, dhb)) * 1000000"
-        " div (size(dha) + size(dhb) - size(array_intersect(dha, dhb)))")
+        "cast(size(array_intersect(dha, dhb)) as bigint) * 1000000"
+        " div (cast(size(dha) as bigint) + size(dhb)"
+        " - size(array_intersect(dha, dhb)))")
     out = None
     for nb in BAND_SWEEP:
         rpb = NUM_PERM // nb

@@ -36,12 +36,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..quantum import HOUR_NS, VALUE_MICRO
 from ..registry import register
 from ..sources import load_table
 
 N_KS_BINS = 256
-HOUR_NS = 3_600_000_000_000
-HOUR_US = 3_600_000_000
+HOUR_US = HOUR_NS // 1000
 
 
 def clip_bin(value_col, mn_col, mx_col, n_bins: int):
@@ -427,7 +427,7 @@ def events_value_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothed throughput by 2^-23 instead of being skipped."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.expr(f"ts_ns div {HOUR_NS}").alias("hr"),
-        F.floor(F.col("value") * 10000).cast("long").alias("m"))
+        F.floor(F.col("value") * VALUE_MICRO).cast("long").alias("m"))
     hourly = ev.groupBy("event_type", "hr").agg(F.sum("m").alias("s"))
     return value_ewma_from_hourly(hourly)
 
@@ -436,7 +436,7 @@ register("events_value_ewma_hourly", events_value_ewma_hourly, f"""
 WITH hourly AS (
     SELECT event_type,
            CAST(epoch_us(ts) AS BIGINT) // {HOUR_US} AS hr,
-           CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT) AS s
+           CAST(SUM(CAST(FLOOR(value * {VALUE_MICRO}) AS BIGINT)) AS BIGINT) AS s
     FROM events GROUP BY 1, 2
 ), bounds AS (
     SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1 FROM hourly

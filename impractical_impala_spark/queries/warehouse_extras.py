@@ -30,10 +30,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..quantum import HOUR_NS, VALUE_MICRO
 from ..registry import register
 from ..sources import load_table
 
 from .lakehouse import CUT_US
+
+# the oracle buckets over microseconds (DuckDB epoch_us); same hour
+HOUR_US = HOUR_NS // 1000
 
 
 # ------------------------------------------------- cascade time rollup
@@ -64,7 +68,7 @@ def time_rollup_from_hourly(hour: DataFrame) -> DataFrame:
             F.lit(grain).alias("grain"), "event_type",
             F.col(bucket).cast("long").alias("bucket"),
             F.col("n").cast("long").alias("n_events"),
-            (F.col("s") / 10000.0).alias("sum_value"))
+            (F.col("s") / float(VALUE_MICRO)).alias("sum_value"))
 
     return (
         out(hour, "hour", "hr")
@@ -84,30 +88,30 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dailyfold exact-integer-sum argument one level up (VERDICT r12
     ask #6)."""
     ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.expr("ts_ns div 3600000000000").alias("hr"),
-        F.floor(F.col("value") * 10000).cast("long").alias("m"))
+        "event_type", F.expr(f"ts_ns div {HOUR_NS}").alias("hr"),
+        F.floor(F.col("value") * VALUE_MICRO).cast("long").alias("m"))
     hour = (ev.groupBy("event_type", "hr")
             .agg(F.sum("m").alias("s"), F.count(F.lit(1)).alias("n")))
     return time_rollup_from_hourly(hour)
 
 
-register("events_time_rollup", events_time_rollup, """
+register("events_time_rollup", events_time_rollup, f"""
 WITH ev AS (
-    SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
-           CAST(FLOOR(value * 10000) AS BIGINT) AS m
+    SELECT event_type, epoch_us(ts) // {HOUR_US} AS hr,
+           CAST(FLOOR(value * {VALUE_MICRO}) AS BIGINT) AS m
     FROM events
 )
 SELECT 'hour' AS grain, event_type, hr AS bucket,
        COUNT(*) AS n_events,
-       CAST(SUM(m) AS BIGINT) / 10000.0 AS sum_value
+       CAST(SUM(m) AS BIGINT) / {VALUE_MICRO}.0 AS sum_value
 FROM ev GROUP BY event_type, hr
 UNION ALL
 SELECT 'day', event_type, hr // 24,
-       COUNT(*), CAST(SUM(m) AS BIGINT) / 10000.0
+       COUNT(*), CAST(SUM(m) AS BIGINT) / {VALUE_MICRO}.0
 FROM ev GROUP BY event_type, hr // 24
 UNION ALL
 SELECT 'week', event_type, (hr // 24) // 7,
-       COUNT(*), CAST(SUM(m) AS BIGINT) / 10000.0
+       COUNT(*), CAST(SUM(m) AS BIGINT) / {VALUE_MICRO}.0
 FROM ev GROUP BY event_type, (hr // 24) // 7
 """, "hour/day/week rollup as a cascade (one corpus shuffle, no Expand)")
 
@@ -142,7 +146,7 @@ def monthly_rollup_from_hourly(hour: DataFrame) -> DataFrame:
             .groupBy("event_type", "month")
             .agg(F.sum("n").cast("long").alias("n_events"),
                  F.count(F.lit(1)).alias("n_active_days"),
-                 (F.sum("s") / 10000.0).alias("sum_value"))
+                 (F.sum("s") / float(VALUE_MICRO)).alias("sum_value"))
             .orderBy("event_type", "month"))
 
 
@@ -155,17 +159,17 @@ def events_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly_rollup_from_hourly); 18th finalizer seam for the shared
     hourly-state streaming fleet."""
     ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.expr("ts_ns div 3600000000000").alias("hr"),
-        F.floor(F.col("value") * 10000).cast("long").alias("m"))
+        "event_type", F.expr(f"ts_ns div {HOUR_NS}").alias("hr"),
+        F.floor(F.col("value") * VALUE_MICRO).cast("long").alias("m"))
     hour = (ev.groupBy("event_type", "hr")
             .agg(F.sum("m").alias("s"), F.count(F.lit(1)).alias("n")))
     return monthly_rollup_from_hourly(hour)
 
 
-register("events_monthly_rollup", events_monthly_rollup, """
+register("events_monthly_rollup", events_monthly_rollup, f"""
 WITH ev AS (
-    SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
-           CAST(FLOOR(value * 10000) AS BIGINT) AS m
+    SELECT event_type, epoch_us(ts) // {HOUR_US} AS hr,
+           CAST(FLOOR(value * {VALUE_MICRO}) AS BIGINT) AS m
     FROM events
 ), hour AS (
     SELECT event_type, hr, CAST(SUM(m) AS BIGINT) AS s, COUNT(*) AS n
@@ -179,7 +183,7 @@ SELECT event_type,
        strftime(DATE '1970-01-01' + CAST(d AS INTEGER), '%Y-%m') AS month,
        CAST(SUM(n) AS BIGINT) AS n_events,
        COUNT(*) AS n_active_days,
-       CAST(SUM(s) AS BIGINT) / 10000.0 AS sum_value
+       CAST(SUM(s) AS BIGINT) / {VALUE_MICRO}.0 AS sum_value
 FROM day GROUP BY event_type, strftime(DATE '1970-01-01' + CAST(d AS INTEGER), '%Y-%m')
 ORDER BY event_type, month
 """, "calendar-month rollup via the day spine (exact micro value sums)")

@@ -37,9 +37,10 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..queries.drift import autocorr24_from_hourly
-
-HOUR_NS = 3_600_000_000_000
-VALUE_MICRO = 10_000  # fixed-point quantum for the per-hour value sum
+# shared with every batch twin via the neutral constants module — a
+# divergent quantum in any one site would silently break the fleet's
+# streamed==batch bit-equality (ADVICE r13 #4)
+from ..quantum import HOUR_NS, VALUE_MICRO  # noqa: F401 (re-exported)
 
 STATE_SCHEMA = "c LONG, s LONG"
 OUTPUT_SCHEMA = T.StructType([
