@@ -518,6 +518,18 @@ HEADLINE = [
     # ablation and the LSH table-count sweep.
     "quality_gate_ablation",
     "ann_lsh_tables_sweep",
+    # round 14 (append-only): the five value-weighted daily monitors
+    # over the shared hourly state's micro value sums, the IVF-PQ
+    # probe sweep (ADC regret vs nprobe over the trained quantizer),
+    # the calendar-quarter grain, and the per-source gate ablation.
+    "events_te_value",
+    "events_granger_value",
+    "events_dow_anova_value",
+    "events_hurst_value",
+    "events_pettitt_value",
+    "ann_ivf_pq_sweep",
+    "events_quarterly_rollup",
+    "quality_gate_ablation_by_source",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

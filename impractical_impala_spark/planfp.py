@@ -24,6 +24,9 @@ parallelism, and paths.
 
 from __future__ import annotations
 
+import hashlib
+import re
+
 from pyspark.sql import DataFrame
 
 # Node classes worth pinning. Everything else (Project, Filter, scans,
@@ -70,7 +73,7 @@ def _walk(node):
         pass
 
 
-def fingerprint_query(spark, build, sf_dir: str) -> dict[str, int]:
+def fingerprint_query(spark, build, sf_dir: str) -> dict:
     """Fingerprint of ``build(spark, sf_dir)`` against a CLEAN cache.
 
     Spark's cache manager substitutes ``InMemoryTableScan`` for any plan
@@ -81,9 +84,93 @@ def fingerprint_query(spark, build, sf_dir: str) -> dict[str, int]:
     whenever an earlier query had cached the dense hourly fragment.
     Clearing the cache before building pins the fingerprint to the
     query's own plan; queries that cache their OWN inputs re-create that
-    cache during build, deterministically."""
+    cache during build, deterministically.
+
+    Returns ``{"shape": {node-class counts}, "expr": sha256hex}`` —
+    the shape counts pin physical STRATEGY (joins, exchanges, Python
+    boundaries); the expression hash pins the optimized logical plan's
+    EXPRESSIONS, so an undeclared semantics edit (``ROUND(x,4)`` →
+    ``x``) trips CI even when the plan shape is unchanged (VERDICT r13
+    ask #1: the r13 gapfill/time_rollup value rewrite changed query
+    values without moving one byte of the shape snapshot)."""
     spark.catalog.clearCache()
-    return plan_fingerprint(build(spark, sf_dir))
+    df = build(spark, sf_dir)
+    return {"shape": plan_fingerprint(df),
+            "expr": expression_fingerprint(df)}
+
+
+# exprIds embedded in expression text. Plan canonicalization normalizes
+# ATTRIBUTE ids (-> none#0L) but NOT NamedLambdaVariable ids (``lambda
+# h#79L`` keeps the session-global counter value), so any id left in the
+# text is session-order noise, not signal — strip them all. Column
+# identity remains pinned by position inside each expression string and
+# by the values-hash gate.
+_EXPR_ID = re.compile(r"#\d+")
+
+# RewriteDistinctAggregates assigns a group-id LITERAL to each distinct
+# group (the ``FILTER (WHERE (gid = grouping))`` it synthesizes around
+# every rewritten aggregate, and before canonicalization also emits the
+# Expand projections carrying those gids). Which group gets gid 1 vs 2
+# is a HashMap iteration order over exprId-keyed expression sets —
+# session-global-counter noise, observed swapping on
+# user_feature_matrix's two countDistincts across sessions. Normalize
+# the literal in exactly that synthesized syntactic position; a genuine
+# user predicate comparing a column to a constant canonicalizes as
+# ``(col = lit)`` inside Filter nodes, not inside an aggregate's FILTER
+# clause in this left-literal shape.
+_GID_FILTER = re.compile(r"FILTER \(WHERE \(\d+ = ")
+
+
+def _normalize_expr(s: str) -> str:
+    return _GID_FILTER.sub("FILTER (WHERE (# = ", _EXPR_ID.sub("#", s))
+
+
+def expression_fingerprint(df: DataFrame) -> str:
+    """sha256 over the canonicalized OPTIMIZED logical plan's
+    expressions, one line per plan node in tree order:
+    ``NodeName[sorted expression strings]``.
+
+    Design notes (each clause earned by an observed nondeterminism):
+
+    - OPTIMIZED logical plan, not physical: expression semantics live
+      here, while parallelism/exchange placement (which legitimately
+      varies with cpu count) does not.
+    - NOT ``canonicalized()``: canonicalization rewrites 3+-operand
+      commutative chains into ``MultiCommutativeOp`` and orders the
+      operands by hashCode — which embeds a ``java.lang.Class`` whose
+      hashCode is JVM-identity, so the SAME query printed different
+      operand orders in different JVMs (observed on events_anova_f and
+      39 other heavy-expression queries: fresh-JVM vs regen-JVM texts
+      diverged inside ``multicommutativeop(...)`` while every probe
+      within one JVM agreed). The un-canonicalized optimized plan keeps
+      the query's own operand order — deterministic from the source
+      text.
+    - ``_EXPR_ID`` strip: without canonicalization every attribute
+      carries its session-global exprId (``cnt#123L``); the ids are
+      pure session noise, the NAMES stay (more signal than
+      canonicalization's ``none``, and stable — they come from the
+      query).
+    - expressions SORTED within each node: Spark's
+      RewriteDistinctAggregates emits the filtered-aggregate list in
+      session-dependent ORDER (observed on user_feature_matrix: the
+      n_types/active_days branches swapped between sessions); order
+      within a node is optimizer bookkeeping, not semantics, so the
+      multiset is hashed instead. Its synthesized group-id literals are
+      normalized by ``_GID_FILTER`` for the same reason.
+
+    Node TREE order is kept (structure is semantic: join sides, input
+    of an aggregate), and subquery plans are included via ``_walk``.
+    """
+    root = df._jdf.queryExecution().optimizedPlan()
+    lines = []
+    for node in _walk(root):
+        exprs = []
+        seq = node.expressions()
+        it = seq.iterator()
+        while it.hasNext():
+            exprs.append(_normalize_expr(it.next().toString()))
+        lines.append(node.nodeName() + "[" + "|".join(sorted(exprs)) + "]")
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()
 
 
 def plan_fingerprint(df: DataFrame) -> dict[str, int]:

@@ -42,7 +42,8 @@ from . import (reference_ops, stats_ops, tpch, tpch_more,  # noqa: F401
                forecast, spectral_info, text_ir, emb_eval, linkage_splits,
                calibration_ops, scoring_seq, monitor_eval, corpus_eval,
                operating_point, experiment, retrieval_curation,
-               engine_stats, ops_quality, hypothesis, dynamics)
+               engine_stats, ops_quality, hypothesis, dynamics,
+               value_monitors)
 
 # r5 window. VERDICT r4 top-next: every one of the 154 registered
 # queries should carry a green-or-sanctioned driver row after this
@@ -662,11 +663,28 @@ _EVICTED_TO_R10 = _FILL_QUEUE_R9[_n_fill:]
 # byte-identical, oracle untouched, values re-proven exact) so the new
 # per-nation backtest scores the IDENTICAL series — the name is still
 # never-driver-checked, so the listing costs no extra window slot.
+# Round 14 changes (as-of 13 — CORRECTNESS_r13 is the newest committed
+# evidence): dedup_banding_sweep and dedup_threshold_sweep cast their
+# exact-Jaccard size() products to BIGINT before the *1e6 multiply
+# (ADVICE r13 #2 — size() is INT32 and the narrow product wraps
+# silently past 2147 shingles in non-ANSI mode, a scale-dependent
+# divergence from the oracles' 64-bit len() arithmetic). Values are
+# unchanged at every fixture scale (no doc approaches 2147 shingles);
+# the expression fingerprints changed, so both are listed.
+# Also round 14 (as-of 13, the r12 extraction rule — code-path changes
+# verified plan-identical, oracles untouched): granger_from_daily grew
+# the suff_as_double keyword (default False keeps the count path's
+# expressions byte-for-byte; the flag serves events_granger_value,
+# whose value-scale Cramer products overflow int64), and
+# _ivf_pq_search/_ivf_pq_oracle grew an n_probe parameter defaulting to
+# N_PROBE (serves ann_ivf_pq_sweep; the pipeline/trained compositions
+# render the identical plan and SQL text).
 CHANGED_THIS_ROUND: dict[str, int] = {
-    "events_gapfill_locf": 12,
-    "events_time_rollup": 12,
-    "ann_ivf_nprobe_sweep": 12,
-    "orders_holt_winters_nation": 12,
+    "dedup_banding_sweep": 13,
+    "dedup_threshold_sweep": 13,
+    "events_granger_causality": 13,
+    "ann_ivf_pq_pipeline": 13,
+    "ann_ivf_pq_trained": 13,
 }
 
 from ..registry import registered_names  # noqa: E402

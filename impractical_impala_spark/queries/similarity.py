@@ -1011,7 +1011,8 @@ from .training_extras import (  # noqa: E402
     ADC_TOPK as IVFPQ_TOPK, PQ_K, PQ_M, PQ_SUB)
 
 
-def _ivf_pq_search(emb: DataFrame, cent: DataFrame) -> DataFrame:
+def _ivf_pq_search(emb: DataFrame, cent: DataFrame,
+                   n_probe: int = N_PROBE) -> DataFrame:
     """Shared IVF-PQ search: the coarse quantizer ``cent`` (cell_id,
     cv, cnorm — the _ivf_search contract) routes each query to its
     probe-{N_PROBE} cells, and WITHIN the probed cells candidates
@@ -1037,7 +1038,7 @@ def _ivf_pq_search(emb: DataFrame, cent: DataFrame) -> DataFrame:
                 .select(F.col("vec_id").alias("db_id"),
                         F.col("cell_id").alias("cell")))
     probes = (ranked.filter((F.col("vec_id") < N_QUERIES)
-                            & (F.col("crn") <= N_PROBE))
+                            & (F.col("crn") <= n_probe))
               .select(F.col("vec_id").alias("query_id"),
                       F.col("cell_id").alias("cell")))
     sub = emb.select(
@@ -1106,7 +1107,8 @@ def ann_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, train_ivf_centroids(spark, ivf_training_sample(emb)))
 
 
-def _ivf_pq_oracle(pre: str = "", cent_sql: str = "") -> str:
+def _ivf_pq_oracle(pre: str = "", cent_sql: str = "",
+                   n_probe: int = N_PROBE) -> str:
     slices = " UNION ALL ".join(
         f"SELECT vec_id, {m} AS m,"
         f" list_slice(v, {m * PQ_SUB + 1}, {(m + 1) * PQ_SUB}) AS sv FROM emb"
@@ -1143,7 +1145,7 @@ WITH emb AS (
     FROM cranked WHERE crn = 1 AND vec_id >= {N_QUERIES}
 ), probes AS (
     SELECT vec_id AS query_id, cell_id AS cell
-    FROM cranked WHERE vec_id < {N_QUERIES} AND crn <= {N_PROBE}
+    FROM cranked WHERE vec_id < {N_QUERIES} AND crn <= {n_probe}
 ), sub AS ({slices}),
 codebook AS (
     SELECT vec_id AS code, m, sv AS cbv FROM sub WHERE vec_id < {PQ_K}
@@ -1192,3 +1194,127 @@ register(
                   f"list_transform(cq, c -> c / {Q_SCALE}.0) AS cv "
                   f"FROM tcent{N_ITERS}")),
     "Lloyd-trained IVF routing + PQ ADC scoring (fully oracle-checked)")
+
+
+# ------------------------------------------- IVF-PQ probe sweep
+def ann_ivf_pq_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC cosine-regret vs nprobe over the TRAINED coarse quantizer —
+    the last ANN family without a measured tuning curve (VERDICT r13
+    ask #5): at each probe count the full compressed index
+    (Lloyd-trained routing + PQ ADC scoring, _ivf_pq_search unchanged)
+    picks its top-1, and the row reports recall@1 against the exact
+    panel plus the TRUE-cosine regret of the ADC choice — the number an
+    operator trades against scan fraction before fixing nprobe for a
+    compressed index. Training runs ONCE (bounded deterministic sample,
+    exact integer Lloyd); the oracle re-derives the identical model per
+    sweep point via the unrolled Lloyd CTEs (the trained-sweep
+    precedent).
+
+    Unlike the uncompressed sweeps, recall@1 and regret are NOT lawful
+    monotone in nprobe here: a wider candidate set can surface a
+    neighbor whose COMPRESSED distance beats the exact nn's, displacing
+    it (ADC is approximate). Only candidate nesting survives
+    compression, so the pinned law is n_answered monotone + the
+    nprobe={N_PROBE} point equal to ann_ivf_pq_trained's rank-1 choice
+    (tests/test_r14_wave2.py).
+
+    Scale shape: |PROBE_SWEEP| compressed searches — per point the scan
+    reads only probed cells' code rows; centroids/codebook/LUT are
+    model-size broadcasts; the true-cosine audit join broadcasts the
+    panel-sized top-1 table against the corpus (<= N_QUERIES rows). At
+    the lake the PQ codes are computed once and reused across points
+    (here each point re-derives them — fixture-size cost, same plan
+    family the hygiene sweep proves bounded)."""
+    emb = _emb(spark, sf_dir).cache()
+    cent = train_ivf_centroids(spark, ivf_training_sample(emb))
+    exact1 = (ann_cosine_topk(spark, sf_dir)
+              .filter(F.col("rn") == 1)
+              .select("query_id",
+                      F.col("neighbor_id").alias("exact_nn"),
+                      F.col("cos").alias("exact_cos")))
+    qv = emb.select(F.col("vec_id").alias("query_id"),
+                    F.col("v").alias("qv"), F.col("norm").alias("qn"))
+    nv = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("v").alias("nv"), F.col("norm").alias("nn_"))
+    tcos = F.expr("aggregate(zip_with(qv, nv, (x, y) -> x * y),"
+                  " cast(0.0 as double), (acc, x) -> acc + x)")
+    out = None
+    for p in PROBE_SWEEP:
+        top1 = (_ivf_pq_search(emb, cent, n_probe=p)
+                .filter(F.col("rank") == 1)
+                .select("query_id", "neighbor_id"))
+        # true cosine of the ADC choice: broadcast the panel-sized
+        # top-1 table, read the corpus once per side
+        chosen = (qv.join(F.broadcast(top1), "query_id")
+                  .join(F.broadcast(nv.join(
+                      F.broadcast(top1.select("neighbor_id").distinct()),
+                      "neighbor_id")), "neighbor_id")
+                  .select("query_id", "neighbor_id",
+                          F.round(tcos / (F.col("qn") * F.col("nn_")), 6)
+                          .alias("adc_cos")))
+        s = (exact1.join(chosen, "query_id", "left")
+             .agg(F.count(F.lit(1)).alias("n_queries"),
+                  F.sum(F.when(F.col("neighbor_id").isNotNull(), 1)
+                        .otherwise(0)).alias("n_answered"),
+                  F.sum(F.when(F.col("neighbor_id") == F.col("exact_nn"),
+                               1).otherwise(0)).alias("n_hit1"),
+                  F.sum(F.when(F.col("neighbor_id").isNotNull(),
+                               F.round((F.col("exact_cos")
+                                        - F.col("adc_cos"))
+                                       * 1_000_000).cast("long"))
+                        .otherwise(0)).alias("cos_gap_micro"))
+             .select(F.lit(p).alias("n_probe"), "n_queries", "n_answered",
+                     "n_hit1",
+                     F.expr("n_hit1 * 1000000 div n_queries")
+                     .alias("recall1_ppm"),
+                     "cos_gap_micro"))
+        out = s if out is None else out.unionByName(s)
+    return out.orderBy("n_probe")
+
+
+def _pq_sweep_oracle() -> str:
+    from ..registry import oracle_sql_of
+
+    pre = _trained_ivf_pre()
+    cent_sql = (f"SELECT cell_id, "
+                f"list_transform(cq, c -> c / {Q_SCALE}.0) AS cv "
+                f"FROM tcent{N_ITERS}")
+    blocks, selects = [], []
+    blocks.append("embx AS (SELECT vec_id,"
+                  " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+                  " FROM embeddings)")
+    blocks.append(f"exact AS (SELECT query_id, neighbor_id AS exact_nn,"
+                  f" cos AS exact_cos FROM"
+                  f" ({oracle_sql_of('ann_cosine_topk')}) e WHERE rn = 1)")
+    for p in PROBE_SWEEP:
+        blocks.append(
+            f"pq{p} AS ({_ivf_pq_oracle(pre=pre, cent_sql=cent_sql, n_probe=p)})")
+        selects.append(f"""
+SELECT {p} AS n_probe,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_answered,
+       CAST(SUM(CASE WHEN i.neighbor_id = e.exact_nn THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit1,
+       CAST(SUM(CASE WHEN i.neighbor_id = e.exact_nn THEN 1 ELSE 0 END)
+            AS BIGINT) * 1000000 // COUNT(*) AS recall1_ppm,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL
+                THEN CAST(ROUND((e.exact_cos - i.adc_cos) * 1000000)
+                          AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS cos_gap_micro
+FROM exact e LEFT JOIN (
+    SELECT t.query_id, t.neighbor_id,
+           ROUND(list_dot_product(q.v, n.v)
+                 / (sqrt(list_dot_product(q.v, q.v))
+                    * sqrt(list_dot_product(n.v, n.v))), 6) AS adc_cos
+    FROM (SELECT query_id, neighbor_id FROM pq{p} WHERE rank = 1) t
+    JOIN embx q ON q.vec_id = t.query_id
+    JOIN embx n ON n.vec_id = t.neighbor_id
+) i USING (query_id)""")
+    u = "\nUNION ALL\n".join(selects)
+    return ("WITH " + ",\n".join(blocks)
+            + f"\nSELECT * FROM (\n{u}\n) ORDER BY n_probe")
+
+
+register("ann_ivf_pq_sweep", ann_ivf_pq_sweep, _pq_sweep_oracle(),
+         "ADC recall/regret vs nprobe over the trained IVF-PQ index")

@@ -542,7 +542,8 @@ def events_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return granger_from_daily(daily)
 
 
-def granger_from_daily(daily: DataFrame) -> DataFrame:
+def granger_from_daily(daily: DataFrame, *,
+                       suff_as_double: bool = False) -> DataFrame:
     """Core of events_granger_causality over any (d, event_type, c)
     daily-count frame covering ALL types (the day range derives from
     the counts — identical to the raw-event range). Shared with the
@@ -550,7 +551,18 @@ def granger_from_daily(daily: DataFrame) -> DataFrame:
     hourly-count state folds hr div 24 with exact integer sums, so the
     streamed F panel is bit-equal to the batch one by construction.
     Fresh-exprId same-name aliases guard every re-referenced lineage
-    (the memory-sink gotcha; no-op Projects in the batch plan)."""
+    (the memory-sink gotcha; no-op Projects in the batch plan).
+
+    ``suff_as_double``: the Cramer determinant strings multiply THREE
+    sufficient statistics in integer (n*s11*s22-scale) — exact and
+    in-range for daily COUNTS, but the whole-unit daily VALUE series
+    (events_granger_value) puts s11*s22 near 2e22, past int64 on both
+    engines (Spark wraps silently in non-ANSI mode; DuckDB raised —
+    caught at the r14 oracle gate). With the flag, the exactly
+    accumulated integer sums are cast to double BEFORE the beta
+    arithmetic; the expression text is identical on both engines, so
+    the one float evaluation is bit-reproducible cross-engine. Default
+    False keeps the count path's plan byte-identical."""
     cnt = daily.filter(F.col("event_type").isin(
         *{t for pair in GC_PAIRS for t in pair}))
     rng = daily.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
@@ -582,6 +594,9 @@ def granger_from_daily(daily: DataFrame) -> DataFrame:
             F.sum(F.expr("x1 * y")).alias("s1y"),
             F.sum(F.expr("x2 * y")).alias("s2y"),
             F.sum(F.expr("y * y")).alias("syy"))
+        if suff_as_double:
+            suff = suff.select(*[F.col(c).cast("double").alias(c)
+                                 for c in suff.columns])
         sst = ("(cast(syy as double)"
                " - cast(sy as double)*cast(sy as double)/n)")
         ess_u = (f"({_GC_B0}*cast(sy as double)"

@@ -364,6 +364,121 @@ FROM rows_out ORDER BY gate
 """, "per-gate fail / sole-fail ablation of the quality funnel")
 
 
+# ------------------------------------ per-source quality gate ablation
+def quality_gate_ablation_by_source(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The (lang, source) split of quality_gate_ablation (VERDICT r13
+    ask #7): per corpus slice, which gate binds — n_fail / n_sole_fail
+    per gate plus the combined 'any' row, same thresholds and sole-fail
+    semantics as the global ablation. This is the per-source review a
+    curation run argues about: a source whose binding constraint is the
+    stopword gate needs a langid fix, one bound by word count needs a
+    different chunker — the global row cannot say which.
+
+    Scale shape: one corpus scan computes the three boolean flags, one
+    small-key (lang, source) groupBy reduces them to seven integers per
+    slice, and the four rows per slice unpivot from that aggregate via
+    stack — identical to the global ablation with a grouped reduce.
+
+    Cross-laws pinned in tests/test_r14_wave2.py: summing any column
+    over slices reproduces the global ablation row, and each slice's
+    'any' equals n_docs - n_pass of quality_gate_survivors' matching
+    (lang, source) row."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    scored = docs.select(
+        "lang", "source",
+        F.expr(f"size({_SPARK_WORDS})").alias("n_words"),
+        F.expr(f"cast(length(replace(text, ' ', '')) as double)"
+               f" / size({_SPARK_WORDS})").alias("avg_wlen"),
+        F.expr(f"cast(size(filter({_SPARK_WORDS}, w -> w IN ({stop_list})))"
+               f" as double) / size({_SPARK_WORDS})").alias("stop_ratio"),
+    ).select(
+        "lang", "source",
+        (~F.col("n_words").between(MIN_WORDS, MAX_WORDS))
+        .cast("int").alias("f_words"),
+        (~F.col("avg_wlen").between(MIN_AVG_WLEN, MAX_AVG_WLEN))
+        .cast("int").alias("f_wlen"),
+        (F.col("stop_ratio") > MAX_STOP_RATIO).cast("int").alias("f_stop"),
+    )
+    agg = scored.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f_words").alias("fw"),
+        F.sum("f_wlen").alias("fl"),
+        F.sum("f_stop").alias("fs"),
+        F.sum(F.expr("cast(f_words = 1 and f_wlen = 0 and f_stop = 0"
+                     " as int)")).alias("sw"),
+        F.sum(F.expr("cast(f_wlen = 1 and f_words = 0 and f_stop = 0"
+                     " as int)")).alias("sl"),
+        F.sum(F.expr("cast(f_stop = 1 and f_words = 0 and f_wlen = 0"
+                     " as int)")).alias("ss"),
+        F.sum(F.expr("cast(f_words + f_wlen + f_stop > 0 as int)"))
+        .alias("fa"),
+    )
+    return (agg.select(
+        "lang", "source", "n_docs",
+        F.expr("stack(4,"
+               " 'word_count', fw, sw,"
+               " 'avg_word_len', fl, sl,"
+               " 'stopword_ratio', fs, ss,"
+               " 'any', fa, fa) AS (gate, n_fail, n_sole_fail)"))
+        .select("lang", "source", "gate", "n_docs",
+                F.col("n_fail").cast("long").alias("n_fail"),
+                F.col("n_sole_fail").cast("long").alias("n_sole_fail"),
+                F.expr("n_fail * 1000000 div n_docs").alias("fail_ppm"),
+                F.expr("n_sole_fail * 1000000 div n_docs")
+                .alias("sole_fail_ppm"))
+        .orderBy("lang", "source", "gate"))
+
+
+register("quality_gate_ablation_by_source", quality_gate_ablation_by_source,
+         f"""
+WITH scored AS (
+    SELECT lang, source,
+           CASE WHEN len({_DUCK_WORDS_QG})
+                BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+           THEN 0 ELSE 1 END AS f_words,
+           CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / len({_DUCK_WORDS_QG})
+                BETWEEN {MIN_AVG_WLEN} AND {MAX_AVG_WLEN}
+           THEN 0 ELSE 1 END AS f_wlen,
+           CASE WHEN CAST(len(list_filter({_DUCK_WORDS_QG},
+                     w -> w IN ({', '.join(f"'{s}'" for s in _STOPWORDS)})))
+                     AS DOUBLE) / len({_DUCK_WORDS_QG}) > {MAX_STOP_RATIO}
+           THEN 1 ELSE 0 END AS f_stop
+    FROM documents
+), agg AS (
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(f_words) AS BIGINT) AS fw,
+           CAST(SUM(f_wlen) AS BIGINT) AS fl,
+           CAST(SUM(f_stop) AS BIGINT) AS fs,
+           CAST(SUM(CASE WHEN f_words = 1 AND f_wlen = 0 AND f_stop = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS sw,
+           CAST(SUM(CASE WHEN f_wlen = 1 AND f_words = 0 AND f_stop = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS sl,
+           CAST(SUM(CASE WHEN f_stop = 1 AND f_words = 0 AND f_wlen = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS ss,
+           CAST(SUM(CASE WHEN f_words + f_wlen + f_stop > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fa
+    FROM scored GROUP BY lang, source
+), rows_out AS (
+    SELECT lang, source, 'word_count' AS gate, n_docs,
+           fw AS n_fail, sw AS n_sole_fail
+    FROM agg
+    UNION ALL
+    SELECT lang, source, 'avg_word_len', n_docs, fl, sl FROM agg
+    UNION ALL
+    SELECT lang, source, 'stopword_ratio', n_docs, fs, ss FROM agg
+    UNION ALL
+    SELECT lang, source, 'any', n_docs, fa, fa FROM agg
+)
+SELECT lang, source, gate, n_docs, n_fail, n_sole_fail,
+       CAST(n_fail * 1000000 // n_docs AS BIGINT) AS fail_ppm,
+       CAST(n_sole_fail * 1000000 // n_docs AS BIGINT) AS sole_fail_ppm
+FROM rows_out ORDER BY lang, source, gate
+""", "per-(lang, source) fail / sole-fail ablation of the quality funnel")
+
+
 # --------------------------------------------- composed training manifest
 def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end curation artifact, one query = the whole funnel:

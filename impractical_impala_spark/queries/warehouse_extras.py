@@ -189,6 +189,83 @@ ORDER BY event_type, month
 """, "calendar-month rollup via the day spine (exact micro value sums)")
 
 
+# --------------------------------------------- calendar-quarter rollup
+def quarterly_rollup_from_hourly(hour: DataFrame) -> DataFrame:
+    """CALENDAR-quarter rollup from a per-(type, hour) frame carrying
+    the event count ``n`` and the micro-quantized value sum ``s`` — the
+    fiscal-calendar grain one step past the month fold (VERDICT r13
+    ask #6): hr → day is truncating div (the dailyfold composition
+    proof), and day → quarter maps the day index through real Gregorian
+    date arithmetic (``date_add(DATE '1970-01-01', d)`` then year +
+    quarter), which both engines compute identically for the proleptic
+    Gregorian calendar — quarters, like months, are not a fixed
+    divisor. Integer sums all the way up (exact, associative), so the
+    streaming twin (``streaming/quarterly.py``) folds the SAME cascade
+    from the shared hourly state bit-equally over any chunking; one
+    final division renders the double. ``n_active_days`` counts spine
+    days with >= 1 event, exact from the day frame. Day and quarter
+    frames are model-size (#types x calendar), so everything after the
+    hourly reduce is free at any corpus scale."""
+    day = (hour.withColumn("d", F.expr("hr div 24"))
+           .groupBy("event_type", "d")
+           .agg(F.sum("s").alias("s"), F.sum("n").alias("n")))
+    dt = F.expr("date_add(DATE '1970-01-01', cast(d as int))")
+    return (day
+            .withColumn("quarter", F.concat(
+                F.year(dt).cast("string"), F.lit("-Q"),
+                F.quarter(dt).cast("string")))
+            .groupBy("event_type", "quarter")
+            .agg(F.sum("n").cast("long").alias("n_events"),
+                 F.count(F.lit(1)).alias("n_active_days"),
+                 (F.sum("s") / float(VALUE_MICRO)).alias("sum_value"))
+            .orderBy("event_type", "quarter"))
+
+
+def events_quarterly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-quarter rollup of event counts and exact fixed-point
+    value sums — the planning/fiscal grain: quarter boundaries are real
+    date arithmetic over the day spine (quarters span 90-92 days, no
+    divisor expresses them). One corpus shuffle at the hourly grain,
+    then model-size folds (see quarterly_rollup_from_hourly); the next
+    finalizer seam for the shared hourly-state streaming fleet."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts_ns div {HOUR_NS}").alias("hr"),
+        F.floor(F.col("value") * VALUE_MICRO).cast("long").alias("m"))
+    hour = (ev.groupBy("event_type", "hr")
+            .agg(F.sum("m").alias("s"), F.count(F.lit(1)).alias("n")))
+    return quarterly_rollup_from_hourly(hour)
+
+
+register("events_quarterly_rollup", events_quarterly_rollup, f"""
+WITH ev AS (
+    SELECT event_type, epoch_us(ts) // {HOUR_US} AS hr,
+           CAST(FLOOR(value * {VALUE_MICRO}) AS BIGINT) AS m
+    FROM events
+), hour AS (
+    SELECT event_type, hr, CAST(SUM(m) AS BIGINT) AS s, COUNT(*) AS n
+    FROM ev GROUP BY event_type, hr
+), day AS (
+    SELECT event_type, hr // 24 AS d,
+           CAST(SUM(s) AS BIGINT) AS s, CAST(SUM(n) AS BIGINT) AS n
+    FROM hour GROUP BY event_type, hr // 24
+)
+SELECT event_type,
+       CAST(YEAR(DATE '1970-01-01' + CAST(d AS INTEGER)) AS VARCHAR)
+           || '-Q' ||
+       CAST(QUARTER(DATE '1970-01-01' + CAST(d AS INTEGER)) AS VARCHAR)
+           AS quarter,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       COUNT(*) AS n_active_days,
+       CAST(SUM(s) AS BIGINT) / {VALUE_MICRO}.0 AS sum_value
+FROM day
+GROUP BY event_type,
+         CAST(YEAR(DATE '1970-01-01' + CAST(d AS INTEGER)) AS VARCHAR)
+             || '-Q' ||
+         CAST(QUARTER(DATE '1970-01-01' + CAST(d AS INTEGER)) AS VARCHAR)
+ORDER BY event_type, quarter
+""", "calendar-quarter rollup via the day spine (exact micro value sums)")
+
+
 # --------------------------------------------------------- IVM merge
 def ivm_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-view maintenance: merge the partial aggregation

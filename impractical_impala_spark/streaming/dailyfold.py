@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..quantum import VALUE_MICRO
+
 
 def daily_counts_by_type(state_rows: DataFrame) -> DataFrame:
     """(event_type, hr, c) state rows -> (d, event_type, c) daily
@@ -49,3 +51,42 @@ def daily_counts_global(state_rows: DataFrame) -> DataFrame:
             .select(F.expr("hr div 24").alias("d"), "c")
             .groupBy("d")
             .agg(F.sum("c").alias("c")))
+
+
+# ---- value-weighted daily folds (VERDICT r13 ask #4) -------------------
+#
+# The state row's second integer is the hour's exact micro value sum
+# (sum of floor(value * VALUE_MICRO) per event — streaming/autocorr.py),
+# so every DAILY value statistic is determined exactly too: a day's
+# micro sum is the integer sum of its 24 hour cells (the same
+# trunc-div-composes argument as the count fold above).
+#
+# The monitors then run on WHOLE-unit daily values, v = micro_day_sum
+# div VALUE_MICRO: the daily monitors square their series (Granger's
+# s11/syy, ANOVA's q, Hurst's block s*s), and micro-scale daily sums
+# (~1.5e8 at sf0.1) would put sum-of-squares at ~1.5e19 — past int64.
+# Whole units (~1.5e4/day) keep every sufficient statistic below ~1e12
+# with 1e6 headroom, and the truncation is an exact, deterministic
+# derivation from the state (one trunc div of a non-negative integer —
+# identical on both engines for the fixtures' value >= 0; the batch
+# queries and oracles apply the IDENTICAL div-after-sum, so streamed ==
+# batch == oracle by construction).
+
+
+def daily_values_by_type(state_rows: DataFrame) -> DataFrame:
+    """(event_type, hr, s) state rows -> (d, event_type, c) whole-unit
+    daily value sums (c = day micro sum div VALUE_MICRO); exact integer
+    derivation — the value-weighted sibling of daily_counts_by_type."""
+    return (state_rows
+            .select("event_type", F.expr("hr div 24").alias("d"), "s")
+            .groupBy("d", "event_type")
+            .agg(F.expr(f"sum(s) div {VALUE_MICRO}").alias("c")))
+
+
+def daily_values_global(state_rows: DataFrame) -> DataFrame:
+    """(event_type, hr, s) state rows -> global (d, c) whole-unit daily
+    value sums across all types; exact integer derivation."""
+    return (state_rows
+            .select(F.expr("hr div 24").alias("d"), "s")
+            .groupBy("d")
+            .agg(F.expr(f"sum(s) div {VALUE_MICRO}").alias("c")))

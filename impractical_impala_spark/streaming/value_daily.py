@@ -1,0 +1,81 @@
+"""Value-weighted daily streaming monitors — the incremental twins of
+``queries/value_monitors.py`` (VERDICT r13 ask #4).
+
+Five MORE finalizers over the single shared hourly stateful operator
+(``streaming/autocorr.py`` — per (event_type, hr) one count and one
+exact micro value sum): the accumulated micro sums fold onto the day
+spine as WHOLE currency units (``streaming/dailyfold.py::
+daily_values_by_type`` / ``daily_values_global`` — sum micro, ONE
+truncating div per day cell) and run through the IDENTICAL shared
+arithmetic as the batch queries (``te_from_daily``,
+``granger_from_daily(suff_as_double=True)``, ``dow_anova_from_daily``,
+``hurst_from_daily``, ``pettitt_from_daily``), so every streamed value
+panel is bit-equal to its batch query over any chunking of the input —
+integer micro addition is associative, and the single div happens after
+the fold on both sides.
+
+Exposed as five tiny namespace objects (``te``, ``granger``,
+``dow_anova``, ``hurst``, ``pettitt``), each carrying the fleet-test
+contract surface (``finalize`` + ``latest_state``); the state operator
+is ``streaming_autocorr24_state`` — nothing new runs per micro-batch.
+
+Scale shape: unchanged from the count monitors — the state shuffles
+once on (event_type, hr); every finalize is day-spine cardinality.
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+from pyspark.sql import DataFrame
+
+from ..queries.dynamics import te_from_daily
+from ..queries.hypothesis import dow_anova_from_daily
+from ..queries.spectral_info import granger_from_daily, hurst_from_daily
+from ..queries.stat_tests import pettitt_from_daily
+from .autocorr import latest_state, streaming_autocorr24_state
+from .dailyfold import daily_values_by_type, daily_values_global
+
+__all__ = ["te", "granger", "dow_anova", "hurst", "pettitt",
+           "latest_state", "streaming_value_daily_state"]
+
+
+def streaming_value_daily_state(ev: DataFrame) -> DataFrame:
+    """Identical state operator to every other twin — only the
+    finalizers differ."""
+    return streaming_autocorr24_state(ev)
+
+
+def _finalize_te(state_rows: DataFrame) -> DataFrame:
+    return te_from_daily(daily_values_by_type(state_rows))
+
+
+def _finalize_granger(state_rows: DataFrame) -> DataFrame:
+    # suff_as_double: the value-scale Cramer products overflow int64
+    # (see events_granger_value) — the batch query sets the same flag,
+    # so the one float expression is shared text and bit-equal
+    return granger_from_daily(daily_values_by_type(state_rows),
+                              suff_as_double=True)
+
+
+def _finalize_dow_anova(state_rows: DataFrame) -> DataFrame:
+    return dow_anova_from_daily(daily_values_by_type(state_rows))
+
+
+def _finalize_hurst(state_rows: DataFrame) -> DataFrame:
+    return hurst_from_daily(daily_values_global(state_rows))
+
+
+def _finalize_pettitt(state_rows: DataFrame) -> DataFrame:
+    return pettitt_from_daily(daily_values_by_type(state_rows))
+
+
+te = SimpleNamespace(finalize=_finalize_te, latest_state=latest_state)
+granger = SimpleNamespace(finalize=_finalize_granger,
+                          latest_state=latest_state)
+dow_anova = SimpleNamespace(finalize=_finalize_dow_anova,
+                            latest_state=latest_state)
+hurst = SimpleNamespace(finalize=_finalize_hurst,
+                        latest_state=latest_state)
+pettitt = SimpleNamespace(finalize=_finalize_pettitt,
+                          latest_state=latest_state)

@@ -34,7 +34,10 @@ def main() -> None:
         if i % 50 == 0:
             print(f"  {i}/{len(qs)}", file=sys.stderr)
     doc = {
-        "note": "strategy-time plan-shape counts per registered query; "
+        "note": "per registered query: 'shape' = strategy-time "
+                "plan-shape counts, 'expr' = sha256 of the canonicalized "
+                "optimized-plan expressions (VERDICT r13 ask #1 — trips "
+                "on expression-only edits the shape counts cannot see); "
                 "regenerate with python scripts/gen_plan_fingerprints.py",
         "sf_dir": os.path.basename(SF_DIR.rstrip("/")),
         "spark": spark.version,

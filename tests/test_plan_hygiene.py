@@ -63,6 +63,10 @@ _BNLJ_BOUNDED = {
     # trained sweep: same exact-panel BNLJ (vec_id < N_QUERIES bound);
     # its trained-centroid cross joins are hinted k-row local models
     "ann_ivf_trained_sweep": re.compile(rf"vec_id#\d+L? < {N_QUERIES}"),
+    # r14 IVF-PQ probe sweep: the embedded exact panel's BNLJ (same
+    # vec_id < N_QUERIES bound); the routing/codebook/LUT cross joins
+    # are hinted model-size broadcasts
+    "ann_ivf_pq_sweep": re.compile(rf"vec_id#\d+L? < {N_QUERIES}"),
     # tables sweep: the ann_cosine_topk panel bound PLUS the 1-row
     # candidate-volume aggregate (keys=[]) that attaches by cross join
     "ann_lsh_tables_sweep": re.compile(

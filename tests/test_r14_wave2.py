@@ -1,0 +1,192 @@
+"""Round-14 wave 2: laws + independent references for the IVF-PQ probe
+sweep, the calendar-quarter rollup, and the per-source quality-gate
+ablation (VERDICT r13 asks #5/#6/#7)."""
+
+import math
+from collections import defaultdict
+
+import pandas as pd
+import pytest
+
+from impractical_impala_spark.quantum import VALUE_MICRO
+from impractical_impala_spark.queries.similarity import N_PROBE, PROBE_SWEEP
+from impractical_impala_spark.registry import all_queries
+
+_Q = all_queries()
+
+DAY_NS = 86_400_000_000_000
+
+
+# ------------------------------------------------- IVF-PQ probe sweep
+def test_pq_sweep_laws_and_trained_crosslaw(spark, sf_small):
+    """Candidate NESTING survives compression, so n_answered is lawful
+    monotone in nprobe; recall@1/regret are NOT (a wider set can
+    surface a neighbor whose COMPRESSED distance beats the exact nn's
+    — asserting their monotonicity would repeat the r13 ADVICE #1
+    mistake). Per-query the ADC choice's true cosine never exceeds the
+    exact top-1's, so the summed gap is bounded below by rounding dust
+    only. The nprobe=N_PROBE point must agree with ann_ivf_pq_trained:
+    same quantizer, same scorer, same probe count."""
+    rows = sorted(_Q["ann_ivf_pq_sweep"].build(spark, sf_small).collect(),
+                  key=lambda r: r.n_probe)
+    assert [r.n_probe for r in rows] == sorted(PROBE_SWEEP)
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_answered >= a.n_answered
+    for r in rows:
+        assert 0 <= r.n_hit1 <= r.n_answered <= r.n_queries
+        assert r.recall1_ppm == r.n_hit1 * 1_000_000 // r.n_queries
+        # exact top-1 dominates any choice in true cosine; each rounded
+        # per-query term can dip at most 1 micro below zero
+        assert r.cos_gap_micro >= -r.n_answered
+
+    # cross-law vs the fixed-probe composition
+    exact1 = {r.query_id: r.neighbor_id for r in
+              _Q["ann_cosine_topk"].build(spark, sf_small).collect()
+              if r.rn == 1}
+    pq1 = {r.query_id: r.neighbor_id for r in
+           _Q["ann_ivf_pq_trained"].build(spark, sf_small).collect()
+           if r.rank == 1}
+    at_p = {r.n_probe: r for r in rows}[N_PROBE]
+    assert at_p.n_answered == len(pq1)
+    assert at_p.n_hit1 == sum(
+        1 for q, nn in pq1.items() if exact1.get(q) == nn)
+
+
+# ---------------------------------------------- calendar-quarter grain
+def test_quarterly_matches_pandas(spark, sf_small):
+    """Independent third implementation: per-(type, quarter) event
+    counts, active days and exact micro value sums recomputed from raw
+    parquet with pandas real-date arithmetic — exact equality,
+    including the one int-sum / 10000.0 double render."""
+    ev = pd.read_parquet(f"{sf_small}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    ns = pd.to_datetime(ev["ts"]).astype("datetime64[ns]").astype("int64")
+    d = ns // DAY_NS
+    m = (ev["value"] * VALUE_MICRO).apply(math.floor).astype("int64")
+    df = pd.DataFrame({"t": ev["event_type"], "d": d, "m": m})
+    day = (df.groupby(["t", "d"])
+           .agg(s=("m", "sum"), n=("m", "size")).reset_index())
+    dates = pd.to_datetime(day["d"], unit="D")
+    day["q"] = (dates.dt.year.astype(str) + "-Q"
+                + dates.dt.quarter.astype(str))
+    want = {}
+    for (t, q), g in day.groupby(["t", "q"]):
+        want[(t, q)] = (int(g["n"].sum()), len(g),
+                        int(g["s"].sum()) / 10000.0)
+    rows = _Q["events_quarterly_rollup"].build(spark, sf_small).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        n, a, s = want[(r.event_type, r.quarter)]
+        assert (r.n_events, r.n_active_days) == (n, a)
+        assert r.sum_value == s  # same int sum, same one division
+
+
+def test_quarterly_aggregates_monthly(spark, sf_small):
+    """Grain cross-law: quarter boundaries align with months, so
+    re-aggregating the monthly rollup by quarter must reproduce the
+    quarterly rollup exactly — counts and active days by integer sums,
+    sum_value recomposed from micro (month doubles cannot be summed;
+    both queries render value = exact_micro_total / 1e4)."""
+    monthly = _Q["events_monthly_rollup"].build(spark, sf_small).collect()
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in monthly:
+        y, mo = r.month.split("-")
+        q = f"{y}-Q{(int(mo) - 1) // 3 + 1}"
+        cell = agg[(r.event_type, q)]
+        cell[0] += r.n_events
+        cell[1] += r.n_active_days
+        # recover the month's exact micro total from its double render
+        cell[2] += round(r.sum_value * 10000)
+    rows = _Q["events_quarterly_rollup"].build(spark, sf_small).collect()
+    assert len(rows) == len(agg)
+    for r in rows:
+        n, a, micro = agg[(r.event_type, r.quarter)]
+        assert (r.n_events, r.n_active_days) == (n, a)
+        assert r.sum_value == micro / 10000.0
+
+
+# ------------------------------------ per-source gate ablation
+def test_ablation_by_source_sums_to_global(spark, sf_small):
+    """Partition law: the per-(lang, source) ablation's counts, summed
+    over all slices, must reproduce the global ablation row for every
+    gate — the flags are per-document, so slicing is a partition of the
+    corpus."""
+    glob = {r.gate: r for r in
+            _Q["quality_gate_ablation"].build(spark, sf_small).collect()}
+    per = _Q["quality_gate_ablation_by_source"].build(
+        spark, sf_small).collect()
+    sums = defaultdict(lambda: [0, 0, 0])
+    slices = set()
+    for r in per:
+        slices.add((r.lang, r.source))
+        cell = sums[r.gate]
+        cell[0] += r.n_docs
+        cell[1] += r.n_fail
+        cell[2] += r.n_sole_fail
+        assert r.fail_ppm == r.n_fail * 1_000_000 // r.n_docs
+        assert r.sole_fail_ppm == r.n_sole_fail * 1_000_000 // r.n_docs
+        assert 0 <= r.n_sole_fail <= r.n_fail <= r.n_docs
+    assert len(per) == 4 * len(slices)
+    for gate, g in glob.items():
+        n_docs, n_fail, n_sole = sums[gate]
+        # n_docs repeats per gate row, one per slice
+        assert n_docs == g.n_docs
+        assert n_fail == g.n_fail
+        assert n_sole == g.n_sole_fail
+
+
+def test_ablation_by_source_any_matches_survivors(spark, sf_small):
+    """Cross-law vs quality_gate_survivors at the SLICE level: each
+    (lang, source) 'any' row must equal that slice's n_docs - n_pass —
+    the same law the global ablation satisfies, now per source."""
+    surv = {(r.lang, r.source): r for r in
+            _Q["quality_gate_survivors"].build(spark, sf_small).collect()}
+    per = _Q["quality_gate_ablation_by_source"].build(
+        spark, sf_small).collect()
+    any_rows = [r for r in per if r.gate == "any"]
+    assert len(any_rows) == len(surv)
+    for r in any_rows:
+        s = surv[(r.lang, r.source)]
+        assert r.n_docs == s.n_docs
+        assert r.n_fail == s.n_docs - s.n_pass
+        assert r.n_sole_fail == r.n_fail
+
+
+# --------------------------- standing invariance gates for the wave
+R14W2_CASES = ["ann_ivf_pq_sweep", "events_quarterly_rollup",
+               "quality_gate_ablation_by_source"]
+
+
+@pytest.mark.parametrize("name", R14W2_CASES)
+def test_r14w2_partition_invariance(spark, sf_small, name):
+    base = sorted(map(tuple, _Q[name].build(spark, sf_small).collect()))
+    conf = [("spark.sql.files.maxPartitionBytes", "65536"),
+            ("spark.sql.shuffle.partitions", "7"),
+            ("spark.sql.execution.arrow.maxRecordsPerBatch", "37")]
+    old = {k: spark.conf.get(k) for k, _ in conf}
+    try:
+        for k, v in conf:
+            spark.conf.set(k, v)
+        skewed = sorted(map(tuple, _Q[name].build(spark, sf_small).collect()))
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert base == skewed
+
+
+@pytest.mark.parametrize("name", ["events_quarterly_rollup"])
+def test_r14w2_timezone_invariance(spark, sf_small, name):
+    """The quarterly grain is the wave's one timestamp-bearing query:
+    buckets come from integer ts_ns div + proleptic-Gregorian date
+    arithmetic on the day index, so a hostile session TZ must not move
+    a quarter."""
+    base = sorted(map(tuple, _Q[name].build(spark, sf_small).collect()))
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone",
+                       "Pacific/Kiritimati")
+        hostile = sorted(map(tuple,
+                             _Q[name].build(spark, sf_small).collect()))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    assert base == hostile

@@ -1,9 +1,12 @@
 """The daily-family streaming twins (transfer entropy, Granger,
-day-of-week ANOVA, Hurst, Pettitt, SPRT) must finalize to EXACTLY their batch queries
-— AvailableNow, chunked replay, and a crash/restart through the same
-checkpoint. The daily counts fold from the SAME hourly-count state the
-nine hourly monitors read (hr div 24, exact integer sums); the closing
-test pins the full NINETEEN-finalizer fleet over one state stream."""
+day-of-week ANOVA, Hurst, Pettitt, SPRT — and the five VALUE-weighted
+r14 siblings over the state's micro value sums) must finalize to
+EXACTLY their batch queries — AvailableNow, chunked replay, and a
+crash/restart through the same checkpoint. The daily counts/values fold
+from the SAME hourly state the nine hourly monitors read (hr div 24,
+exact integer sums; values take ONE trunc div to whole units after the
+fold); the closing test pins the full TWENTY-FIVE-finalizer fleet over
+one state stream."""
 
 import time
 from pathlib import Path
@@ -28,9 +31,11 @@ from impractical_impala_spark.streaming import pacf as PC
 from impractical_impala_spark.streaming import peak_load as PL
 from impractical_impala_spark.streaming import pettitt as PT
 from impractical_impala_spark.streaming import profile_jsd as PJ
+from impractical_impala_spark.streaming import quarterly as QR
 from impractical_impala_spark.streaming import sprt as SP
 from impractical_impala_spark.streaming import time_rollup as TR
 from impractical_impala_spark.streaming import transfer_entropy as TE
+from impractical_impala_spark.streaming import value_daily as VD
 from impractical_impala_spark.streaming import value_ewma as VE
 
 _Q = all_queries()
@@ -50,6 +55,20 @@ TWINS = {
     "sprt": (SP, "events_sprt_sequential",
              ["d_idx", "x", "n", "llr_micro", "hit_upper", "hit_lower",
               "state"]),
+    # value-weighted daily siblings (r14): same state, same shared
+    # helpers, fed whole-unit daily VALUE sums off the micro state sums
+    "te_value": (VD.te, "events_te_value",
+                 ["direction", "n_steps", "te_micro"]),
+    "granger_value": (VD.granger, "events_granger_value",
+                      ["direction", "n_days", "f_micro", "causal"]),
+    "dow_anova_value": (VD.dow_anova, "events_dow_anova_value",
+                        ["event_type", "n_days", "f_micro",
+                         "dow_effect"]),
+    "hurst_value": (VD.hurst, "events_hurst_value",
+                    ["n_days", "slope_micro", "hurst_micro"]),
+    "pettitt_value": (VD.pettitt, "events_pettitt_value",
+                      ["event_type", "n_days", "k_stat", "t_star",
+                       "p_micro", "significant"]),
 }
 
 HOURLY = [
@@ -79,6 +98,9 @@ HOURLY = [
      ["grain", "event_type", "bucket", "n_events", "sum_value"]),
     (MO, "events_monthly_rollup",
      ["event_type", "month", "n_events", "n_active_days", "sum_value"]),
+    (QR, "events_quarterly_rollup",
+     ["event_type", "quarter", "n_events", "n_active_days",
+      "sum_value"]),
     (VE, "events_value_ewma_hourly",
      ["event_type", "hr", "value_micro", "vewma_milli"]),
 ]
@@ -141,8 +163,8 @@ def test_daily_twin_chunked_replay(twin, spark, split_dir, tmp_path,
 
 def test_daily_twin_restart_from_checkpoint(spark, split_dir, tmp_path,
                                             sf_small):
-    """One restart run shared by the six daily twins (the state
-    operator is identical; all six read the same recovered rows)."""
+    """One restart run shared by the eleven daily twins (the state
+    operator is identical; all eleven read the same recovered rows)."""
     ckpt = str(tmp_path / "ckpt2")
     sink = str(tmp_path / "state_rows")
 
@@ -176,17 +198,18 @@ def test_daily_twin_restart_from_checkpoint(spark, split_dir, tmp_path,
             _want(spark, sf_small, qname, cols))
 
 
-def test_one_state_stream_feeds_nineteen_finalizers(spark, split_dir,
-                                                    sf_small):
-    """The shared hourly state serves NINETEEN finalizers (nine
-    count-only hourly + the four value-weighted r13 twins + six daily)
-    — one AvailableNow pass, nineteen finalizes, nineteen batch
+def test_one_state_stream_feeds_twentyfive_finalizers(spark, split_dir,
+                                                      sf_small):
+    """The shared hourly state serves TWENTY-FIVE finalizers (nine
+    count-only hourly + the four value-weighted r13 hourly twins + the
+    r14 quarterly grain + six count daily + five value daily) — one
+    AvailableNow pass, twenty-five finalizes, twenty-five batch
     matches."""
     q = (_stream_state(spark, split_dir, max_files=100)
-         .writeStream.format("memory").queryName("t_nineteen_state")
+         .writeStream.format("memory").queryName("t_twentyfive_state")
          .outputMode("update").trigger(availableNow=True).start())
     q.awaitTermination()
-    rows = spark.table("t_nineteen_state")
+    rows = spark.table("t_twentyfive_state")
     for mod, qname, cols in HOURLY + [TWINS[t] for t in sorted(TWINS)]:
         got = _got(spark, mod, rows, cols)
         want = _want(spark, sf_small, qname, cols)
