@@ -530,6 +530,7 @@ HEADLINE = [
     "ann_ivf_pq_sweep",
     "events_quarterly_rollup",
     "quality_gate_ablation_by_source",
+    "dedup_shingle_sweep",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

@@ -108,60 +108,59 @@ def fingerprint_query(spark, build, sf_dir: str) -> dict:
 _EXPR_ID = re.compile(r"#\d+")
 
 # RewriteDistinctAggregates assigns a group-id LITERAL to each distinct
-# group (the ``FILTER (WHERE (gid = grouping))`` it synthesizes around
-# every rewritten aggregate, and before canonicalization also emits the
-# Expand projections carrying those gids). Which group gets gid 1 vs 2
-# is a HashMap iteration order over exprId-keyed expression sets —
-# session-global-counter noise, observed swapping on
-# user_feature_matrix's two countDistincts across sessions. Normalize
-# the literal in exactly that synthesized syntactic position; a genuine
-# user predicate comparing a column to a constant canonicalizes as
-# ``(col = lit)`` inside Filter nodes, not inside an aggregate's FILTER
-# clause in this left-literal shape.
-_GID_FILTER = re.compile(r"FILTER \(WHERE \(\d+ = ")
+# group (the ``FILTER (WHERE (gid = N))`` it synthesizes around every
+# rewritten aggregate; the Expand projections carry the same literals).
+# Which group gets gid 1 vs 2 is a HashMap iteration order over
+# exprId-keyed expression sets — session-global-counter noise, observed
+# swapping on user_feature_matrix's two countDistincts across sessions.
+# Normalize the literal compared against the synthesized ``gid``
+# attribute (its name is fixed by the rewrite rule); the Expand side
+# needs nothing — its projections flatten into the node's sorted
+# expression multiset, which is permutation-insensitive by
+# construction. Applied AFTER the id strip, so the attribute reads
+# ``gid#``.
+_GID_FILTER = re.compile(r"\(gid# = \d+\)")
 
 
 def _normalize_expr(s: str) -> str:
-    return _GID_FILTER.sub("FILTER (WHERE (# = ", _EXPR_ID.sub("#", s))
+    return _GID_FILTER.sub("(gid# = #)", _EXPR_ID.sub("#", s))
 
 
 def expression_fingerprint(df: DataFrame) -> str:
-    """sha256 over the canonicalized OPTIMIZED logical plan's
-    expressions, one line per plan node in tree order:
-    ``NodeName[sorted expression strings]``.
+    """sha256 over the ANALYZED logical plan's expressions, one line
+    per plan node in tree order: ``NodeName[sorted expression
+    strings]``.
 
     Design notes (each clause earned by an observed nondeterminism):
 
-    - OPTIMIZED logical plan, not physical: expression semantics live
-      here, while parallelism/exchange placement (which legitimately
-      varies with cpu count) does not.
-    - NOT ``canonicalized()``: canonicalization rewrites 3+-operand
-      commutative chains into ``MultiCommutativeOp`` and orders the
-      operands by hashCode — which embeds a ``java.lang.Class`` whose
-      hashCode is JVM-identity, so the SAME query printed different
-      operand orders in different JVMs (observed on events_anova_f and
-      39 other heavy-expression queries: fresh-JVM vs regen-JVM texts
-      diverged inside ``multicommutativeop(...)`` while every probe
-      within one JVM agreed). The un-canonicalized optimized plan keeps
-      the query's own operand order — deterministic from the source
-      text.
-    - ``_EXPR_ID`` strip: without canonicalization every attribute
-      carries its session-global exprId (``cnt#123L``); the ids are
-      pure session noise, the NAMES stay (more signal than
-      canonicalization's ``none``, and stable — they come from the
-      query).
-    - expressions SORTED within each node: Spark's
-      RewriteDistinctAggregates emits the filtered-aggregate list in
-      session-dependent ORDER (observed on user_feature_matrix: the
-      n_types/active_days branches swapped between sessions); order
-      within a node is optimizer bookkeeping, not semantics, so the
-      multiset is hashed instead. Its synthesized group-id literals are
-      normalized by ``_GID_FILTER`` for the same reason.
+    - ANALYZED plan, not optimized/physical/canonicalized: the analyzed
+      plan is a pure function of the query SOURCE — which is exactly
+      what this gate guards (an undeclared expression edit). Every
+      later stage injects optimizer state that proved session- or
+      JVM-dependent in testing: canonicalization rewrites commutative
+      chains into ``MultiCommutativeOp`` ordered by a Class-identity
+      hashCode (differs ACROSS JVMs while stable within one — 40
+      queries flipped between regen JVMs); the optimizer's
+      RewriteDistinctAggregates emits its filtered-aggregate list and
+      assigns its gid literals in HashMap order (user_feature_matrix's
+      two countDistincts swapped between sessions); heavy-expression
+      queries (langid_mcnemar, doc_gopher_quality_flags) still flipped
+      rarely on the optimized text. The analyzed plan also predates
+      cache substitution, so it cannot be contaminated by earlier
+      queries' .cache() fragments.
+    - ``_EXPR_ID`` strip: attributes carry session-global exprIds
+      (``cnt#123L``) — pure session noise; the NAMES stay (stable,
+      they come from the query).
+    - ``_GID_FILTER``: harmless on analyzed plans (the rewrite that
+      produces gid literals runs later); kept so a future move of that
+      rewrite cannot re-introduce the noise.
+    - expressions SORTED within each node: defense in depth against
+      any list whose order is bookkeeping rather than semantics.
 
     Node TREE order is kept (structure is semantic: join sides, input
     of an aggregate), and subquery plans are included via ``_walk``.
     """
-    root = df._jdf.queryExecution().optimizedPlan()
+    root = df._jdf.queryExecution().analyzed()
     lines = []
     for node in _walk(root):
         exprs = []

@@ -1481,3 +1481,174 @@ SELECT s1, s2, n_pairs,
 FROM cells CROSS JOIN tot
 ORDER BY n_pairs DESC, s1, s2
 """, "source-pair near-dup matrix from the confirmed LSH pairs")
+
+
+# ---------------------------------------- shingle-size sweep
+# The third tuning axis of the dedup family (after banding b and LSH
+# table count T): shingle WINDOW k. Longer shingles discriminate better
+# (a chance word overlap between unrelated docs rarely extends to a
+# 3-gram) but tolerate mutation worse (one dropped word destroys up to
+# k shingles), so recall on true near-dups falls with k while the
+# planted-vs-neighbor separation margin grows. This emits the measured
+# curve over k in SHINGLE_SWEEP on two deterministic pair panels:
+# PLANTED (doc, mutated twin at +MUT_OFFSET — ground truth by
+# construction) and NEIGHBOR (doc_id, doc_id+1 — unrelated-doc
+# baseline). No pair join anywhere: both panels are equality joins on
+# derived keys.
+SHINGLE_SWEEP = (1, 2, 3)
+
+
+def _spark_shingles_k(k: int) -> str:
+    """k-word shingles over the split words column (k=2 reproduces
+    _SPARK_SHINGLES; a doc shorter than k yields its truncated
+    window)."""
+    return (f"transform(sequence(1, greatest(size(words) - {k - 1}, 1)),"
+            f" i -> concat_ws(' ', slice(words, i, {k})))")
+
+
+def _duck_shingles_k(k: int) -> str:
+    return (f"list_transform(range(1, greatest(len(words) - {k - 1}, 1)"
+            f" + 1), i -> array_to_string("
+            f"list_slice(words, i, i + {k - 1}), ' '))")
+
+
+def dedup_shingle_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-vs-shingle-size tuning curve: per k in SHINGLE_SWEEP,
+    the planted near-dup panel's mean exact Jaccard (integer ppm,
+    BIGINT arithmetic — the r13 ADVICE rule), its recall at the
+    standing JACCARD_T threshold, the unrelated-neighbor panel's mean
+    Jaccard, and the separation margin between the two — the number a
+    curation review reads before fixing k for a corpus-wide dedup run
+    (k too small: neighbors collide; k too large: real near-dups fall
+    under the threshold).
+
+    Scale shape: ONE corpus scan computes the words column and all
+    |SHINGLE_SWEEP| distinct-shingle-hash sets side by side; both pair
+    panels attach by equality joins on doc_id arithmetic (planted:
+    id + MUT_OFFSET; neighbor: id + 1) — never a pair-space join; the
+    output is |SHINGLE_SWEEP| rows from one global aggregate."""
+    n = spark.sparkContext.defaultParallelism
+    docs = (load_table(spark, sf_dir, "documents").select("doc_id", "text")
+            .repartition(n)
+            .withColumn("words", F.expr(_SPARK_WORDS)))
+    variants = F.expr(
+        f"CASE WHEN doc_id % 3 = 0 THEN array("
+        f" named_struct('doc_id', doc_id, 'words', words),"
+        f" named_struct('doc_id', doc_id + {MUT_OFFSET},"
+        f"              'words', {_SPARK_MUT.format(w='words')}))"
+        f" ELSE array(named_struct('doc_id', doc_id, 'words', words))"
+        f" END")
+    sets = (docs.select(F.explode(variants).alias("v"))
+            .select("v.doc_id", "v.words")
+            .select("doc_id", *[
+                F.expr(_SPARK_HASHES.format(s=_spark_shingles_k(k)))
+                .alias(f"dh{k}") for k in SHINGLE_SWEEP])
+            .cache())
+    jt_ppm = round(JACCARD_T * 1_000_000)
+
+    def jacc(k: int) -> str:
+        return (f"cast(size(array_intersect(a_dh{k}, b_dh{k})) as bigint)"
+                f" * 1000000"
+                f" div (cast(size(a_dh{k}) as bigint) + size(b_dh{k})"
+                f" - size(array_intersect(a_dh{k}, b_dh{k})))")
+
+    def panel(offset: int, pred: str) -> DataFrame:
+        a = sets.select(F.col("doc_id").alias("a_id"), *[
+            F.col(f"dh{k}").alias(f"a_dh{k}") for k in SHINGLE_SWEEP])
+        b = sets.select((F.col("doc_id") - offset).alias("a_id"), *[
+            F.col(f"dh{k}").alias(f"b_dh{k}") for k in SHINGLE_SWEEP])
+        return (a.filter(F.expr(pred)).join(b, "a_id")
+                .select(*[F.expr(jacc(k)).alias(f"j{k}")
+                          for k in SHINGLE_SWEEP]))
+
+    planted = panel(MUT_OFFSET, "a_id % 3 = 0 AND a_id < 1000000")
+    # unrelated baseline: consecutive BASE doc ids (both < MUT_OFFSET)
+    neighbor = panel(1, "a_id % 3 != 2 AND a_id < 1000000")
+    pl = planted.agg(
+        F.count(F.lit(1)).alias("n_planted"),
+        *[F.sum(f"j{k}").alias(f"pj{k}") for k in SHINGLE_SWEEP],
+        *[F.sum(F.expr(f"cast(j{k} >= {jt_ppm} as long)"))
+          .alias(f"pr{k}") for k in SHINGLE_SWEEP])
+    nb = neighbor.agg(
+        F.count(F.lit(1)).alias("n_neighbor"),
+        *[F.sum(f"j{k}").alias(f"nj{k}") for k in SHINGLE_SWEEP])
+    both = pl.crossJoin(F.broadcast(nb))
+    stacked = ", ".join(
+        f"{k}L, pj{k}, pr{k}, nj{k}" for k in SHINGLE_SWEEP)
+    return (both.select(
+        "n_planted", "n_neighbor",
+        F.expr(f"stack({len(SHINGLE_SWEEP)}, {stacked})"
+               " AS (k, pj, pr, nj)"))
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "n_planted", "n_neighbor",
+            F.expr("pj div n_planted").alias("planted_mean_jacc_ppm"),
+            F.expr("pr * 1000000 div n_planted").alias("recall_ppm"),
+            F.expr("nj div n_neighbor").alias("neighbor_mean_jacc_ppm"),
+            F.expr("pj div n_planted - nj div n_neighbor")
+            .alias("separation_ppm"))
+        .orderBy("k"))
+
+
+def _shingle_sweep_oracle() -> str:
+    jt_ppm = round(JACCARD_T * 1_000_000)
+    dh_cols = ",\n           ".join(
+        f"{_DUCK_HASHES.format(s=_duck_shingles_k(k))} AS dh{k}"
+        for k in SHINGLE_SWEEP)
+
+    def jacc(k: int, side_a: str = "a", side_b: str = "b") -> str:
+        inter = f"len(list_intersect({side_a}.dh{k}, {side_b}.dh{k}))"
+        return (f"CAST({inter} AS BIGINT) * 1000000"
+                f" // (CAST(len({side_a}.dh{k}) AS BIGINT)"
+                f" + len({side_b}.dh{k}) - {inter})")
+
+    pj = ", ".join(
+        f"CAST(SUM({jacc(k)}) AS BIGINT) AS pj{k},"
+        f" CAST(SUM(CASE WHEN {jacc(k)} >= {jt_ppm} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS pr{k}"
+        for k in SHINGLE_SWEEP)
+    nj = ", ".join(
+        f"CAST(SUM({jacc(k)}) AS BIGINT) AS nj{k}" for k in SHINGLE_SWEEP)
+    rows = "\n    UNION ALL\n    ".join(
+        f"SELECT {k} AS k, pj{k} AS pj, pr{k} AS pr, nj{k} AS nj"
+        f" FROM pl CROSS JOIN nb" for k in SHINGLE_SWEEP)
+    return f"""
+WITH sets AS (
+    SELECT doc_id,
+           {dh_cols}
+    FROM (
+        SELECT doc_id, {_DUCK_WORDS} AS words FROM documents
+        UNION ALL
+        SELECT doc_id + {MUT_OFFSET} AS doc_id,
+               {_DUCK_MUT.format(w=_DUCK_WORDS)} AS words
+        FROM documents WHERE doc_id % 3 = 0
+    )
+), pl AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, {pj}
+    FROM sets a JOIN sets b ON b.doc_id = a.doc_id + {MUT_OFFSET}
+    WHERE a.doc_id % 3 = 0 AND a.doc_id < 1000000
+), nb AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_neighbor, {nj}
+    FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id % 3 != 2 AND a.doc_id < 1000000
+)
+SELECT CAST(k AS INT) AS k,
+       (SELECT n_planted FROM pl) AS n_planted,
+       (SELECT n_neighbor FROM nb) AS n_neighbor,
+       CAST(pj // (SELECT n_planted FROM pl) AS BIGINT)
+           AS planted_mean_jacc_ppm,
+       CAST(pr * 1000000 // (SELECT n_planted FROM pl) AS BIGINT)
+           AS recall_ppm,
+       CAST(nj // (SELECT n_neighbor FROM nb) AS BIGINT)
+           AS neighbor_mean_jacc_ppm,
+       CAST(pj // (SELECT n_planted FROM pl)
+            - nj // (SELECT n_neighbor FROM nb) AS BIGINT)
+           AS separation_ppm
+FROM ({rows})
+ORDER BY k
+"""
+
+
+register("dedup_shingle_sweep", dedup_shingle_sweep,
+         _shingle_sweep_oracle(),
+         "Jaccard / recall / separation vs shingle size k (dedup tuning)")

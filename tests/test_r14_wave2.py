@@ -152,9 +152,65 @@ def test_ablation_by_source_any_matches_survivors(spark, sf_small):
         assert r.n_sole_fail == r.n_fail
 
 
+# ------------------------------------------------ shingle-size sweep
+def test_shingle_sweep_matches_python(spark, sf_small):
+    """Independent third implementation: shingle sets at every k, both
+    pair panels, and all five output columns recomputed from raw
+    parquet with plain Python md5 hashing — exact equality."""
+    import hashlib
+
+    from impractical_impala_spark.queries.dedup import (
+        JACCARD_T, MUT_OFFSET, SHINGLE_SWEEP)
+
+    docs = pd.read_parquet(f"{sf_small}/documents.parquet",
+                           columns=["doc_id", "text"])
+    jt_ppm = round(JACCARD_T * 1_000_000)
+
+    def hset(words, k):
+        n = max(len(words) - k + 1, 1)
+        sh = {" ".join(words[i:i + k]) for i in range(n)}
+        return {int(hashlib.md5(t.encode()).hexdigest()[:7], 16)
+                for t in sh}
+
+    sets = {}
+    for _, r in docs.iterrows():
+        words = r["text"].lower().split(" ")
+        sets[int(r["doc_id"])] = {k: hset(words, k) for k in SHINGLE_SWEEP}
+        if r["doc_id"] % 3 == 0:
+            mut = [w for i, w in enumerate(words) if (i + 1) % 7 != 0]
+            sets[int(r["doc_id"]) + MUT_OFFSET] = {
+                k: hset(mut, k) for k in SHINGLE_SWEEP}
+
+    def jacc(a, b):
+        i = len(a & b)
+        return i * 1_000_000 // (len(a) + len(b) - i)
+
+    planted = [(d, d + MUT_OFFSET) for d in sets
+               if d % 3 == 0 and d < 1_000_000 and d + MUT_OFFSET in sets]
+    neighbor = [(d, d + 1) for d in sets
+                if d % 3 != 2 and d < 1_000_000 and d + 1 in sets]
+    got = {r.k: r for r in
+           _Q["dedup_shingle_sweep"].build(spark, sf_small).collect()}
+    assert set(got) == set(SHINGLE_SWEEP)
+    for k in SHINGLE_SWEEP:
+        pj = [jacc(sets[a][k], sets[b][k]) for a, b in planted]
+        nj = [jacc(sets[a][k], sets[b][k]) for a, b in neighbor]
+        r = got[k]
+        assert r.n_planted == len(planted)
+        assert r.n_neighbor == len(neighbor)
+        assert r.planted_mean_jacc_ppm == sum(pj) // len(pj)
+        assert r.recall_ppm == (sum(1 for j in pj if j >= jt_ppm)
+                                * 1_000_000 // len(pj))
+        assert r.neighbor_mean_jacc_ppm == sum(nj) // len(nj)
+        assert r.separation_ppm == sum(pj) // len(pj) - sum(nj) // len(nj)
+        # the panels are ground truth vs unrelated docs: at every k the
+        # planted mean must dominate the neighbor mean
+        assert r.separation_ppm > 0
+
+
 # --------------------------- standing invariance gates for the wave
 R14W2_CASES = ["ann_ivf_pq_sweep", "events_quarterly_rollup",
-               "quality_gate_ablation_by_source"]
+               "quality_gate_ablation_by_source", "dedup_shingle_sweep"]
 
 
 @pytest.mark.parametrize("name", R14W2_CASES)
