@@ -531,6 +531,7 @@ HEADLINE = [
     "events_quarterly_rollup",
     "quality_gate_ablation_by_source",
     "dedup_shingle_sweep",
+    "events_sprt_value",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

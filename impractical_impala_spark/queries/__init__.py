@@ -679,12 +679,20 @@ _EVICTED_TO_R10 = _FILL_QUEUE_R9[_n_fill:]
 # _ivf_pq_search/_ivf_pq_oracle grew an n_probe parameter defaulting to
 # N_PROBE (serves ann_ivf_pq_sweep; the pipeline/trained compositions
 # render the identical plan and SQL text).
+# Late round 14 (as-of 13): te_from_daily / granger_from_daily sorted
+# their pair-type IN-lists — a bare set comprehension iterates in
+# per-process hash order (PYTHONHASHSEED), which flipped the analyzed
+# IN-list order between sessions and with it the new expression
+# fingerprint. Values unchanged (IN order is semantics-free); the
+# affected count monitors are listed, the value twins were
+# never-checked anyway.
 CHANGED_THIS_ROUND: dict[str, int] = {
     "dedup_banding_sweep": 13,
     "dedup_threshold_sweep": 13,
     "events_granger_causality": 13,
     "ann_ivf_pq_pipeline": 13,
     "ann_ivf_pq_trained": 13,
+    "events_transfer_entropy": 13,
 }
 
 from ..registry import registered_names  # noqa: E402

@@ -171,8 +171,11 @@ def te_from_daily(daily: DataFrame) -> DataFrame:
     bit-equal to the batch one by construction. Fresh-exprId same-name
     aliases guard every re-referenced lineage (the memory-sink
     gotcha; no-op Projects in the batch plan)."""
+    # sorted: a bare set comprehension iterates in per-process hash
+    # order (PYTHONHASHSEED), which put the IN-list in either order and
+    # flipped the analyzed-plan fingerprint between sessions (r14)
     cnt = daily.filter(F.col("event_type").isin(
-        *{t for pair in TE_PAIRS for t in pair}))
+        *sorted({t for pair in TE_PAIRS for t in pair})))
     rng = daily.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
     spine = rng.select(F.explode(F.expr("sequence(dmin, dmax)")).alias("d"))
     out = None

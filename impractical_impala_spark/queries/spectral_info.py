@@ -563,8 +563,10 @@ def granger_from_daily(daily: DataFrame, *,
     arithmetic; the expression text is identical on both engines, so
     the one float evaluation is bit-reproducible cross-engine. Default
     False keeps the count path's plan byte-identical."""
+    # sorted: set iteration order is per-process (PYTHONHASHSEED) and
+    # flipped the IN-list between sessions — see te_from_daily
     cnt = daily.filter(F.col("event_type").isin(
-        *{t for pair in GC_PAIRS for t in pair}))
+        *sorted({t for pair in GC_PAIRS for t in pair})))
     rng = daily.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
     spine = rng.select(F.explode(F.expr("sequence(dmin, dmax)")).alias("d"))
     out = None

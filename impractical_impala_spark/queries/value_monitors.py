@@ -40,6 +40,8 @@ from ..sources import load_table
 
 from .dynamics import TE_PAIRS, te_from_daily
 from .hypothesis import CHI2_95, _half_away, dow_anova_from_daily
+from .monitor_eval import (_SPRT_LA, _SPRT_LB, _SPRT_W0, _SPRT_W1,
+                           sprt_from_per_day)
 from .monitor_eval import _ha_sql as _ha
 from .spectral_info import (GC_F_CRIT_MICRO, GC_PAIRS, HURST_LNM_MICRO,
                             HURST_MS, _GC_B0_SQL, _GC_B1_SQL, _GC_B2_SQL,
@@ -349,6 +351,76 @@ def events_pettitt_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic to events_pettitt_test (pettitt_from_daily), fed
     whole-unit daily value sums."""
     return pettitt_from_daily(_daily_values_by_type(spark, sf_dir))
+
+
+# ------------------------------------------ Wald SPRT (value)
+def sprt_value_per_day(daily: DataFrame) -> DataFrame:
+    """(d, x, n) frame for the value SPRT from any (d, event_type, c)
+    whole-unit daily value frame: x = the day's purchase value, n =
+    purchase + click value (each currency unit one Bernoulli trial).
+    Shared verbatim by the batch query and the streaming finalizer
+    (streaming/value_daily.py::sprt), so the streamed walk is bit-equal
+    to batch by construction. Days appear iff they saw >= 1 purchase
+    or click event — the same day set as the count SPRT's census; a
+    day whose value truncates to zero units contributes an exact zero
+    increment."""
+    f = daily.filter(F.col("event_type").isin("purchase", "click"))
+    return (f.groupBy("d").agg(
+        F.sum(F.expr("case when event_type = 'purchase'"
+                     " then c else 0L end")).alias("x"),
+        F.sum(F.col("c")).alias("n")))
+
+
+def events_sprt_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT over the daily purchase SHARE OF VALUE among
+    purchase+click spend — the value-weighted sixth member of the
+    daily monitor family (the count SPRT watches the event-share;
+    this watches where the money goes): each whole currency unit is
+    one Bernoulli trial, so the walk adds x*ln(p1/p0) +
+    (n-x)*ln(q1/q0) per day with the SAME pre-quantized micro-nat
+    constants and Wald boundaries as events_sprt_sequential
+    (sprt_from_per_day, shared verbatim). Units within one event are
+    not independent trials, so the nominal alpha/beta are an
+    idealization — the walk is a monitoring statistic with fixed,
+    documented boundaries, not a certified test (the same caveat every
+    value-weighted monitor carries). Scale shape: one corpus reduce to
+    (type, day) integer cells, then day-spine arithmetic."""
+    return sprt_from_per_day(
+        sprt_value_per_day(_daily_values_by_type(spark, sf_dir)))
+
+
+register("events_sprt_value", events_sprt_value, _EV_CTE + f""",
+pc AS (
+    SELECT d,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN c ELSE 0 END) AS BIGINT) AS x,
+           CAST(SUM(c) AS BIGINT) AS n
+    FROM daily WHERE event_type IN ('purchase', 'click') GROUP BY d
+), prng AS (SELECT MIN(d) AS d0 FROM pc),
+walk AS (
+    SELECT d - d0 AS d_idx, x, n,
+           SUM(x * {_SPRT_W1} + (n - x) * {_SPRT_W0})
+               OVER (ORDER BY d) AS llr_micro
+    FROM pc CROSS JOIN prng
+), flagged AS (
+    SELECT d_idx, x, n, CAST(llr_micro AS BIGINT) AS llr_micro,
+           CASE WHEN llr_micro >= {_SPRT_LA} THEN 1 ELSE 0 END
+               AS hit_upper,
+           CASE WHEN llr_micro <= {_SPRT_LB} THEN 1 ELSE 0 END
+               AS hit_lower
+    FROM walk
+)
+SELECT d_idx, x, n, llr_micro,
+       CAST(hit_upper AS INT) AS hit_upper,
+       CAST(hit_lower AS INT) AS hit_lower,
+       CASE WHEN MAX(CASE WHEN hit_upper = 1 OR hit_lower = 1
+                          THEN 1 ELSE 0 END)
+                 OVER (ORDER BY d_idx) = 0 THEN 'continue'
+            WHEN hit_upper = 1 THEN 'accept_h1'
+            WHEN hit_lower = 1 THEN 'accept_h0'
+            ELSE 'decided_earlier' END AS state
+FROM flagged ORDER BY d_idx
+""", "Wald SPRT walk over the daily purchase share of VALUE")
 
 
 _PV_P = ("(2.0 * EXP(-6.0 * CAST(k_stat AS DOUBLE) * k_stat"

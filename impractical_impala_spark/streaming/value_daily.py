@@ -31,12 +31,14 @@ from pyspark.sql import DataFrame
 
 from ..queries.dynamics import te_from_daily
 from ..queries.hypothesis import dow_anova_from_daily
+from ..queries.monitor_eval import sprt_from_per_day
 from ..queries.spectral_info import granger_from_daily, hurst_from_daily
 from ..queries.stat_tests import pettitt_from_daily
+from ..queries.value_monitors import sprt_value_per_day
 from .autocorr import latest_state, streaming_autocorr24_state
 from .dailyfold import daily_values_by_type, daily_values_global
 
-__all__ = ["te", "granger", "dow_anova", "hurst", "pettitt",
+__all__ = ["te", "granger", "dow_anova", "hurst", "pettitt", "sprt",
            "latest_state", "streaming_value_daily_state"]
 
 
@@ -70,7 +72,13 @@ def _finalize_pettitt(state_rows: DataFrame) -> DataFrame:
     return pettitt_from_daily(daily_values_by_type(state_rows))
 
 
+def _finalize_sprt(state_rows: DataFrame) -> DataFrame:
+    return sprt_from_per_day(
+        sprt_value_per_day(daily_values_by_type(state_rows)))
+
+
 te = SimpleNamespace(finalize=_finalize_te, latest_state=latest_state)
+sprt = SimpleNamespace(finalize=_finalize_sprt, latest_state=latest_state)
 granger = SimpleNamespace(finalize=_finalize_granger,
                           latest_state=latest_state)
 dow_anova = SimpleNamespace(finalize=_finalize_dow_anova,

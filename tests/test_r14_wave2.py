@@ -208,9 +208,58 @@ def test_shingle_sweep_matches_python(spark, sf_small):
         assert r.separation_ppm > 0
 
 
+# ------------------------------------------------ value SPRT
+def test_sprt_value_matches_python_walk(spark, sf_small):
+    """Independent third implementation: per-day whole-unit purchase /
+    purchase+click value in pandas, the LLR walk replayed with the
+    SAME pre-quantized micro-nat constants in plain Python integers —
+    exact equality on every column."""
+    import math
+
+    from impractical_impala_spark.quantum import VALUE_MICRO
+    from impractical_impala_spark.queries.monitor_eval import (
+        _SPRT_LA, _SPRT_LB, _SPRT_W0, _SPRT_W1)
+
+    ev = pd.read_parquet(f"{sf_small}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    ev = ev[ev["event_type"].isin(["purchase", "click"])]
+    d = (pd.to_datetime(ev["ts"]).astype("datetime64[ns]")
+         .astype("int64") // DAY_NS)
+    m = (ev["value"] * VALUE_MICRO).apply(math.floor).astype("int64")
+    df = pd.DataFrame({"t": ev["event_type"].values, "d": d.values,
+                       "m": m.values})
+    per = {}
+    for (dd, t), g in df.groupby(["d", "t"]):
+        per.setdefault(int(dd), {})[t] = int(g["m"].sum()) // VALUE_MICRO
+    days = sorted(per)
+    d0 = days[0]
+    llr = 0
+    want = []
+    decided = False
+    for dd in days:
+        x = per[dd].get("purchase", 0)
+        n = x + per[dd].get("click", 0)
+        llr += x * _SPRT_W1 + (n - x) * _SPRT_W0
+        up = int(llr >= _SPRT_LA)
+        lo = int(llr <= _SPRT_LB)
+        if not decided:
+            state = ("continue" if not (up or lo)
+                     else "accept_h1" if up else "accept_h0")
+            decided = bool(up or lo)
+        else:
+            state = ("accept_h1" if up else "accept_h0" if lo
+                     else "decided_earlier")
+        want.append((dd - d0, x, n, llr, up, lo, state))
+    got = [(r.d_idx, r.x, r.n, r.llr_micro, r.hit_upper, r.hit_lower,
+            r.state) for r in
+           _Q["events_sprt_value"].build(spark, sf_small).collect()]
+    assert got == want
+
+
 # --------------------------- standing invariance gates for the wave
 R14W2_CASES = ["ann_ivf_pq_sweep", "events_quarterly_rollup",
-               "quality_gate_ablation_by_source", "dedup_shingle_sweep"]
+               "quality_gate_ablation_by_source", "dedup_shingle_sweep",
+               "events_sprt_value"]
 
 
 @pytest.mark.parametrize("name", R14W2_CASES)
@@ -230,12 +279,13 @@ def test_r14w2_partition_invariance(spark, sf_small, name):
     assert base == skewed
 
 
-@pytest.mark.parametrize("name", ["events_quarterly_rollup"])
+@pytest.mark.parametrize("name", ["events_quarterly_rollup",
+                                  "events_sprt_value"])
 def test_r14w2_timezone_invariance(spark, sf_small, name):
-    """The quarterly grain is the wave's one timestamp-bearing query:
-    buckets come from integer ts_ns div + proleptic-Gregorian date
-    arithmetic on the day index, so a hostile session TZ must not move
-    a quarter."""
+    """The wave's timestamp-bearing queries: buckets come from integer
+    ts_ns div (+ proleptic-Gregorian date arithmetic on the day index
+    for the quarterly grain), so a hostile session TZ must not move a
+    bucket or verdict."""
     base = sorted(map(tuple, _Q[name].build(spark, sf_small).collect()))
     tz0 = spark.conf.get("spark.sql.session.timeZone")
     try:

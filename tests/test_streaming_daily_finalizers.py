@@ -1,11 +1,11 @@
 """The daily-family streaming twins (transfer entropy, Granger,
-day-of-week ANOVA, Hurst, Pettitt, SPRT — and the five VALUE-weighted
+day-of-week ANOVA, Hurst, Pettitt, SPRT — and the six VALUE-weighted
 r14 siblings over the state's micro value sums) must finalize to
 EXACTLY their batch queries — AvailableNow, chunked replay, and a
 crash/restart through the same checkpoint. The daily counts/values fold
 from the SAME hourly state the nine hourly monitors read (hr div 24,
 exact integer sums; values take ONE trunc div to whole units after the
-fold); the closing test pins the full TWENTY-FIVE-finalizer fleet over
+fold); the closing test pins the full TWENTY-SIX-finalizer fleet over
 one state stream."""
 
 import time
@@ -69,6 +69,9 @@ TWINS = {
     "pettitt_value": (VD.pettitt, "events_pettitt_value",
                       ["event_type", "n_days", "k_stat", "t_star",
                        "p_micro", "significant"]),
+    "sprt_value": (VD.sprt, "events_sprt_value",
+                   ["d_idx", "x", "n", "llr_micro", "hit_upper",
+                    "hit_lower", "state"]),
 }
 
 HOURLY = [
@@ -163,8 +166,8 @@ def test_daily_twin_chunked_replay(twin, spark, split_dir, tmp_path,
 
 def test_daily_twin_restart_from_checkpoint(spark, split_dir, tmp_path,
                                             sf_small):
-    """One restart run shared by the eleven daily twins (the state
-    operator is identical; all eleven read the same recovered rows)."""
+    """One restart run shared by the twelve daily twins (the state
+    operator is identical; all twelve read the same recovered rows)."""
     ckpt = str(tmp_path / "ckpt2")
     sink = str(tmp_path / "state_rows")
 
@@ -198,18 +201,18 @@ def test_daily_twin_restart_from_checkpoint(spark, split_dir, tmp_path,
             _want(spark, sf_small, qname, cols))
 
 
-def test_one_state_stream_feeds_twentyfive_finalizers(spark, split_dir,
-                                                      sf_small):
-    """The shared hourly state serves TWENTY-FIVE finalizers (nine
+def test_one_state_stream_feeds_twentysix_finalizers(spark, split_dir,
+                                                     sf_small):
+    """The shared hourly state serves TWENTY-SIX finalizers (nine
     count-only hourly + the four value-weighted r13 hourly twins + the
-    r14 quarterly grain + six count daily + five value daily) — one
-    AvailableNow pass, twenty-five finalizes, twenty-five batch
+    r14 quarterly grain + six count daily + six value daily) — one
+    AvailableNow pass, twenty-six finalizes, twenty-six batch
     matches."""
     q = (_stream_state(spark, split_dir, max_files=100)
-         .writeStream.format("memory").queryName("t_twentyfive_state")
+         .writeStream.format("memory").queryName("t_twentysix_state")
          .outputMode("update").trigger(availableNow=True).start())
     q.awaitTermination()
-    rows = spark.table("t_twentyfive_state")
+    rows = spark.table("t_twentysix_state")
     for mod, qname, cols in HOURLY + [TWINS[t] for t in sorted(TWINS)]:
         got = _got(spark, mod, rows, cols)
         want = _want(spark, sf_small, qname, cols)
