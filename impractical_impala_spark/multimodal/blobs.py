@@ -2,10 +2,13 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata;
 processing happens in Arrow-batched ``mapInPandas`` kernels so bytes
-never round-trip through Python row objects. The actual codecs are NOT
-available in this environment, so the decode step is stubbed
-(`NotImplementedError`) behind a deterministic fake — the Spark-side
-plumbing (schema, batching, partitioning) is real and tested.
+never round-trip through Python row objects. Image decode is REAL for
+baseline PNG via the self-contained stdlib-zlib codec (``png.py`` —
+closes the r12–r14 real-codec ask in-container); pillow, where
+importable, is the preferred path and extends coverage to other
+formats. Non-PNG payloads without pillow raise ``NotImplementedError``
+behind the deterministic fake — the Spark-side plumbing (schema,
+batching, partitioning) is real and tested either way.
 
 Scale notes: binary payloads dominate row size — ``mapInPandas``
 streams Arrow batches (bounded by spark.sql.execution.arrow.
@@ -42,22 +45,28 @@ except ImportError:  # pragma: no cover - the in-container branch
 
 
 def decode_image(blob: bytes) -> "np.ndarray":
-    """Decode an image payload to an HxWxC uint8 RGB array.
+    """Decode an image payload to an HxWx3 uint8 RGB array.
 
-    Feature-gated on pillow being importable: a user with pillow
-    installed gets real decode; in this codec-less container it raises
-    NotImplementedError as before. Registered (hash-checked) queries
-    deliberately stay on ``fake_features`` either way, so driver hashes
-    are identical with or without pillow — the real path is covered by
-    a skipif test (tests/test_multimodal.py)."""
+    Three tiers: pillow where importable (all formats); otherwise the
+    built-in baseline-PNG codec (``png.py``, stdlib zlib — real and
+    tested IN this container, closing the r12–r14 real-codec ask);
+    otherwise NotImplementedError for formats needing external codecs
+    (JPEG etc.). Registered (hash-checked) queries deliberately stay on
+    ``fake_features`` in every tier, so driver hashes are identical
+    with or without pillow."""
     if _PILImage is not None:
         import io
 
         with _PILImage.open(io.BytesIO(blob)) as im:
             return np.asarray(im.convert("RGB"))
+    from . import png
+
+    if blob[:8] == png.SIGNATURE:
+        return png.to_rgb(png.decode_png(blob))
     raise NotImplementedError(
-        "image codecs unavailable in this environment (pip install "
-        "pillow to enable); use fake_features() for deterministic "
+        "non-PNG image codecs unavailable in this environment (pip "
+        "install pillow to enable); baseline PNG decodes via the "
+        "built-in codec; use fake_features() for deterministic "
         "pipeline tests"
     )
 

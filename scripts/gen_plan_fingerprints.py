@@ -35,9 +35,11 @@ def main() -> None:
             print(f"  {i}/{len(qs)}", file=sys.stderr)
     doc = {
         "note": "per registered query: 'shape' = strategy-time "
-                "plan-shape counts, 'expr' = sha256 of the canonicalized "
-                "optimized-plan expressions (VERDICT r13 ask #1 — trips "
-                "on expression-only edits the shape counts cannot see); "
+                "plan-shape counts, 'expr' = sha256 of the ANALYZED "
+                "logical plan's expressions (VERDICT r13 ask #1 — trips "
+                "on expression-only edits the shape counts cannot see; "
+                "analyzed, not optimized/canonicalized: planfp.py:129 "
+                "documents the JVM-order hazards in later stages); "
                 "regenerate with python scripts/gen_plan_fingerprints.py",
         "sf_dir": os.path.basename(SF_DIR.rstrip("/")),
         "spark": spark.version,

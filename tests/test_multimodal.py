@@ -6,17 +6,21 @@ import pytest
 from impractical_impala_spark.multimodal import blobs as B
 
 
-def test_decode_raises_without_codec_lib():
+def test_decode_raises_for_non_png_without_codec_lib():
+    """PNG now decodes for real in-container (tests/test_png_codec.py);
+    formats that genuinely need an external codec (JPEG) still raise."""
     if B._PILImage is not None:
         pytest.skip("pillow installed — real decode path covered below")
     with pytest.raises(NotImplementedError):
-        B.decode_image(b"\x89PNG...")
+        B.decode_image(b"\xff\xd8\xff\xe0...jpeg...")
 
 
 def test_decode_real_path_with_pillow():
-    """Runs only where pillow is importable (not this container):
-    decode a generated 2x2 PNG and check shape/values — the
-    feature-gated real-codec path of decode_image."""
+    """OPTIONAL extra coverage where pillow is importable (not this
+    container — installs are disallowed here, so the built-in baseline
+    PNG codec in multimodal/png.py carries the in-container real-decode
+    coverage; see tests/test_png_codec.py): decode a pillow-generated
+    2x2 PNG and check shape/values through the pillow tier."""
     PIL_Image = pytest.importorskip("PIL.Image")
     import io
 

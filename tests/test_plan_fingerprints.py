@@ -1,7 +1,8 @@
 """Plan regression gate: every registered query's fingerprint — the
 strategy-time plan-SHAPE counts (VERDICT r9/r10 ask #5) AND the
-expression-level hash of the canonicalized optimized plan (VERDICT r13
-ask #1) — must match the committed PLAN_FINGERPRINTS.json byte for
+expression-level hash of the ANALYZED logical plan (VERDICT r13
+ask #1; planfp.py:129 documents why later plan stages are not
+JVM-stable) — must match the committed PLAN_FINGERPRINTS.json byte for
 byte. A broadcast silently demoting to sort-merge, a new Exchange, an
 Arrow kernel degrading to row-at-a-time Python, or an undeclared
 expression edit (``ROUND(x,4)`` → ``x`` — the r13 gapfill rewrite
