@@ -532,6 +532,15 @@ HEADLINE = [
     "quality_gate_ablation_by_source",
     "dedup_shingle_sweep",
     "events_sprt_value",
+    # round 15 (append-only): the LSH tables x probe-radius grid, the
+    # PQ subspace-count (compression) sweep, the 4-5-4 retail fiscal
+    # quarter grain (27th streaming finalizer), and the per-source
+    # shingle-sweep split.
+    "ann_lsh_grid",
+    "ann_pq_m_sweep",
+    "events_retail454_rollup",
+    "events_retail454_months",
+    "dedup_shingle_by_source",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

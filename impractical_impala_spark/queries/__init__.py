@@ -687,12 +687,13 @@ _EVICTED_TO_R10 = _FILL_QUEUE_R9[_n_fill:]
 # affected count monitors are listed, the value twins were
 # never-checked anyway.
 CHANGED_THIS_ROUND: dict[str, int] = {
-    "dedup_banding_sweep": 13,
-    "dedup_threshold_sweep": 13,
-    "events_granger_causality": 13,
-    "ann_ivf_pq_pipeline": 13,
-    "ann_ivf_pq_trained": 13,
-    "events_transfer_entropy": 13,
+    # Round 15 (as-of 15): _ivf_pq_search/_ivf_pq_oracle grew a pq_m
+    # parameter defaulting to PQ_M (serves ann_pq_m_sweep); the three
+    # PQ compositions were fingerprint-verified byte-identical before
+    # and after (the r12 extraction rule), listed here anyway.
+    "ann_ivf_pq_pipeline": 15,
+    "ann_ivf_pq_trained": 15,
+    "ann_ivf_pq_sweep": 15,
 }
 
 from ..registry import registered_names  # noqa: E402

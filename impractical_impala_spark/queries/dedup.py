@@ -1652,3 +1652,182 @@ ORDER BY k
 register("dedup_shingle_sweep", dedup_shingle_sweep,
          _shingle_sweep_oracle(),
          "Jaccard / recall / separation vs shingle size k (dedup tuning)")
+
+
+def dedup_shingle_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) split of dedup_shingle_sweep (VERDICT r14 ask
+    #8): the same planted/neighbor Jaccard panels per shingle size k,
+    sliced by the A-side BASE document's corpus slice — the table a
+    curation review reads to see WHERE the corpus-wide k is mis-tuned
+    (a slice whose separation margin collapses needs its own k or its
+    own threshold). Raw integer sums (pj/pr/nj) ride along the derived
+    means precisely so the sums-to-global cross-law vs the global sweep
+    is exact: per k, slice sums partition the global panel
+    (tests/test_r15_wave.py re-derives every global row from this
+    output). Means are NULL where a slice has no pairs on that panel
+    (guarded division — DuckDB raises on integer //0 where Spark
+    NULLs).
+
+    Scale shape: identical to the global sweep — ONE corpus scan
+    computes all |SHINGLE_SWEEP| shingle-hash sets; panels attach by
+    doc_id-arithmetic equality joins (never pair-space); the only
+    addition is that the final aggregate keys on the model-size
+    (lang, source) domain instead of collapsing to one row."""
+    n = spark.sparkContext.defaultParallelism
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text", "lang", "source")
+            .repartition(n)
+            .withColumn("words", F.expr(_SPARK_WORDS)))
+    variants = F.expr(
+        f"CASE WHEN doc_id % 3 = 0 THEN array("
+        f" named_struct('doc_id', doc_id, 'words', words),"
+        f" named_struct('doc_id', doc_id + {MUT_OFFSET},"
+        f"              'words', {_SPARK_MUT.format(w='words')}))"
+        f" ELSE array(named_struct('doc_id', doc_id, 'words', words))"
+        f" END")
+    sets = (docs.select("lang", "source", F.explode(variants).alias("v"))
+            .select("lang", "source", "v.doc_id", "v.words")
+            .select("doc_id", "lang", "source", *[
+                F.expr(_SPARK_HASHES.format(s=_spark_shingles_k(k)))
+                .alias(f"dh{k}") for k in SHINGLE_SWEEP])
+            .cache())
+    jt_ppm = round(JACCARD_T * 1_000_000)
+
+    def jacc(k: int) -> str:
+        return (f"cast(size(array_intersect(a_dh{k}, b_dh{k})) as bigint)"
+                f" * 1000000"
+                f" div (cast(size(a_dh{k}) as bigint) + size(b_dh{k})"
+                f" - size(array_intersect(a_dh{k}, b_dh{k})))")
+
+    def panel(offset: int, pred: str) -> DataFrame:
+        a = sets.select(F.col("doc_id").alias("a_id"), "lang", "source", *[
+            F.col(f"dh{k}").alias(f"a_dh{k}") for k in SHINGLE_SWEEP])
+        b = sets.select((F.col("doc_id") - offset).alias("a_id"), *[
+            F.col(f"dh{k}").alias(f"b_dh{k}") for k in SHINGLE_SWEEP])
+        return (a.filter(F.expr(pred)).join(b, "a_id")
+                .select("lang", "source", *[
+                    F.expr(jacc(k)).alias(f"j{k}")
+                    for k in SHINGLE_SWEEP]))
+
+    planted = panel(MUT_OFFSET, "a_id % 3 = 0 AND a_id < 1000000")
+    neighbor = panel(1, "a_id % 3 != 2 AND a_id < 1000000")
+    pl = planted.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_planted"),
+        *[F.sum(f"j{k}").alias(f"pj{k}") for k in SHINGLE_SWEEP],
+        *[F.sum(F.expr(f"cast(j{k} >= {jt_ppm} as long)"))
+          .alias(f"pr{k}") for k in SHINGLE_SWEEP])
+    nb = neighbor.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_neighbor"),
+        *[F.sum(f"j{k}").alias(f"nj{k}") for k in SHINGLE_SWEEP])
+    both = (pl.join(nb, ["lang", "source"], "full")
+            .select("lang", "source",
+                    F.expr("coalesce(n_planted, 0)").alias("n_planted"),
+                    F.expr("coalesce(n_neighbor, 0)").alias("n_neighbor"),
+                    *[F.expr(f"coalesce({c}{k}, 0)").alias(f"{c}{k}")
+                      for k in SHINGLE_SWEEP for c in ("pj", "pr", "nj")]))
+    stacked = ", ".join(
+        f"{k}L, pj{k}, pr{k}, nj{k}" for k in SHINGLE_SWEEP)
+    return (both.select(
+        "lang", "source", "n_planted", "n_neighbor",
+        F.expr(f"stack({len(SHINGLE_SWEEP)}, {stacked})"
+               " AS (k, pj, pr, nj)"))
+        .select(
+            F.col("k").cast("int").alias("k"), "lang", "source",
+            "n_planted", "n_neighbor",
+            F.col("pj").alias("planted_jacc_sum_ppm"),
+            F.col("pr").alias("recall_hits"),
+            F.col("nj").alias("neighbor_jacc_sum_ppm"),
+            F.expr("case when n_planted > 0 then pj div n_planted end")
+            .alias("planted_mean_jacc_ppm"),
+            F.expr("case when n_planted > 0"
+                   " then pr * 1000000 div n_planted end")
+            .alias("recall_ppm"),
+            F.expr("case when n_neighbor > 0 then nj div n_neighbor end")
+            .alias("neighbor_mean_jacc_ppm"),
+            F.expr("case when n_planted > 0 and n_neighbor > 0 then"
+                   " pj div n_planted - nj div n_neighbor end")
+            .alias("separation_ppm"))
+        .orderBy("k", "lang", "source"))
+
+
+def _shingle_by_source_oracle() -> str:
+    jt_ppm = round(JACCARD_T * 1_000_000)
+    dh_cols = ",\n           ".join(
+        f"{_DUCK_HASHES.format(s=_duck_shingles_k(k))} AS dh{k}"
+        for k in SHINGLE_SWEEP)
+
+    def jacc(k: int) -> str:
+        inter = f"len(list_intersect(a.dh{k}, b.dh{k}))"
+        return (f"CAST({inter} AS BIGINT) * 1000000"
+                f" // (CAST(len(a.dh{k}) AS BIGINT)"
+                f" + len(b.dh{k}) - {inter})")
+
+    pj = ", ".join(
+        f"CAST(SUM({jacc(k)}) AS BIGINT) AS pj{k},"
+        f" CAST(SUM(CASE WHEN {jacc(k)} >= {jt_ppm} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS pr{k}"
+        for k in SHINGLE_SWEEP)
+    nj = ", ".join(
+        f"CAST(SUM({jacc(k)}) AS BIGINT) AS nj{k}" for k in SHINGLE_SWEEP)
+    coal = ", ".join(
+        f"COALESCE({c}{k}, 0) AS {c}{k}"
+        for k in SHINGLE_SWEEP for c in ("pj", "pr", "nj"))
+    rows = "\n    UNION ALL\n    ".join(
+        f"SELECT {k} AS k, lang, source, n_planted, n_neighbor,"
+        f" pj{k} AS pj, pr{k} AS pr, nj{k} AS nj FROM sl"
+        for k in SHINGLE_SWEEP)
+    return f"""
+WITH sets AS (
+    SELECT doc_id, lang, source,
+           {dh_cols}
+    FROM (
+        SELECT doc_id, lang, source, {_DUCK_WORDS} AS words
+        FROM documents
+        UNION ALL
+        SELECT doc_id + {MUT_OFFSET} AS doc_id, lang, source,
+               {_DUCK_MUT.format(w=_DUCK_WORDS)} AS words
+        FROM documents WHERE doc_id % 3 = 0
+    )
+), pl AS (
+    SELECT a.lang AS lang, a.source AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_planted, {pj}
+    FROM sets a JOIN sets b ON b.doc_id = a.doc_id + {MUT_OFFSET}
+    WHERE a.doc_id % 3 = 0 AND a.doc_id < 1000000
+    GROUP BY 1, 2
+), nb AS (
+    SELECT a.lang AS lang, a.source AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbor, {nj}
+    FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id % 3 != 2 AND a.doc_id < 1000000
+    GROUP BY 1, 2
+), sl AS (
+    SELECT lang, source,
+           COALESCE(n_planted, 0) AS n_planted,
+           COALESCE(n_neighbor, 0) AS n_neighbor,
+           {coal}
+    FROM pl FULL OUTER JOIN nb USING (lang, source)
+)
+SELECT CAST(k AS INT) AS k, lang, source, n_planted, n_neighbor,
+       pj AS planted_jacc_sum_ppm,
+       pr AS recall_hits,
+       nj AS neighbor_jacc_sum_ppm,
+       CASE WHEN n_planted > 0
+            THEN CAST(pj // n_planted AS BIGINT) END
+           AS planted_mean_jacc_ppm,
+       CASE WHEN n_planted > 0
+            THEN CAST(pr * 1000000 // n_planted AS BIGINT) END
+           AS recall_ppm,
+       CASE WHEN n_neighbor > 0
+            THEN CAST(nj // n_neighbor AS BIGINT) END
+           AS neighbor_mean_jacc_ppm,
+       CASE WHEN n_planted > 0 AND n_neighbor > 0
+            THEN CAST(pj // n_planted - nj // n_neighbor AS BIGINT) END
+           AS separation_ppm
+FROM ({rows})
+ORDER BY k, lang, source
+"""
+
+
+register("dedup_shingle_by_source", dedup_shingle_by_source,
+         _shingle_by_source_oracle(),
+         "per-(lang, source) shingle-size tuning panels (sums-to-global)")

@@ -41,8 +41,10 @@ DATE_LO, DATE_HI = "1995-01-01", "1995-12-31"  # ~14% of the date span
 
 
 def _scratch(sf_dir: str, name: str) -> str:
+    from ..session import scratch_root
+
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
-    return f"/root/repo/spark-warehouse/{name}_{tag}"
+    return f"{scratch_root()}/{name}_{tag}"
 
 
 def zorder_expr(xcol: str, ycol: str, bits: int = Z_BITS) -> str:

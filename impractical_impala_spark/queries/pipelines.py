@@ -28,10 +28,12 @@ _ROUNDTRIP_PRIOS = ("1-URGENT", "2-HIGH")
 
 
 def _scratch_dir(sf_dir: str) -> str:
-    # inside the repo's gitignored warehouse dir — the only writable
-    # scratch this environment sanctions
+    # inside the repo's gitignored warehouse dir (or the session's
+    # SPARK_GRAFT_WAREHOUSE_DIR override — concurrent-session safety)
+    from ..session import scratch_root
+
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    return f"/root/repo/spark-warehouse/sink_roundtrip_{tag}"
+    return f"{scratch_root()}/sink_roundtrip_{tag}"
 
 
 def sink_roundtrip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1012,7 +1012,7 @@ from .training_extras import (  # noqa: E402
 
 
 def _ivf_pq_search(emb: DataFrame, cent: DataFrame,
-                   n_probe: int = N_PROBE) -> DataFrame:
+                   n_probe: int = N_PROBE, pq_m: int = PQ_M) -> DataFrame:
     """Shared IVF-PQ search: the coarse quantizer ``cent`` (cell_id,
     cv, cnorm — the _ivf_search contract) routes each query to its
     probe-{N_PROBE} cells, and WITHIN the probed cells candidates
@@ -1024,7 +1024,10 @@ def _ivf_pq_search(emb: DataFrame, cent: DataFrame,
     (~{N_PROBE}/{N_CELLS} of the corpus); distances fold in index
     order with fixed-order subspace sums, so doubles are
     bit-identical cross-engine and the composition carries a full
-    hash oracle."""
+    hash oracle. ``pq_m`` picks the subspace count (the M sweep's
+    axis; the default reproduces the standing PQ_M=4 index with
+    byte-identical plans — r12 extraction rule verified)."""
+    pq_sub = DIM // pq_m  # == PQ_SUB at the default pq_m
     cdot = F.expr("aggregate(zip_with(v, cv, (x, y) -> x * y),"
                   " cast(0.0 as double), (acc, x) -> acc + x)")
     scored = emb.crossJoin(F.broadcast(cent)).select(
@@ -1045,9 +1048,9 @@ def _ivf_pq_search(emb: DataFrame, cent: DataFrame,
         "vec_id",
         F.explode(F.array(*[
             F.struct(F.lit(m).alias("m"),
-                     F.expr(f"slice(v, {m * PQ_SUB + 1}, {PQ_SUB})")
+                     F.expr(f"slice(v, {m * pq_sub + 1}, {pq_sub})")
                      .alias("sv"))
-            for m in range(PQ_M)])).alias("e"),
+            for m in range(pq_m)])).alias("e"),
     ).select("vec_id", F.col("e.m").alias("m"), F.col("e.sv").alias("sv"))
     codebook = sub.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("code"), "m", F.col("sv").alias("cbv"))
@@ -1070,9 +1073,9 @@ def _ivf_pq_search(emb: DataFrame, cent: DataFrame,
     paired = (cand.join(codes, "db_id")
               .join(F.broadcast(lut), ["query_id", "m", "code"]))
     dists = [F.sum(F.when(F.col("m") == m, F.col("ld"))).alias(f"_d{m}")
-             for m in range(PQ_M)]
+             for m in range(pq_m)]
     agg = paired.groupBy("query_id", "db_id").agg(*dists)
-    total = "+".join(f"_d{m}" for m in range(PQ_M))
+    total = "+".join(f"_d{m}" for m in range(pq_m))
     adc = agg.withColumn("adc_r6", F.round(F.expr(total), 6))
     wq = Window.partitionBy("query_id").orderBy("adc_r6", "db_id")
     return (adc.withColumn("rank", F.row_number().over(wq))
@@ -1108,19 +1111,20 @@ def ann_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_pq_oracle(pre: str = "", cent_sql: str = "",
-                   n_probe: int = N_PROBE) -> str:
+                   n_probe: int = N_PROBE, pq_m: int = PQ_M) -> str:
+    pq_sub = DIM // pq_m  # == PQ_SUB at the default pq_m
     slices = " UNION ALL ".join(
         f"SELECT vec_id, {m} AS m,"
-        f" list_slice(v, {m * PQ_SUB + 1}, {(m + 1) * PQ_SUB}) AS sv FROM emb"
-        for m in range(PQ_M))
+        f" list_slice(v, {m * pq_sub + 1}, {(m + 1) * pq_sub}) AS sv FROM emb"
+        for m in range(pq_m))
     dist = (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
-            f" list_transform(range(1, {PQ_SUB} + 1),"
+            f" list_transform(range(1, {pq_sub} + 1),"
             " i -> (s.sv[i] - c.cbv[i]) * (s.sv[i] - c.cbv[i]))),"
             " (acc, d) -> acc + d)")
     qdist = dist.replace("s.sv", "q.sv")
     dsums = ", ".join(
-        f"SUM(CASE WHEN k.m = {m} THEN ld END) AS _d{m}" for m in range(PQ_M))
-    total = "+".join(f"_d{m}" for m in range(PQ_M))
+        f"SUM(CASE WHEN k.m = {m} THEN ld END) AS _d{m}" for m in range(pq_m))
+    total = "+".join(f"_d{m}" for m in range(pq_m))
     if not cent_sql:
         cent_sql = (f"SELECT vec_id AS cell_id, v AS cv "
                     f"FROM emb WHERE vec_id < {N_CELLS}")
@@ -1318,3 +1322,400 @@ FROM exact e LEFT JOIN (
 
 register("ann_ivf_pq_sweep", ann_ivf_pq_sweep, _pq_sweep_oracle(),
          "ADC recall/regret vs nprobe over the trained IVF-PQ index")
+
+
+# --------------------------------------- LSH tables x probes grid
+GRID_RADII = (0, 1)  # probe radius: exact bucket only / + Hamming-1
+
+
+def ann_lsh_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D LSH tuning surface — tables T in {1,2,3} x probe radius r in
+    {0,1} (VERDICT r14 ask #4): completes the 1-D curves
+    (ann_lsh_tables_sweep = this grid's r=0 edge, pinned exactly equal
+    in tests/test_r15_wave.py; ann_lsh_multiprobe explores the probe
+    axis on a structurally different 12-bit table) into the surface an
+    operator actually reads before fixing (T, r) — more tables and
+    wider probes both buy recall, but with different candidate-volume
+    prices, and only the surface shows which is cheaper at a target
+    recall.
+
+    Scale shape — ONE bucket-key shuffle join for all six grid points:
+    the probe side emits its exact key plus the 4 Hamming-1 flips per
+    table (5 keys/vector/table), the index side its exact key; each
+    matched pair reduces to (minT_exact, minT_any) = the smallest
+    table index where the pair collides at radius 0 / radius 1, and
+    every grid point is then a FILTER over that model-bounded pair
+    table (grid membership is monotone in both axes by construction:
+    candidate sets are nested unions). Candidate volume — the measured
+    output — is the only corpus-pair-scale frame, exactly as in the
+    1-D sweeps; panel scoring joins are panel-sized. Never all-pairs.
+    """
+    emb = _emb(spark, sf_dir)
+    planes = _planes()
+    for t in range(N_TABLES):
+        terms = []
+        for r in range(BITS_PER_TABLE):
+            plane = planes[t * BITS_PER_TABLE + r]
+            arr = ("array(" + ", ".join(f"cast({s} as double)"
+                                        for s in plane) + ")")
+            proj = (f"aggregate(zip_with(v, {arr}, (x, s) -> x * s),"
+                    " cast(0.0 as double), (acc, x) -> acc + x)")
+            terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << r} ELSE 0 END)")
+        emb = emb.withColumn(f"bucket{t}",
+                             F.expr(" + ".join(terms)).cast("bigint"))
+    emb = emb.cache()
+    idx = None
+    for t in range(N_TABLES):
+        part = emb.select("vec_id", F.lit(t).alias("tbl"),
+                          F.col(f"bucket{t}").alias("bkt"))
+        idx = part if idx is None else idx.unionByName(part)
+    flips = ", ".join(f"own ^ {1 << b}" for b in range(BITS_PER_TABLE))
+    probe = (idx.select(F.col("vec_id").alias("a_id"), "tbl",
+                        F.col("bkt").alias("own"))
+             .select("a_id", "tbl", "own",
+                     F.expr(f"explode(array(own, {flips}))").alias("key")))
+    joined = (probe.join(idx.select(F.col("vec_id").alias("b_id"), "tbl",
+                                    "bkt"),
+                         ["tbl"])
+              .filter((F.col("key") == F.col("bkt"))
+                      & (F.col("a_id") != F.col("b_id"))))
+    pairq = (joined.groupBy("a_id", "b_id")
+             .agg(F.min(F.when(F.col("own") == F.col("bkt"), F.col("tbl")))
+                  .alias("mint0"),
+                  F.min("tbl").alias("mint1"))
+             .cache())
+    exact1 = (ann_cosine_topk(spark, sf_dir)
+              .filter(F.col("rn") == 1)
+              .select("query_id",
+                      F.col("neighbor_id").alias("exact_nn"),
+                      F.col("cos").alias("exact_cos")))
+    va = emb.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"),
+                    F.col("norm").alias("na"))
+    vb = emb.select(F.col("vec_id").alias("b_id"),
+                    F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y),"
+                 " cast(0.0 as double), (acc, x) -> acc + x)")
+    panel = (pairq.filter(F.col("a_id") < N_QUERIES)
+             .join(maybe_broadcast(va, sf_dir, "embeddings"), "a_id")
+             .join(maybe_broadcast(vb, sf_dir, "embeddings"), "b_id")
+             .select(F.col("a_id").alias("query_id"),
+                     F.col("b_id").alias("neighbor_id"),
+                     "mint0", "mint1",
+                     (dot / (F.col("na") * F.col("nb"))).alias("cos"))
+             .cache())
+    points = [(nt, rad) for nt in TABLE_SWEEP for rad in GRID_RADII]
+    # all 12 candidate-volume cells in ONE pass over the pair table
+    # (six filtered re-aggregations would re-scan the cache six times)
+    vols = pairq.agg(*[
+        F.coalesce(F.sum(F.expr(
+            f"cast(a_id < b_id and min{'t0' if rad == 0 else 't1'} < {nt}"
+            " as int)")), F.lit(0)).cast("long").alias(f"v_{nt}_{rad}")
+        for nt, rad in points])
+    vol_stack = ", ".join(f"{nt}, {rad}, v_{nt}_{rad}" for nt, rad in points)
+    vol_rows = vols.select(F.expr(
+        f"stack({len(points)}, {vol_stack})"
+        " AS (n_tables, probe_radius, n_cand_pairs)"))
+    tops = None
+    for nt, rad in points:
+        qual = F.col("mint0" if rad == 0 else "mint1") < nt
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), "neighbor_id")
+        top1 = (panel.filter(qual)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(F.lit(nt).alias("n_tables"),
+                        F.lit(rad).alias("probe_radius"),
+                        "query_id",
+                        F.col("neighbor_id").alias("lsh_nn"),
+                        F.round("cos", 6).alias("lsh_cos")))
+        tops = top1 if tops is None else tops.unionByName(top1)
+    grid_keys = (exact1.crossJoin(
+        vol_rows.select("n_tables", "probe_radius")))
+    stats = (grid_keys.join(tops, ["n_tables", "probe_radius", "query_id"],
+                            "left")
+             .groupBy("n_tables", "probe_radius")
+             .agg(F.count(F.lit(1)).alias("n_queries"),
+                  F.sum(F.when(F.col("lsh_nn").isNotNull(), 1)
+                        .otherwise(0)).alias("n_answered"),
+                  F.sum(F.when(F.col("lsh_nn") == F.col("exact_nn"), 1)
+                        .otherwise(0)).alias("n_hit1"),
+                  F.sum(F.when(F.col("lsh_nn").isNotNull(),
+                               F.round((F.col("exact_cos")
+                                        - F.col("lsh_cos"))
+                                       * 1_000_000).cast("long"))
+                        .otherwise(0)).alias("cos_gap_micro")))
+    return (stats.join(F.broadcast(vol_rows), ["n_tables", "probe_radius"])
+            .select("n_tables", "probe_radius", "n_cand_pairs",
+                    "n_queries", "n_answered", "n_hit1",
+                    F.expr("n_hit1 * 1000000 div n_queries")
+                    .alias("recall1_ppm"),
+                    "cos_gap_micro")
+            .orderBy("n_tables", "probe_radius"))
+
+
+def _lsh_grid_oracle() -> str:
+    from ..registry import oracle_sql_of
+
+    planes = _planes()
+    sig_cols = []
+    for t in range(N_TABLES):
+        terms = []
+        for r in range(BITS_PER_TABLE):
+            plane = planes[t * BITS_PER_TABLE + r]
+            arr = "[" + ", ".join(f"CAST({s} AS DOUBLE)" for s in plane) + "]"
+            terms.append(f"(CASE WHEN list_dot_product(v, {arr}) > 0"
+                         f" THEN {1 << r} ELSE 0 END)")
+        sig_cols.append(
+            f"CAST({' + '.join(terms)} AS BIGINT) AS bucket{t}")
+    idx_union = "\n    UNION ALL\n".join(
+        f"    SELECT vec_id, {t} AS tbl, bucket{t} AS bkt FROM sig"
+        for t in range(N_TABLES))
+    flips = ", ".join(f"xor(own, {1 << b})" for b in range(BITS_PER_TABLE))
+    blocks = [f"""exact AS (
+    SELECT query_id, neighbor_id AS exact_nn, cos AS exact_cos
+    FROM ({oracle_sql_of('ann_cosine_topk')}) e WHERE rn = 1
+), embx AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), sig AS (
+    SELECT vec_id, {', '.join(sig_cols)} FROM embx
+), idx AS (
+{idx_union}
+), probe AS (
+    SELECT vec_id AS a_id, tbl, bkt AS own,
+           UNNEST([own, {flips}]) AS key
+    FROM (SELECT vec_id, tbl, bkt, bkt AS own FROM idx)
+), pairq AS (
+    SELECT p.a_id, i.vec_id AS b_id,
+           MIN(CASE WHEN p.own = i.bkt THEN p.tbl END) AS mint0,
+           MIN(p.tbl) AS mint1
+    FROM probe p JOIN idx i
+      ON i.tbl = p.tbl AND i.bkt = p.key AND i.vec_id <> p.a_id
+    GROUP BY 1, 2
+), panel AS (
+    SELECT pr.a_id AS query_id, pr.b_id AS neighbor_id,
+           pr.mint0, pr.mint1,
+           list_dot_product(q.v, n.v)
+           / (sqrt(list_dot_product(q.v, q.v))
+              * sqrt(list_dot_product(n.v, n.v))) AS cos
+    FROM pairq pr
+    JOIN embx q ON q.vec_id = pr.a_id
+    JOIN embx n ON n.vec_id = pr.b_id
+    WHERE pr.a_id < {N_QUERIES}
+)"""]
+    selects = []
+    for nt in TABLE_SWEEP:
+        for rad in GRID_RADII:
+            qcol = "mint0" if rad == 0 else "mint1"
+            selects.append(f"""
+SELECT {nt} AS n_tables, {rad} AS probe_radius,
+       (SELECT CAST(COALESCE(SUM(CASE WHEN a_id < b_id
+                             THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM pairq WHERE {qcol} < {nt}) AS n_cand_pairs,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN l.lsh_nn IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_answered,
+       CAST(SUM(CASE WHEN l.lsh_nn = e.exact_nn THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit1,
+       CAST(SUM(CASE WHEN l.lsh_nn = e.exact_nn THEN 1 ELSE 0 END)
+            AS BIGINT) * 1000000 // COUNT(*) AS recall1_ppm,
+       CAST(SUM(CASE WHEN l.lsh_nn IS NOT NULL
+                THEN CAST(ROUND((e.exact_cos - l.lsh_cos) * 1000000)
+                          AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS cos_gap_micro
+FROM exact e LEFT JOIN (
+    SELECT query_id, neighbor_id AS lsh_nn, ROUND(cos, 6) AS lsh_cos
+    FROM (SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rn
+          FROM panel WHERE {qcol} < {nt})
+    WHERE rn = 1
+) l USING (query_id)""")
+    u = "\nUNION ALL\n".join(selects)
+    return ("WITH " + "".join(blocks)
+            + f"\nSELECT * FROM (\n{u}\n) ORDER BY n_tables, probe_radius")
+
+
+register("ann_lsh_grid", ann_lsh_grid, _lsh_grid_oracle(),
+         "LSH tables x probe-radius tuning surface (one join, 6 points)")
+
+
+# ------------------------------------------- PQ subspace-count sweep
+M_SWEEP = (2, 4, 8)  # subspace counts; sub dims 32/16/8 over DIM=64
+
+
+def ann_pq_m_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression axis of the PQ family (VERDICT r14 ask #5): per
+    subspace count M in {2, 4, 8} — code size M bytes/vector — the
+    corpus-wide PQ reconstruction error plus the full trained IVF-PQ
+    search quality at the standing nprobe (recall@1 against the exact
+    panel and true-cosine regret of the ADC choice). The lawful
+    direction is pinned in tests/test_r15_wave.py: with codebooks
+    sliced from the SAME first-PQ_K vectors, the fine-M code space
+    contains every coarse-M choice (pick both halves from the same
+    source vector), so per-vector reconstruction error — hence the
+    corpus sum — is non-increasing in M; and the M=4 point runs the
+    IDENTICAL search as ann_ivf_pq_trained / ann_ivf_pq_sweep's
+    nprobe=2 row (cross-law, exact equality). Recall/regret are NOT
+    lawful in M (a coarser quantizer can luckily rank the true
+    neighbor first), which is why the curve must be measured.
+
+    Scale shape: |M_SWEEP| compressed searches (each the hygiene-swept
+    ann_ivf_pq_trained plan family — scans read probed cells' code
+    rows; centroids/codebook/LUT model-size broadcasts) plus one
+    codebook-broadcast reconstruction pass per M whose shuffle is the
+    per-vector regroup; training runs ONCE. Per-vector ADC totals and
+    reconstruction distances fold subspace terms in fixed textual
+    order (exact integers after micro quantization), so the whole
+    surface carries a full hash oracle."""
+    emb = _emb(spark, sf_dir).cache()
+    cent = train_ivf_centroids(spark, ivf_training_sample(emb))
+    exact1 = (ann_cosine_topk(spark, sf_dir)
+              .filter(F.col("rn") == 1)
+              .select("query_id",
+                      F.col("neighbor_id").alias("exact_nn"),
+                      F.col("cos").alias("exact_cos")))
+    qv = emb.select(F.col("vec_id").alias("query_id"),
+                    F.col("v").alias("qv"), F.col("norm").alias("qn"))
+    nv = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("v").alias("nv"), F.col("norm").alias("nn_"))
+    tcos = F.expr("aggregate(zip_with(qv, nv, (x, y) -> x * y),"
+                  " cast(0.0 as double), (acc, x) -> acc + x)")
+    dist = F.expr("aggregate(zip_with(sv, cbv, (x, y) -> (x - y) * (x - y)),"
+                  " cast(0.0 as double), (acc, d) -> acc + d)")
+    out = None
+    for pm in M_SWEEP:
+        ps = DIM // pm
+        # --- reconstruction error over the WHOLE corpus at this M ---
+        sub = emb.select(
+            "vec_id",
+            F.explode(F.array(*[
+                F.struct(F.lit(m).alias("m"),
+                         F.expr(f"slice(v, {m * ps + 1}, {ps})")
+                         .alias("sv"))
+                for m in range(pm)])).alias("e"),
+        ).select("vec_id", F.col("e.m").alias("m"),
+                 F.col("e.sv").alias("sv"))
+        codebook = sub.filter(F.col("vec_id") < PQ_K).select(
+            F.col("vec_id").alias("code"), "m", F.col("sv").alias("cbv"))
+        wc = Window.partitionBy("vec_id", "m").orderBy("dist", "code")
+        best = (sub.join(F.broadcast(codebook), "m")
+                .withColumn("dist", dist)
+                .withColumn("rn", F.row_number().over(wc))
+                .filter(F.col("rn") == 1))
+        per_vec = best.groupBy("vec_id").agg(*[
+            F.sum(F.when(F.col("m") == m, F.col("dist"))).alias(f"_d{m}")
+            for m in range(pm)])
+        total = "+".join(f"_d{m}" for m in range(pm))
+        recon = per_vec.agg(
+            F.sum(F.expr(f"cast(round(({total}) * 1000000) as bigint)"))
+            .cast("long").alias("recon_err_micro"))
+        # --- trained IVF-PQ search quality at this M -----------------
+        top1 = (_ivf_pq_search(emb, cent, n_probe=N_PROBE, pq_m=pm)
+                .filter(F.col("rank") == 1)
+                .select("query_id", "neighbor_id"))
+        chosen = (qv.join(F.broadcast(top1), "query_id")
+                  .join(F.broadcast(nv.join(
+                      F.broadcast(top1.select("neighbor_id").distinct()),
+                      "neighbor_id")), "neighbor_id")
+                  .select("query_id", "neighbor_id",
+                          F.round(tcos / (F.col("qn") * F.col("nn_")), 6)
+                          .alias("adc_cos")))
+        s = (exact1.join(chosen, "query_id", "left")
+             .agg(F.count(F.lit(1)).alias("n_queries"),
+                  F.sum(F.when(F.col("neighbor_id").isNotNull(), 1)
+                        .otherwise(0)).alias("n_answered"),
+                  F.sum(F.when(F.col("neighbor_id") == F.col("exact_nn"),
+                               1).otherwise(0)).alias("n_hit1"),
+                  F.sum(F.when(F.col("neighbor_id").isNotNull(),
+                               F.round((F.col("exact_cos")
+                                        - F.col("adc_cos"))
+                                       * 1_000_000).cast("long"))
+                        .otherwise(0)).alias("cos_gap_micro"))
+             .crossJoin(F.broadcast(recon))
+             .select(F.lit(pm).alias("m_subspaces"),
+                     F.lit(ps).alias("sub_dim"),
+                     F.lit(pm).alias("code_bytes"),
+                     "recon_err_micro", "n_queries", "n_answered",
+                     "n_hit1",
+                     F.expr("n_hit1 * 1000000 div n_queries")
+                     .alias("recall1_ppm"),
+                     "cos_gap_micro"))
+        out = s if out is None else out.unionByName(s)
+    return out.orderBy("m_subspaces")
+
+
+def _pq_m_sweep_oracle() -> str:
+    from ..registry import oracle_sql_of
+
+    pre = _trained_ivf_pre()
+    cent_sql = (f"SELECT cell_id, "
+                f"list_transform(cq, c -> c / {Q_SCALE}.0) AS cv "
+                f"FROM tcent{N_ITERS}")
+    blocks, selects = [], []
+    blocks.append("embx AS (SELECT vec_id,"
+                  " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+                  " FROM embeddings)")
+    blocks.append(f"exact AS (SELECT query_id, neighbor_id AS exact_nn,"
+                  f" cos AS exact_cos FROM"
+                  f" ({oracle_sql_of('ann_cosine_topk')}) e WHERE rn = 1)")
+    for pm in M_SWEEP:
+        ps = DIM // pm
+        slices = " UNION ALL ".join(
+            f"SELECT vec_id, {m} AS m,"
+            f" list_slice(v, {m * ps + 1}, {(m + 1) * ps}) AS sv FROM embx"
+            for m in range(pm))
+        dist = (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+                f" list_transform(range(1, {ps} + 1),"
+                " i -> (s.sv[i] - c.cbv[i]) * (s.sv[i] - c.cbv[i]))),"
+                " (acc, d) -> acc + d)")
+        dsums = ", ".join(
+            f"SUM(CASE WHEN m = {m} THEN dist END) AS _d{m}"
+            for m in range(pm))
+        total = "+".join(f"_d{m}" for m in range(pm))
+        blocks.append(f"""recon{pm} AS (
+    SELECT CAST(SUM(CAST(ROUND(({total}) * 1000000) AS BIGINT))
+                AS BIGINT) AS recon_err_micro
+    FROM (
+        SELECT vec_id, {dsums} FROM (
+            SELECT s.vec_id, s.m, c.code, {dist} AS dist,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                      ORDER BY {dist}, c.code) AS rn
+            FROM (SELECT * FROM ({slices})) s
+            JOIN (SELECT vec_id AS code, m, sv AS cbv
+                  FROM ({slices}) WHERE vec_id < {PQ_K}) c USING (m)
+        ) WHERE rn = 1 GROUP BY vec_id
+    )
+)""")
+        blocks.append(
+            f"pqm{pm} AS ({_ivf_pq_oracle(pre=pre, cent_sql=cent_sql, n_probe=N_PROBE, pq_m=pm)})")
+        selects.append(f"""
+SELECT {pm} AS m_subspaces, {ps} AS sub_dim, {pm} AS code_bytes,
+       (SELECT recon_err_micro FROM recon{pm}) AS recon_err_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_answered,
+       CAST(SUM(CASE WHEN i.neighbor_id = e.exact_nn THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit1,
+       CAST(SUM(CASE WHEN i.neighbor_id = e.exact_nn THEN 1 ELSE 0 END)
+            AS BIGINT) * 1000000 // COUNT(*) AS recall1_ppm,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL
+                THEN CAST(ROUND((e.exact_cos - i.adc_cos) * 1000000)
+                          AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS cos_gap_micro
+FROM exact e LEFT JOIN (
+    SELECT t.query_id, t.neighbor_id,
+           ROUND(list_dot_product(q.v, n.v)
+                 / (sqrt(list_dot_product(q.v, q.v))
+                    * sqrt(list_dot_product(n.v, n.v))), 6) AS adc_cos
+    FROM (SELECT query_id, neighbor_id FROM pqm{pm} WHERE rank = 1) t
+    JOIN embx q ON q.vec_id = t.query_id
+    JOIN embx n ON n.vec_id = t.neighbor_id
+) i USING (query_id)""")
+    u = "\nUNION ALL\n".join(selects)
+    return ("WITH " + ",\n".join(blocks)
+            + f"\nSELECT * FROM (\n{u}\n) ORDER BY m_subspaces")
+
+
+register("ann_pq_m_sweep", ann_pq_m_sweep, _pq_m_sweep_oracle(),
+         "PQ compression curve: reconstruction / recall / regret vs M")

@@ -762,3 +762,216 @@ WHERE NOT EXISTS (
 )
 ORDER BY a.cents, a.p_partkey LIMIT {SKY_TOPK}
 """, "2-D skyline (min price, max size) via bucket-prefix decomposition")
+
+
+# ------------------------------------ 4-5-4 retail-calendar quarters
+def _r454_anchor(y: str) -> str:
+    """Day index of the 4-5-4 fiscal year start for calendar year ``y``:
+    the first Sunday ON/AFTER Feb 1 (the convention pinned here — the
+    NRF variant anchored to the Sunday nearest Jan 31 differs by at
+    most one week and would be the same arithmetic with a different
+    offset). Pure integer date math both engines compute identically:
+    1970-01-01 is a Thursday, so day index d falls on a Sunday iff
+    (d + 4) % 7 == 0."""
+    feb1 = f"datediff(make_date({y}, 2, 1), DATE '1970-01-01')"
+    return f"({feb1} + (7 - (({feb1} + 4) % 7)) % 7)"
+
+
+def retail454_rollup_from_hourly(hour: DataFrame) -> DataFrame:
+    """4-5-4 RETAIL-calendar fiscal-quarter rollup from a per-(type,
+    hour) frame carrying the event count ``n`` and the micro-quantized
+    value sum ``s`` (VERDICT r14 ask #6 — the offset-fiscal-year grain
+    past calendar quarters): hr → day is truncating div (the dailyfold
+    composition proof), and day → fiscal quarter is real Gregorian
+    date arithmetic — the fiscal year starts on the first Sunday
+    on/after Feb 1, quarters are the 4-5-4 week groups (13 weeks
+    each), and the year's leftover week 53 belongs to Q4 (the
+    LEAST(week div 13, 3) clamp). No divisor expresses any of this.
+    Integer sums all the way up (exact, associative), so the streaming
+    twin (``streaming/retail454.py``) folds the SAME cascade from the
+    shared hourly state bit-equally over any chunking. Day and quarter
+    frames are model-size (#types x calendar), so everything after the
+    hourly reduce is free at any corpus scale."""
+    day = (hour.withColumn("d", F.expr("hr div 24"))
+           .groupBy("event_type", "d")
+           .agg(F.sum("s").alias("s"), F.sum("n").alias("n")))
+    return (day
+            .withColumn("yy", F.expr(
+                "year(date_add(DATE '1970-01-01', cast(d as int)))"))
+            .withColumn("a1", F.expr(_r454_anchor("yy")))
+            .withColumn("a0", F.expr(_r454_anchor("(yy - 1)")))
+            .withColumn("fy", F.expr(
+                "case when d >= a1 then yy else yy - 1 end"))
+            .withColumn("astart", F.expr(
+                "case when d >= a1 then a1 else a0 end"))
+            .withColumn("fq", F.expr(
+                "concat('FY', cast(fy as string), '-Q',"
+                " cast(least((d - astart) div 7 div 13, 3) + 1"
+                " as string))"))
+            .groupBy("event_type", "fq")
+            .agg(F.sum("n").cast("long").alias("n_events"),
+                 F.count(F.lit(1)).alias("n_active_days"),
+                 (F.sum("s") / float(VALUE_MICRO)).alias("sum_value"))
+            .orderBy("event_type", "fq"))
+
+
+def events_retail454_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-5-4 retail-calendar fiscal-quarter rollup of event counts and
+    exact fixed-point value sums — the merchandising/fiscal grain:
+    week-aligned quarters in a year that starts near Feb 1, so neither
+    calendar quarters nor any day-index divisor reproduce it. One
+    corpus shuffle at the hourly grain, then model-size folds (see
+    retail454_rollup_from_hourly); 27th finalizer seam for the shared
+    hourly-state streaming fleet. Cross-law vs the calendar rollup
+    (same universe of days): per-type totals of n_events /
+    n_active_days / micro value equal events_quarterly_rollup's
+    (tests/test_r15_wave.py)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts_ns div {HOUR_NS}").alias("hr"),
+        F.floor(F.col("value") * VALUE_MICRO).cast("long").alias("m"))
+    hour = (ev.groupBy("event_type", "hr")
+            .agg(F.sum("m").alias("s"), F.count(F.lit(1)).alias("n")))
+    return retail454_rollup_from_hourly(hour)
+
+
+def _r454_anchor_sql(y: str) -> str:
+    feb1 = f"datediff('day', DATE '1970-01-01', make_date({y}, 2, 1))"
+    return f"({feb1} + (7 - (({feb1} + 4) % 7)) % 7)"
+
+
+register("events_retail454_rollup", events_retail454_rollup, f"""
+WITH ev AS (
+    SELECT event_type, epoch_us(ts) // {HOUR_US} AS hr,
+           CAST(FLOOR(value * {VALUE_MICRO}) AS BIGINT) AS m
+    FROM events
+), hour AS (
+    SELECT event_type, hr, CAST(SUM(m) AS BIGINT) AS s, COUNT(*) AS n
+    FROM ev GROUP BY event_type, hr
+), day AS (
+    SELECT event_type, hr // 24 AS d,
+           CAST(SUM(s) AS BIGINT) AS s, CAST(SUM(n) AS BIGINT) AS n
+    FROM hour GROUP BY event_type, hr // 24
+), fyd AS (
+    SELECT event_type, d, s, n,
+           YEAR(DATE '1970-01-01' + CAST(d AS INTEGER)) AS yy
+    FROM day
+), anch AS (
+    SELECT event_type, d, s, n, yy,
+           {_r454_anchor_sql('yy')} AS a1,
+           {_r454_anchor_sql('(yy - 1)')} AS a0
+    FROM fyd
+)
+SELECT event_type,
+       'FY' || CAST(CASE WHEN d >= a1 THEN yy ELSE yy - 1 END AS VARCHAR)
+            || '-Q'
+            || CAST(LEAST((d - CASE WHEN d >= a1 THEN a1 ELSE a0 END)
+                          // 7 // 13, 3) + 1 AS VARCHAR) AS fq,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       COUNT(*) AS n_active_days,
+       CAST(SUM(s) AS BIGINT) / {VALUE_MICRO}.0 AS sum_value
+FROM anch
+GROUP BY 1, 2
+ORDER BY event_type, fq
+""", "4-5-4 retail fiscal-quarter rollup via the day spine")
+
+
+# ------------------------------------ 4-5-4 retail-calendar months
+def retail454_months_from_hourly(hour: DataFrame) -> DataFrame:
+    """4-5-4 retail fiscal-MONTH rollup — the week-grouping grain
+    below retail454_rollup_from_hourly's quarters: within each 13-week
+    quarter the months are the 4/5/4-week blocks (week-in-quarter
+    w: month 1 for w < 4, month 2 for w < 9, month 3 otherwise), and
+    the year's leftover week 53 extends the 12th month (the same Q4
+    clamp one level down). Month index = quarter*3 + block, rendered
+    FYyyyy-Mmm with a zero-padded month so lexicographic order equals
+    calendar order (the driver sorts output rows by string value).
+    Integer sums all the way up; the streaming twin
+    (``streaming/retail454_month.py``) folds the SAME cascade from the
+    shared hourly state bit-equally. Cross-laws in
+    tests/test_r15_wave.py: summing month rows reproduces
+    events_retail454_rollup's quarter rows exactly, months span
+    28/35 days (except month 12: 28-35)."""
+    day = (hour.withColumn("d", F.expr("hr div 24"))
+           .groupBy("event_type", "d")
+           .agg(F.sum("s").alias("s"), F.sum("n").alias("n")))
+    return (day
+            .withColumn("yy", F.expr(
+                "year(date_add(DATE '1970-01-01', cast(d as int)))"))
+            .withColumn("a1", F.expr(_r454_anchor("yy")))
+            .withColumn("a0", F.expr(_r454_anchor("(yy - 1)")))
+            .withColumn("fy", F.expr(
+                "case when d >= a1 then yy else yy - 1 end"))
+            .withColumn("astart", F.expr(
+                "case when d >= a1 then a1 else a0 end"))
+            .withColumn("wk", F.expr(
+                "least((d - astart) div 7, 52)"))
+            .withColumn("wq", F.expr("least(wk div 13, 3)"))
+            .withColumn("wiq", F.expr("wk - wq * 13"))
+            .withColumn("fm", F.expr(
+                "concat('FY', cast(fy as string), '-M', lpad(cast("
+                "wq * 3 + (case when wiq < 4 then 1 when wiq < 9 then 2"
+                " else 3 end) as string), 2, '0'))"))
+            .groupBy("event_type", "fm")
+            .agg(F.sum("n").cast("long").alias("n_events"),
+                 F.count(F.lit(1)).alias("n_active_days"),
+                 (F.sum("s") / float(VALUE_MICRO)).alias("sum_value"))
+            .orderBy("event_type", "fm"))
+
+
+def events_retail454_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-5-4 retail fiscal-month rollup of event counts and exact
+    fixed-point value sums — the merchandising comp-month grain
+    (months are 4-or-5 whole weeks, so month-over-month comparisons
+    hold weekday mix constant; no calendar-month divisor reproduces
+    it). One corpus shuffle at the hourly grain, then model-size folds
+    (retail454_months_from_hourly); 28th finalizer seam for the shared
+    hourly-state streaming fleet."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts_ns div {HOUR_NS}").alias("hr"),
+        F.floor(F.col("value") * VALUE_MICRO).cast("long").alias("m"))
+    hour = (ev.groupBy("event_type", "hr")
+            .agg(F.sum("m").alias("s"), F.count(F.lit(1)).alias("n")))
+    return retail454_months_from_hourly(hour)
+
+
+register("events_retail454_months", events_retail454_months, f"""
+WITH ev AS (
+    SELECT event_type, epoch_us(ts) // {HOUR_US} AS hr,
+           CAST(FLOOR(value * {VALUE_MICRO}) AS BIGINT) AS m
+    FROM events
+), hour AS (
+    SELECT event_type, hr, CAST(SUM(m) AS BIGINT) AS s, COUNT(*) AS n
+    FROM ev GROUP BY event_type, hr
+), day AS (
+    SELECT event_type, hr // 24 AS d,
+           CAST(SUM(s) AS BIGINT) AS s, CAST(SUM(n) AS BIGINT) AS n
+    FROM hour GROUP BY event_type, hr // 24
+), fyd AS (
+    SELECT event_type, d, s, n,
+           YEAR(DATE '1970-01-01' + CAST(d AS INTEGER)) AS yy
+    FROM day
+), anch AS (
+    SELECT event_type, d, s, n, yy,
+           {_r454_anchor_sql('yy')} AS a1,
+           {_r454_anchor_sql('(yy - 1)')} AS a0
+    FROM fyd
+), wks AS (
+    SELECT event_type, d, s, n,
+           CASE WHEN d >= a1 THEN yy ELSE yy - 1 END AS fy,
+           LEAST((d - CASE WHEN d >= a1 THEN a1 ELSE a0 END) // 7, 52)
+               AS wk
+    FROM anch
+)
+SELECT event_type,
+       'FY' || CAST(fy AS VARCHAR) || '-M'
+            || lpad(CAST((wk // 13) * 3
+                    + (CASE WHEN wk - (wk // 13) * 13 < 4 THEN 1
+                            WHEN wk - (wk // 13) * 13 < 9 THEN 2
+                            ELSE 3 END) AS VARCHAR), 2, '0') AS fm,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       COUNT(*) AS n_active_days,
+       CAST(SUM(s) AS BIGINT) / {VALUE_MICRO}.0 AS sum_value
+FROM wks
+GROUP BY 1, 2
+ORDER BY event_type, fm
+""", "4-5-4 retail fiscal-month rollup via the day spine")

@@ -26,6 +26,16 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def scratch_root() -> str:
+    """Writable scratch for queries that materialize (sink roundtrips,
+    layout rewrites, managed bucketed tables). Same override as
+    ``spark.sql.warehouse.dir`` below so CONCURRENT sessions (the
+    two-seed expr-determinism gate) never collide on one directory;
+    default is the repo's gitignored warehouse dir, unchanged."""
+    return os.environ.get("SPARK_GRAFT_WAREHOUSE_DIR",
+                          "/root/repo/spark-warehouse")
+
+
 def get_spark(app_name: str = "impractical-impala-spark",
               cpus: int | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's tuning applied."""
@@ -66,4 +76,11 @@ def tuned_conf(cores: int) -> dict[str, str]:
         # --- quieter local runs -------------------------------------------
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # managed-table location (bucketed_join_segments writes one).
+        # Overridable so CONCURRENT sessions (the two-seed expr
+        # determinism gate runs two JVMs at once) don't race on the
+        # same ./spark-warehouse path — a second session hits
+        # LOCATION_ALREADY_EXISTS on the first one's files.
+        "spark.sql.warehouse.dir": os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE_DIR", "spark-warehouse"),
     }

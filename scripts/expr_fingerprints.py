@@ -24,6 +24,7 @@ Usage: python scripts/expr_fingerprints.py OUT.json
 import json
 import os
 import sys
+import tempfile
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
@@ -38,6 +39,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 
 def main() -> None:
     out_path = Path(sys.argv[1])
+    # own managed-table warehouse per process: concurrent seed runs
+    # must not race on ./spark-warehouse (bucketed_join_segments
+    # saveAsTable hits LOCATION_ALREADY_EXISTS otherwise)
+    os.environ.setdefault("SPARK_GRAFT_WAREHOUSE_DIR",
+                          tempfile.mkdtemp(prefix="iis-wh-"))
     spark = get_spark("expr-fingerprints",
                       cpus=int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")))
     spark.sparkContext.setLogLevel("ERROR")

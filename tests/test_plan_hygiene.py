@@ -71,6 +71,16 @@ _BNLJ_BOUNDED = {
     # candidate-volume aggregate (keys=[]) that attaches by cross join
     "ann_lsh_tables_sweep": re.compile(
         rf"vec_id#\d+L? < {N_QUERIES}|keys=\[\]"),
+    # r15 tables x probes grid: same exact-panel bound, plus the ONE
+    # 12-cell volume aggregate (keys=[]) stacked to 6 rows and attached
+    # by cross join
+    "ann_lsh_grid": re.compile(
+        rf"vec_id#\d+L? < {N_QUERIES}|keys=\[\]"),
+    # r15 PQ M sweep: the embedded exact panel's BNLJ plus the 1-row
+    # per-M reconstruction aggregates (keys=[]); routing/codebook/LUT
+    # cross joins are hinted model-size broadcasts
+    "ann_pq_m_sweep": re.compile(
+        rf"vec_id#\d+L? < {N_QUERIES}|keys=\[\]"),
     "emb_knn_label_purity": re.compile(rf"vec_id#\d+L? < {N_QUERIES}"),
     "audience_overlap_matrix": re.compile(
         r"keys=\[(event_type|mask)#|keys=\[\]"),

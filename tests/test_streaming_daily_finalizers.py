@@ -5,7 +5,7 @@ EXACTLY their batch queries — AvailableNow, chunked replay, and a
 crash/restart through the same checkpoint. The daily counts/values fold
 from the SAME hourly state the nine hourly monitors read (hr div 24,
 exact integer sums; values take ONE trunc div to whole units after the
-fold); the closing test pins the full TWENTY-SIX-finalizer fleet over
+fold); the closing test pins the full TWENTY-EIGHT-finalizer fleet over
 one state stream."""
 
 import time
@@ -32,6 +32,8 @@ from impractical_impala_spark.streaming import peak_load as PL
 from impractical_impala_spark.streaming import pettitt as PT
 from impractical_impala_spark.streaming import profile_jsd as PJ
 from impractical_impala_spark.streaming import quarterly as QR
+from impractical_impala_spark.streaming import retail454 as R454
+from impractical_impala_spark.streaming import retail454_month as R454M
 from impractical_impala_spark.streaming import sprt as SP
 from impractical_impala_spark.streaming import time_rollup as TR
 from impractical_impala_spark.streaming import transfer_entropy as TE
@@ -104,6 +106,10 @@ HOURLY = [
     (QR, "events_quarterly_rollup",
      ["event_type", "quarter", "n_events", "n_active_days",
       "sum_value"]),
+    (R454, "events_retail454_rollup",
+     ["event_type", "fq", "n_events", "n_active_days", "sum_value"]),
+    (R454M, "events_retail454_months",
+     ["event_type", "fm", "n_events", "n_active_days", "sum_value"]),
     (VE, "events_value_ewma_hourly",
      ["event_type", "hr", "value_micro", "vewma_milli"]),
 ]
@@ -201,18 +207,19 @@ def test_daily_twin_restart_from_checkpoint(spark, split_dir, tmp_path,
             _want(spark, sf_small, qname, cols))
 
 
-def test_one_state_stream_feeds_twentysix_finalizers(spark, split_dir,
-                                                     sf_small):
-    """The shared hourly state serves TWENTY-SIX finalizers (nine
+def test_one_state_stream_feeds_twentyeight_finalizers(spark, split_dir,
+                                                       sf_small):
+    """The shared hourly state serves TWENTY-EIGHT finalizers (nine
     count-only hourly + the four value-weighted r13 hourly twins + the
-    r14 quarterly grain + six count daily + six value daily) — one
-    AvailableNow pass, twenty-six finalizes, twenty-six batch
+    r14 quarterly grain + the r15 4-5-4 retail fiscal quarter AND
+    month grains + six count daily + six value daily) — one
+    AvailableNow pass, twenty-eight finalizes, twenty-eight batch
     matches."""
     q = (_stream_state(spark, split_dir, max_files=100)
-         .writeStream.format("memory").queryName("t_twentysix_state")
+         .writeStream.format("memory").queryName("t_twentyeight_state")
          .outputMode("update").trigger(availableNow=True).start())
     q.awaitTermination()
-    rows = spark.table("t_twentysix_state")
+    rows = spark.table("t_twentyeight_state")
     for mod, qname, cols in HOURLY + [TWINS[t] for t in sorted(TWINS)]:
         got = _got(spark, mod, rows, cols)
         want = _want(spark, sf_small, qname, cols)
