@@ -541,6 +541,8 @@ HEADLINE = [
     "events_retail454_rollup",
     "events_retail454_months",
     "dedup_shingle_by_source",
+    "events_retail_calendar_months",
+    "dedup_banding_by_source",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

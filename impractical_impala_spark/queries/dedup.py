@@ -1831,3 +1831,184 @@ ORDER BY k, lang, source
 register("dedup_shingle_by_source", dedup_shingle_by_source,
          _shingle_by_source_oracle(),
          "per-(lang, source) shingle-size tuning panels (sums-to-global)")
+
+
+def dedup_banding_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) split of dedup_banding_sweep (the r15
+    companion of dedup_shingle_by_source, same slice convention): for
+    every banding configuration, candidate volume / confirm count /
+    planted recall / precision per corpus slice, keyed by the LEFT
+    pair member's BASE document (mutants report under their source doc
+    — every pair has exactly one slice, so per-b slice sums partition
+    the global sweep row; cross-law in tests/test_r15_wave2.py).
+    The table a curation review reads to see WHICH corpus slice makes
+    a banding configuration too loose (precision collapse) or too
+    tight (recall collapse) before fixing (b, r) corpus-wide.
+
+    Scale shape: identical to the global sweep — per configuration one
+    band-key shuffle over (id, key) rows and one pair-dedup on the
+    cached signature frame; the slice attach is one corpus-keyed equi
+    join of (doc_id, lang, source); the final aggregates key on the
+    model-size (lang, source) domain. Never all-pairs."""
+    ds = _spark_docsets(spark, sf_dir, mutated=True)
+    mh_cols = [
+        F.array_min(F.expr(
+            f"transform(dh, h -> ({a} * h + {b}) % {P})")).alias(f"mh{i}")
+        for i, (a, b) in enumerate(PERMS)
+    ]
+    sigs = ds.select("doc_id", "dh", *mh_cols).cache()
+    docs_ls = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("base_a"), "lang", "source")
+    planted = (load_table(spark, sf_dir, "documents")
+               .filter(F.col("doc_id") % 3 == 0)
+               .groupBy("lang", "source")
+               .agg(F.count(F.lit(1)).alias("n_planted")))
+    jacc_ppm = F.expr(
+        "cast(size(array_intersect(dha, dhb)) as bigint) * 1000000"
+        " div (cast(size(dha) as bigint) + size(dhb)"
+        " - size(array_intersect(dha, dhb)))")
+    out = None
+    for nb in BAND_SWEEP:
+        rpb = NUM_PERM // nb
+        band_structs = F.array(*[
+            F.struct(
+                F.lit(band).alias("band_idx"),
+                F.concat_ws("_", *[F.col(f"mh{band * rpb + r}")
+                                   for r in range(rpb)]).alias("bkey"))
+            for band in range(nb)
+        ])
+        buckets = (sigs.select("doc_id", F.explode(band_structs).alias("bb"))
+                   .select("doc_id", "bb.band_idx", "bb.bkey"))
+        ba, bb = buckets.alias("a"), buckets.alias("b")
+        pairs = (ba.join(
+            _maybe_broadcast(bb, sf_dir),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"]))
+        dha = sigs.select(F.col("doc_id").alias("doc_a"),
+                          F.col("dh").alias("dha"))
+        dhb = sigs.select(F.col("doc_id").alias("doc_b"),
+                          F.col("dh").alias("dhb"))
+        scored = (pairs.join(_maybe_broadcast(dha, sf_dir), "doc_a")
+                  .join(_maybe_broadcast(dhb, sf_dir), "doc_b")
+                  .select("doc_a", "doc_b", jacc_ppm.alias("jp")))
+        sliced = (scored.withColumn("base_a", F.expr(
+            f"case when doc_a >= {MUT_OFFSET}"
+            f" then doc_a - {MUT_OFFSET} else doc_a end"))
+            .join(_maybe_broadcast(docs_ls, sf_dir), "base_a"))
+        st = sliced.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.sum(F.expr(f"cast(jp >= {JACCARD_T_PPM} as int)"))
+            .alias("n_confirmed"),
+            F.sum(F.expr(f"cast(doc_b - doc_a = {MUT_OFFSET}"
+                         f" and doc_a % 3 = 0 as int)"))
+            .alias("n_planted_hit"))
+        row = (st.join(planted, ["lang", "source"], "full")
+               .select(
+                   F.lit(nb).alias("n_bands"),
+                   F.lit(rpb).alias("rows_per_band"),
+                   "lang", "source",
+                   F.expr("coalesce(n_cand, 0L)").cast("long")
+                   .alias("n_cand"),
+                   F.expr("coalesce(n_confirmed, 0L)").cast("long")
+                   .alias("n_confirmed"),
+                   F.expr("coalesce(n_planted_hit, 0L)").cast("long")
+                   .alias("n_planted_hit"),
+                   F.expr("coalesce(n_planted, 0L)").cast("long")
+                   .alias("n_planted"))
+               .select("n_bands", "rows_per_band", "lang", "source",
+                       "n_cand", "n_confirmed", "n_planted_hit",
+                       "n_planted",
+                       F.expr("case when n_planted > 0 then"
+                              " n_planted_hit * 1000000 div n_planted"
+                              " end").alias("recall_ppm"),
+                       F.expr("case when n_cand > 0 then"
+                              " n_confirmed * 1000000 div n_cand end")
+                       .alias("precision_ppm")))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_bands", "lang", "source")
+
+
+def _banding_by_source_oracle() -> str:
+    mh = ",\n           ".join(
+        f"list_min(list_transform(dh, h -> ({a} * h + {b}) % {P})) AS mh{i}"
+        for i, (a, b) in enumerate(PERMS)
+    )
+    blocks = [f"""{_duck_docsets(mutated=True).lstrip()},
+sigs AS (
+    SELECT doc_id, dh,
+           {mh}
+    FROM docsets
+),
+docls AS (
+    SELECT doc_id AS base_a, lang, source FROM documents
+),
+planted AS (
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_planted
+    FROM documents WHERE doc_id % 3 = 0 GROUP BY 1, 2
+)"""]
+    selects = []
+    for nb in BAND_SWEEP:
+        rpb = NUM_PERM // nb
+        bands = "\n    UNION ALL\n".join(
+            f"    SELECT doc_id, dh, {band} AS band_idx, "
+            + " || '_' || ".join(
+                f"CAST(mh{band * rpb + r} AS VARCHAR)"
+                for r in range(rpb))
+            + " AS bkey FROM sigs"
+            for band in range(nb)
+        )
+        blocks.append(f""", buckets{nb} AS (
+{bands}
+), cand{nb} AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.dh AS dha, b.dh AS dhb
+    FROM buckets{nb} a JOIN buckets{nb} b
+      ON a.band_idx = b.band_idx AND a.bkey = b.bkey
+     AND a.doc_id < b.doc_id
+), st{nb} AS (
+    SELECT d.lang AS lang, d.source AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_cand,
+           CAST(SUM(CASE WHEN len(list_intersect(dha, dhb)) * 1000000
+                    // (len(dha) + len(dhb) - len(list_intersect(dha, dhb)))
+                    >= {JACCARD_T_PPM} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_confirmed,
+           CAST(SUM(CASE WHEN doc_b - doc_a = {MUT_OFFSET}
+                    AND doc_a % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_planted_hit
+    FROM cand{nb} c
+    JOIN docls d ON d.base_a = CASE WHEN c.doc_a >= {MUT_OFFSET}
+                                    THEN c.doc_a - {MUT_OFFSET}
+                                    ELSE c.doc_a END
+    GROUP BY 1, 2
+), sl{nb} AS (
+    SELECT {nb} AS n_bands, {rpb} AS rows_per_band, lang, source,
+           COALESCE(n_cand, 0) AS n_cand,
+           COALESCE(n_confirmed, 0) AS n_confirmed,
+           COALESCE(n_planted_hit, 0) AS n_planted_hit,
+           COALESCE(n_planted, 0) AS n_planted
+    FROM st{nb} FULL OUTER JOIN planted USING (lang, source)
+)""")
+        selects.append(f"SELECT * FROM sl{nb}")
+    u = "\nUNION ALL\n".join(selects)
+    return ("WITH " + "".join(blocks) + f"""
+SELECT CAST(n_bands AS INT) AS n_bands,
+       CAST(rows_per_band AS INT) AS rows_per_band,
+       lang, source, n_cand, n_confirmed, n_planted_hit, n_planted,
+       CASE WHEN n_planted > 0
+            THEN CAST(n_planted_hit * 1000000 // n_planted AS BIGINT) END
+           AS recall_ppm,
+       CASE WHEN n_cand > 0
+            THEN CAST(n_confirmed * 1000000 // n_cand AS BIGINT) END
+           AS precision_ppm
+FROM ({u})
+ORDER BY n_bands, lang, source
+""")
+
+
+register("dedup_banding_by_source", dedup_banding_by_source,
+         _banding_by_source_oracle(),
+         "per-(lang, source) banding-configuration panels (sums-to-global)")

@@ -975,3 +975,111 @@ FROM wks
 GROUP BY 1, 2
 ORDER BY event_type, fm
 """, "4-5-4 retail fiscal-month rollup via the day spine")
+
+
+# --------------------------- retail-calendar month-pattern variants
+# (variant, first-block weeks, second-block boundary): month 1 ends at
+# b1 weeks into the quarter, month 2 at b2, month 3 at week 13.
+RETAIL_VARIANTS = (("4-5-4", 4, 9), ("4-4-5", 4, 8), ("5-4-4", 5, 9))
+
+
+def events_retail_calendar_months(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """All three retail month conventions — 4-5-4, 4-4-5, 5-4-4 — in
+    ONE pass over the day spine (the r16-candidate generalization of
+    events_retail454_months): the fiscal year anchor and the 13-week
+    quarters are IDENTICAL across variants (same anchor arithmetic as
+    retail454_rollup_from_hourly), only the week boundaries that split
+    a quarter into months differ, so the model-size day frame explodes
+    x3 against the variant literals and re-aggregates — still
+    calendar-cardinality work after the one corpus shuffle. Cross-laws
+    (tests/test_r15_wave2.py): the 4-5-4 slice EQUALS
+    events_retail454_months row-for-row, and every variant rolls up to
+    the SAME events_retail454_rollup quarter rows (quarters don't
+    depend on the month pattern)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts_ns div {HOUR_NS}").alias("hr"),
+        F.floor(F.col("value") * VALUE_MICRO).cast("long").alias("m"))
+    hour = (ev.groupBy("event_type", "hr")
+            .agg(F.sum("m").alias("s"), F.count(F.lit(1)).alias("n")))
+    day = (hour.withColumn("d", F.expr("hr div 24"))
+           .groupBy("event_type", "d")
+           .agg(F.sum("s").alias("s"), F.sum("n").alias("n")))
+    pats = ", ".join(
+        f"named_struct('variant', '{v}', 'b1', {b1}, 'b2', {b2})"
+        for v, b1, b2 in RETAIL_VARIANTS)
+    return (day
+            .withColumn("yy", F.expr(
+                "year(date_add(DATE '1970-01-01', cast(d as int)))"))
+            .withColumn("a1", F.expr(_r454_anchor("yy")))
+            .withColumn("a0", F.expr(_r454_anchor("(yy - 1)")))
+            .withColumn("fy", F.expr(
+                "case when d >= a1 then yy else yy - 1 end"))
+            .withColumn("astart", F.expr(
+                "case when d >= a1 then a1 else a0 end"))
+            .withColumn("wk", F.expr(
+                "least((d - astart) div 7, 52)"))
+            .withColumn("p", F.expr(f"explode(array({pats}))"))
+            .withColumn("fm", F.expr(
+                "concat('FY', cast(fy as string), '-M', lpad(cast("
+                "(wk div 13) * 3 + (case when wk - (wk div 13) * 13 < p.b1"
+                " then 1 when wk - (wk div 13) * 13 < p.b2 then 2"
+                " else 3 end) as string), 2, '0'))"))
+            .groupBy(F.col("p.variant").alias("variant"),
+                     F.col("event_type"), F.col("fm"))
+            .agg(F.sum("n").cast("long").alias("n_events"),
+                 F.count(F.lit(1)).alias("n_active_days"),
+                 (F.sum("s") / float(VALUE_MICRO)).alias("sum_value"))
+            .orderBy("variant", "event_type", "fm"))
+
+
+def _retail_variants_oracle() -> str:
+    pats = " UNION ALL ".join(
+        f"SELECT '{v}' AS variant, {b1} AS b1, {b2} AS b2"
+        for v, b1, b2 in RETAIL_VARIANTS)
+    return f"""
+WITH ev AS (
+    SELECT event_type, epoch_us(ts) // {HOUR_US} AS hr,
+           CAST(FLOOR(value * {VALUE_MICRO}) AS BIGINT) AS m
+    FROM events
+), hour AS (
+    SELECT event_type, hr, CAST(SUM(m) AS BIGINT) AS s, COUNT(*) AS n
+    FROM ev GROUP BY event_type, hr
+), day AS (
+    SELECT event_type, hr // 24 AS d,
+           CAST(SUM(s) AS BIGINT) AS s, CAST(SUM(n) AS BIGINT) AS n
+    FROM hour GROUP BY event_type, hr // 24
+), fyd AS (
+    SELECT event_type, d, s, n,
+           YEAR(DATE '1970-01-01' + CAST(d AS INTEGER)) AS yy
+    FROM day
+), anch AS (
+    SELECT event_type, d, s, n, yy,
+           {_r454_anchor_sql('yy')} AS a1,
+           {_r454_anchor_sql('(yy - 1)')} AS a0
+    FROM fyd
+), wks AS (
+    SELECT event_type, d, s, n,
+           CASE WHEN d >= a1 THEN yy ELSE yy - 1 END AS fy,
+           LEAST((d - CASE WHEN d >= a1 THEN a1 ELSE a0 END) // 7, 52)
+               AS wk
+    FROM anch
+), pats AS ({pats})
+SELECT p.variant AS variant, w.event_type AS event_type,
+       'FY' || CAST(w.fy AS VARCHAR) || '-M'
+            || lpad(CAST((w.wk // 13) * 3
+                    + (CASE WHEN w.wk - (w.wk // 13) * 13 < p.b1 THEN 1
+                            WHEN w.wk - (w.wk // 13) * 13 < p.b2 THEN 2
+                            ELSE 3 END) AS VARCHAR), 2, '0') AS fm,
+       CAST(SUM(w.n) AS BIGINT) AS n_events,
+       COUNT(*) AS n_active_days,
+       CAST(SUM(w.s) AS BIGINT) / {VALUE_MICRO}.0 AS sum_value
+FROM wks w CROSS JOIN pats p
+GROUP BY 1, 2, 3
+ORDER BY variant, event_type, fm
+"""
+
+
+register("events_retail_calendar_months", events_retail_calendar_months,
+         _retail_variants_oracle(),
+         "4-5-4 / 4-4-5 / 5-4-4 retail month rollups in one day-spine pass")
