@@ -694,6 +694,21 @@ CHANGED_THIS_ROUND: dict[str, int] = {
     "ann_ivf_pq_pipeline": 15,
     "ann_ivf_pq_trained": 15,
     "ann_ivf_pq_sweep": 15,
+    # Late round 15 (as-of 15): the x1e3-quantized ANOVA/ICC milli
+    # registers widened to DECIMAL(38,0)/HUGEINT via _ha_wide_sql —
+    # closing SCALE.md's r15 carve-out (t_milli ~ n*v^2*1e3 passes
+    # int64 at ~335x the sf0.1 operating point; DuckDB raises on the
+    # overflowing cast, non-ANSI Spark wraps silently). Below 9e18 the
+    # widened rounding is the EXACT narrow path, so values are
+    # bit-identical at every fixture scale (A/B-verified row-for-row
+    # at sf0.01); the expression fingerprints changed, so all five
+    # t_milli users are listed. The streaming dow finalizer shares
+    # dow_anova_from_daily and moved with it (fleet bit-equality).
+    "events_anova_f": 15,
+    "events_dow_anova": 15,
+    "events_day_icc": 15,
+    "events_dow_anova_value": 15,
+    "emb_fisher_ratio_dims": 15,
 }
 
 from ..registry import registered_names  # noqa: E402

@@ -32,6 +32,7 @@ from ..registry import register, oracle_sql_of
 from ..sources import load_table
 from .ml_more import DIM, Q_SCALE, PCA_VNORM, emb_pca_topk
 from .monitor_eval import _ha_sql as _ha
+from .monitor_eval import _ha_wide_sql as _haw
 from .similarity import N_QUERIES, ann_cosine_topk
 
 # ------------------------------------------------- centroid outliers
@@ -619,15 +620,15 @@ def emb_fisher_ratio_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("xq * xq")).alias("q"))
     suff = per.select(
         "i", "n", "s", "q",
-        F.expr(_ha("cast(s as double) * cast(s as double) * 1e3 / n"))
+        F.expr(_haw("cast(s as double) * cast(s as double) * 1e3 / n"))
         .alias("t_milli"))
     agg = suff.groupBy("i").agg(
         F.count(F.lit(1)).alias("k"), F.sum("n").alias("nn"),
         F.sum("s").alias("ss"), F.sum("q").alias("qq"),
         F.sum("t_milli").alias("b_milli"))
-    ha_tot = _ha("cast(ss as double) * cast(ss as double) * 1e3 / nn")
+    ha_tot = _haw("cast(ss as double) * cast(ss as double) * 1e3 / nn")
     ssb = f"(b_milli - {ha_tot})"
-    ssw = "(1000 * qq - b_milli)"
+    ssw = "(cast(qq as decimal(38,0)) * 1000 - b_milli)"
     f_stat = (f"((cast({ssb} as double) / (k - 1))"
               f" / (cast({ssw} as double) / (nn - k)))")
     eta2 = (f"(cast({ssb} as double)"
@@ -640,9 +641,10 @@ def emb_fisher_ratio_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("f_micro"), "dim").limit(FISHER_TOPK))
 
 
-_FR_HA_TOT = _ha("CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) * 1e3 / nn")
+_FR_HA_TOT = _haw("CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) * 1e3 / nn",
+                  "HUGEINT")
 _FR_SSB = f"(b_milli - {_FR_HA_TOT})"
-_FR_SSW = "(1000 * qq - b_milli)"
+_FR_SSW = "(CAST(qq AS HUGEINT) * 1000 - b_milli)"
 _FR_F = (f"((CAST({_FR_SSB} AS DOUBLE) / (k - 1))"
          f" / (CAST({_FR_SSW} AS DOUBLE) / (nn - k)))")
 _FR_ETA = (f"(CAST({_FR_SSB} AS DOUBLE)"
@@ -662,13 +664,14 @@ WITH ex AS (
     FROM ex GROUP BY 1, 2
 ), suff AS (
     SELECT i, n, s, q,
-           {_ha("CAST(s AS DOUBLE) * CAST(s AS DOUBLE) * 1e3 / n")}
+           {_haw("CAST(s AS DOUBLE) * CAST(s AS DOUBLE) * 1e3 / n",
+                 "HUGEINT")}
                AS t_milli
     FROM per
 ), agg AS (
     SELECT i, CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
            CAST(SUM(s) AS BIGINT) AS ss, CAST(SUM(q) AS BIGINT) AS qq,
-           CAST(SUM(t_milli) AS BIGINT) AS b_milli
+           CAST(SUM(t_milli) AS HUGEINT) AS b_milli
     FROM suff GROUP BY i
 )
 SELECT CAST(i AS INT) AS dim, CAST(k AS INT) AS k_labels,

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..sources import load_table
 from .monitor_eval import _ha_sql as _ha
+from .monitor_eval import _ha_wide_sql as _haw
 
 DAY_NS = 86_400_000_000_000
 
@@ -75,7 +76,12 @@ def _chi2_crit_case(df_expr: str) -> str:
 # sum (order-free); milli, not micro, keeps 1e3*q inside int64:
 # q <= n * 49_002^2 ~ 2.4e14 at sf0.1, *1e3 = 2.4e17 < 9.2e18 (holds
 # to ~3.8e9 rows; past that, accumulate q as DECIMAL(38,0)).
-_ANOVA_TERM = _ha("cast(s as double) * cast(s as double) * 1e3 / n")
+# x1e3 between-terms ride 128-bit registers (DECIMAL(38,0) here,
+# HUGEINT in the oracles): t_milli ~ n_group * v^2 * 1e3 passes int64
+# at ~335x the sf0.1 operating point (SCALE.md's r15 carve-out, now
+# closed in code) — below 9e18 the widened rounding is bit-identical
+# to the old BIGINT path, so every green hash stands.
+_ANOVA_TERM = _haw("cast(s as double) * cast(s as double) * 1e3 / n")
 
 
 def events_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,9 +108,9 @@ def events_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("k"),
         F.sum("n").alias("nn"), F.sum("s").alias("ss"),
         F.sum("q").alias("qq"), F.sum("t_milli").alias("b_milli"))
-    ha_tot = _ha("cast(ss as double) * cast(ss as double) * 1e3 / nn")
+    ha_tot = _haw("cast(ss as double) * cast(ss as double) * 1e3 / nn")
     ssb = f"(b_milli - {ha_tot})"
-    ssw = "(1000 * qq - b_milli)"
+    ssw = "(cast(qq as decimal(38,0)) * 1000 - b_milli)"
     f_stat = (f"((cast({ssb} as double) / (k - 1))"
               f" / (cast({ssw} as double) / (nn - k)))")
     eta2 = (f"(cast({ssb} as double)"
@@ -119,9 +125,10 @@ def events_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("significant"))
 
 
-_ANOVA_HA_TOT = _ha("CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) * 1e3 / nn")
+_ANOVA_HA_TOT = _haw("CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) * 1e3 / nn",
+                     "HUGEINT")
 _ANOVA_SSB = f"(b_milli - {_ANOVA_HA_TOT})"
-_ANOVA_SSW = "(1000 * qq - b_milli)"
+_ANOVA_SSW = "(CAST(qq AS HUGEINT) * 1000 - b_milli)"
 _ANOVA_F = (f"((CAST({_ANOVA_SSB} AS DOUBLE) / (k - 1))"
             f" / (CAST({_ANOVA_SSW} AS DOUBLE) / (nn - k)))")
 _ANOVA_ETA = (f"(CAST({_ANOVA_SSB} AS DOUBLE)"
@@ -137,13 +144,14 @@ WITH per AS (
     FROM events GROUP BY 1
 ), suff AS (
     SELECT n, s, q,
-           {_ha("CAST(s AS DOUBLE) * CAST(s AS DOUBLE) * 1e3 / n")}
+           {_haw("CAST(s AS DOUBLE) * CAST(s AS DOUBLE) * 1e3 / n",
+                 "HUGEINT")}
                AS t_milli
     FROM per
 ), agg AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
            CAST(SUM(s) AS BIGINT) AS ss, CAST(SUM(q) AS BIGINT) AS qq,
-           CAST(SUM(t_milli) AS BIGINT) AS b_milli
+           CAST(SUM(t_milli) AS HUGEINT) AS b_milli
     FROM suff
 )
 SELECT CAST(k AS INT) AS k_groups, nn AS n_total,
@@ -677,15 +685,15 @@ def dow_anova_from_daily(cnt: DataFrame) -> DataFrame:
         F.sum(F.expr("x * x")).alias("q"))
     suff = per.select(
         "event_type", "n", "s", "q",
-        F.expr(_ha("cast(s as double) * cast(s as double) * 1e3 / n"))
+        F.expr(_haw("cast(s as double) * cast(s as double) * 1e3 / n"))
         .alias("t_milli"))
     agg = suff.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("k"), F.sum("n").alias("nn"),
         F.sum("s").alias("ss"), F.sum("q").alias("qq"),
         F.sum("t_milli").alias("b_milli"))
-    ha_tot = _ha("cast(ss as double) * cast(ss as double) * 1e3 / nn")
+    ha_tot = _haw("cast(ss as double) * cast(ss as double) * 1e3 / nn")
     ssb = f"(b_milli - {ha_tot})"
-    ssw = "(1000 * qq - b_milli)"
+    ssw = "(cast(qq as decimal(38,0)) * 1000 - b_milli)"
     f_stat = (f"((cast({ssb} as double) / (k - 1))"
               f" / (cast({ssw} as double) / (nn - k)))")
     crit = _half_away(CHI2_95[6] / 6 * 1e6)
@@ -697,9 +705,10 @@ def dow_anova_from_daily(cnt: DataFrame) -> DataFrame:
         .orderBy("event_type"))
 
 
-_DOW_HA_TOT = _ha("CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) * 1e3 / nn")
+_DOW_HA_TOT = _haw("CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) * 1e3 / nn",
+                   "HUGEINT")
 _DOW_SSB = f"(b_milli - {_DOW_HA_TOT})"
-_DOW_SSW = "(1000 * qq - b_milli)"
+_DOW_SSW = "(CAST(qq AS HUGEINT) * 1000 - b_milli)"
 _DOW_F = (f"((CAST({_DOW_SSB} AS DOUBLE) / (k - 1))"
           f" / (CAST({_DOW_SSW} AS DOUBLE) / (nn - k)))")
 
@@ -725,14 +734,15 @@ filled AS (
     FROM filled GROUP BY 1, 2
 ), suff AS (
     SELECT event_type, n, s, q,
-           {_ha("CAST(s AS DOUBLE) * CAST(s AS DOUBLE) * 1e3 / n")}
+           {_haw("CAST(s AS DOUBLE) * CAST(s AS DOUBLE) * 1e3 / n",
+                 "HUGEINT")}
                AS t_milli
     FROM per
 ), agg AS (
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k,
            CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s) AS BIGINT) AS ss,
            CAST(SUM(q) AS BIGINT) AS qq,
-           CAST(SUM(t_milli) AS BIGINT) AS b_milli
+           CAST(SUM(t_milli) AS HUGEINT) AS b_milli
     FROM suff GROUP BY 1
 )
 SELECT event_type, nn AS n_days,
@@ -839,15 +849,15 @@ def events_day_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("centi * centi")).alias("q"))
     suff = per.select(
         "event_type", "n", "s", "q",
-        F.expr(_ha("cast(s as double) * cast(s as double) * 1e3 / n"))
+        F.expr(_haw("cast(s as double) * cast(s as double) * 1e3 / n"))
         .alias("t_milli"))
     agg = suff.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("k"), F.sum("n").alias("nn"),
         F.sum(F.expr("n * n")).alias("n2"), F.sum("s").alias("ss"),
         F.sum("q").alias("qq"), F.sum("t_milli").alias("b_milli"))
-    ha_tot = _ha("cast(ss as double) * cast(ss as double) * 1e3 / nn")
+    ha_tot = _haw("cast(ss as double) * cast(ss as double) * 1e3 / nn")
     ssb = f"(b_milli - {ha_tot})"
-    ssw = "(1000 * qq - b_milli)"
+    ssw = "(cast(qq as decimal(38,0)) * 1000 - b_milli)"
     msb = f"(cast({ssb} as double) / (k - 1))"
     msw = f"(cast({ssw} as double) / (nn - k))"
     n0 = ("((cast(nn as double) - cast(n2 as double) / nn) / (k - 1))")
@@ -862,9 +872,10 @@ def events_day_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type"))
 
 
-_ICC_HA_TOT = _ha("CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) * 1e3 / nn")
+_ICC_HA_TOT = _haw("CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) * 1e3 / nn",
+                   "HUGEINT")
 _ICC_SSB = f"(b_milli - {_ICC_HA_TOT})"
-_ICC_SSW = "(1000 * qq - b_milli)"
+_ICC_SSW = "(CAST(qq AS HUGEINT) * 1000 - b_milli)"
 _ICC_MSB = f"(CAST({_ICC_SSB} AS DOUBLE) / (k - 1))"
 _ICC_MSW = f"(CAST({_ICC_SSW} AS DOUBLE) / (nn - k))"
 _ICC_N0 = "((CAST(nn AS DOUBLE) - CAST(n2 AS DOUBLE) / nn) / (k - 1))"
@@ -883,14 +894,15 @@ WITH per AS (
     FROM events GROUP BY 1, 2
 ), suff AS (
     SELECT event_type, n, s, q,
-           {_ha("CAST(s AS DOUBLE) * CAST(s AS DOUBLE) * 1e3 / n")}
+           {_haw("CAST(s AS DOUBLE) * CAST(s AS DOUBLE) * 1e3 / n",
+                 "HUGEINT")}
                AS t_milli
     FROM per
 ), agg AS (
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k,
            CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(n * n) AS BIGINT) AS n2,
            CAST(SUM(s) AS BIGINT) AS ss, CAST(SUM(q) AS BIGINT) AS qq,
-           CAST(SUM(t_milli) AS BIGINT) AS b_milli
+           CAST(SUM(t_milli) AS HUGEINT) AS b_milli
     FROM suff GROUP BY 1
 )
 SELECT event_type, k AS k_days, nn AS n_events,

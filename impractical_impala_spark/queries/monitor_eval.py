@@ -319,6 +319,34 @@ def _ha_sql(expr: str) -> str:
             f"ELSE -FLOOR(-({expr}) + 0.5) END AS BIGINT)")
 
 
+def _ha_wide_sql(expr: str, target: str = "DECIMAL(38,0)") -> str:
+    """128-bit-register twin of ``_ha_sql`` for quantized terms whose
+    magnitude can pass int64 at scale (the x1e3 ANOVA/ICC between-
+    terms — SCALE.md's r15 carve-out). Below 9e18 it is EXACTLY the
+    narrow rounding (bit-identical values wherever BIGINT was valid).
+    At or beyond, a double is already an exact integer (>= 2^53), and
+    the wide register must receive THAT integer identically on both
+    engines — a direct double->DECIMAL cast will not do (Spark's goes
+    through the shortest decimal string and lands on a DIFFERENT
+    integer than DuckDB's exact-binary double->HUGEINT for the same
+    double), so the value is rebuilt from two exact BIGINT pieces:
+    p = x/2^20 is a power-of-two divide (exact), hi = floor(p) and
+    lo = (p - floor(p))*2^20 are exact whenever |x| < 2^73 (hi stays
+    below 2^53, Sterbenz subtraction, power-of-two multiply), giving
+    x = hi*2^20 + lo in pure integer arithmetic. Contract: |expr| <
+    2^73 ~ 9.4e21 — ~28,000x the sf0.1 ANOVA operating point; past
+    that the VALUE_MICRO quantization dial is required (SCALE.md).
+    Spark side targets DECIMAL(38,0); DuckDB oracles pass
+    target='HUGEINT' (the established DECIMAL(38)/HUGEINT pairing of
+    the HW residual registers)."""
+    p = f"(({expr}) / 1048576.0)"
+    hi = f"CAST(FLOOR({p}) AS BIGINT)"
+    lo = f"CAST(({p} - FLOOR({p})) * 1048576.0 AS BIGINT)"
+    return (f"CASE WHEN ABS({expr}) < 9.0e18 "
+            f"THEN CAST({_ha_sql(expr)} AS {target}) "
+            f"ELSE CAST({hi} AS {target}) * 1048576 + {lo} END")
+
+
 def _trunc_burst_constants(n: int, total: int) -> tuple[int, int, int, int, int]:
     """Per-series integer cost constants (micro-nat fixed point):
     rate_j = half_away(1e6 * N * mult_j / n) (exact integer div), lr_j =

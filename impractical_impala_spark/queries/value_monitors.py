@@ -43,6 +43,7 @@ from .hypothesis import CHI2_95, _half_away, dow_anova_from_daily
 from .monitor_eval import (_SPRT_LA, _SPRT_LB, _SPRT_W0, _SPRT_W1,
                            sprt_from_per_day)
 from .monitor_eval import _ha_sql as _ha
+from .monitor_eval import _ha_wide_sql as _haw
 from .spectral_info import (GC_F_CRIT_MICRO, GC_PAIRS, HURST_LNM_MICRO,
                             HURST_MS, _GC_B0_SQL, _GC_B1_SQL, _GC_B2_SQL,
                             granger_from_daily, hurst_from_daily)
@@ -234,9 +235,10 @@ def events_dow_anova_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dow_anova_from_daily(_daily_values_by_type(spark, sf_dir))
 
 
-_DVA_HA_TOT = _ha("CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) * 1e3 / nn")
+_DVA_HA_TOT = _haw("CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) * 1e3 / nn",
+                   "HUGEINT")
 _DVA_SSB = f"(b_milli - {_DVA_HA_TOT})"
-_DVA_SSW = "(1000 * qq - b_milli)"
+_DVA_SSW = "(CAST(qq AS HUGEINT) * 1000 - b_milli)"
 _DVA_F = (f"((CAST({_DVA_SSB} AS DOUBLE) / (k - 1))"
           f" / (CAST({_DVA_SSW} AS DOUBLE) / (nn - k)))")
 
@@ -254,14 +256,15 @@ filled AS (
     FROM filled GROUP BY 1, 2
 ), suff AS (
     SELECT event_type, n, s, q,
-           {_ha("CAST(s AS DOUBLE) * CAST(s AS DOUBLE) * 1e3 / n")}
+           {_haw("CAST(s AS DOUBLE) * CAST(s AS DOUBLE) * 1e3 / n",
+                 "HUGEINT")}
                AS t_milli
     FROM per
 ), agg AS (
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k,
            CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s) AS BIGINT) AS ss,
            CAST(SUM(q) AS BIGINT) AS qq,
-           CAST(SUM(t_milli) AS BIGINT) AS b_milli
+           CAST(SUM(t_milli) AS HUGEINT) AS b_milli
     FROM suff GROUP BY 1
 )
 SELECT event_type, nn AS n_days,
