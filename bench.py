@@ -543,6 +543,10 @@ HEADLINE = [
     "dedup_shingle_by_source",
     "events_retail_calendar_months",
     "dedup_banding_by_source",
+    # r15 third wave: residual-encoded IVF-PQ (the FAISS composition)
+    # and the plain-vs-residual reconstruction comparison.
+    "ann_ivf_residual_pq",
+    "ann_pq_residual_gain",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

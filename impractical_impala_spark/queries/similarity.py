@@ -1719,3 +1719,343 @@ FROM exact e LEFT JOIN (
 
 register("ann_pq_m_sweep", ann_pq_m_sweep, _pq_m_sweep_oracle(),
          "PQ compression curve: reconstruction / recall / regret vs M")
+
+
+# ------------------------------------- residual IVF-PQ (FAISS form)
+def _ivf_rpq_search(emb: DataFrame, cent: DataFrame,
+                    n_probe: int = N_PROBE, pq_m: int = PQ_M) -> DataFrame:
+    """Residual-encoded IVF-PQ — the production FAISS composition
+    (IndexIVFPQ encodes r = v - centroid(cell(v)), not v itself): the
+    coarse quantizer routes exactly as _ivf_pq_search, but PQ codes
+    compress each vector's RESIDUAL against its assigned centroid, and
+    the per-query LUT is therefore keyed by PROBED CELL (the query's
+    residual differs per cell — q - cv[cell]); a candidate pair scores
+    through the LUT row of the db vector's assigned cell. Residuals
+    concentrate near zero once the coarse quantizer has soaked up the
+    between-cell variance, which is why the production index encodes
+    them — ann_pq_residual_gain measures the reconstruction gain on
+    this corpus.
+
+    Scale shape — identical plan family to _ivf_pq_search (the
+    hygiene-swept one): centroids/codebook are model-size broadcasts;
+    the LUT grows only by the n_probe factor (queries x n_probe x M x
+    PQ_K — still a model-size broadcast); candidate scans read only
+    probed cells' code rows. Residual arithmetic is one zip_with per
+    vector computed inside the corpus scan. Every distance folds
+    subspace terms in fixed index order (exact same doubles both
+    engines), so the composition carries a full hash oracle."""
+    pq_sub = DIM // pq_m
+    cdot = F.expr("aggregate(zip_with(v, cv, (x, y) -> x * y),"
+                  " cast(0.0 as double), (acc, x) -> acc + x)")
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "cell_id", "cv",
+        (cdot / (F.col("norm") * F.col("cnorm"))).alias("ccos"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(),
+                                             "cell_id")
+    ranked = scored.withColumn("crn", F.row_number().over(w)).cache()
+    rv = F.expr("zip_with(v, cv, (x, y) -> x - y)")
+    resid = (ranked.filter(F.col("crn") == 1)
+             .select("vec_id", F.col("cell_id").alias("cell"),
+                     rv.alias("rv")))
+    sub = resid.select(
+        "vec_id", "cell",
+        F.explode(F.array(*[
+            F.struct(F.lit(m).alias("m"),
+                     F.expr(f"slice(rv, {m * pq_sub + 1}, {pq_sub})")
+                     .alias("sv"))
+            for m in range(pq_m)])).alias("e"),
+    ).select("vec_id", "cell", F.col("e.m").alias("m"),
+             F.col("e.sv").alias("sv"))
+    codebook = sub.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("code"), "m", F.col("sv").alias("cbv"))
+    dist = F.expr("aggregate(zip_with(sv, cbv, (x, y) -> (x - y) * (x - y)),"
+                  " cast(0.0 as double), (acc, d) -> acc + d)")
+    wc = Window.partitionBy("vec_id", "m").orderBy("dist", "code")
+    codes = (sub.filter(F.col("vec_id") >= N_QUERIES)
+             .join(F.broadcast(codebook), "m")
+             .withColumn("dist", dist)
+             .withColumn("rn", F.row_number().over(wc))
+             .filter(F.col("rn") == 1)
+             .select(F.col("vec_id").alias("db_id"), "cell", "m", "code"))
+    probes = (ranked.filter((F.col("vec_id") < N_QUERIES)
+                            & (F.col("crn") <= n_probe))
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("cell_id").alias("cell"), rv.alias("qrv")))
+    q_sub = probes.select(
+        "query_id", "cell",
+        F.explode(F.array(*[
+            F.struct(F.lit(m).alias("m"),
+                     F.expr(f"slice(qrv, {m * pq_sub + 1}, {pq_sub})")
+                     .alias("sv"))
+            for m in range(pq_m)])).alias("e"),
+    ).select("query_id", "cell", F.col("e.m").alias("m"),
+             F.col("e.sv").alias("sv"))
+    lut = (q_sub.join(F.broadcast(codebook), "m")
+           .withColumn("ld", dist)
+           .select("query_id", "cell", "m", "code", "ld"))
+    cand = (probes.select("query_id", "cell")
+            .join(resid.filter(F.col("vec_id") >= N_QUERIES)
+                  .select(F.col("vec_id").alias("db_id"), "cell"), "cell"))
+    paired = (cand.join(codes, ["db_id", "cell"])
+              .join(F.broadcast(lut), ["query_id", "cell", "m", "code"]))
+    dists = [F.sum(F.when(F.col("m") == m, F.col("ld"))).alias(f"_d{m}")
+             for m in range(pq_m)]
+    agg = paired.groupBy("query_id", "db_id").agg(*dists)
+    total = "+".join(f"_d{m}" for m in range(pq_m))
+    adc = agg.withColumn("adc_r6", F.round(F.expr(total), 6))
+    wq = Window.partitionBy("query_id").orderBy("adc_r6", "db_id")
+    return (adc.withColumn("rank", F.row_number().over(wq))
+            .filter(F.col("rank") <= IVFPQ_TOPK)
+            .select("query_id", "rank",
+                    F.col("db_id").alias("neighbor_id"), "adc_r6")
+            .orderBy("query_id", "rank"))
+
+
+def ann_ivf_residual_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ over the Lloyd-trained coarse quantizer — the
+    exact composition a production FAISS IndexIVFPQ runs (see
+    _ivf_rpq_search). Routing is IDENTICAL to ann_ivf_pq_trained
+    (same trained centroids, same probes), so the candidate pair set
+    matches pairwise — only the compressed geometry differs (pinned in
+    tests/test_r15_wave3.py alongside a full numpy replay)."""
+    emb = _emb(spark, sf_dir).cache()
+    return _ivf_rpq_search(
+        emb, train_ivf_centroids(spark, ivf_training_sample(emb)))
+
+
+def _ivf_rpq_oracle(pre: str = "", cent_sql: str = "",
+                    n_probe: int = N_PROBE, pq_m: int = PQ_M) -> str:
+    pq_sub = DIM // pq_m
+    res_slices = " UNION ALL ".join(
+        f"SELECT vec_id, cell, {m} AS m,"
+        f" list_slice(rv, {m * pq_sub + 1}, {(m + 1) * pq_sub}) AS sv"
+        f" FROM resid"
+        for m in range(pq_m))
+    q_slices = " UNION ALL ".join(
+        f"SELECT query_id, cell, {m} AS m,"
+        f" list_slice(qrv, {m * pq_sub + 1}, {(m + 1) * pq_sub}) AS sv"
+        f" FROM probes"
+        for m in range(pq_m))
+    dist = (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            f" list_transform(range(1, {pq_sub} + 1),"
+            " i -> (s.sv[i] - c.cbv[i]) * (s.sv[i] - c.cbv[i]))),"
+            " (acc, d) -> acc + d)")
+    qdist = dist.replace("s.sv", "q.sv")
+    dsums = ", ".join(
+        f"SUM(CASE WHEN k.m = {m} THEN ld END) AS _d{m}" for m in range(pq_m))
+    total = "+".join(f"_d{m}" for m in range(pq_m))
+    if not cent_sql:
+        cent_sql = (f"SELECT vec_id AS cell_id, v AS cv "
+                    f"FROM emb WHERE vec_id < {N_CELLS}")
+    return f"""
+WITH emb AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+){pre}, cent AS (
+    {cent_sql}
+), cscored AS (
+    SELECT e.vec_id, e.v, c.cell_id, c.cv,
+           list_dot_product(e.v, c.cv)
+           / (sqrt(list_dot_product(e.v, e.v))
+              * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
+    FROM emb e CROSS JOIN cent c
+), cranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cell_id) AS crn
+    FROM cscored
+), resid AS (
+    SELECT vec_id, cell_id AS cell,
+           list_transform(range(1, {DIM} + 1), i -> v[i] - cv[i]) AS rv
+    FROM cranked WHERE crn = 1
+), sub AS ({res_slices}),
+codebook AS (
+    SELECT vec_id AS code, m, sv AS cbv FROM sub WHERE vec_id < {PQ_K}
+), db_scored AS (
+    SELECT s.vec_id AS db_id, s.cell, s.m, c.code, {dist} AS dist
+    FROM (SELECT * FROM sub WHERE vec_id >= {N_QUERIES}) s
+    JOIN codebook c USING (m)
+), codes AS (
+    SELECT db_id, cell, m, code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY db_id, m
+                                     ORDER BY dist, code) AS rn
+        FROM db_scored) WHERE rn = 1
+), probes AS (
+    SELECT vec_id AS query_id, cell_id AS cell,
+           list_transform(range(1, {DIM} + 1), i -> v[i] - cv[i]) AS qrv
+    FROM cranked WHERE vec_id < {N_QUERIES} AND crn <= {n_probe}
+), qsub AS ({q_slices}),
+lut AS (
+    SELECT q.query_id, q.cell, q.m, c.code, {qdist} AS ld
+    FROM qsub q JOIN codebook c USING (m)
+), cand AS (
+    SELECT p.query_id, p.cell, r.vec_id AS db_id
+    FROM probes p JOIN resid r ON r.cell = p.cell
+    WHERE r.vec_id >= {N_QUERIES}
+), agg AS (
+    SELECT cd.query_id, cd.db_id, {dsums}
+    FROM cand cd
+    JOIN codes k ON k.db_id = cd.db_id AND k.cell = cd.cell
+    JOIN lut l ON l.query_id = cd.query_id AND l.cell = cd.cell
+              AND l.m = k.m AND l.code = k.code
+    GROUP BY 1, 2
+), rankedq AS (
+    SELECT query_id, db_id, ROUND({total}, 6) AS adc_r6,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ROUND({total}, 6), db_id) AS rank
+    FROM agg
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+       CAST(db_id AS BIGINT) AS neighbor_id, adc_r6
+FROM rankedq WHERE rank <= {IVFPQ_TOPK} ORDER BY query_id, rank
+"""
+
+
+register(
+    "ann_ivf_residual_pq", ann_ivf_residual_pq,
+    _ivf_rpq_oracle(
+        pre=_trained_ivf_pre(),
+        cent_sql=(f"SELECT cell_id, "
+                  f"list_transform(cq, c -> c / {Q_SCALE}.0) AS cv "
+                  f"FROM tcent{N_ITERS}")),
+    "residual-encoded IVF-PQ (the production FAISS composition)")
+
+
+# ------------------------------------- residual vs plain PQ recon
+def ann_pq_residual_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why a production index encodes residuals: corpus-wide PQ
+    reconstruction error at the standing M, plain encoding (codes
+    compress v — ann_pq_m_sweep's geometry, byte-equal at M=PQ_M,
+    the pinned cross-law) vs residual encoding (codes compress
+    v - centroid(cell(v)) against the Lloyd-trained coarse quantizer
+    — ann_ivf_residual_pq's geometry). The gap IS the between-cell
+    variance the coarse quantizer absorbs before quantization; it is
+    measured, not lawful (a fixed first-PQ_K-vectors codebook is not
+    k-means-optimal for either encoding), which is the point of the
+    query.
+
+    Scale shape: training once (bounded sample, model-size centroid
+    table); per encoding ONE corpus pass — codebook broadcast, the
+    only shuffle the per-vector regroup of subspace bests; the
+    residual pass adds the centroid-assignment broadcast join inside
+    the same scan. Reconstruction distances fold in fixed index
+    order and quantize to micro before the integer corpus sum, so
+    both rows hash exactly."""
+    emb = _emb(spark, sf_dir).cache()
+    cent = train_ivf_centroids(spark, ivf_training_sample(emb))
+    cdot = F.expr("aggregate(zip_with(v, cv, (x, y) -> x * y),"
+                  " cast(0.0 as double), (acc, x) -> acc + x)")
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v",
+        (cdot / (F.col("norm") * F.col("cnorm"))).alias("ccos"),
+        "cell_id", "cv")
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(),
+                                             "cell_id")
+    resid = (scored.withColumn("crn", F.row_number().over(w))
+             .filter(F.col("crn") == 1)
+             .select("vec_id",
+                     F.expr("zip_with(v, cv, (x, y) -> x - y)")
+                     .alias("xv")))
+    plain = emb.select("vec_id", F.col("v").alias("xv"))
+    dist = F.expr("aggregate(zip_with(sv, cbv, (x, y) -> (x - y) * (x - y)),"
+                  " cast(0.0 as double), (acc, d) -> acc + d)")
+    out = None
+    for enc, frame in (("plain", plain), ("residual", resid)):
+        sub = frame.select(
+            "vec_id",
+            F.explode(F.array(*[
+                F.struct(F.lit(m).alias("m"),
+                         F.expr(f"slice(xv, {m * PQ_SUB + 1}, {PQ_SUB})")
+                         .alias("sv"))
+                for m in range(PQ_M)])).alias("e"),
+        ).select("vec_id", F.col("e.m").alias("m"),
+                 F.col("e.sv").alias("sv"))
+        codebook = sub.filter(F.col("vec_id") < PQ_K).select(
+            F.col("vec_id").alias("code"), "m", F.col("sv").alias("cbv"))
+        wc = Window.partitionBy("vec_id", "m").orderBy("dist", "code")
+        best = (sub.join(F.broadcast(codebook), "m")
+                .withColumn("dist", dist)
+                .withColumn("rn", F.row_number().over(wc))
+                .filter(F.col("rn") == 1))
+        per_vec = best.groupBy("vec_id").agg(*[
+            F.sum(F.when(F.col("m") == m, F.col("dist"))).alias(f"_d{m}")
+            for m in range(PQ_M)])
+        total = "+".join(f"_d{m}" for m in range(PQ_M))
+        row = per_vec.agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum(F.expr(f"cast(round(({total}) * 1000000) as bigint)"))
+            .cast("long").alias("recon_err_micro")).select(
+            F.lit(enc).alias("encoding"),
+            F.lit(PQ_M).alias("m_subspaces"),
+            "n_vectors", "recon_err_micro")
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("encoding")
+
+
+def _residual_gain_oracle() -> str:
+    pre = _trained_ivf_pre()
+    cent_sql = (f"SELECT cell_id, "
+                f"list_transform(cq, c -> c / {Q_SCALE}.0) AS cv "
+                f"FROM tcent{N_ITERS}")
+    dist = (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            f" list_transform(range(1, {PQ_SUB} + 1),"
+            " i -> (s.sv[i] - c.cbv[i]) * (s.sv[i] - c.cbv[i]))),"
+            " (acc, d) -> acc + d)")
+    dsums = ", ".join(
+        f"SUM(CASE WHEN m = {m} THEN dist END) AS _d{m}"
+        for m in range(PQ_M))
+    total = "+".join(f"_d{m}" for m in range(PQ_M))
+    blocks = [f"""emb AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+){pre}, cent AS (
+    {cent_sql}
+), cscored AS (
+    SELECT e.vec_id, e.v, c.cell_id, c.cv,
+           list_dot_product(e.v, c.cv)
+           / (sqrt(list_dot_product(e.v, e.v))
+              * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
+    FROM emb e CROSS JOIN cent c
+), cranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cell_id) AS crn
+    FROM cscored
+), fplain AS (SELECT vec_id, v AS xv FROM emb),
+fresidual AS (
+    SELECT vec_id,
+           list_transform(range(1, {DIM} + 1), i -> v[i] - cv[i]) AS xv
+    FROM cranked WHERE crn = 1
+)"""]
+    selects = []
+    for enc in ("plain", "residual"):
+        slices = " UNION ALL ".join(
+            f"SELECT vec_id, {m} AS m,"
+            f" list_slice(xv, {m * PQ_SUB + 1}, {(m + 1) * PQ_SUB}) AS sv"
+            f" FROM f{enc}"
+            for m in range(PQ_M))
+        blocks.append(f"""recon_{enc} AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CAST(ROUND(({total}) * 1000000) AS BIGINT))
+                AS BIGINT) AS recon_err_micro
+    FROM (
+        SELECT vec_id, {dsums} FROM (
+            SELECT s.vec_id, s.m, c.code, {dist} AS dist,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                      ORDER BY {dist}, c.code) AS rn
+            FROM ({slices}) s
+            JOIN (SELECT vec_id AS code, m, sv AS cbv
+                  FROM ({slices}) WHERE vec_id < {PQ_K}) c USING (m)
+        ) WHERE rn = 1 GROUP BY vec_id
+    )
+)""")
+        selects.append(
+            f"SELECT '{enc}' AS encoding, CAST({PQ_M} AS INT)"
+            f" AS m_subspaces, n_vectors, recon_err_micro"
+            f" FROM recon_{enc}")
+    u = "\nUNION ALL\n".join(selects)
+    return ("WITH " + ",\n".join(blocks)
+            + f"\nSELECT * FROM (\n{u}\n) ORDER BY encoding")
+
+
+register("ann_pq_residual_gain", ann_pq_residual_gain,
+         _residual_gain_oracle(),
+         "corpus PQ reconstruction error: plain vs residual encoding")

@@ -85,6 +85,12 @@ _BNLJ_BOUNDED = {
     "audience_overlap_matrix": re.compile(
         r"keys=\[(event_type|mask)#|keys=\[\]"),
     "q_range_band_join": re.compile(r"Scan ExistingRDD|LocalTableScan"),
+    # r15 residual-gain: both per-encoding corpus passes cross-join
+    # the hinted trained-centroid local model (N_CELLS = 16 rows by
+    # construction; local model data compiles to Scan ExistingRDD).
+    # The searches hide the same join inside their cached routing
+    # fragment — here it is visible and must be proven bounded.
+    "ann_pq_residual_gain": re.compile(r"Scan ExistingRDD"),
     # wave-17 retrieval audits: the panel broadcast is the
     # vec_id < N_QUERIES predicate side, bounded at any corpus size
     "emb_matryoshka_audit": re.compile(rf"vec_id#\d+L? < {N_QUERIES}"),

@@ -161,3 +161,177 @@ FROM agg ORDER BY event_type
     got_spark = {r.event_type: r.f_micro
                  for r in dow_anova_from_daily(daily_df).collect()}
     assert {k: int(v) for k, v in got_duck.items()} == got_spark
+
+
+# ------------------------------------------- residual IVF-PQ debuts
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from impractical_impala_spark.registry import all_queries
+
+_Q = all_queries()
+
+
+def _collect(spark, name, sf):
+    return _Q[name].build(spark, sf).toPandas()
+
+
+def _round_half_up(x, digits):
+    s = 10.0 ** digits
+    return np.floor(np.abs(x) * s + 0.5) / s * np.sign(x)
+
+
+def _load_vecs(sf):
+    tbl = pq.read_table(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas()
+    tbl = tbl.sort_values("vec_id").reset_index(drop=True)
+    assert (tbl.vec_id.values == np.arange(len(tbl))).all()
+    return np.stack(tbl.embedding.values).astype(np.float64)
+
+
+def _trained_centroids(spark, sf):
+    """Fetch the exact Lloyd-trained centroid table the product code
+    builds (the replay re-implements the SEARCH, not the training —
+    training already has its own unrolled-oracle + replay coverage)."""
+    from impractical_impala_spark.queries.similarity import (
+        _emb, ivf_training_sample, train_ivf_centroids)
+
+    cent = train_ivf_centroids(
+        spark, ivf_training_sample(_emb(spark, sf))).toPandas()
+    cent = cent.sort_values("cell_id").reset_index(drop=True)
+    return np.stack(cent.cv.values).astype(np.float64)
+
+
+def _seq_dot(a, b_mat):
+    """Left-fold dot products in index order (Spark's aggregate())."""
+    acc = np.zeros((a.shape[0], b_mat.shape[0]))
+    for j in range(a.shape[1]):
+        acc = acc + a[:, j][:, None] * b_mat[:, j][None, :]
+    return acc
+
+
+def _seq_sqdist(a, b_mat):
+    """Left-fold squared distances in index order."""
+    acc = np.zeros((a.shape[0], b_mat.shape[0]))
+    for j in range(a.shape[1]):
+        diff = a[:, j][:, None] - b_mat[:, j][None, :]
+        acc = acc + diff * diff
+    return acc
+
+
+def _rpq_replay(v, cents, n_probe, pq_m, pq_k, n_queries, topk):
+    n, dim = v.shape
+    ps = dim // pq_m
+    norms = np.sqrt(np.array([
+        np.sum(v[i] * v[i]) for i in range(n)]))  # fold-order irrelev.
+    cnorms = np.sqrt(np.array([
+        np.sum(c * c) for c in cents]))
+    ccos = _seq_dot(v, cents) / (norms[:, None] * cnorms[None, :])
+    order = np.lexsort((np.arange(cents.shape[0])[None, :].repeat(n, 0),
+                        -ccos))  # by ccos desc, cell asc per row
+    assigned = order[:, 0]
+    rv = v - cents[assigned]
+    # codebook: residual slices of the first pq_k vectors
+    codes = np.zeros((n, pq_m), dtype=np.int64)
+    ld = {}
+    for m in range(pq_m):
+        sl = rv[:, m * ps:(m + 1) * ps]
+        cb = sl[:pq_k]
+        d2 = _seq_sqdist(sl, cb)
+        codes[:, m] = d2.argmin(axis=1)  # first-min tie-break = code asc
+        ld[m] = d2
+    rows = []
+    for q in range(n_queries):
+        probe_cells = set(order[q, :n_probe].tolist())
+        cand = [b for b in range(n_queries, n)
+                if assigned[b] in probe_cells]
+        scored = []
+        for b in cand:
+            # the LUT entry is the QUERY residual w.r.t. the db's
+            # assigned cell (which the query must have probed)
+            qr = v[q] - cents[assigned[b]]
+            total = 0.0
+            for m in range(pq_m):
+                sl = qr[m * ps:(m + 1) * ps]
+                cbv = (v[codes[b, m]]
+                       - cents[assigned[codes[b, m]]])[m * ps:(m + 1) * ps]
+                d = 0.0
+                for j in range(ps):
+                    d = d + (sl[j] - cbv[j]) * (sl[j] - cbv[j])
+                total = total + d
+            scored.append((float(_round_half_up(total, 6)), b))
+        scored.sort()
+        for rank, (adc, b) in enumerate(scored[:topk], start=1):
+            rows.append((q, rank, b, adc))
+    return pd.DataFrame(rows, columns=["query_id", "rank",
+                                       "neighbor_id", "adc_r6"])
+
+
+def test_residual_pq_numpy_replay(spark, sf_small):
+    from impractical_impala_spark.queries.similarity import (
+        N_PROBE, N_QUERIES)
+    from impractical_impala_spark.queries.training_extras import (
+        ADC_TOPK, PQ_K, PQ_M)
+
+    v = _load_vecs(sf_small)
+    cents = _trained_centroids(spark, sf_small)
+    want = _rpq_replay(v, cents, N_PROBE, PQ_M, PQ_K, N_QUERIES,
+                       ADC_TOPK)
+    got = (_collect(spark, "ann_ivf_residual_pq", sf_small)
+           .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"query_id": "int64", "rank": "int64",
+                    "neighbor_id": "int64"}),
+        want.astype({"query_id": "int64", "rank": "int64",
+                     "neighbor_id": "int64"}))
+
+
+def test_residual_pq_routing_matches_plain(spark, sf_oracle):
+    """Routing (trained centroids, probes, assignment) is shared with
+    ann_ivf_pq_trained, so the SET of answered queries must match —
+    only the compressed geometry (hence ranking) may differ."""
+    res = _collect(spark, "ann_ivf_residual_pq", sf_oracle)
+    plain = _collect(spark, "ann_ivf_pq_trained", sf_oracle)
+    assert set(res.query_id) == set(plain.query_id)
+    # both rank within the same candidate cells: per query the result
+    # count matches (same candidate set, same top-k truncation)
+    rc = res.groupby("query_id").size()
+    pc = plain.groupby("query_id").size()
+    assert rc.to_dict() == pc.to_dict()
+
+
+def test_residual_gain_plain_equals_m_sweep(spark, sf_oracle):
+    from impractical_impala_spark.queries.training_extras import PQ_M
+
+    gain = _collect(spark, "ann_pq_residual_gain", sf_oracle)
+    msweep = _collect(spark, "ann_pq_m_sweep", sf_oracle)
+    plain_row = gain[gain.encoding == "plain"].iloc[0]
+    anchor = msweep[msweep.m_subspaces == PQ_M].iloc[0]
+    assert int(plain_row.recon_err_micro) == int(anchor.recon_err_micro)
+    assert (gain.n_vectors == gain.n_vectors.iloc[0]).all()
+
+
+def test_residual_gain_numpy_replay(spark, sf_small):
+    from impractical_impala_spark.queries.training_extras import (
+        PQ_K, PQ_M)
+
+    v = _load_vecs(sf_small)
+    cents = _trained_centroids(spark, sf_small)
+    norms = np.sqrt(np.array([np.sum(x * x) for x in v]))
+    cnorms = np.sqrt(np.array([np.sum(c * c) for c in cents]))
+    ccos = _seq_dot(v, cents) / (norms[:, None] * cnorms[None, :])
+    order = np.lexsort(
+        (np.arange(cents.shape[0])[None, :].repeat(len(v), 0), -ccos))
+    rv = v - cents[order[:, 0]]
+    got = (_collect(spark, "ann_pq_residual_gain", sf_small)
+           .set_index("encoding").recon_err_micro)
+    ps = v.shape[1] // PQ_M
+    for enc, mat in (("plain", v), ("residual", rv)):
+        total = np.zeros(len(mat))
+        for m in range(PQ_M):
+            sl = mat[:, m * ps:(m + 1) * ps]
+            d2 = _seq_sqdist(sl, sl[:PQ_K])
+            total = total + d2.min(axis=1)
+        micro = sum(int(_round_half_up(x * 1e6, 0)) for x in total)
+        assert int(got.loc[enc]) == micro, (enc, int(got.loc[enc]), micro)
