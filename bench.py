@@ -547,6 +547,7 @@ HEADLINE = [
     # and the plain-vs-residual reconstruction comparison.
     "ann_ivf_residual_pq",
     "ann_pq_residual_gain",
+    "ann_lsh_bits_sweep",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

@@ -2059,3 +2059,198 @@ fresidual AS (
 register("ann_pq_residual_gain", ann_pq_residual_gain,
          _residual_gain_oracle(),
          "corpus PQ reconstruction error: plain vs residual encoding")
+
+
+# --------------------------------------- LSH bits-per-table sweep
+BITS_SWEEP = (3, 4, 6)  # table widths over the FIXED 12-plane budget
+
+
+def ann_lsh_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third axis of the LSH tuning space — how to SPLIT a fixed
+    hyperplane budget: the same 12 planes as 4 tables x 3 bits, 3 x 4
+    (ann_lsh_bucketed's standing layout — this sweep's B=4 row equals
+    ann_lsh_tables_sweep's T=3 row column for column, the pinned
+    cross-law), or 2 x 6. Fewer bits per table = coarser buckets and
+    more tables = more candidates and recall; more bits = cheaper
+    scans. Completes tables x radius (ann_lsh_grid) into a budget
+    cube. One lawful direction survives the split: every B=6 table's
+    plane set CONTAINS a whole B=4 table's ({0..5} superset of {0..3},
+    {6..11} of {8..11}) and a whole B=3 table's, so candidates(B=6)
+    is a subset of both others (counts monotone); B=4 vs B=3 is NOT
+    nested (planes {4..7} contain no whole 3-bit table) — measured,
+    not lawful, which is the point.
+
+    Scale shape — ONE bucket-key shuffle join for all three splits:
+    the 12 sign bits compute once per vector; the index side emits
+    (bits, tbl, bkt) rows (9 per vector, a constant fan-out) and pairs
+    meet only on (bits, tbl, bkt) equality, reduced per split to
+    distinct pairs. Candidate volume — the measured output — is the
+    only pair-scale frame; the volume row is ONE keys=[] aggregate
+    stacked to 3 rows; panel scoring joins are panel-sized. Never
+    all-pairs, never a per-split re-join."""
+    emb = _emb(spark, sf_dir)
+    planes = _planes()
+    for p in range(N_PLANES):
+        arr = ("array(" + ", ".join(f"cast({s} as double)"
+                                    for s in planes[p]) + ")")
+        proj = (f"aggregate(zip_with(v, {arr}, (x, s) -> x * s),"
+                " cast(0.0 as double), (acc, x) -> acc + x)")
+        emb = emb.withColumn(
+            f"sb{p}",
+            F.expr(f"cast(CASE WHEN {proj} > 0 THEN 1 ELSE 0 END"
+                   " as bigint)"))
+    emb = emb.cache()
+    idx = None
+    for bits in BITS_SWEEP:
+        for t in range(N_PLANES // bits):
+            bkt = " + ".join(f"sb{t * bits + r} * {1 << r}"
+                             for r in range(bits))
+            part = emb.select("vec_id", F.lit(bits).alias("bits"),
+                              F.lit(t).alias("tbl"),
+                              F.expr(bkt).alias("bkt"))
+            idx = part if idx is None else idx.unionByName(part)
+    a, b = idx.alias("a"), idx.alias("b")
+    pairq = (a.join(b, (F.col("a.bits") == F.col("b.bits"))
+                    & (F.col("a.tbl") == F.col("b.tbl"))
+                    & (F.col("a.bkt") == F.col("b.bkt"))
+                    & (F.col("a.vec_id") != F.col("b.vec_id")))
+             .select(F.col("a.bits").alias("bits"),
+                     F.col("a.vec_id").alias("a_id"),
+                     F.col("b.vec_id").alias("b_id"))
+             .dropDuplicates(["bits", "a_id", "b_id"])
+             .cache())
+    # all 3 volume cells in ONE keys=[] aggregate over the pair table
+    vols = pairq.agg(*[
+        F.coalesce(F.sum(F.expr(
+            f"cast(bits = {bb} and a_id < b_id as int)")), F.lit(0))
+        .cast("long").alias(f"v_{bb}") for bb in BITS_SWEEP])
+    vol_stack = ", ".join(
+        f"{bb}, {N_PLANES // bb}, v_{bb}" for bb in BITS_SWEEP)
+    vol_rows = vols.select(F.expr(
+        f"stack({len(BITS_SWEEP)}, {vol_stack})"
+        " AS (bits_per_table, n_tables, n_cand_pairs)"))
+    exact1 = (ann_cosine_topk(spark, sf_dir)
+              .filter(F.col("rn") == 1)
+              .select("query_id",
+                      F.col("neighbor_id").alias("exact_nn"),
+                      F.col("cos").alias("exact_cos")))
+    va = emb.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"),
+                    F.col("norm").alias("na"))
+    vb = emb.select(F.col("vec_id").alias("b_id"),
+                    F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y),"
+                 " cast(0.0 as double), (acc, x) -> acc + x)")
+    wt = Window.partitionBy("bits", "query_id").orderBy(
+        F.col("cos").desc(), "neighbor_id")
+    tops = (pairq.filter(F.col("a_id") < N_QUERIES)
+            .join(maybe_broadcast(va, sf_dir, "embeddings"), "a_id")
+            .join(maybe_broadcast(vb, sf_dir, "embeddings"), "b_id")
+            .select("bits", F.col("a_id").alias("query_id"),
+                    F.col("b_id").alias("neighbor_id"),
+                    (dot / (F.col("na") * F.col("nb"))).alias("cos"))
+            .withColumn("rn", F.row_number().over(wt))
+            .filter(F.col("rn") == 1)
+            .select(F.col("bits").alias("bits_per_table"), "query_id",
+                    F.col("neighbor_id").alias("lsh_nn"),
+                    F.round("cos", 6).alias("lsh_cos")))
+    grid_keys = exact1.crossJoin(
+        F.broadcast(vol_rows.select("bits_per_table")))
+    stats = (grid_keys.join(tops, ["bits_per_table", "query_id"], "left")
+             .groupBy("bits_per_table")
+             .agg(F.count(F.lit(1)).alias("n_queries"),
+                  F.sum(F.when(F.col("lsh_nn").isNotNull(), 1)
+                        .otherwise(0)).alias("n_answered"),
+                  F.sum(F.when(F.col("lsh_nn") == F.col("exact_nn"), 1)
+                        .otherwise(0)).alias("n_hit1"),
+                  F.sum(F.when(F.col("lsh_nn").isNotNull(),
+                               F.round((F.col("exact_cos")
+                                        - F.col("lsh_cos"))
+                                       * 1_000_000).cast("long"))
+                        .otherwise(0)).alias("cos_gap_micro")))
+    return (stats.join(F.broadcast(vol_rows), ["bits_per_table"])
+            .select("bits_per_table", "n_tables", "n_cand_pairs",
+                    "n_queries", "n_answered", "n_hit1",
+                    F.expr("n_hit1 * 1000000 div n_queries")
+                    .alias("recall1_ppm"),
+                    "cos_gap_micro")
+            .orderBy("bits_per_table"))
+
+
+def _bits_sweep_oracle() -> str:
+    from ..registry import oracle_sql_of
+
+    planes = _planes()
+    sig_cols = []
+    for p in range(N_PLANES):
+        arr = "[" + ", ".join(f"CAST({s} AS DOUBLE)"
+                              for s in planes[p]) + "]"
+        sig_cols.append(
+            f"CAST(CASE WHEN list_dot_product(v, {arr}) > 0"
+            f" THEN 1 ELSE 0 END AS BIGINT) AS sb{p}")
+    idx_parts = []
+    for bits in BITS_SWEEP:
+        for t in range(N_PLANES // bits):
+            bkt = " + ".join(f"sb{t * bits + r} * {1 << r}"
+                             for r in range(bits))
+            idx_parts.append(
+                f"    SELECT vec_id, {bits} AS bits, {t} AS tbl,"
+                f" {bkt} AS bkt FROM sig")
+    idx_union = "\n    UNION ALL\n".join(idx_parts)
+    blocks = f"""exact AS (
+    SELECT query_id, neighbor_id AS exact_nn, cos AS exact_cos
+    FROM ({oracle_sql_of('ann_cosine_topk')}) e WHERE rn = 1
+), embx AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), sig AS (
+    SELECT vec_id, {', '.join(sig_cols)} FROM embx
+), idx AS (
+{idx_union}
+), pairq AS (
+    SELECT DISTINCT a.bits, a.vec_id AS a_id, b.vec_id AS b_id
+    FROM idx a JOIN idx b
+      ON b.bits = a.bits AND b.tbl = a.tbl AND b.bkt = a.bkt
+     AND b.vec_id <> a.vec_id
+), panel AS (
+    SELECT pr.bits, pr.a_id AS query_id, pr.b_id AS neighbor_id,
+           list_dot_product(q.v, n.v)
+           / (sqrt(list_dot_product(q.v, q.v))
+              * sqrt(list_dot_product(n.v, n.v))) AS cos
+    FROM pairq pr
+    JOIN embx q ON q.vec_id = pr.a_id
+    JOIN embx n ON n.vec_id = pr.b_id
+    WHERE pr.a_id < {N_QUERIES}
+)"""
+    selects = []
+    for bits in BITS_SWEEP:
+        selects.append(f"""
+SELECT {bits} AS bits_per_table, {N_PLANES // bits} AS n_tables,
+       (SELECT CAST(COALESCE(SUM(CASE WHEN a_id < b_id
+                             THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM pairq WHERE bits = {bits}) AS n_cand_pairs,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN l.lsh_nn IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_answered,
+       CAST(SUM(CASE WHEN l.lsh_nn = e.exact_nn THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit1,
+       CAST(SUM(CASE WHEN l.lsh_nn = e.exact_nn THEN 1 ELSE 0 END)
+            AS BIGINT) * 1000000 // COUNT(*) AS recall1_ppm,
+       CAST(SUM(CASE WHEN l.lsh_nn IS NOT NULL
+                THEN CAST(ROUND((e.exact_cos - l.lsh_cos) * 1000000)
+                          AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS cos_gap_micro
+FROM exact e LEFT JOIN (
+    SELECT query_id, neighbor_id AS lsh_nn, ROUND(cos, 6) AS lsh_cos
+    FROM (SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rn
+          FROM panel WHERE bits = {bits})
+    WHERE rn = 1
+) l USING (query_id)""")
+    u = "\nUNION ALL\n".join(selects)
+    return ("WITH " + blocks
+            + f"\nSELECT * FROM (\n{u}\n) ORDER BY bits_per_table")
+
+
+register("ann_lsh_bits_sweep", ann_lsh_bits_sweep, _bits_sweep_oracle(),
+         "LSH plane-budget split: 2x6 / 3x4 / 4x3 tables, one join")

@@ -76,6 +76,11 @@ _BNLJ_BOUNDED = {
     # by cross join
     "ann_lsh_grid": re.compile(
         rf"vec_id#\d+L? < {N_QUERIES}|keys=\[\]"),
+    # r15 bits-per-table sweep: same exact-panel bound, plus the ONE
+    # 3-cell volume aggregate (keys=[]) stacked and attached by cross
+    # join (the ann_lsh_grid pattern on the budget-split axis)
+    "ann_lsh_bits_sweep": re.compile(
+        rf"vec_id#\d+L? < {N_QUERIES}|keys=\[\]"),
     # r15 PQ M sweep: the embedded exact panel's BNLJ plus the 1-row
     # per-M reconstruction aggregates (keys=[]); routing/codebook/LUT
     # cross joins are hinted model-size broadcasts

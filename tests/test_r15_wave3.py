@@ -335,3 +335,74 @@ def test_residual_gain_numpy_replay(spark, sf_small):
             total = total + d2.min(axis=1)
         micro = sum(int(_round_half_up(x * 1e6, 0)) for x in total)
         assert int(got.loc[enc]) == micro, (enc, int(got.loc[enc]), micro)
+
+
+# --------------------------------------------- LSH bits-per-table
+def test_bits_sweep_b4_equals_tables_sweep_t3(spark, sf_oracle):
+    """B=4 splits the 12 planes exactly like ann_lsh_bucketed's three
+    4-bit tables, so the row must equal the tables sweep's T=3 row."""
+    bits = _collect(spark, "ann_lsh_bits_sweep", sf_oracle)
+    sweep = _collect(spark, "ann_lsh_tables_sweep", sf_oracle)
+    b4 = bits[bits.bits_per_table == 4].iloc[0]
+    t3 = sweep[sweep.n_tables == 3].iloc[0]
+    for col in ["n_cand_pairs", "n_queries", "n_answered", "n_hit1",
+                "recall1_ppm", "cos_gap_micro"]:
+        assert int(b4[col]) == int(t3[col]), (col, b4[col], t3[col])
+
+
+def test_bits_sweep_b6_nested_in_both(spark, sf_oracle):
+    """Each 6-bit table's plane set contains a whole 4-bit AND a whole
+    3-bit table's ({0..5} >= {0..3} and {0..2}; {6..11} >= {8..11} and
+    {9..11}), so B=6 candidates are a subset of both other splits —
+    counts monotone. B=4 vs B=3 is intentionally NOT asserted (planes
+    {4..7} contain no whole 3-bit table: not nested)."""
+    g = _collect(spark, "ann_lsh_bits_sweep", sf_oracle).set_index(
+        "bits_per_table")
+    for col in ["n_cand_pairs", "n_answered", "n_hit1"]:
+        assert g.loc[6, col] <= g.loc[4, col], (col, "6 vs 4")
+        assert g.loc[6, col] <= g.loc[3, col], (col, "6 vs 3")
+    assert (g.n_tables == [12 // b for b in g.index]).all()
+
+
+def test_bits_sweep_numpy_replay(spark, sf_small):
+    from impractical_impala_spark.queries.similarity import (
+        BITS_SWEEP, N_PLANES, N_QUERIES, _planes)
+
+    v = _load_vecs(sf_small)
+    n = len(v)
+    planes = np.array(_planes(), dtype=np.float64)
+    bits12 = (_seq_dot(v, planes) > 0).astype(np.int64)
+    norms = np.sqrt(np.array([np.sum(x * x) for x in v]))
+    cos = (v @ v.T) / np.outer(norms, norms)
+    np.fill_diagonal(cos, -np.inf)
+    exact_nn = cos[:N_QUERIES].argmax(axis=1)
+    exact_cos = _round_half_up(cos[np.arange(N_QUERIES), exact_nn], 6)
+    got = (_collect(spark, "ann_lsh_bits_sweep", sf_small)
+           .sort_values("bits_per_table").reset_index(drop=True))
+    rows = []
+    for bb in BITS_SWEEP:
+        nt = N_PLANES // bb
+        buckets = np.zeros((n, nt), dtype=np.int64)
+        for t in range(nt):
+            for r in range(bb):
+                buckets[:, t] += bits12[:, t * bb + r] << r
+        qual = (buckets[:, None, :] == buckets[None, :, :]).any(axis=2)
+        np.fill_diagonal(qual, False)
+        iu = np.triu_indices(n, 1)
+        n_cand = int(qual[iu].sum())
+        hits = gap = answered = 0
+        for q in range(N_QUERIES):
+            cand = np.where(qual[q])[0]
+            if len(cand) == 0:
+                continue
+            answered += 1
+            best = cand[cos[q, cand].argmax()]
+            lsh_cos = _round_half_up(cos[q, best], 6)
+            if best == exact_nn[q]:
+                hits += 1
+            gap += int(_round_half_up((exact_cos[q] - lsh_cos) * 1e6, 0))
+        rows.append((bb, nt, n_cand, N_QUERIES, answered, hits,
+                     hits * 1_000_000 // N_QUERIES, gap))
+    want = pd.DataFrame(rows, columns=got.columns.tolist())
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"))
