@@ -548,6 +548,10 @@ HEADLINE = [
     "ann_ivf_residual_pq",
     "ann_pq_residual_gain",
     "ann_lsh_bits_sweep",
+    # r15 fourth wave: training-pipeline audits — per-(lang, shard)
+    # packing efficiency and the mixture-temperature recipe sweep.
+    "doc_pack_efficiency",
+    "source_mixture_temperature",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

@@ -616,3 +616,180 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(MAX(n_bp * 1000000 // n_frags) AS BIGINT) AS max_bp_ppm
 FROM per_doc GROUP BY source ORDER BY source
 """, "per-source boilerplate fragment share (recurring sentence census)")
+
+
+# ------------------------------------------- packing efficiency audit
+PACK_SHARDS = 8  # stream shards per lang — the parallelism dial
+
+
+def doc_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit at the STREAM grain — the numbers an
+    operator reads before fixing the shard layout that pack_sequences
+    only gestures at ("(lang, source, shard) on a real lake"): per
+    (lang, shard = doc_id % PACK_SHARDS) concat-then-split stream at
+    the same PACK_BUDGET, how many context windows the stream fills,
+    how many documents straddle a window boundary (their loss-masking
+    cost is the thing packing trades against padding), and how full
+    the tail window is. Same whitespace token measure as
+    pack_sequences, so per-lang token totals are EQUAL across the two
+    stream layouts (the pinned cross-law: packing never creates or
+    drops tokens).
+
+    Scale shape: one scan, one shuffle on (lang, shard); the window
+    cumulative sum is linear per shard and PACK_SHARDS is the
+    parallelism dial (at the lake: shards ~ corpus/shard-target, the
+    per-shard tail waste amortizes to <= 1 window per shard — exactly
+    how pretraining shard writers bound it). Everything after the
+    window is integer arithmetic off the per-doc offsets, so the
+    audit hashes exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.expr(f"pmod(doc_id, {PACK_SHARDS})").alias("shard"),
+        F.expr(f"cast(size({_SPARK_WORDS}) as bigint)").alias("tok"))
+    w = (Window.partitionBy("lang", "shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    pos = toks.withColumn(
+        "strt", F.coalesce(F.sum("tok").over(w), F.lit(0)))
+    marked = pos.select(
+        "lang", "shard", "tok",
+        F.expr(f"cast(tok > 0 and strt div {PACK_BUDGET}"
+               f" != (strt + tok - 1) div {PACK_BUDGET} as int)")
+        .alias("crossing"))
+    return (marked.groupBy("lang", "shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("tok").alias("total_tokens"),
+                 F.expr(f"cast((sum(tok) + {PACK_BUDGET} - 1)"
+                        f" div {PACK_BUDGET} as bigint)").alias("n_bins"),
+                 F.sum("crossing").cast("long").alias("n_crossing"))
+            .select("lang", "shard", "n_docs", "total_tokens", "n_bins",
+                    "n_crossing",
+                    F.expr(f"(total_tokens - (n_bins - 1) * {PACK_BUDGET})"
+                           f" * 1000000 div {PACK_BUDGET}")
+                    .alias("tail_fill_ppm"))
+            .orderBy("lang", "shard"))
+
+
+register("doc_pack_efficiency", doc_pack_efficiency, f"""
+WITH toks AS (
+    SELECT doc_id, lang, doc_id % {PACK_SHARDS} AS shard,
+           CAST(len({_DUCK_WORDS}) AS BIGINT) AS tok
+    FROM documents
+), pos AS (
+    SELECT *, COALESCE(SUM(tok) OVER (
+        PARTITION BY lang, shard ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+    FROM toks
+), marked AS (
+    SELECT lang, shard, tok,
+           CASE WHEN tok > 0 AND strt // {PACK_BUDGET}
+                     <> (strt + tok - 1) // {PACK_BUDGET}
+                THEN 1 ELSE 0 END AS crossing
+    FROM pos
+)
+SELECT lang, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       CAST((SUM(tok) + {PACK_BUDGET} - 1) // {PACK_BUDGET} AS BIGINT)
+           AS n_bins,
+       CAST(SUM(crossing) AS BIGINT) AS n_crossing,
+       CAST((SUM(tok) - ((SUM(tok) + {PACK_BUDGET} - 1) // {PACK_BUDGET}
+                         - 1) * {PACK_BUDGET}) * 1000000 // {PACK_BUDGET}
+            AS BIGINT) AS tail_fill_ppm
+FROM marked GROUP BY 1, 2 ORDER BY 1, 2
+""", "per-(lang, shard) packing efficiency: windows, straddles, tail")
+
+
+# --------------------------------------- mixture temperature sweep
+MIX_ALPHA_TENTHS = (0, 5, 7, 10)  # sampling temperature alpha x 10
+
+from .monitor_eval import _ha_sql as _mix_ha  # noqa: E402
+
+
+def _mix_pow(a: int) -> str:
+    # IDENTICAL text on both engines: pow of exact integers through
+    # single correctly-rounded IEEE ops -> the same double everywhere
+    return (f"pow(CAST(n_docs AS DOUBLE), CAST({a} AS DOUBLE) / 10)"
+            " * 1e6")
+
+
+def source_mixture_temperature(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting sweep — the standard
+    multilingual/multi-source sampling recipe (w_d proportional to
+    n_d^alpha): per (lang, source) domain and alpha in {0, .5, .7, 1},
+    the micro-quantized tempered weight, its ppm share of the recipe,
+    and the effective number of domains ESS = (sum w)^2 / sum w^2 the
+    temperature leaves (alpha=1 reproduces natural proportions
+    exactly; alpha=0 is uniform with ESS = #domains exactly — both
+    pinned laws; between, the curve is the measured answer to "how
+    hard does this temperature flatten my recipe"). mix_weighted_sample
+    consumes a FIXED recipe; this sweep is how that recipe gets
+    chosen.
+
+    Scale shape: ONE corpus reduce to the (lang, source) domain frame
+    (cached), then per alpha a domain-cardinality projection plus a
+    1-row keys=[] total attached by broadcast — no second corpus
+    scan, no pair frames. Weights are half-away micro-quantized
+    BEFORE the cross-domain sums, so every reduction is order-free
+    integer arithmetic; square sums ride DECIMAL(38,0)/HUGEINT
+    (w_micro ~ 1e15 at lake domain sizes puts w^2 past int64); the
+    ppm share is an exact 128-bit integer division both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    dom = (docs.groupBy("lang", "source")
+           .agg(F.count(F.lit(1)).alias("n_docs")).cache())
+    out = None
+    for a in MIX_ALPHA_TENTHS:
+        wm = dom.select(
+            "lang", "source", "n_docs",
+            F.expr(_mix_ha(_mix_pow(a))).alias("weight_micro"))
+        tot = wm.agg(
+            F.sum(F.expr("cast(weight_micro as decimal(38,0))"))
+            .alias("s1"),
+            F.sum(F.expr("cast(weight_micro as decimal(38,0))"
+                         " * weight_micro")).alias("s2"))
+        row = wm.crossJoin(F.broadcast(tot)).select(
+            F.lit(a).alias("alpha_tenths"), "lang", "source", "n_docs",
+            "weight_micro",
+            F.expr("cast(cast(weight_micro as decimal(38,0)) * 1000000"
+                   " div s1 as bigint)").alias("share_ppm"),
+            F.expr(_mix_ha("CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+                           " * 1e3 / CAST(s2 AS DOUBLE)"))
+            .alias("ess_milli"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("alpha_tenths", "lang", "source")
+
+
+def _mixture_oracle() -> str:
+    blocks = ["""dom AS (
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1, 2
+)"""]
+    selects = []
+    for a in MIX_ALPHA_TENTHS:
+        blocks.append(f"""wm{a} AS (
+    SELECT lang, source, n_docs,
+           {_mix_ha(_mix_pow(a))} AS weight_micro
+    FROM dom
+)""")
+        blocks.append(f"""tot{a} AS (
+    SELECT CAST(SUM(CAST(weight_micro AS HUGEINT)) AS HUGEINT) AS s1,
+           CAST(SUM(CAST(weight_micro AS HUGEINT) * weight_micro)
+                AS HUGEINT) AS s2
+    FROM wm{a}
+)""")
+        selects.append(f"""
+SELECT {a} AS alpha_tenths, lang, source, n_docs, weight_micro,
+       CAST(CAST(weight_micro AS HUGEINT) * 1000000 // s1 AS BIGINT)
+           AS share_ppm,
+       {_mix_ha("CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * 1e3"
+                " / CAST(s2 AS DOUBLE)")} AS ess_milli
+FROM wm{a} CROSS JOIN tot{a}""")
+    u = "\nUNION ALL\n".join(selects)
+    return ("WITH " + ",\n".join(blocks)
+            + f"\nSELECT * FROM (\n{u}\n)"
+            " ORDER BY alpha_tenths, lang, source")
+
+
+register("source_mixture_temperature", source_mixture_temperature,
+         _mixture_oracle(),
+         "tempered mixture weights + ESS per alpha (recipe chooser)")
