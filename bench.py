@@ -552,6 +552,9 @@ HEADLINE = [
     # packing efficiency and the mixture-temperature recipe sweep.
     "doc_pack_efficiency",
     "source_mixture_temperature",
+    # r15 fifth wave: the value-weighted Ljung-Box daily monitor
+    # (30-finalizer fleet).
+    "events_ljung_box_value",
 ]
 
 # Queries whose recorded number was flagged as possible variance in a

@@ -709,6 +709,14 @@ CHANGED_THIS_ROUND: dict[str, int] = {
     "events_day_icc": 15,
     "events_dow_anova_value": 15,
     "emb_fisher_ratio_dims": 15,
+    # Late round 15 (as-of 15): events_ljung_box rerouted through the
+    # extracted ljung_box_from_daily helper (census-derived day range
+    # and type set — the r12 fleet seam rule; drops two fact-table
+    # scans). Values A/B-verified row-identical at sf0.01; the plan
+    # changed, so it is listed. The helper serves the new
+    # events_ljung_box_value twin and the 29th/30th streaming
+    # finalizers.
+    "events_ljung_box": 15,
 }
 
 from ..registry import registered_names  # noqa: E402

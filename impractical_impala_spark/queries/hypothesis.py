@@ -313,14 +313,31 @@ FROM flagged ORDER BY event_type
 LB_LAGS = 7
 
 
-def _lb_q_expr() -> str:
+def _lb_q_expr(wide_regs: bool = False, huge: bool = False) -> str:
     """Engine-agnostic Q expression over the per-type integer
     sufficient columns (n, s, q, a{k}, t1{k}, t2{k} for k=1..LB_LAGS):
     rho_k in exact-rational form scaled by n^2, Q as one float
     fold in FIXED textual order (identical left-to-right evaluation
     in both engines). Denominator guard: a constant series
-    (n*q = s*s) yields NULL rather than a division blowup."""
-    den = "(cast(n as double) * (n * q - s * s))"
+    (n*q = s*s) yields NULL rather than a division blowup.
+    ``wide_regs``: the only INTEGER products in the expression are the
+    guard and the denominator core n*q - s*s, which pass int64 at
+    value scale (q ~ n*v^2 puts n*q near 3e19 when the daily
+    whole-unit value v reaches ~1.5e7 — the 1000x operating point);
+    the wide form rides them through 128-bit registers (DECIMAL(38,0)
+    on Spark, HUGEINT when ``huge`` for the DuckDB oracle) with the
+    identical double cast after, so values are bit-equal wherever the
+    narrow form was valid. The default keeps the count path's
+    expression text byte-for-byte."""
+    if wide_regs:
+        reg = "HUGEINT" if huge else "decimal(38,0)"
+        core = (f"cast(cast(n as {reg}) * q"
+                f" - cast(s as {reg}) * s as double)")
+        den = f"(cast(n as double) * {core})"
+        guard = f"cast(n as {reg}) * q = cast(s as {reg}) * s"
+    else:
+        den = "(cast(n as double) * (n * q - s * s))"
+        guard = "n * q = s * s"
     terms = []
     for k in range(1, LB_LAGS + 1):
         num = (f"(cast(n as double) * n * a{k}"
@@ -328,27 +345,29 @@ def _lb_q_expr() -> str:
                f" + cast(n - {k} as double) * s * s)")
         terms.append(f"(({num} / {den}) * ({num} / {den}) / (n - {k}))")
     q_sum = " + ".join(terms)
-    return (f"case when n * q = s * s then null else"
+    return (f"case when {guard} then null else"
             f" cast(n as double) * (n + 2) * ({q_sum}) end")
 
 
-def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ljung-Box portmanteau Q over lags 1..LB_LAGS on each event
-    type's ZERO-FILLED daily count series — the white-noise gate that
-    complements events_pacf (is there any autocorrelation at all?).
-    The lag-k autocorrelation is kept exact by scaling through n^2:
-    n^2*sum((x_t-xbar)(x_{t-k}-xbar)) = n^2*A_k - n*S*(T1_k+T2_k)
-    + (n-k)*S^2 with A/T1/T2/S/Q exact integers off the day spine
-    (n^2*A_k <= 900 * 30 * 670^2 ~ 1.2e10 at sf0.1 — int64 holds to
-    ~1e7-row days); Q folds the 7 lag terms in fixed textual order
-    and quantizes to micro. Verdict vs the pre-quantized chi2(7) 5%
-    critical value. One fact scan -> (type x day) counts; the spine
-    join and 7 lag windows run on calendar-bounded rows."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.expr(f"ts_ns div {DAY_NS}").alias("d"))
-    cnt = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("c"))
-    rng = ev.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
-    types = ev.select("event_type").distinct()
+def ljung_box_from_daily(cnt: DataFrame,
+                         wide_regs: bool = False) -> DataFrame:
+    """Core of events_ljung_box over any (event_type, d, c) daily
+    frame — the lag-k autocorrelation kept exact by scaling through
+    n^2: n^2*sum((x_t-xbar)(x_{t-k}-xbar)) = n^2*A_k - n*S*(T1_k+T2_k)
+    + (n-k)*S^2 with A/T1/T2/S/Q exact integers off the day spine; Q
+    folds the LB_LAGS terms in fixed textual order and quantizes to
+    micro vs the pre-quantized chi2 critical value. Day range and
+    type set derive from the COUNTS (identical values, fact-free
+    helper — the r12 fleet seam rule), so the streaming twin
+    (streaming/ljung_box.py) finalizes the shared hourly state
+    through the IDENTICAL arithmetic. ``wide_regs`` widens the two
+    integer products that pass int64 at value scale (see
+    _lb_q_expr); the count path keeps the narrow text byte-for-byte."""
+    rng = (cnt.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+           .select(F.col("dmin").alias("dmin"),
+                   F.col("dmax").alias("dmax")))
+    types = (cnt.select(F.col("event_type").alias("event_type"))
+             .distinct())
     spine = (types.crossJoin(F.broadcast(rng))
              .select("event_type",
                      F.explode(F.expr("sequence(dmin, dmax)")).alias("d")))
@@ -370,7 +389,7 @@ def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
                          f" then x else 0 end")).alias(f"t1{k}"),
             F.sum(F.coalesce(F.col(f"x{k}"), F.lit(0))).alias(f"t2{k}")]
     suff = lagged.groupBy("event_type").agg(*aggs)
-    q_expr = _lb_q_expr()
+    q_expr = _lb_q_expr(wide_regs)
     return (suff.select(
         "event_type", F.col("n").cast("long").alias("n_days"),
         F.expr(_ha(f"({q_expr}) * 1e6")).alias("q_micro"),
@@ -378,6 +397,20 @@ def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
                f" <= {_half_away(CHI2_95[LB_LAGS] * 1e6)} as int)")
         .alias("white_noise"))
         .orderBy("event_type"))
+
+
+def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau Q over lags 1..LB_LAGS on each event
+    type's ZERO-FILLED daily count series — the white-noise gate that
+    complements events_pacf (is there any autocorrelation at all?).
+    See ljung_box_from_daily for the exact-integer scaling
+    (n^2*A_k <= 900 * 30 * 670^2 ~ 1.2e10 at sf0.1 — int64 holds to
+    ~1e7-row days). One fact scan -> (type x day) counts; the spine
+    join and LB_LAGS lag windows run on calendar-bounded rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts_ns div {DAY_NS}").alias("d"))
+    cnt = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("c"))
+    return ljung_box_from_daily(cnt)
 
 
 def _lb_oracle() -> str:

@@ -473,3 +473,64 @@ SELECT event_type, CAST(n AS BIGINT) AS n_days,
            AS significant
 FROM agg ORDER BY event_type
 """, "Pettitt rank change-point on zero-filled daily value per type")
+
+
+# ------------------------------------------- Ljung-Box white noise (value)
+from .hypothesis import LB_LAGS, _lb_q_expr, ljung_box_from_daily  # noqa: E402
+
+
+def events_ljung_box_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is daily SPEND white noise, or does it carry autocorrelation a
+    forecaster should model? Identical Ljung-Box arithmetic to
+    events_ljung_box (ljung_box_from_daily), fed whole-unit daily
+    value sums — with wide_regs: at value scale n*q ~ n^2*v^2 and s^2
+    pass int64 around v ~ 1.5e7 (the 1000x operating point), so the
+    guard and denominator core ride DECIMAL(38,0)/HUGEINT with the
+    identical double cast after (values bit-equal wherever the narrow
+    registers were valid)."""
+    return ljung_box_from_daily(_daily_values_by_type(spark, sf_dir),
+                                wide_regs=True)
+
+
+def _lb_value_oracle() -> str:
+    lag_cols = ",\n           ".join(
+        f"LAG(x, {k}) OVER (PARTITION BY event_type ORDER BY d) AS x{k}"
+        for k in range(1, LB_LAGS + 1))
+    lag_aggs = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN x{k} IS NOT NULL THEN x * x{k} ELSE 0 END)"
+        f" AS BIGINT) AS a{k},\n           "
+        f"CAST(SUM(CASE WHEN x{k} IS NOT NULL THEN x ELSE 0 END)"
+        f" AS BIGINT) AS t1{k},\n           "
+        f"CAST(SUM(COALESCE(x{k}, 0)) AS BIGINT) AS t2{k}"
+        for k in range(1, LB_LAGS + 1))
+    q_expr = _lb_q_expr(wide_regs=True, huge=True)
+    return _EV_CTE + f""", spine AS (
+    SELECT t.event_type, s.d
+    FROM (SELECT DISTINCT event_type FROM ev) t,
+         (SELECT UNNEST(range(dmin, dmax + 1)) AS d FROM rng) s
+), filled AS (
+    SELECT spine.event_type, spine.d, COALESCE(daily.c, 0) AS x
+    FROM spine LEFT JOIN daily
+      ON spine.event_type = daily.event_type AND spine.d = daily.d
+), lagged AS (
+    SELECT event_type, x,
+           {lag_cols}
+    FROM filled
+), suff AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS s,
+           CAST(SUM(x * x) AS BIGINT) AS q,
+           {lag_aggs}
+    FROM lagged GROUP BY event_type
+)
+SELECT event_type, n AS n_days,
+       {_ha(f"({q_expr}) * 1e6")} AS q_micro,
+       CAST({_ha(f"({q_expr}) * 1e6")}
+            <= {_half_away(CHI2_95[LB_LAGS] * 1e6)} AS INT) AS white_noise
+FROM suff ORDER BY event_type
+"""
+
+
+register("events_ljung_box_value", events_ljung_box_value,
+         _lb_value_oracle(),
+         f"Ljung-Box Q (lags 1..{LB_LAGS}) on zero-filled daily value")

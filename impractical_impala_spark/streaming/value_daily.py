@@ -30,7 +30,8 @@ from types import SimpleNamespace
 from pyspark.sql import DataFrame
 
 from ..queries.dynamics import te_from_daily
-from ..queries.hypothesis import dow_anova_from_daily
+from ..queries.hypothesis import (dow_anova_from_daily,
+                                  ljung_box_from_daily)
 from ..queries.monitor_eval import sprt_from_per_day
 from ..queries.spectral_info import granger_from_daily, hurst_from_daily
 from ..queries.stat_tests import pettitt_from_daily
@@ -39,6 +40,7 @@ from .autocorr import latest_state, streaming_autocorr24_state
 from .dailyfold import daily_values_by_type, daily_values_global
 
 __all__ = ["te", "granger", "dow_anova", "hurst", "pettitt", "sprt",
+           "ljung_box",
            "latest_state", "streaming_value_daily_state"]
 
 
@@ -77,7 +79,17 @@ def _finalize_sprt(state_rows: DataFrame) -> DataFrame:
         sprt_value_per_day(daily_values_by_type(state_rows)))
 
 
+def _finalize_ljung_box(state_rows: DataFrame) -> DataFrame:
+    # wide_regs: value-scale n*q and s^2 pass int64 (see
+    # events_ljung_box_value) — the batch query sets the same flag,
+    # so the widened registers are shared text and bit-equal
+    return ljung_box_from_daily(daily_values_by_type(state_rows),
+                                wide_regs=True)
+
+
 te = SimpleNamespace(finalize=_finalize_te, latest_state=latest_state)
+ljung_box = SimpleNamespace(finalize=_finalize_ljung_box,
+                            latest_state=latest_state)
 sprt = SimpleNamespace(finalize=_finalize_sprt, latest_state=latest_state)
 granger = SimpleNamespace(finalize=_finalize_granger,
                           latest_state=latest_state)

@@ -1,11 +1,11 @@
 """The daily-family streaming twins (transfer entropy, Granger,
-day-of-week ANOVA, Hurst, Pettitt, SPRT — and the six VALUE-weighted
+day-of-week ANOVA, Hurst, Pettitt, SPRT, Ljung-Box — and the seven VALUE-weighted
 r14 siblings over the state's micro value sums) must finalize to
 EXACTLY their batch queries — AvailableNow, chunked replay, and a
 crash/restart through the same checkpoint. The daily counts/values fold
 from the SAME hourly state the nine hourly monitors read (hr div 24,
 exact integer sums; values take ONE trunc div to whole units after the
-fold); the closing test pins the full TWENTY-EIGHT-finalizer fleet over
+fold); the closing test pins the full THIRTY-finalizer fleet over
 one state stream."""
 
 import time
@@ -26,6 +26,7 @@ from impractical_impala_spark.streaming import fano as FA
 from impractical_impala_spark.streaming import gapfill as GF
 from impractical_impala_spark.streaming import granger as GR
 from impractical_impala_spark.streaming import hurst as HU
+from impractical_impala_spark.streaming import ljung_box as LB
 from impractical_impala_spark.streaming import monthly as MO
 from impractical_impala_spark.streaming import pacf as PC
 from impractical_impala_spark.streaming import peak_load as PL
@@ -57,6 +58,8 @@ TWINS = {
     "sprt": (SP, "events_sprt_sequential",
              ["d_idx", "x", "n", "llr_micro", "hit_upper", "hit_lower",
               "state"]),
+    "ljung_box": (LB, "events_ljung_box",
+                  ["event_type", "n_days", "q_micro", "white_noise"]),
     # value-weighted daily siblings (r14): same state, same shared
     # helpers, fed whole-unit daily VALUE sums off the micro state sums
     "te_value": (VD.te, "events_te_value",
@@ -74,6 +77,9 @@ TWINS = {
     "sprt_value": (VD.sprt, "events_sprt_value",
                    ["d_idx", "x", "n", "llr_micro", "hit_upper",
                     "hit_lower", "state"]),
+    "ljung_box_value": (VD.ljung_box, "events_ljung_box_value",
+                        ["event_type", "n_days", "q_micro",
+                         "white_noise"]),
 }
 
 HOURLY = [
@@ -207,19 +213,19 @@ def test_daily_twin_restart_from_checkpoint(spark, split_dir, tmp_path,
             _want(spark, sf_small, qname, cols))
 
 
-def test_one_state_stream_feeds_twentyeight_finalizers(spark, split_dir,
-                                                       sf_small):
-    """The shared hourly state serves TWENTY-EIGHT finalizers (nine
+def test_one_state_stream_feeds_thirty_finalizers(spark, split_dir,
+                                                  sf_small):
+    """The shared hourly state serves THIRTY finalizers (nine
     count-only hourly + the four value-weighted r13 hourly twins + the
     r14 quarterly grain + the r15 4-5-4 retail fiscal quarter AND
-    month grains + six count daily + six value daily) — one
-    AvailableNow pass, twenty-eight finalizes, twenty-eight batch
-    matches."""
+    month grains + seven count daily + seven value daily) — one
+    AvailableNow pass, thirty finalizes, thirty batch matches."""
+    assert len(HOURLY) + len(TWINS) == 30
     q = (_stream_state(spark, split_dir, max_files=100)
-         .writeStream.format("memory").queryName("t_twentyeight_state")
+         .writeStream.format("memory").queryName("t_thirty_state")
          .outputMode("update").trigger(availableNow=True).start())
     q.awaitTermination()
-    rows = spark.table("t_twentyeight_state")
+    rows = spark.table("t_thirty_state")
     for mod, qname, cols in HOURLY + [TWINS[t] for t in sorted(TWINS)]:
         got = _got(spark, mod, rows, cols)
         want = _want(spark, sf_small, qname, cols)
