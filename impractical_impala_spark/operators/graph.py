@@ -84,10 +84,24 @@ def connected_components(edges: DataFrame, src: str, dst: str,
         "(component diameter exceeds max_iter)")
 
 
-def _peel(e0: DataFrame, k: int, max_iter: int) -> tuple:
+def _peel(e0: DataFrame, k: int, max_iter: int, *,
+          n_edges_in: int | None = None,
+          keep_frame: bool = False) -> tuple:
     """Peel to the k-core fixpoint of the cached edge frame ``e0``.
-    Returns (n_nodes, n_edges) of the surviving subgraph."""
+    Returns (n_nodes, n_edges) of the surviving subgraph — plus the
+    fixpoint edge frame (localCheckpointed; the CALLER owns its blocks)
+    when ``keep_frame``.
+
+    Optimization r15: the edge count of the current frame is carried
+    FORWARD between rounds (round N's ``nxt.count()`` is round N+1's
+    ``n_cur``) instead of re-counted, halving the non-checkpoint job
+    count per round; ``n_edges_in`` lets a caller that already knows
+    ``count(e0)`` (the nested-core binary search below) skip the
+    initial count job too. Fixpoint detection is unchanged: nxt is a
+    subset of cur by construction, so count equality still means set
+    equality."""
     cur = e0.localCheckpoint(eager=True)
+    n_cur = cur.count() if n_edges_in is None else n_edges_in
     # try/finally: the CURRENT round's checkpoint blocks are released on
     # every exit path — converged return AND the max_iter raise (which
     # previously leaked cur's blocks until RDD GC).
@@ -100,16 +114,21 @@ def _peel(e0: DataFrame, k: int, max_iter: int) -> tuple:
             nxt = (cur.join(keep.withColumnRenamed("u", "a"), "a", "left_semi")
                    .join(keep.withColumnRenamed("u", "b"), "b", "left_semi")
                    .select("a", "b").localCheckpoint(eager=True))
-            n_cur, n_nxt = cur.count(), nxt.count()
+            n_nxt = nxt.count()
             _drop_checkpoint(cur)
             cur = nxt
             if n_nxt == n_cur:
                 n_nodes = (cur.select(F.col("a").alias("u"))
                            .unionByName(cur.select(F.col("b").alias("u")))
                            .distinct().count())
+                if keep_frame:
+                    out, cur = cur, e0  # caller owns the fixpoint blocks
+                    return n_nodes, n_nxt, out
                 return n_nodes, n_nxt
+            n_cur = n_nxt
     finally:
-        _drop_checkpoint(cur)
+        if cur is not e0:
+            _drop_checkpoint(cur)
     raise RuntimeError(
         f"k-core peel: k={k} did not stabilize in {max_iter} rounds")
 
@@ -130,10 +149,27 @@ def k_core_summary(edges: DataFrame, ks: tuple[int, ...],
     the Python reference peel in the tests pins its semantics."""
     e0 = edges.select(F.col("a"), F.col("b")).distinct().cache()
     spark = e0.sparkSession
+    # Optimization r15: k-cores are NESTED (core_{k'} of core_k equals
+    # core_{k'} of the full graph for k' >= k — peeling is confluent),
+    # so ascending k peels start from the previous fixpoint instead of
+    # the full edge set; results are identical, rounds shrink with the
+    # surviving subgraph. Output rows keep the caller's ks order.
+    by_k: dict[int, tuple] = {}
+    base, base_n = e0, None
     try:
-        rows = [(k, *_peel(e0, k, max_iter)) for k in ks]
+        for k in sorted(set(ks)):
+            n_nodes, n_edges, frame = _peel(base, k, max_iter,
+                                            n_edges_in=base_n,
+                                            keep_frame=True)
+            by_k[k] = (n_nodes, n_edges)
+            if base is not e0:
+                _drop_checkpoint(base)
+            base, base_n = frame, n_edges
     finally:
+        if base is not e0:
+            _drop_checkpoint(base)
         e0.unpersist()
+    rows = [(k, *by_k[k]) for k in ks]
     return spark.createDataFrame(rows, ["k", "n_nodes", "n_edges"])
 
 
@@ -149,8 +185,19 @@ def degeneracy_core(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     The one collect is the 1-row max-degree aggregate (model-size)."""
     e0 = edges.select(F.col("a"), F.col("b")).distinct().cache()
     spark = e0.sparkSession
+    # Optimization r15 (OPTIMIZATION_r15.md): every binary-search probe
+    # is for some k >= 2, and k-cores are nested (peeling is confluent:
+    # core_k of core_j == core_k of the graph for j <= k), so probes
+    # peel from the INNERMOST non-empty core found so far — initially
+    # the 2-core — instead of the full edge set. Identical fixpoints,
+    # far fewer rounds per probe (the base shrinks as lo rises); the
+    # carried edge count also skips each probe's initial count job.
+    base = None     # edge frame of core_lo (caller-owned checkpoint)
+    base_n = None   # its edge count
     try:
-        two = _peel(e0, 2, max_iter)
+        two_n, two_e, base = _peel(e0, 2, max_iter, keep_frame=True)
+        two = (two_n, two_e)
+        base_n = two_e
         maxdeg = (e0.select(F.col("a").alias("u"))
                   .unionByName(e0.select(F.col("b").alias("u")))
                   .groupBy("u").agg(F.count(F.lit(1)).alias("d"))
@@ -163,15 +210,23 @@ def degeneracy_core(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         lo, lo_sizes = 1, None
         hi = maxdeg + 1
         while hi - lo > 1:
-            mid = (lo + hi) // 2
-            sizes = _peel(e0, mid, max_iter)
-            if sizes[1] > 0:
-                lo, lo_sizes = mid, sizes
+            mid = (lo + hi) // 2  # mid > lo >= 1, so mid >= 2: the
+            # 2-core (and later the lo-core) is always a valid base
+            n_nodes, n_edges, frame = _peel(base, mid, max_iter,
+                                            n_edges_in=base_n,
+                                            keep_frame=True)
+            if n_edges > 0:
+                lo, lo_sizes = mid, (n_nodes, n_edges)
+                _drop_checkpoint(base)
+                base, base_n = frame, n_edges
             else:
                 hi = mid
+                _drop_checkpoint(frame)
         if lo_sizes is None:  # degeneracy 1: the graph itself
             lo_sizes = _peel(e0, 1, max_iter)
     finally:
+        if base is not None:
+            _drop_checkpoint(base)
         e0.unpersist()
     return spark.createDataFrame(
         [("2core", 2, *two), ("degeneracy", lo, *lo_sizes)],

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..broadcast_gate import maybe_broadcast
+from ..functions import vecfold
 from ..registry import register, oracle_sql_of
 from ..sources import load_table
 
@@ -420,8 +421,6 @@ def embedding_neardup_frame(emb: DataFrame, cap: int = NB_QUERY_MAX) -> DataFram
     ann_cosine_topk, never quadratic. Below the cap the panel is the
     full corpus, so small-SF results are unchanged from the unbounded
     form (tests pin the unbounded twin against this one)."""
-    from pyspark.sql import Window
-
     n = emb.agg(F.count(F.lit(1)).alias("n_vec"))
     panel = (
         emb.crossJoin(F.broadcast(n))
@@ -438,10 +437,9 @@ def embedding_neardup_frame(emb: DataFrame, cap: int = NB_QUERY_MAX) -> DataFram
     # r7 mechanized BNLJ sweep): a corpus-sized broadcast at 100 TB.
     # The cap bounds the true panel size, so the hint is always safe.
     a, b = panel.alias("a"), emb.alias("b")
-    dot = F.expr(
-        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0.0 as double),"
-        " (acc, x) -> acc + x)"
-    )
+    # unrolled codegen dot — bit-identical to the zip_with fold it
+    # replaces (vecfold module docstring has the op-order argument)
+    dot = F.expr(vecfold.dot("a.v", "b.v", 64))
     pairs = (
         F.broadcast(a).join(b, F.col("a.vec_id") != F.col("b.vec_id"))
         .select(
@@ -450,11 +448,22 @@ def embedding_neardup_frame(emb: DataFrame, cap: int = NB_QUERY_MAX) -> DataFram
             (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cos"),
         )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    # top-1 per query via a PARTIAL-AGGREGATING max over
+    # struct(cos, -neighbor_id) instead of row_number over a window:
+    # lexicographic struct max picks max cos, then (via the negated id)
+    # the SMALLEST neighbor_id among exact ties — precisely the window's
+    # (cos DESC, neighbor_id ASC) first row, including NaN placement
+    # (Spark's total order ranks NaN greatest in both sort and max).
+    # The agg map-side-combines cap-many rows per task, so the cap x n
+    # pair stream is never sorted or shuffled (guide §2.3 "aggregate
+    # before you shuffle"); plan: Sort+Window -> HashAggregate.
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "neighbor_id", F.round("cos", 6).alias("cos"))
+        pairs.groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("cos"),
+                            (-F.col("neighbor_id")).alias("neg_id")))
+             .alias("top"))
+        .select("vec_id", (-F.col("top.neg_id")).alias("neighbor_id"),
+                F.round("top.cos", 6).alias("cos"))
     )
 
 
@@ -653,8 +662,8 @@ def _spark_emb_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return base.unionByName(copies).unionByName(jit).withColumn(
         "norm",
-        F.expr("sqrt(aggregate(v, cast(0.0 as double),"
-               " (acc, x) -> acc + x * x))"),
+        # row-scale: the fold stays (vecfold.fold_dot docstring)
+        F.expr(f"sqrt({vecfold.fold_self_dot('v')})"),
     )
 
 
@@ -672,9 +681,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         terms = []
         for r in range(BITS_PER_TABLE):
             plane = planes[t * BITS_PER_TABLE + r]
-            arr = "array(" + ", ".join(f"cast({s} as double)" for s in plane) + ")"
-            proj = (f"aggregate(zip_with(v, {arr}, (x, s) -> x * s),"
-                    " cast(0.0 as double), (acc, x) -> acc + x)")
+            proj = vecfold.fold_dot_const("v", plane)
             terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << r} ELSE 0 END)")
         emb = emb.withColumn(f"bucket{t}", F.expr(" + ".join(terms)).cast("bigint"))
     emb = emb.cache()
@@ -698,10 +705,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("norm").alias("nb"))
     cand = cand.join(maybe_broadcast(va, sf_dir, "embeddings"), "vec_id") \
                .join(maybe_broadcast(vb, sf_dir, "embeddings"), "neighbor_id")
-    dot = F.expr(
-        "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double),"
-        " (acc, x) -> acc + x)"
-    )
+    # candidate volume here is bucket-local (measured regression with
+    # the unroll — vecfold.fold_dot docstring): the fold stays
+    dot = F.expr(vecfold.fold_dot("va", "vb"))
     return (
         cand.select("vec_id", "neighbor_id",
                     (dot / (F.col("na") * F.col("nb"))).alias("cos"))

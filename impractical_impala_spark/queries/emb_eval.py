@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import vecfold
 from ..registry import register, oracle_sql_of
 from ..sources import load_table
 from .ml_more import DIM, Q_SCALE, PCA_VNORM, emb_pca_topk
@@ -128,13 +129,12 @@ def emb_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.expr("transform(embedding, x -> cast(x as double))")
                    .alias("v"))
            .withColumn("norm", F.expr(
-               "sqrt(aggregate(v, cast(0.0 as double),"
-               " (acc, x) -> acc + x * x))")))
+               f"sqrt({vecfold.self_dot('v', DIM)})")))
     q = emb.filter(F.col("vec_id") < N_QUERIES).alias("q")
     c = emb.alias("c")
-    dot = F.expr(
-        "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), cast(0.0 as double),"
-        " (acc, x) -> acc + x)")
+    # unrolled codegen dot — bit-identical to the zip_with fold it
+    # replaces (vecfold module docstring has the op-order argument)
+    dot = F.expr(vecfold.dot("q.v", "c.v", DIM))
     pairs = F.broadcast(q).join(
         c, F.col("q.vec_id") != F.col("c.vec_id")).select(
         F.col("q.vec_id").alias("query_id"),
@@ -256,16 +256,13 @@ def emb_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("db_id"), F.col("v").alias("cv"))
 
     def cos(d: int | None) -> str:
-        if d is None:
-            qs, cs = "qv", "cv"
-        else:
-            qs, cs = f"slice(qv, 1, {d})", f"slice(cv, 1, {d})"
-        dot = (f"aggregate(zip_with({qs}, {cs}, (x, y) -> x * y),"
-               " cast(0.0 as double), (acc, x) -> acc + x)")
-        nq = (f"sqrt(aggregate({qs}, cast(0.0 as double),"
-              " (acc, x) -> acc + x * x))")
-        nc = (f"sqrt(aggregate({cs}, cast(0.0 as double),"
-              " (acc, x) -> acc + x * x))")
+        # unrolled over the prefix directly: slice(qv, 1, d)[i] ==
+        # qv[i] for i < d, so indexing the full array to depth d is
+        # term-for-term the fold over the slice (same op order)
+        n = DIM if d is None else d
+        dot = vecfold.dot("qv", "cv", n)
+        nq = f"sqrt({vecfold.self_dot('qv', n)})"
+        nc = f"sqrt({vecfold.self_dot('cv', n)})"
         return f"({dot}) / (({nq}) * ({nc}))"
 
     pairs = F.broadcast(q).crossJoin(c).select(
@@ -371,15 +368,10 @@ def emb_binary_sign_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("db_id"), F.col("v").alias("cv"))
-    dot = ("aggregate(zip_with(qv, cv, (x, y) -> x * y),"
-           " cast(0.0 as double), (acc, x) -> acc + x)")
-    nq = ("sqrt(aggregate(qv, cast(0.0 as double),"
-          " (acc, x) -> acc + x * x))")
-    nc = ("sqrt(aggregate(cv, cast(0.0 as double),"
-          " (acc, x) -> acc + x * x))")
-    ham = ("aggregate(zip_with(qv, cv, (x, y) ->"
-           " cast((x > 0) != (y > 0) as int)),"
-           " 0, (acc, d) -> acc + d)")
+    dot = vecfold.dot("qv", "cv", DIM)
+    nq = f"sqrt({vecfold.self_dot('qv', DIM)})"
+    nc = f"sqrt({vecfold.self_dot('cv', DIM)})"
+    ham = vecfold.sign_mismatch("qv", "cv", DIM)
     pairs = F.broadcast(q).crossJoin(c).select(
         "query_id", "db_id",
         F.expr(f"({dot}) / (({nq}) * ({nc}))").alias("cos"),
@@ -727,8 +719,8 @@ def emb_random_projection_audit(spark: SparkSession,
     eb = emb.select(F.col("vec_id").alias("b"), F.col("xq").alias("xb"))
     od2 = (F.broadcast(ea).join(eb, F.col("a") < F.col("b"))
            .select("a", "b", F.expr(
-               "aggregate(zip_with(xa, xb, (x, y) -> (x - y) * (x - y)),"
-               " cast(0 as bigint), (acc, x) -> acc + x)").alias("o2")))
+               vecfold.sq_dist("xa", "xb", DIM, zero=vecfold.L_ZERO))
+               .alias("o2")))
     ratio = f"(cast(p2 as double) / {RP_K} / cast(o2 as double))"
     pairs = (pd2.join(od2, ["a", "b"])
              .select(F.expr(_ha(f"({ratio}) * 1e6")).alias("r_ppm")))

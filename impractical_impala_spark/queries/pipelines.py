@@ -78,13 +78,14 @@ def _pipe_signature_terms(spark_dialect: bool) -> str:
     (similarity._plane_sign planes 0-3) in either SQL dialect."""
     from .similarity import DIM, _plane_sign
 
+    from ..functions import vecfold
+
     terms = []
     for p in range(PIPE_BITS):
         plane = [_plane_sign(p, j) for j in range(DIM)]
         if spark_dialect:
-            arr = "array(" + ", ".join(f"cast({s} as double)" for s in plane) + ")"
-            proj = (f"aggregate(zip_with(v, {arr}, (x, s) -> x * s),"
-                    " cast(0.0 as double), (acc, x) -> acc + x)")
+            # row-scale signature: the fold stays (vecfold.fold_dot)
+            proj = vecfold.fold_dot_const("v", plane)
         else:
             arr = "[" + ", ".join(f"CAST({s} AS DOUBLE)" for s in plane) + "]"
             proj = f"list_dot_product(v, {arr})"
@@ -121,8 +122,10 @@ def ann_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("norm").alias("na"))
     rhs = emb.select(F.col("vec_id").alias("vb"), F.col("v").alias("xb"),
                      F.col("norm").alias("nb"))
-    dot = F.expr("aggregate(zip_with(xa, xb, (x, y) -> x * y),"
-                 " cast(0.0 as double), (acc, x) -> acc + x)")
+    from ..functions import vecfold
+    from .similarity import DIM
+
+    dot = F.expr(vecfold.dot("xa", "xb", DIM))
     pairs = (
         cand.join(maybe_broadcast(lhs, sf_dir, "embeddings"), "va")
         .join(maybe_broadcast(rhs, sf_dir, "embeddings"), "vb")

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import vecfold
 from ..registry import register
 from ..sources import load_table
 from .monitor_eval import _ha_sql
@@ -54,8 +55,10 @@ _ONE_MINUS_LAM = "cast(0.3 as double)"
 
 _VQ_SPARK = (f"transform(embedding, x -> "
              f"cast(floor(cast(x as double) * {Q_SCALE}) as bigint))")
-_IDOT = ("aggregate(zip_with(q.vq, c.vq, (x, y) -> x * y),"
-         " cast(0 as bigint), (acc, x) -> acc + x)")
+# pool-scale sims (panel x corpus is 5 x n; pool pairs are 20^2 per
+# query): the fold stays — the unroll's per-instance plan bloat costs
+# more than these row counts (vecfold.fold_dot docstring)
+_IDOT = vecfold.fold_dot("q.vq", "c.vq", zero=vecfold.L_ZERO)
 
 
 def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,15 +76,14 @@ def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (load_table(spark, sf_dir, "embeddings")
            .select("vec_id", F.expr(_VQ_SPARK).alias("vq"))
            .withColumn("ssq", F.expr(
-               "aggregate(vq, cast(0 as bigint),"
-               " (acc, x) -> acc + x * x)"))
+               vecfold.fold_self_dot("vq", zero=vecfold.L_ZERO)))
            .cache())
     q = emb.filter(F.col("vec_id") < MMR_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vq").alias("qvq"),
         F.col("ssq").alias("qssq"))
     c = emb.select(F.col("vec_id").alias("cand_id"), "vq", "ssq")
-    sim = ("cast(aggregate(zip_with(qvq, vq, (x, y) -> x * y),"
-           " cast(0 as bigint), (acc, x) -> acc + x) as double)"
+    sim = (f"cast({vecfold.fold_dot('qvq', 'vq', zero=vecfold.L_ZERO)}"
+           " as double)"
            " / (sqrt(cast(qssq as double)) * sqrt(cast(ssq as double)))")
     # query panel is predicate-bounded -> it is the broadcast side
     scored = (F.broadcast(q).join(
@@ -97,8 +99,8 @@ def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("vq").alias("avq"), F.col("ssq").alias("assq"))
     pb = pool.select("query_id", F.col("cand_id").alias("b"),
                      F.col("vq").alias("bvq"), F.col("ssq").alias("bssq"))
-    psim = ("cast(aggregate(zip_with(avq, bvq, (x, y) -> x * y),"
-            " cast(0 as bigint), (acc, x) -> acc + x) as double)"
+    psim = (f"cast({vecfold.fold_dot('avq', 'bvq', zero=vecfold.L_ZERO)}"
+            " as double)"
             " / (sqrt(cast(assq as double)) * sqrt(cast(bssq as double)))")
     pairs = (pa.join(pb, "query_id")
              .filter(F.col("a") != F.col("b"))

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..broadcast_gate import maybe_broadcast
+from ..functions import vecfold
 from ..registry import register
 from ..sources import load_table
 
@@ -41,7 +42,8 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     ).withColumn(
         "norm",
-        F.expr("sqrt(aggregate(v, cast(0.0 as double), (acc, x) -> acc + x * x))"),
+        # row-scale: the fold stays (vecfold.fold_dot docstring)
+        F.expr(f"sqrt({vecfold.fold_self_dot('v')})"),
     )
 
 
@@ -52,10 +54,11 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).cache()
     q = emb.filter(F.col("vec_id") < N_QUERIES).alias("q")
     c = emb.alias("c")
-    dot = F.expr(
-        "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), cast(0.0 as double),"
-        " (acc, x) -> acc + x)"
-    )
+    # panel x corpus is only N_QUERIES x n pairs (and this subplan is
+    # embedded as the exact baseline inside every LSH/IVF sweep): the
+    # fold stays — the unroll's per-instance plan bloat costs more than
+    # 20k interpreted evaluations (vecfold.fold_dot docstring)
+    dot = F.expr(vecfold.fold_dot("q.v", "c.v"))
     # The predicate-bounded QUERY PANEL must be the broadcast side —
     # explicitly. Without the hint Spark picks by size estimate and at
     # sf0.01 chose the full corpus (caught by the r7 mechanized BNLJ
@@ -112,9 +115,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         terms = []
         for r in range(BITS_PER_TABLE):
             plane = planes[t * BITS_PER_TABLE + r]
-            arr = "array(" + ", ".join(f"cast({s} as double)" for s in plane) + ")"
-            proj = (f"aggregate(zip_with(v, {arr}, (x, s) -> x * s),"
-                    " cast(0.0 as double), (acc, x) -> acc + x)")
+            proj = vecfold.fold_dot_const("v", plane)
             terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << r} ELSE 0 END)")
         emb = emb.withColumn(f"bucket{t}", F.expr(" + ".join(terms)).cast("bigint"))
     emb = emb.cache()
@@ -143,10 +144,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("norm").alias("nb"))
     cand = cand.join(maybe_broadcast(va, sf_dir, "embeddings"), "vec_id") \
                .join(maybe_broadcast(vb, sf_dir, "embeddings"), "neighbor_id")
-    dot = F.expr(
-        "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double),"
-        " (acc, x) -> acc + x)"
-    )
+    dot = F.expr(vecfold.dot("va", "vb", DIM))
     scored = cand.select(
         "vec_id", "neighbor_id", (dot / (F.col("na") * F.col("nb"))).alias("cos")
     )
@@ -230,10 +228,7 @@ def ann_lsh_tables_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         terms = []
         for r in range(BITS_PER_TABLE):
             plane = planes[t * BITS_PER_TABLE + r]
-            arr = ("array(" + ", ".join(f"cast({s} as double)"
-                                        for s in plane) + ")")
-            proj = (f"aggregate(zip_with(v, {arr}, (x, s) -> x * s),"
-                    " cast(0.0 as double), (acc, x) -> acc + x)")
+            proj = vecfold.fold_dot_const("v", plane)
             terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << r} ELSE 0 END)")
         emb = emb.withColumn(f"bucket{t}",
                              F.expr(" + ".join(terms)).cast("bigint"))
@@ -247,8 +242,7 @@ def ann_lsh_tables_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("norm").alias("na"))
     vb = emb.select(F.col("vec_id").alias("neighbor_id"),
                     F.col("v").alias("vb"), F.col("norm").alias("nb"))
-    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y),"
-                 " cast(0.0 as double), (acc, x) -> acc + x)")
+    dot = F.expr(vecfold.fold_dot("va", "vb"))
     out = None
     for nt in TABLE_SWEEP:
         tables = None
@@ -411,9 +405,7 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = []
     for r in range(MP_BITS):
         plane = planes[r]
-        arr = "array(" + ", ".join(f"cast({s} as double)" for s in plane) + ")"
-        proj = (f"aggregate(zip_with(v, {arr}, (x, s) -> x * s),"
-                " cast(0.0 as double), (acc, x) -> acc + x)")
+        proj = vecfold.fold_dot_const("v", plane)
         terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << r} ELSE 0 END)")
     emb = emb.withColumn("sig", F.expr(" + ".join(terms)).cast("bigint"))
     emb = emb.cache()
@@ -441,9 +433,7 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("v").alias("vb"), F.col("norm").alias("nb"))
     cand = cand.join(maybe_broadcast(va, sf_dir, "embeddings"), "vec_id") \
                .join(maybe_broadcast(vb, sf_dir, "embeddings"), "neighbor_id")
-    dot = F.expr(
-        "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double),"
-        " (acc, x) -> acc + x)")
+    dot = F.expr(vecfold.fold_dot("va", "vb"))
     scored = cand.select(
         "vec_id", "neighbor_id", "rad",
         (dot / (F.col("na") * F.col("nb"))).alias("cos"))
@@ -535,8 +525,7 @@ def _ivf_search(emb: DataFrame, cent: DataFrame,
     ``n_probe`` cells per query, search exactly within them. Search
     touches only probed cells (~n_probe/n_cells of the corpus).
     ``cent`` columns: cell_id, cv (array<double>), cnorm."""
-    cdot = F.expr("aggregate(zip_with(v, cv, (x, y) -> x * y),"
-                  " cast(0.0 as double), (acc, x) -> acc + x)")
+    cdot = F.expr(vecfold.dot("v", "cv", DIM))
     scored = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id", "v", "norm", "cell_id",
         (cdot / (F.col("norm") * F.col("cnorm"))).alias("ccos"),
@@ -552,8 +541,7 @@ def _ivf_search(emb: DataFrame, cent: DataFrame,
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("norm").alias("q_norm"), F.col("cell_id").alias("cell"),
     )
-    qdot = F.expr("aggregate(zip_with(qv, cv_full, (x, y) -> x * y),"
-                  " cast(0.0 as double), (acc, x) -> acc + x)")
+    qdot = F.expr(vecfold.dot("qv", "cv_full", DIM))
     cand = probes.join(assigned, "cell").filter(
         F.col("query_id") != F.col("c_vec_id")
     ).select(
@@ -673,13 +661,12 @@ def train_ivf_centroids(spark: SparkSession, emb: DataFrame,
     # model-size collect: k seed rows of dim ints
     cent_q = {int(r.vec_id): [int(x) for x in r.vq]
               for r in embq.filter(F.col("vec_id") < k).collect()}
-    idot = F.expr("aggregate(zip_with(vq, cq, (x, y) -> x * y),"
-                  " cast(0 as bigint), (acc, x) -> acc + x)")
+    idot = F.expr(vecfold.dot("vq", "cq", DIM, zero=vecfold.L_ZERO))
     for _ in range(iters):
         cent = spark.createDataFrame(
             sorted(cent_q.items()), "cell_id long, cq array<bigint>",
         ).withColumn("cssq", F.expr(
-            "aggregate(cq, cast(0 as bigint), (acc, x) -> acc + x * x)"))
+            vecfold.self_dot("cq", DIM, zero=vecfold.L_ZERO)))
         scored = embq.crossJoin(F.broadcast(cent)).select(
             "vec_id", "vq", "cell_id",
             (idot.cast("double")
@@ -712,7 +699,7 @@ def train_ivf_centroids(spark: SparkSession, emb: DataFrame,
         F.expr(f"transform(cq, c -> cast(c as double) / {Q_SCALE})")
         .alias("cv"),
     ).withColumn("cnorm", F.expr(
-        "sqrt(aggregate(cv, cast(0.0 as double), (acc, x) -> acc + x * x))"
+        f"sqrt({vecfold.fold_self_dot('cv')})"
     ))
 
 
@@ -1028,8 +1015,7 @@ def _ivf_pq_search(emb: DataFrame, cent: DataFrame,
     axis; the default reproduces the standing PQ_M=4 index with
     byte-identical plans — r12 extraction rule verified)."""
     pq_sub = DIM // pq_m  # == PQ_SUB at the default pq_m
-    cdot = F.expr("aggregate(zip_with(v, cv, (x, y) -> x * y),"
-                  " cast(0.0 as double), (acc, x) -> acc + x)")
+    cdot = F.expr(vecfold.fold_dot("v", "cv"))
     scored = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id", "v", "cell_id",
         (cdot / (F.col("norm") * F.col("cnorm"))).alias("ccos"))
@@ -1054,8 +1040,7 @@ def _ivf_pq_search(emb: DataFrame, cent: DataFrame,
     ).select("vec_id", F.col("e.m").alias("m"), F.col("e.sv").alias("sv"))
     codebook = sub.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("code"), "m", F.col("sv").alias("cbv"))
-    dist = F.expr("aggregate(zip_with(sv, cbv, (x, y) -> (x - y) * (x - y)),"
-                  " cast(0.0 as double), (acc, d) -> acc + d)")
+    dist = F.expr(vecfold.fold_sq_dist("sv", "cbv"))
     db_sub = sub.filter(F.col("vec_id") >= N_QUERIES)
     wc = Window.partitionBy("vec_id", "m").orderBy("dist", "code")
     codes = (db_sub.join(F.broadcast(codebook), "m")
@@ -1240,8 +1225,7 @@ def ann_ivf_pq_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("v").alias("qv"), F.col("norm").alias("qn"))
     nv = emb.select(F.col("vec_id").alias("neighbor_id"),
                     F.col("v").alias("nv"), F.col("norm").alias("nn_"))
-    tcos = F.expr("aggregate(zip_with(qv, nv, (x, y) -> x * y),"
-                  " cast(0.0 as double), (acc, x) -> acc + x)")
+    tcos = F.expr(vecfold.fold_dot("qv", "nv"))
     out = None
     for p in PROBE_SWEEP:
         top1 = (_ivf_pq_search(emb, cent, n_probe=p)
@@ -1356,10 +1340,7 @@ def ann_lsh_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         terms = []
         for r in range(BITS_PER_TABLE):
             plane = planes[t * BITS_PER_TABLE + r]
-            arr = ("array(" + ", ".join(f"cast({s} as double)"
-                                        for s in plane) + ")")
-            proj = (f"aggregate(zip_with(v, {arr}, (x, s) -> x * s),"
-                    " cast(0.0 as double), (acc, x) -> acc + x)")
+            proj = vecfold.fold_dot_const("v", plane)
             terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << r} ELSE 0 END)")
         emb = emb.withColumn(f"bucket{t}",
                              F.expr(" + ".join(terms)).cast("bigint"))
@@ -1393,8 +1374,7 @@ def ann_lsh_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("norm").alias("na"))
     vb = emb.select(F.col("vec_id").alias("b_id"),
                     F.col("v").alias("vb"), F.col("norm").alias("nb"))
-    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y),"
-                 " cast(0.0 as double), (acc, x) -> acc + x)")
+    dot = F.expr(vecfold.fold_dot("va", "vb"))
     panel = (pairq.filter(F.col("a_id") < N_QUERIES)
              .join(maybe_broadcast(va, sf_dir, "embeddings"), "a_id")
              .join(maybe_broadcast(vb, sf_dir, "embeddings"), "b_id")
@@ -1579,10 +1559,8 @@ def ann_pq_m_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("v").alias("qv"), F.col("norm").alias("qn"))
     nv = emb.select(F.col("vec_id").alias("neighbor_id"),
                     F.col("v").alias("nv"), F.col("norm").alias("nn_"))
-    tcos = F.expr("aggregate(zip_with(qv, nv, (x, y) -> x * y),"
-                  " cast(0.0 as double), (acc, x) -> acc + x)")
-    dist = F.expr("aggregate(zip_with(sv, cbv, (x, y) -> (x - y) * (x - y)),"
-                  " cast(0.0 as double), (acc, d) -> acc + d)")
+    tcos = F.expr(vecfold.fold_dot("qv", "nv"))
+    dist = F.expr(vecfold.fold_sq_dist("sv", "cbv"))
     out = None
     for pm in M_SWEEP:
         ps = DIM // pm
@@ -1745,8 +1723,7 @@ def _ivf_rpq_search(emb: DataFrame, cent: DataFrame,
     subspace terms in fixed index order (exact same doubles both
     engines), so the composition carries a full hash oracle."""
     pq_sub = DIM // pq_m
-    cdot = F.expr("aggregate(zip_with(v, cv, (x, y) -> x * y),"
-                  " cast(0.0 as double), (acc, x) -> acc + x)")
+    cdot = F.expr(vecfold.dot("v", "cv", DIM))
     scored = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id", "v", "cell_id", "cv",
         (cdot / (F.col("norm") * F.col("cnorm"))).alias("ccos"))
@@ -1768,8 +1745,7 @@ def _ivf_rpq_search(emb: DataFrame, cent: DataFrame,
              F.col("e.sv").alias("sv"))
     codebook = sub.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("code"), "m", F.col("sv").alias("cbv"))
-    dist = F.expr("aggregate(zip_with(sv, cbv, (x, y) -> (x - y) * (x - y)),"
-                  " cast(0.0 as double), (acc, d) -> acc + d)")
+    dist = F.expr(vecfold.sq_dist("sv", "cbv", pq_sub))
     wc = Window.partitionBy("vec_id", "m").orderBy("dist", "code")
     codes = (sub.filter(F.col("vec_id") >= N_QUERIES)
              .join(F.broadcast(codebook), "m")
@@ -1942,8 +1918,7 @@ def ann_pq_residual_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     both rows hash exactly."""
     emb = _emb(spark, sf_dir).cache()
     cent = train_ivf_centroids(spark, ivf_training_sample(emb))
-    cdot = F.expr("aggregate(zip_with(v, cv, (x, y) -> x * y),"
-                  " cast(0.0 as double), (acc, x) -> acc + x)")
+    cdot = F.expr(vecfold.dot("v", "cv", DIM))
     scored = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id", "v",
         (cdot / (F.col("norm") * F.col("cnorm"))).alias("ccos"),
@@ -1956,8 +1931,7 @@ def ann_pq_residual_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.expr("zip_with(v, cv, (x, y) -> x - y)")
                      .alias("xv")))
     plain = emb.select("vec_id", F.col("v").alias("xv"))
-    dist = F.expr("aggregate(zip_with(sv, cbv, (x, y) -> (x - y) * (x - y)),"
-                  " cast(0.0 as double), (acc, d) -> acc + d)")
+    dist = F.expr(vecfold.sq_dist("sv", "cbv", PQ_SUB))
     out = None
     for enc, frame in (("plain", plain), ("residual", resid)):
         sub = frame.select(
@@ -2091,10 +2065,7 @@ def ann_lsh_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     planes = _planes()
     for p in range(N_PLANES):
-        arr = ("array(" + ", ".join(f"cast({s} as double)"
-                                    for s in planes[p]) + ")")
-        proj = (f"aggregate(zip_with(v, {arr}, (x, s) -> x * s),"
-                " cast(0.0 as double), (acc, x) -> acc + x)")
+        proj = vecfold.fold_dot_const("v", planes[p])
         emb = emb.withColumn(
             f"sb{p}",
             F.expr(f"cast(CASE WHEN {proj} > 0 THEN 1 ELSE 0 END"
@@ -2138,8 +2109,7 @@ def ann_lsh_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("norm").alias("na"))
     vb = emb.select(F.col("vec_id").alias("b_id"),
                     F.col("v").alias("vb"), F.col("norm").alias("nb"))
-    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y),"
-                 " cast(0.0 as double), (acc, x) -> acc + x)")
+    dot = F.expr(vecfold.fold_dot("va", "vb"))
     wt = Window.partitionBy("bits", "query_id").orderBy(
         F.col("cos").desc(), "neighbor_id")
     tops = (pairq.filter(F.col("a_id") < N_QUERIES)

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import vecfold
 from ..registry import register
 from ..sources import load_table
 
@@ -171,8 +172,9 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("e.m").alias("m"), F.col("e.sv").alias("sv"))
     codebook = sub.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("code"), "m", F.col("sv").alias("cv"))
-    dist = F.expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)),"
-                  " cast(0.0 as double), (acc, d) -> acc + d)")
+    # unrolled codegen sq-dist — bit-identical to the zip_with fold
+    # (vecfold module docstring has the op-order argument)
+    dist = F.expr(vecfold.sq_dist("sv", "cv", PQ_SUB))
     scored = sub.join(F.broadcast(codebook), "m").withColumn("dist", dist)
     w = Window.partitionBy("vec_id", "m").orderBy("dist", "code")
     best = scored.withColumn("rn", F.row_number().over(w)) \
@@ -299,8 +301,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("e.m").alias("m"), F.col("e.sv").alias("sv"))
     codebook = sub.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("code"), "m", F.col("sv").alias("cv"))
-    dist = F.expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)),"
-                  " cast(0.0 as double), (acc, d) -> acc + d)")
+    dist = F.expr(vecfold.sq_dist("sv", "cv", PQ_SUB))
     db_sub = sub.filter(F.col("vec_id") >= ADC_NQ)
     scored = db_sub.join(F.broadcast(codebook), "m").withColumn("dist", dist)
     w = Window.partitionBy("vec_id", "m").orderBy("dist", "code")

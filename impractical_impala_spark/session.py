@@ -67,6 +67,20 @@ def tuned_conf(cores: int) -> dict[str, str]:
         # --- python boundary ---------------------------------------------
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        # --- JIT: compile wide generated projections -----------------------
+        # The vector kernels emit unrolled 64-term dot products (see
+        # functions/vecfold.py); Janino compiles them into one generated
+        # method whose bytecode exceeds HotSpot's default huge-method
+        # limit (8000 bytecode), so the JIT would leave exactly the
+        # hottest per-pair code INTERPRETED. Lifting the limit is the
+        # standard fix for wide-schema/wide-expression Spark codegen and
+        # is scale-independent (a real cluster sets the same flag on
+        # executors — both are set here; in local mode only the driver
+        # JVM exists). Measured at sf0.1: the exact-cosine pair scan
+        # drops ~3-4x vs both the interpreted fold and the unflagged
+        # unroll (OPTIMIZATION_r15.md).
+        "spark.driver.extraJavaOptions": "-XX:-DontCompileHugeMethods",
+        "spark.executor.extraJavaOptions": "-XX:-DontCompileHugeMethods",
         # --- determinism / oracle parity ----------------------------------
         "spark.sql.session.timeZone": "UTC",
         # ANSI off: the engine mirrors the reference's R semantics where
