@@ -94,46 +94,63 @@ def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                 "cand_id")
     pool = (scored.withColumn("rn", F.row_number().over(wq))
             .filter(F.col("rn") <= MMR_POOL)
-            .select("query_id", "cand_id", "vq", "ssq", "s").cache())
-    pa = pool.select("query_id", F.col("cand_id").alias("a"),
-                     F.col("vq").alias("avq"), F.col("ssq").alias("assq"))
-    pb = pool.select("query_id", F.col("cand_id").alias("b"),
-                     F.col("vq").alias("bvq"), F.col("ssq").alias("bssq"))
-    psim = (f"cast({vecfold.fold_dot('avq', 'bvq', zero=vecfold.L_ZERO)}"
-            " as double)"
-            " / (sqrt(cast(assq as double)) * sqrt(cast(bssq as double)))")
-    pairs = (pa.join(pb, "query_id")
-             .filter(F.col("a") != F.col("b"))
-             .select("query_id", "a", "b", F.expr(psim).alias("ps"))
-             .cache())
-    cand = pool.select("query_id", "cand_id", "s")
-    sel = (cand.withColumn("rn", F.row_number().over(
-        Window.partitionBy("query_id").orderBy(F.col("s").desc(),
-                                               "cand_id")))
-        .filter(F.col("rn") == 1)
-        .select("query_id", "cand_id", F.lit(1).alias("rnk"),
-                F.col("s").alias("score")))
-    for step in range(2, MMR_K + 1):
-        rem = cand.join(sel.select("query_id", "cand_id"),
-                        ["query_id", "cand_id"], "left_anti")
-        sel_ids = sel.select(F.col("query_id").alias("sq"),
-                             F.col("cand_id").alias("sb"))
-        mx = (rem.join(pairs.withColumnRenamed("query_id", "pq"),
-                       (F.col("query_id") == F.col("pq"))
-                       & (F.col("cand_id") == F.col("a")))
-              .join(sel_ids, (F.col("query_id") == F.col("sq"))
-                    & (F.col("b") == F.col("sb")))
-              .groupBy("query_id", "cand_id", "s")
-              .agg(F.max("ps").alias("mps")))
-        pick = (mx.withColumn("score", F.expr(
-            f"{_LAM} * s - {_ONE_MINUS_LAM} * mps"))
-            .withColumn("rn", F.row_number().over(
-                Window.partitionBy("query_id")
-                .orderBy(F.col("score").desc(), "cand_id")))
-            .filter(F.col("rn") == 1)
-            .select("query_id", "cand_id", F.lit(step).alias("rnk"),
-                    "score"))
-        sel = sel.unionByName(pick)
+            .select("query_id", "cand_id", "vq", "ssq", "s"))
+    # Optimization r15 (guide §1.2): the greedy itself runs on the
+    # DRIVER over the collected pool. The pool is MMR_QUERIES x
+    # MMR_POOL = 100 rows BY CONSTRUCTION at any corpus size (the
+    # row_number cutoff above), i.e. model-size — the same class as
+    # the k-centroid fetches the hygiene allowlist audits. The old
+    # unrolled in-plan greedy cost MMR_K-1 join+window rounds (~40
+    # stages) to re-rank 100 rows; the corpus is still touched exactly
+    # once, by the distributed pool scan above.
+    #
+    # Bit-identity: pool-pair sims are cast(int64 dot as double) /
+    # (sqrt(double ssq) * sqrt(double ssq)) — Python ints are exact,
+    # float() of an int < 2^53 is exact, math.sqrt / * / / are the
+    # same correctly-rounded IEEE-754 ops Spark executes; the MMR
+    # score is 0.7*s - 0.3*mps with the identical double literals in
+    # the identical op order. max()/sort tie-breaks replicate Spark's
+    # total order (NaN greatest) via the isnan sort key.
+    import math
+
+    rows = pool.collect()  # <= MMR_QUERIES * MMR_POOL rows: model-size
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+
+    def nan_hi(v: float) -> tuple:
+        return (math.isnan(v), v)  # NaN sorts greatest, Spark's order
+
+    out_rows = []
+    for qid in sorted(by_q):
+        cands = {r.cand_id: r for r in by_q[qid]}
+        vq = {c: list(r.vq) for c, r in cands.items()}
+        ssq = {c: float(r.ssq) for c, r in cands.items()}
+
+        def ps(a: int, b: int) -> float:
+            d = sum(x * y for x, y in zip(vq[a], vq[b]))  # exact int64
+            return float(d) / (math.sqrt(ssq[a]) * math.sqrt(ssq[b]))
+
+        first = max(cands.values(),
+                    key=lambda r: (*nan_hi(r.s), -r.cand_id))
+        selected = [first.cand_id]
+        out_rows.append((qid, 1, first.cand_id, float(first.s)))
+        for step in range(2, MMR_K + 1):
+            rem = [r for r in cands.values()
+                   if r.cand_id not in selected]
+            if not rem:
+                break
+            scored_rem = []
+            for r in rem:
+                mps = max((ps(r.cand_id, b) for b in selected),
+                          key=nan_hi)
+                scored_rem.append((0.7 * r.s - 0.3 * mps, r.cand_id))
+            score, cid = max(scored_rem,
+                             key=lambda t: (*nan_hi(t[0]), -t[1]))
+            selected.append(cid)
+            out_rows.append((qid, step, cid, score))
+    sel = spark.createDataFrame(
+        out_rows, "query_id long, rnk int, cand_id long, score double")
     return (sel.select("query_id", "rnk",
                        F.col("cand_id").alias("neighbor_id"),
                        (F.round("score", 6) + 0.0).alias("mmr"))

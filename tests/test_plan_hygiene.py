@@ -177,12 +177,18 @@ _PKG = os.path.join(os.path.dirname(os.path.dirname(
 #                  entry carries a provable size bound)
 #   operators/graph.py 1x 1-row degree-quantile aggregate (adaptive
 #                  k-core levels)
+#   queries/retrieval_curation.py 1x the MMR pool — MMR_QUERIES x
+#                  MMR_POOL = 100 rows BY CONSTRUCTION (row_number
+#                  cutoff) at any corpus size; the driver-side greedy
+#                  replaced ~40 stages of unrolled joins (r15
+#                  optimization; OPTIMIZATION_r15.md)
 _MATERIALIZE_ALLOW = {
     "queries/layout.py": 1,
     "queries/similarity.py": 2,
     "queries/ml_more.py": 1,
     "plans/wdi.py": 1,
     "operators/graph.py": 1,
+    "queries/retrieval_curation.py": 1,
 }
 
 _CALL = re.compile(r"\.collect\(\)|\.toPandas\(\)|collectAsList")
