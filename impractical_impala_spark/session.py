@@ -79,8 +79,17 @@ def tuned_conf(cores: int) -> dict[str, str]:
         # JVM exists). Measured at sf0.1: the exact-cosine pair scan
         # drops ~3-4x vs both the interpreted fold and the unflagged
         # unroll (OPTIMIZATION_r15.md).
-        "spark.driver.extraJavaOptions": "-XX:-DontCompileHugeMethods",
-        "spark.executor.extraJavaOptions": "-XX:-DontCompileHugeMethods",
+        # ReservedCodeCacheSize: a 400+-query session compiles thousands
+        # of generated classes; with huge-method compilation enabled the
+        # default 240 MB code cache is headroom-tight (a full cache
+        # silently disables the JIT mid-run). Measured same-session on a
+        # 21-query subset: flag 52.9 s vs no-flag 85.7 s total with a
+        # flat untouched tail (40.9 vs 41.7 s); +cache within noise of
+        # flag-only — the bump is cheap insurance, not a tuned value.
+        "spark.driver.extraJavaOptions":
+            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
+        "spark.executor.extraJavaOptions":
+            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
         # --- determinism / oracle parity ----------------------------------
         "spark.sql.session.timeZone": "UTC",
         # ANSI off: the engine mirrors the reference's R semantics where
