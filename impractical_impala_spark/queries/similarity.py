@@ -525,7 +525,10 @@ def _ivf_search(emb: DataFrame, cent: DataFrame,
     ``n_probe`` cells per query, search exactly within them. Search
     touches only probed cells (~n_probe/n_cells of the corpus).
     ``cent`` columns: cell_id, cv (array<double>), cnorm."""
-    cdot = F.expr(vecfold.dot("v", "cv", DIM))
+    # fold, not unroll: this helper accepts ANY-dim frames (the
+    # clustered-corpus training tests feed 16-dim vectors) and the
+    # unroll hard-codes the dim — its win here was noise-level anyway
+    cdot = F.expr(vecfold.fold_dot("v", "cv"))
     scored = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id", "v", "norm", "cell_id",
         (cdot / (F.col("norm") * F.col("cnorm"))).alias("ccos"),
@@ -541,7 +544,7 @@ def _ivf_search(emb: DataFrame, cent: DataFrame,
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("norm").alias("q_norm"), F.col("cell_id").alias("cell"),
     )
-    qdot = F.expr(vecfold.dot("qv", "cv_full", DIM))
+    qdot = F.expr(vecfold.fold_dot("qv", "cv_full"))
     cand = probes.join(assigned, "cell").filter(
         F.col("query_id") != F.col("c_vec_id")
     ).select(
@@ -661,12 +664,13 @@ def train_ivf_centroids(spark: SparkSession, emb: DataFrame,
     # model-size collect: k seed rows of dim ints
     cent_q = {int(r.vec_id): [int(x) for x in r.vq]
               for r in embq.filter(F.col("vec_id") < k).collect()}
-    idot = F.expr(vecfold.dot("vq", "cq", DIM, zero=vecfold.L_ZERO))
+    # fold, not unroll: training accepts ANY-dim frames (see _ivf_search)
+    idot = F.expr(vecfold.fold_dot("vq", "cq", zero=vecfold.L_ZERO))
     for _ in range(iters):
         cent = spark.createDataFrame(
             sorted(cent_q.items()), "cell_id long, cq array<bigint>",
         ).withColumn("cssq", F.expr(
-            vecfold.self_dot("cq", DIM, zero=vecfold.L_ZERO)))
+            vecfold.fold_self_dot("cq", zero=vecfold.L_ZERO)))
         scored = embq.crossJoin(F.broadcast(cent)).select(
             "vec_id", "vq", "cell_id",
             (idot.cast("double")
