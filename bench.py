@@ -595,6 +595,20 @@ def detail_path_of() -> str:
                         "BENCH_DETAIL.json")
 
 
+def detail_path_for_cpus(cpus: str) -> str:
+    """Per-core-count detail path (VERDICT r15 "what's wrong" #3): the
+    driver benches at two core counts and the single BENCH_DETAIL.json
+    was last-run-wins — the 8-core scaling run overwrote the 32-core
+    detail, so PERF_r15 had no 32c-vs-32c per-query comparison. Every
+    run now ALSO writes BENCH_DETAIL_c{cpus}.json (same schema), and
+    the prior used for the >2x-mover policy / like-for-like block
+    prefers the SAME-core-count file, so cross-core ratios never
+    masquerade as movers. BENCH_DETAIL.json keeps being written
+    unchanged for every existing consumer."""
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        f"BENCH_DETAIL_c{cpus}.json")
+
+
 def like_for_like(prior: dict[str, float],
                   timings: dict[str, float]) -> dict | None:
     """Self-interpreting headline (VERDICT r13 ask #2): the two numbers
@@ -687,7 +701,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    from impractical_impala_spark.session import get_spark
+    from impractical_impala_spark.session import default_parallelism, get_spark
     from impractical_impala_spark.registry import all_queries
 
     spark = get_spark("iis-bench")
@@ -713,16 +727,24 @@ def main() -> None:
         df.select(F.xxhash64(*df.columns).alias("h")) \
             .agg(F.expr("bit_xor(h)")).collect()
 
-    # prior per-query values (the committed BENCH_DETAIL.json from the
-    # previous round) drive the >2x-mover re-measurement policy
+    # prior per-query values (the committed detail from the previous
+    # round) drive the >2x-mover re-measurement policy. Prefer the
+    # SAME-core-count detail file so an 8-core scaling run never
+    # supplies the prior for a 32-core run (or vice versa) — cross-core
+    # ratios are not movers (VERDICT r15 "what's wrong" #3).
+    cpus = str(default_parallelism())
     prior: dict[str, float] = {}
-    try:
-        with open(detail_path_of()) as f:
-            _prior_doc = json.load(f)
+    for prior_path in (detail_path_for_cpus(cpus), detail_path_of()):
+        try:
+            with open(prior_path) as f:
+                _prior_doc = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if str(_prior_doc.get("cpus", cpus)) != cpus:
+            continue  # other-core-count detail: not a valid prior
         prior = dict(_prior_doc.get("queries", {}) or {})
         prior.update(_prior_doc.get("out_of_registry", {}) or {})
-    except (OSError, ValueError):
-        pass
+        break
 
     bench_only = _bench_only()
     timings: dict[str, float] = {}
@@ -783,6 +805,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "cpus": int(cpus),
         "cpu_ref_sec": ref_sec,
         "cpu_ref_par_sec": ref_par_sec,
     }
@@ -794,14 +817,18 @@ def main() -> None:
         detail["remeasured_2x_movers"] = sorted(remeasured)
     if lfl:
         detail["like_for_like_vs_prior_detail"] = lfl
-    with open(detail_path, "w") as f:
-        json.dump(detail, f, indent=1, sort_keys=True)
-        f.write("\n")
+    # last-run-wins single file (every existing consumer) PLUS the
+    # per-core-count copy the round-over-round comparison needs
+    for path in (detail_path, detail_path_for_cpus(cpus)):
+        with open(path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+            f.write("\n")
     line = {
         "metric": "headline_query_wall_sec",
         "value": round(total, 4),
         "unit": "sec",
         "sf": sf,
+        "cpus": int(cpus),
         "n_queries": len(timings),
         "cpu_ref_sec": ref_sec,
         "cpu_ref_par_sec": ref_par_sec,

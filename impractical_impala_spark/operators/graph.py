@@ -133,8 +133,84 @@ def _peel(e0: DataFrame, k: int, max_iter: int, *,
         f"k-core peel: k={k} did not stabilize in {max_iter} rounds")
 
 
+def coreness(edges: DataFrame, max_iter: int = 100) -> DataFrame:
+    """Core number of EVERY node of the undirected simple graph
+    ``edges(a, b)`` (one row per edge, no self-loops — the cohort_edges
+    contract) in ONE fixpoint, via the h-index iteration of Lü, Zhou,
+    Zhang & Stanley, "The H-index of a network node and its relation
+    to degree and coreness" (Nature Communications 7:10168, 2016):
+
+        c_0(v)   = degree(v)
+        c_t+1(v) = H({c_t(u) : u ~ v})   (H = largest h with >= h
+                                          neighbor values >= h)
+
+    c_t is pointwise non-increasing (H of n values <= n, and H is
+    monotone in its inputs, so by induction from c_0 = degree) and
+    converges exactly to the coreness. Every k-core statistic then
+    reads off the fixpoint WITHOUT re-peeling: the k-core is the
+    subgraph induced by {v : core(v) >= k}, so n_nodes(k) = #{core >=
+    k} and n_edges(k) = #{(a,b) : min(core(a), core(b)) >= k}, and the
+    degeneracy k* = max coreness (optimization r16 — replaces the
+    per-k / binary-searched peel loops of r15, guide §1.2/§2.4: one
+    iterative job chain instead of O(#ks) or O(log maxdeg) of them).
+
+    Returns (node, core). Scale shape: each round is one join of the
+    static symmetrized edge list against the current (node, core)
+    frame plus one groupBy whose per-group state is O(max degree) —
+    the same bound as the peel's degree aggregation; lineage truncates
+    per round (localCheckpoint, the connected_components discipline),
+    and the convergence scalar is sum(core), exact on int64 and
+    strictly decreasing until the fixpoint (c is pointwise
+    non-increasing, so sum equality <=> pointwise equality). Raises
+    after ``max_iter`` rounds rather than returning a silently
+    unconverged labeling. The h-index itself is pure codegen: sort the
+    collected neighbor values descending, count prefix positions i
+    (1-based) with value >= i."""
+    e = edges.select("a", "b")
+    sym = (e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .unionByName(e.select(F.col("b").alias("u"),
+                                 F.col("a").alias("v")))
+           .localCheckpoint(eager=True))
+    hidx = ("cast(size(filter(transform(sort_array(cs, false),"
+            " (x, i) -> x >= i + 1), p -> p)) as bigint)")
+    cores = (sym.groupBy(F.col("u").alias("node"))
+             .agg(F.count(F.lit(1)).alias("c"))
+             .localCheckpoint(eager=True))
+    tot = cores.groupBy().sum("c").first()[0]
+    try:
+        for _ in range(max_iter):
+            nxt = (sym.join(cores, sym.v == cores.node)
+                   .groupBy(F.col("u").alias("node"))
+                   .agg(F.collect_list("c").alias("cs"))
+                   .select("node", F.expr(hidx).alias("c"))
+                   .localCheckpoint(eager=True))
+            ntot = nxt.groupBy().sum("c").first()[0]
+            prev, cores = cores, nxt
+            _drop_checkpoint(prev)
+            if ntot == tot:  # sum fixpoint == pointwise fixpoint
+                out, cores = cores, None
+                return out
+            tot = ntot
+    finally:
+        if cores is not None:
+            _drop_checkpoint(cores)
+        _drop_checkpoint(sym)
+    raise RuntimeError(
+        f"coreness: h-index iteration did not converge in {max_iter} "
+        "rounds")
+
+
+def _edge_min_core(edges: DataFrame, cores: DataFrame) -> DataFrame:
+    """One row per distinct edge with m = min(core(a), core(b)) — the
+    largest k whose k-core keeps the edge."""
+    ca = cores.select(F.col("node").alias("a"), F.col("c").alias("ca"))
+    cb = cores.select(F.col("node").alias("b"), F.col("c").alias("cb"))
+    return (edges.join(ca, "a").join(cb, "b")
+            .select(F.least("ca", "cb").alias("m")))
+
+
 def k_core_summary(edges: DataFrame, ks: tuple[int, ...],
-                   max_iter: int = 30) -> DataFrame:
+                   max_iter: int = 100) -> DataFrame:
     """k-core sizes of the undirected graph ``edges(a, b)``: for each
     k, iteratively peel nodes of degree < k until the fixpoint, then
     report the surviving subgraph's node and edge counts. One row per
@@ -142,92 +218,100 @@ def k_core_summary(edges: DataFrame, ks: tuple[int, ...],
 
     Scale shape: every round is degrees = groupBy(node).count over the
     CURRENT edge set followed by a semi-join filter — all
-    hash-partitioned on node id, no driver-side data; rounds needed is
-    the peel depth. Lineage truncates per round (localCheckpoint — the
-    connected_components discipline). The peel is inherently
-    iterative, so this operator is rows-only for the oracle harness;
-    the Python reference peel in the tests pins its semantics."""
-    e0 = edges.select(F.col("a"), F.col("b")).distinct().cache()
-    spark = e0.sparkSession
-    # Optimization r15: k-cores are NESTED (core_{k'} of core_k equals
-    # core_{k'} of the full graph for k' >= k — peeling is confluent),
-    # so ascending k peels start from the previous fixpoint instead of
-    # the full edge set; results are identical, rounds shrink with the
-    # surviving subgraph. Output rows keep the caller's ks order.
-    by_k: dict[int, tuple] = {}
-    base, base_n = e0, None
+    hash-partitioned on node id, no driver-side data. The peel is
+    inherently iterative, so this operator is rows-only for the oracle
+    harness; the Python reference peel in the tests pins its semantics.
+
+    Optimization r16 (replacing r15's chained ascending-k peels): ONE
+    h-index coreness fixpoint (see ``coreness``) followed by one
+    conditional-count aggregation over the node cores and one over the
+    edge min-cores — every k's sizes in two jobs, however many ks are
+    asked for. Value-identical to per-k peeling: the k-core is the
+    subgraph induced by {core >= k}, and for k >= 1 every member has
+    an incident core edge, so the peel's endpoint-distinct node count
+    equals #{core >= k}. Pinned vs the Python reference peel and the
+    old chained peels in tests/test_r16_opt.py."""
+    e0 = edges.select(F.col("a"), F.col("b")).distinct().localCheckpoint(
+        eager=True)
     try:
-        for k in sorted(set(ks)):
-            n_nodes, n_edges, frame = _peel(base, k, max_iter,
-                                            n_edges_in=base_n,
-                                            keep_frame=True)
-            by_k[k] = (n_nodes, n_edges)
-            if base is not e0:
-                _drop_checkpoint(base)
-            base, base_n = frame, n_edges
+        cores = coreness(e0, max_iter)
+        try:
+            n_agg = cores.groupBy().agg(*[
+                F.coalesce(F.sum(F.expr(f"cast(c >= {k} as long)")),
+                           F.lit(0)).cast("long").alias(f"n_{i}")
+                for i, k in enumerate(ks)])
+            e_agg = _edge_min_core(e0, cores).groupBy().agg(*[
+                F.coalesce(F.sum(F.expr(f"cast(m >= {k} as long)")),
+                           F.lit(0)).cast("long").alias(f"e_{i}")
+                for i, k in enumerate(ks)])
+            stack = ", ".join(
+                f"cast({k} as bigint), n_{i}, e_{i}"
+                for i, k in enumerate(ks))
+            out = (n_agg.crossJoin(e_agg)
+                   .select(F.expr(f"stack({len(ks)}, {stack})"
+                                  " AS (k, n_nodes, n_edges)")))
+            # materialize before releasing the inputs' blocks: the
+            # result is |ks| rows (model-size by construction)
+            return out.localCheckpoint(eager=True)
+        finally:
+            _drop_checkpoint(cores)
     finally:
-        if base is not e0:
-            _drop_checkpoint(base)
-        e0.unpersist()
-    rows = [(k, *by_k[k]) for k in ks]
-    return spark.createDataFrame(rows, ["k", "n_nodes", "n_edges"])
+        _drop_checkpoint(e0)
 
 
-def degeneracy_core(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+def degeneracy_core(edges: DataFrame, max_iter: int = 100) -> DataFrame:
     """The graph's DEGENERACY (the largest k with a non-empty k-core)
-    and that innermost core's size, found by binary search over k —
-    log2(max_degree) peel runs, each the k_core_summary shape. Also
-    reports the 2-core (the standard "remove the dangling fringe"
-    level) so the output is informative at ANY density: a uniformly
-    dense backbone has an empty core at median degree but a deep
-    degeneracy; a sparse graph the reverse. Returns two rows:
-    (level='2core', k=2, sizes) and (level='degeneracy', k=k*, sizes).
-    The one collect is the 1-row max-degree aggregate (model-size)."""
-    e0 = edges.select(F.col("a"), F.col("b")).distinct().cache()
-    spark = e0.sparkSession
-    # Optimization r15 (OPTIMIZATION_r15.md): every binary-search probe
-    # is for some k >= 2, and k-cores are nested (peeling is confluent:
-    # core_k of core_j == core_k of the graph for j <= k), so probes
-    # peel from the INNERMOST non-empty core found so far — initially
-    # the 2-core — instead of the full edge set. Identical fixpoints,
-    # far fewer rounds per probe (the base shrinks as lo rises); the
-    # carried edge count also skips each probe's initial count job.
-    base = None     # edge frame of core_lo (caller-owned checkpoint)
-    base_n = None   # its edge count
+    and that innermost core's size. Also reports the 2-core (the
+    standard "remove the dangling fringe" level) so the output is
+    informative at ANY density: a uniformly dense backbone has an
+    empty core at median degree but a deep degeneracy; a sparse graph
+    the reverse. Returns two rows: (level='2core', k=2, sizes) and
+    (level='degeneracy', k=k*, sizes).
+
+    Optimization r16 (replacing r15's binary search over nested
+    peels): ONE h-index coreness fixpoint (see ``coreness``), then
+    both rows read off it distributively — k* = max coreness (the
+    innermost core is non-empty with min degree k*, so it contains an
+    edge whose endpoints both have coreness k*; no edge's min-coreness
+    can exceed the max), the k*-core sizes are #{core = k*} nodes /
+    #{min-core = k*} edges, and the 2-core sizes are the same
+    conditional counts at k = 2. The edgeless graph falls out of the
+    coalesces: max over zero rows is NULL -> k = 0, all sizes 0 —
+    byte-identical to the old special case. Value-equality to the
+    peel-based rows is pinned in tests/test_r16_opt.py and by the
+    standing DuckDB oracle. No driver-side materialization remains in
+    this operator (the old 1-row max-degree collect is gone)."""
+    e0 = edges.select(F.col("a"), F.col("b")).distinct().localCheckpoint(
+        eager=True)
     try:
-        two_n, two_e, base = _peel(e0, 2, max_iter, keep_frame=True)
-        two = (two_n, two_e)
-        base_n = two_e
-        maxdeg = (e0.select(F.col("a").alias("u"))
-                  .unionByName(e0.select(F.col("b").alias("u")))
-                  .groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-                  .agg(F.max("d").alias("m"))
-                  .collect()[0].m or 0)  # 1-row model-size scalar
-        if maxdeg == 0:  # edgeless graph: degeneracy is 0, not k=1
-            return spark.createDataFrame(
-                [("2core", 2, *two), ("degeneracy", 0, 0, 0)],
-                ["level", "k", "n_nodes", "n_edges"])
-        lo, lo_sizes = 1, None
-        hi = maxdeg + 1
-        while hi - lo > 1:
-            mid = (lo + hi) // 2  # mid > lo >= 1, so mid >= 2: the
-            # 2-core (and later the lo-core) is always a valid base
-            n_nodes, n_edges, frame = _peel(base, mid, max_iter,
-                                            n_edges_in=base_n,
-                                            keep_frame=True)
-            if n_edges > 0:
-                lo, lo_sizes = mid, (n_nodes, n_edges)
-                _drop_checkpoint(base)
-                base, base_n = frame, n_edges
-            else:
-                hi = mid
-                _drop_checkpoint(frame)
-        if lo_sizes is None:  # degeneracy 1: the graph itself
-            lo_sizes = _peel(e0, 1, max_iter)
+        cores = coreness(e0, max_iter)
+        try:
+            kf = cores.groupBy().agg(F.max("c").alias("kstar"))
+            n_agg = (cores.crossJoin(F.broadcast(kf))
+                     .groupBy().agg(
+                         F.coalesce(F.sum(F.expr("cast(c >= 2 as long)")),
+                                    F.lit(0)).cast("long").alias("n2"),
+                         F.coalesce(F.sum(F.expr(
+                             "cast(c >= kstar as long)")),
+                             F.lit(0)).cast("long").alias("nk")))
+            e_agg = (_edge_min_core(e0, cores).crossJoin(F.broadcast(kf))
+                     .groupBy().agg(
+                         F.coalesce(F.sum(F.expr("cast(m >= 2 as long)")),
+                                    F.lit(0)).cast("long").alias("e2"),
+                         F.coalesce(F.sum(F.expr(
+                             "cast(m >= kstar as long)")),
+                             F.lit(0)).cast("long").alias("ek")))
+            out = (n_agg.crossJoin(e_agg).crossJoin(
+                F.broadcast(kf.select(
+                    F.coalesce(F.col("kstar"), F.lit(0)).cast("bigint")
+                    .alias("kstar"))))
+                .select(F.expr(
+                    "stack(2, '2core', cast(2 as bigint), n2, e2,"
+                    " 'degeneracy', kstar, nk, ek)"
+                    " AS (level, k, n_nodes, n_edges)")))
+            # materialize before releasing the inputs' blocks (2 rows)
+            return out.localCheckpoint(eager=True)
+        finally:
+            _drop_checkpoint(cores)
     finally:
-        if base is not None:
-            _drop_checkpoint(base)
-        e0.unpersist()
-    return spark.createDataFrame(
-        [("2core", 2, *two), ("degeneracy", lo, *lo_sizes)],
-        ["level", "k", "n_nodes", "n_edges"])
+        _drop_checkpoint(e0)

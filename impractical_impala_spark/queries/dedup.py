@@ -436,10 +436,14 @@ def embedding_neardup_frame(emb: DataFrame, cap: int = NB_QUERY_MAX) -> DataFram
     # estimator, so it chose the full corpus at sf0.01 (caught by the
     # r7 mechanized BNLJ sweep): a corpus-sized broadcast at 100 TB.
     # The cap bounds the true panel size, so the hint is always safe.
+    from .similarity import DIM
+
     a, b = panel.alias("a"), emb.alias("b")
     # unrolled codegen dot — bit-identical to the zip_with fold it
-    # replaces (vecfold module docstring has the op-order argument)
-    dot = F.expr(vecfold.dot("a.v", "b.v", 64))
+    # replaces (vecfold module docstring has the op-order argument);
+    # the unroll width follows the shared embedding DIM (ADVICE r15:
+    # a hard-coded 64 would silently truncate if DIM ever moved)
+    dot = F.expr(vecfold.dot("a.v", "b.v", DIM))
     pairs = (
         F.broadcast(a).join(b, F.col("a.vec_id") != F.col("b.vec_id"))
         .select(

@@ -70,9 +70,11 @@ def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     every float op is a single correctly-rounded IEEE operation, so
     scores are bit-identical across engines and partitionings; ties
     break on vec_id. Scale shape: the pool is top-MMR_POOL per query
-    (TakeOrdered), pairwise sims are pool-local (MMR_POOL^2 per
-    query), and the greedy unroll is MMR_K - 1 bounded joins — the
-    corpus is touched once, by the pool scan."""
+    (row_number cutoff), pairwise sims are pool-local (MMR_POOL^2 per
+    query), and the greedy runs on the DRIVER over the collected pool
+    — MMR_QUERIES x MMR_POOL = 100 rows BY CONSTRUCTION at any corpus
+    size (model-size; audited in the hygiene allowlist). The corpus is
+    touched once, by the distributed pool scan."""
     emb = (load_table(spark, sf_dir, "embeddings")
            .select("vec_id", F.expr(_VQ_SPARK).alias("vq"))
            .withColumn("ssq", F.expr(
@@ -119,7 +121,12 @@ def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         by_q.setdefault(r.query_id, []).append(r)
 
     def nan_hi(v: float) -> tuple:
-        return (math.isnan(v), v)  # NaN sorts greatest, Spark's order
+        # NaN sorts greatest (Spark's total order), mapped to a FIXED
+        # sentinel pair: two distinct NaN floats never compare equal in
+        # Python, so a raw (isnan, v) key would freeze max() at
+        # iteration order between two NaN-scored rows instead of
+        # falling through to the cand_id tiebreak (ADVICE r15).
+        return (1, 0.0) if math.isnan(v) else (0, v)
 
     out_rows = []
     for qid in sorted(by_q):

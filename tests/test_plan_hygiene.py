@@ -175,8 +175,6 @@ _PKG = os.path.join(os.path.dirname(os.path.dirname(
 #                  (the default sink path is the distributed writer;
 #                  the golden path raises past GOLDEN_MAX_ROWS, so the
 #                  entry carries a provable size bound)
-#   operators/graph.py 1x 1-row degree-quantile aggregate (adaptive
-#                  k-core levels)
 #   queries/retrieval_curation.py 1x the MMR pool — MMR_QUERIES x
 #                  MMR_POOL = 100 rows BY CONSTRUCTION (row_number
 #                  cutoff) at any corpus size; the driver-side greedy
@@ -187,7 +185,6 @@ _MATERIALIZE_ALLOW = {
     "queries/similarity.py": 2,
     "queries/ml_more.py": 1,
     "plans/wdi.py": 1,
-    "operators/graph.py": 1,
     "queries/retrieval_curation.py": 1,
 }
 
